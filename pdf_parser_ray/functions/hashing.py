@@ -1,0 +1,59 @@
+"""Content hashing kernels.
+
+Reference identity key: sha256(bytes).hexdigest()[:6]
+(/root/reference/src/pdf_parser/processors/pdf_processor.py:65). We keep the
+6-char prefix for golden parity (``file_hash6``) but use the FULL hex digest
+as the engine's dedup/identity key — a 24-bit prefix collides long before
+10^12 documents.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def sha256_hex(data: bytes) -> str:
+    return hashlib.sha256(data).hexdigest()
+
+
+def sha256_hex6(data: bytes) -> str:
+    """Reference-parity 6-char identity (pdf_processor.py:65)."""
+    return hashlib.sha256(data).hexdigest()[:6]
+
+
+def sha256_column(values: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """sha256 hex of each element of a string/binary column.
+
+    hashlib releases the GIL per call; the loop is per-row but hashing is
+    C-speed and this stage parallelizes across blocks.
+    """
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    out = np.empty(len(values), dtype=object)
+    for i, v in enumerate(values):
+        b = v.as_py()
+        if b is None:
+            out[i] = None
+            continue
+        if isinstance(b, str):
+            b = b.encode("utf-8")
+        out[i] = hashlib.sha256(b).hexdigest()
+    return pa.array(out, type=pa.string())
+
+
+def md5_column(values: pa.Array | pa.ChunkedArray) -> pa.Array:
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    out = np.empty(len(values), dtype=object)
+    for i, v in enumerate(values):
+        b = v.as_py()
+        if b is None:
+            out[i] = None
+            continue
+        if isinstance(b, str):
+            b = b.encode("utf-8")
+        out[i] = hashlib.md5(b).hexdigest()
+    return pa.array(out, type=pa.string())

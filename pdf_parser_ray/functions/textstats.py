@@ -1,0 +1,170 @@
+"""Text-analysis kernels: token counting, quality scoring, language ID,
+document fingerprinting.
+
+These are new, scale-oriented capabilities (no reference counterpart —
+SURVEY.md §2.9); all deterministic, and deliberately specified with
+arithmetic that an ANSI-SQL oracle can reproduce exactly (the driver
+hash-compares Ray output vs DuckDB per query):
+
+  - token count   = number of maximal runs of non-whitespace
+  - alpha count   = number of [A-Za-z] chars
+  - punct count   = number of [.,;:!?] chars
+  - stopword count per language uses non-overlapping ``' word '`` substring
+    counting via the replace-length trick, so Python and SQL agree char-for-char.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+# Small per-language stopword lists for the n-gram/stopword-vote heuristic.
+# Order matters only for deterministic tie-breaking (alphabetical, then
+# 'unknown' when no stopwords at all matched).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "en": ("the", "and", "of", "a", "is"),
+    "es": ("el", "la", "que", "y", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("de", "le", "shi", "bu", "wo"),
+}
+
+
+def token_count(texts: pd.Series) -> pd.Series:
+    """Whitespace token count, vectorized: number of ``\\S+`` runs."""
+    return texts.fillna("").str.count(r"\S+").astype("int64")
+
+
+def bpe_ish_token_count(texts: pd.Series) -> pd.Series:
+    """A BPE-ish sub-word token count: word pieces + digits + punctuation.
+
+    Matches runs of letters (split every 8 chars like BPE merges cap),
+    digit runs, and single punctuation marks. Deterministic and cheap;
+    used for budget estimation, not model parity.
+    """
+    pieces = texts.fillna("").str.count(r"[A-Za-z]{1,8}|[0-9]{1,4}|[^\sA-Za-z0-9]")
+    return pieces.astype("int64")
+
+
+def char_count(texts: pd.Series) -> pd.Series:
+    return texts.fillna("").str.len().astype("int64")
+
+
+def alpha_count(texts: pd.Series) -> pd.Series:
+    return texts.fillna("").str.count(r"[A-Za-z]").astype("int64")
+
+
+def punct_count(texts: pd.Series) -> pd.Series:
+    return texts.fillna("").str.count(r"[.,;:!?]").astype("int64")
+
+
+def substring_occurrences(texts: pd.Series, needle: str) -> pd.Series:
+    """Non-overlapping occurrence count via the replace-length trick.
+
+    Defined this way (instead of regex) so a SQL oracle can reproduce it
+    exactly: (len(s) - len(replace(s, needle, ''))) / len(needle).
+    """
+    s = texts.fillna("")
+    return ((s.str.len() - s.str.replace(needle, "", regex=False).str.len()) // len(needle)).astype("int64")
+
+
+def stopword_votes(texts: pd.Series, lang: str) -> pd.Series:
+    """Total stopword occurrences for one language over ``' '||text||' '``."""
+    padded = " " + texts.fillna("") + " "
+    total = pd.Series(np.zeros(len(texts), dtype="int64"), index=texts.index)
+    for w in LANG_STOPWORDS[lang]:
+        total = total + substring_occurrences(padded, f" {w} ")
+    return total
+
+
+def detect_language(texts: pd.Series) -> pd.Series:
+    """Stopword-vote language ID. Argmax across languages; ties broken by
+    alphabetical language code; zero votes everywhere → 'unknown'."""
+    votes = {lang: stopword_votes(texts, lang).to_numpy() for lang in sorted(LANG_STOPWORDS)}
+    langs = sorted(votes)
+    mat = np.stack([votes[lg] for lg in langs], axis=1)  # (n, L)
+    best = mat.argmax(axis=1)  # first max → alphabetical tie-break
+    out = np.array(langs, dtype=object)[best]
+    out[mat.max(axis=1) == 0] = "unknown"
+    return pd.Series(out, index=texts.index, dtype=object)
+
+
+def quality_score(texts: pd.Series) -> pd.DataFrame:
+    """Heuristic document-quality features + composite keep flag.
+
+    All components are SQL-reproducible:
+      n_tokens, n_chars, alpha_ratio, punct_ratio, mean_token_len,
+      quality_keep = n_tokens>=10 AND alpha_ratio>0.5 AND punct_ratio<0.2.
+    Ratios are computed in float64 with max(n_chars,1) denominators.
+    """
+    n_chars = char_count(texts)
+    n_tokens = token_count(texts)
+    denom = n_chars.clip(lower=1).astype("float64")
+    alpha_ratio = alpha_count(texts).astype("float64") / denom
+    punct_ratio = punct_count(texts).astype("float64") / denom
+    nonspace = n_chars - texts.fillna("").str.count(r"\s").astype("int64")
+    mean_token_len = nonspace.astype("float64") / n_tokens.clip(lower=1).astype("float64")
+    keep = (n_tokens >= 10) & (alpha_ratio > 0.5) & (punct_ratio < 0.2)
+    return pd.DataFrame(
+        {
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "alpha_ratio": alpha_ratio,
+            "punct_ratio": punct_ratio,
+            "mean_token_len": mean_token_len,
+            "quality_keep": keep,
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (winnowing over k-gram rolling hashes)
+# ---------------------------------------------------------------------------
+
+_FP_BASE = np.uint64(1_000_003)
+_FP_MASK = np.uint64((1 << 61) - 1)
+
+
+def kgram_hashes(text: str, k: int = 8) -> np.ndarray:
+    """Rolling polynomial hashes of all k-grams of ``text`` (uint64)."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = len(data)
+    if n < k:
+        if n == 0:
+            return np.zeros(0, dtype=np.uint64)
+        h = np.uint64(0)
+        for c in data:
+            h = (h * _FP_BASE + c) & _FP_MASK
+        return np.array([h], dtype=np.uint64)
+    # cumulative polynomial hash with precomputed powers
+    powers = np.ones(k, dtype=np.uint64)
+    for i in range(1, k):
+        powers[i] = (powers[i - 1] * _FP_BASE) & _FP_MASK
+    # windows: vectorized via stride trick on the byte array
+    windows = np.lib.stride_tricks.sliding_window_view(data, k)
+    # hash = sum(byte[j] * base^(k-1-j)) — matmul in uint64 modulo 2^64 then mask
+    h = (windows * powers[::-1]).sum(axis=1, dtype=np.uint64) & _FP_MASK
+    return h
+
+
+def winnow_fingerprint(text: str, k: int = 8, window: int = 16) -> np.ndarray:
+    """Winnowing (Schleimer et al. 2003, public algorithm): keep the min hash
+    of each sliding window of k-gram hashes; dedupe consecutive picks."""
+    h = kgram_hashes(text, k)
+    if len(h) == 0:
+        return h
+    if len(h) <= window:
+        return np.array([h.min()], dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(h, window)
+    mins = win.min(axis=1)
+    keep = np.ones(len(mins), dtype=bool)
+    keep[1:] = mins[1:] != mins[:-1]
+    return np.unique(mins[keep])
+
+
+def doc_fingerprint_hex(text: str, k: int = 8, window: int = 16) -> str:
+    """Stable doc-level fingerprint: sha256 of the sorted winnowed set."""
+    fp = np.sort(winnow_fingerprint(text, k, window))
+    return hashlib.sha256(fp.tobytes()).hexdigest()[:16]

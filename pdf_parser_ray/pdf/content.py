@@ -1,0 +1,136 @@
+"""Content-stream tokenizer + text-object interpreter.
+
+Implements the text subset of the PDF content-stream operator set
+(SURVEY.md §1.2 contract): BT/ET, Tf, Td/TD/Tm/T*/TL, Tj, TJ, ', ".
+Produces positioned text runs; layout.py assembles them into reading order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+from .fonts import FALLBACK_DECODER, FontDecoder
+from .objects import Lexer, Name, PdfSyntaxError
+
+# Operators are regular-character keywords; everything else parses as operands.
+_OPERATOR_CHARS = set(b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ'\"*01")
+
+
+def tokenize_content(data: bytes) -> Iterator[tuple[list, str]]:
+    """Yield (operands, operator) tuples from a decoded content stream."""
+    lex = Lexer(data)
+    operands: list = []
+    while True:
+        lex.skip_ws()
+        if lex.pos >= lex.n:
+            break
+        c = data[lex.pos]
+        if c in b"/([<+-.0123456789":
+            try:
+                operands.append(lex.parse_value())
+            except PdfSyntaxError:
+                lex.pos += 1  # skip junk byte, keep going (fail-soft)
+            continue
+        kw = lex.read_keyword()
+        if not kw:
+            lex.pos += 1
+            continue
+        if kw in ("true", "false", "null"):
+            operands.append({"true": True, "false": False, "null": None}[kw])
+            continue
+        yield operands, kw
+        operands = []
+
+
+@dataclass
+class TextRun:
+    x: float
+    y: float
+    size: float
+    text: str
+
+
+class TextInterpreter:
+    """Executes text operators, emitting TextRuns with (x, y) positions.
+
+    The full text matrix is tracked as (a,b,c,d,e,f); for horizontal text the
+    run position is (e, f). Glyph widths are unknown (no width tables in the
+    fixture scope), so advance after a show op is estimated as
+    0.5*size*len(text) — only *relative order within a line* depends on it,
+    and runs separated by explicit Td keep exact positions.
+    """
+
+    CHAR_WIDTH_FACTOR = 0.5
+
+    def __init__(self, font_decoders: dict[str, FontDecoder]):
+        self.fonts = font_decoders
+        self.runs: list[TextRun] = []
+        self._reset_text_state()
+
+    def _reset_text_state(self) -> None:
+        self.tm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+        self.tlm = list(self.tm)
+        self.leading = 0.0
+        self.size = 0.0
+        self.decoder = FALLBACK_DECODER
+
+    def run(self, content: bytes) -> list[TextRun]:
+        in_text = False
+        for operands, op in tokenize_content(content):
+            try:
+                if op == "BT":
+                    in_text = True
+                    self.tm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+                    self.tlm = list(self.tm)
+                elif op == "ET":
+                    in_text = False
+                elif op == "Tf" and len(operands) >= 2:
+                    name, size = operands[-2], operands[-1]
+                    if isinstance(name, Name):
+                        self.decoder = self.fonts.get(str(name), FALLBACK_DECODER)
+                    self.size = float(size)
+                elif op == "TL" and operands:
+                    self.leading = float(operands[-1])
+                elif op == "Td" and len(operands) >= 2:
+                    self._td(float(operands[-2]), float(operands[-1]))
+                elif op == "TD" and len(operands) >= 2:
+                    self.leading = -float(operands[-1])
+                    self._td(float(operands[-2]), float(operands[-1]))
+                elif op == "Tm" and len(operands) >= 6:
+                    self.tm = [float(v) for v in operands[-6:]]
+                    self.tlm = list(self.tm)
+                elif op == "T*":
+                    self._td(0.0, -self.leading)
+                elif op == "Tj" and operands and in_text:
+                    self._show(operands[-1])
+                elif op == "'" and operands:
+                    self._td(0.0, -self.leading)
+                    self._show(operands[-1])
+                elif op == '"' and len(operands) >= 3:
+                    self._td(0.0, -self.leading)
+                    self._show(operands[-1])
+                elif op == "TJ" and operands and isinstance(operands[-1], list):
+                    for elem in operands[-1]:
+                        if isinstance(elem, bytes):
+                            self._show(elem)
+                        elif isinstance(elem, (int, float)):
+                            # kerning: negative values move right by n/1000*size
+                            self.tm[4] -= float(elem) / 1000.0 * self.size
+            except (TypeError, ValueError):
+                continue  # malformed operands → skip op (fail-soft)
+        return self.runs
+
+    def _td(self, tx: float, ty: float) -> None:
+        # tlm = translate(tx, ty) × tlm ; tm = tlm
+        a, b, c, d, e, f = self.tlm
+        self.tlm = [a, b, c, d, tx * a + ty * c + e, tx * b + ty * d + f]
+        self.tm = list(self.tlm)
+
+    def _show(self, raw: bytes) -> None:
+        if not isinstance(raw, bytes):
+            return
+        text = self.decoder.decode(raw)
+        if text:
+            self.runs.append(TextRun(self.tm[4], self.tm[5], self.size or 12.0, text))
+        self.tm[4] += self.CHAR_WIDTH_FACTOR * (self.size or 12.0) * len(text)
