@@ -1,0 +1,160 @@
+"""Flagship pipeline: interleaved corpus → ordered span extraction.
+
+Two entry points:
+  - ``extraction_dataset``: lazy Dataset pipeline (read → DocParse actor
+    pool) for direct consumption (tests, queries(), bench);
+  - ``run_extraction``: checkpointed run — byte-budget partition planning,
+    per-partition atomic commits to the manifest, exact resume.
+
+Replaces the reference's sequential per-file loop
+(processors/batch_processor.py:46-91) with a streaming Dataset execution:
+the Dataset IS the batch; per-row error capture replaces try/except-per-file.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.compute as pc
+
+from .. import __version__ as PARSER_VERSION
+from ..config import DEFAULT_PARSE_BATCH_SIZE, PARTITION_BYTE_BUDGET
+from ..sources.io import read_corpus
+from ..stages.doc_parse import DocParse
+from ..state.manifest import Manifest, assign_partition, partition_boundaries, plan_partitions
+
+
+def payload_sizes(batch: pa.Table) -> pa.Table:
+    """Light planning pass: per-doc payload byte estimate (span text lengths).
+
+    Uses Arrow list-flatten kernels — the span payloads are measured without
+    leaving Arrow. Only (doc_id, n_input_bytes) goes back to the driver.
+    """
+    spans = batch.column("spans")
+    flat = pc.list_flatten(spans)
+    text_len = pc.binary_length(pc.struct_field(flat, "text"))
+    # sum text lengths back per row
+    offsets = pc.list_parent_indices(spans)
+    sums = np.zeros(batch.num_rows, dtype=np.int64)
+    np.add.at(sums, offsets.to_numpy(zero_copy_only=False),
+              text_len.to_numpy(zero_copy_only=False))
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "n_input_bytes": pa.array(sums, type=pa.int64())})
+
+
+def extraction_dataset(corpus_path: str, *, parse_concurrency=4,
+                       batch_size: int = DEFAULT_PARSE_BATCH_SIZE,
+                       field_config: dict | None = None):
+    """Lazy read → DocParse actor-pool pipeline over the corpus."""
+    ds = read_corpus(corpus_path)
+    return ds.map_batches(
+        DocParse,
+        fn_constructor_kwargs={"field_config": field_config} if field_config else {},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=parse_concurrency,
+    )
+
+
+def _compute_sizes(corpus_path: str) -> tuple[list[str], np.ndarray]:
+    """Planning pass on the driver: sorted doc_ids + per-doc byte sizes."""
+    ds = read_corpus(corpus_path)
+    small = ds.map_batches(payload_sizes, batch_format="pyarrow")
+    tbl = pa.concat_tables([pa.table(b) for b in small.iter_batches(batch_format="pyarrow")])
+    order = pc.sort_indices(tbl.column("doc_id"))
+    tbl = tbl.take(order)
+    return (tbl.column("doc_id").to_pylist(),
+            tbl.column("n_input_bytes").to_numpy(zero_copy_only=False))
+
+
+def run_extraction(corpus_path: str, out_dir: str, *,
+                   byte_budget: int = PARTITION_BYTE_BUDGET,
+                   parse_concurrency=4,
+                   batch_size: int = DEFAULT_PARSE_BATCH_SIZE,
+                   commit_batch_size: int = 8) -> dict:
+    """Checkpointed extraction run with exact resume.
+
+    Partitions are planned by byte budget over sorted doc_id ranges; jobs
+    process ``commit_batch_size`` uncommitted partitions at a time, write
+    hive-partitioned Parquet to a temp dir, then atomically move each
+    partition dir into place and append its manifest record (commit point).
+    Returns a summary dict.
+    """
+    manifest = Manifest(out_dir)
+    doc_ids, sizes = _compute_sizes(corpus_path)
+    parts = plan_partitions(doc_ids, sizes, byte_budget)
+    boundaries = partition_boundaries(parts)
+    committed = manifest.committed_ids()
+    todo = [p for p in parts if p.partition_id not in committed]
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=object)
+        pid = assign_partition(ids, boundaries)
+        return batch.append_column("partition_id", pa.array(pid, type=pa.int64()))
+
+    n_done = 0
+    for chunk_start in range(0, len(todo), commit_batch_size):
+        chunk = todo[chunk_start : chunk_start + commit_batch_size]
+        chunk_ids = {p.partition_id for p in chunk}
+        t0 = time.time()
+        tmp_dir = os.path.join(out_dir, f"_tmp_job_{chunk[0].partition_id}")
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+        wanted = pa.array(sorted(chunk_ids), type=pa.int64())
+        ds = read_corpus(corpus_path)
+        ds = ds.map_batches(add_pid, batch_format="pyarrow")
+        ds = ds.map_batches(
+            lambda b: b.filter(pc.is_in(b.column("partition_id"), value_set=wanted)),
+            batch_format="pyarrow",
+        )
+        parsed = ds.map_batches(
+            DocParse,
+            fn_constructor_kwargs={"passthrough_cols": ["partition_id"]},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=parse_concurrency,
+        )
+        parsed.write_parquet(tmp_dir, partition_cols=["partition_id"])
+
+        elapsed = time.time() - t0
+        for p in chunk:
+            src = os.path.join(tmp_dir, f"partition_id={p.partition_id}")
+            dst = manifest.partition_dir(p.partition_id)
+            if not os.path.exists(src):
+                os.makedirs(src, exist_ok=True)  # empty partition still commits
+            shutil.rmtree(dst, ignore_errors=True)
+            os.replace(src, dst)
+            metrics = _partition_metrics(dst)
+            manifest.commit({
+                "partition_id": p.partition_id,
+                "input_path": corpus_path,
+                "start_doc_id": p.start_doc_id,
+                "end_doc_id": p.end_doc_id,
+                "n_docs_planned": p.n_docs,
+                "n_input_bytes_planned": p.n_bytes,
+                "parser_version": PARSER_VERSION,
+                "metrics": dict(metrics, job_elapsed_sec=round(elapsed, 3)),
+            })
+            n_done += 1
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+    return {"partitions_total": len(parts), "partitions_committed_now": n_done,
+            "partitions_skipped": len(committed), "out_dir": out_dir}
+
+
+def _partition_metrics(part_dir: str) -> dict:
+    files = [os.path.join(part_dir, f) for f in os.listdir(part_dir)
+             if f.endswith(".parquet")]
+    if not files:
+        return {"docs": 0, "spans": 0, "bytes": 0, "errors": 0}
+    t = pads.dataset(files).to_table(columns=["error", "n_spans", "n_bytes"])
+    return {
+        "docs": t.num_rows,
+        "spans": int(pc.sum(t.column("n_spans")).as_py() or 0),
+        "bytes": int(pc.sum(t.column("n_bytes")).as_py() or 0),
+        "errors": int(pc.count(t.column("error"), mode="only_valid").as_py() or 0),
+    }

@@ -1,0 +1,211 @@
+"""Deterministic interleaved-corpus generator (FIXTURES.md §3).
+
+Generates the `input_hint`-shaped table
+(doc_id: string, spans: list<struct<kind,text,media_ref,offset>>)
+with seeded skew, embedded golden payloads, and fixed-position error-path
+documents. Seed-driven (`numpy.default_rng`), no wall clock → byte-stable
+across runs, which is what makes the span-equality and resume tests exact.
+
+Span kinds drawn with p = text:0.45 html:0.30 pdf:0.10 image:0.10 media:0.05.
+Docs with ``i % 997 == 0`` carry a ~1000×-page PDF (straggler/byte-budget
+fixture); docs with ``i % 503`` in the error buckets carry the FIXTURES.md
+§2.5 error payloads.
+"""
+
+from __future__ import annotations
+
+import base64
+import functools
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..schema import INPUT_SCHEMA
+from ..pdf.build import (
+    claim_form_pdf,
+    corrupt_page_mix_pdf,
+    minimal_pdf,
+    no_text_pdf,
+    not_a_pdf,
+)
+
+_VOCAB = (
+    "the quick brown fox jumps over lazy dog forest river mountain valley "
+    "storm cloud meadow stone bridge castle harbor lantern whisper journey "
+    "morning evening shadow silver golden ancient modern quiet loud gentle "
+    "fierce wander gather scatter remember forget discover explore build"
+).split()
+
+_NAMES = ["John Smith", "Anna Maria", "Carlos Vega", "Marie Curie", "Jan Nowak", "Li Wei"]
+
+# §2.5 error buckets: i % 503 → payload class
+_ERR_NOT_A_PDF = 1
+_ERR_TOO_SMALL = 2
+_ERR_NO_TEXT = 3
+_ERR_BAD_PAGE_MIX = 4
+_ERR_NO_FIELDS = 5
+_ERR_UNICODE = 6
+_ERR_DUP_A = 7
+_ERR_DUP_B = 8
+_ERR_TOO_LARGE = 9  # only materialized at sf >= 0.1 (50 MB payload)
+
+
+@functools.lru_cache(maxsize=None)
+def _golden_pdfs() -> dict[str, bytes]:
+    return {
+        "claim": claim_form_pdf(),
+        "minimal": minimal_pdf(),
+        "big": claim_form_pdf(repeat_pages=200),  # ~1000 pages: the skew doc
+        "corrupt_mix": corrupt_page_mix_pdf(),
+        "no_text": no_text_pdf(),
+        "not_a_pdf": not_a_pdf(),
+    }
+
+
+def _b64(b: bytes) -> str:
+    return base64.b64encode(b).decode("ascii")
+
+
+def _sentence(rng: np.random.Generator) -> str:
+    n = int(rng.integers(5, 13))
+    words = rng.choice(len(_VOCAB), size=n)
+    s = " ".join(_VOCAB[w] for w in words)
+    return s[0].upper() + s[1:] + "."
+
+
+def _filler(rng: np.random.Generator, approx_chars: int) -> str:
+    parts: list[str] = []
+    total = 0
+    while total < approx_chars:
+        s = _sentence(rng)
+        parts.append(s)
+        total += len(s) + 1
+    return " ".join(parts)
+
+
+def _field_block(rng: np.random.Generator) -> str:
+    name = _NAMES[int(rng.integers(0, len(_NAMES)))]
+    policy = f"POL-{int(rng.integers(100000, 999999))}"
+    amount = f"{int(rng.integers(1, 9))},{int(rng.integers(100, 999))}.{int(rng.integers(10, 99))}"
+    return (
+        f"Customer Name: {name}\n"
+        f"Policy Number: {policy}\n"
+        f"Claim Amount: ${amount}\n"
+        f"Date: 2024-01-01"
+    )
+
+
+def _html_page(rng: np.random.Generator, doc_id: str, offset: int, approx_chars: int) -> str:
+    n_paras = max(1, approx_chars // 220)
+    paras = []
+    for _ in range(min(n_paras, 12)):
+        body = _filler(rng, 180)
+        paras.append(f"<p>{body}</p>")
+        if rng.random() < 0.15:
+            paras.append(f'<img src="media://{doc_id}/{offset}/img{len(paras)}">')
+    nav = " ".join(f'<a href="/p{i}">Menu item {i}</a>' for i in range(4))
+    return (
+        "<!DOCTYPE html><html><head><title>Synth Page</title>"
+        "<style>body{margin:0}</style></head><body>"
+        f"<header><h1>Synth Site</h1><nav>{nav}</nav></header>"
+        f'<div class="content"><h1>{_sentence(rng)}</h1>' + "".join(paras) + "</div>"
+        f"<aside><p>{_filler(rng, 60)}</p></aside>"
+        f"<footer><p>Copyright 2024 Synth Site. All rights reserved.</p></footer>"
+        "</body></html>"
+    )
+
+
+def _normal_doc_spans(rng: np.random.Generator, doc_id: str) -> list[dict]:
+    n_spans = 1 + min(int(rng.poisson(3)), 11)
+    approx_chars = int(np.exp(rng.normal(8.0, 1.5)))
+    approx_chars = min(max(approx_chars, 64), 200_000)
+    per_span = max(64, approx_chars // n_spans)
+    spans = []
+    kinds = rng.choice(5, size=n_spans, p=[0.45, 0.30, 0.10, 0.10, 0.05])
+    for offset in range(n_spans):
+        kind = ("text", "html", "pdf", "image", "media")[int(kinds[offset])]
+        if kind == "text":
+            text = _filler(rng, per_span)
+            if rng.random() < 0.10:
+                text = text + "\n" + _field_block(rng)
+            spans.append({"kind": "text", "text": text, "media_ref": "", "offset": offset})
+        elif kind == "html":
+            spans.append(
+                {"kind": "html", "text": _html_page(rng, doc_id, offset, per_span),
+                 "media_ref": "", "offset": offset}
+            )
+        elif kind == "pdf":
+            which = "claim" if rng.random() < 0.5 else "minimal"
+            spans.append(
+                {"kind": "pdf", "text": _b64(_golden_pdfs()[which]), "media_ref": "", "offset": offset}
+            )
+        else:  # image / media
+            spans.append(
+                {"kind": kind, "text": "", "media_ref": f"media://{doc_id}/{offset}", "offset": offset}
+            )
+    return spans
+
+
+def _error_doc_spans(bucket: int, rng: np.random.Generator, doc_id: str, sf: float) -> list[dict] | None:
+    g = _golden_pdfs()
+    if bucket == _ERR_NOT_A_PDF:
+        payload = _b64(g["not_a_pdf"])
+    elif bucket == _ERR_TOO_SMALL:
+        payload = _b64(b"%PDF-1.4 tiny")  # 13 bytes < MIN_FILE_SIZE
+    elif bucket == _ERR_NO_TEXT:
+        payload = _b64(g["no_text"])
+    elif bucket == _ERR_BAD_PAGE_MIX:
+        payload = _b64(g["corrupt_mix"])
+    elif bucket == _ERR_NO_FIELDS:
+        return [{"kind": "text", "text": "This text does not contain the expected patterns",
+                 "media_ref": "", "offset": 0}]
+    elif bucket == _ERR_UNICODE:
+        return [{"kind": "text",
+                 "text": "Customer Name: José García\nNotes: àáâãäåæçèéêë ñ ü ß 中文 русский",
+                 "media_ref": "", "offset": 0}]
+    elif bucket in (_ERR_DUP_A, _ERR_DUP_B):
+        return [{"kind": "pdf", "text": _b64(g["claim"]), "media_ref": "", "offset": 0}]
+    elif bucket == _ERR_TOO_LARGE and sf >= 0.1:
+        big = b"%PDF-1.4\n%" + b"\x00" * (50 * 1024 * 1024)  # > MAX_FILE_SIZE
+        return [{"kind": "pdf", "text": _b64(big), "media_ref": "", "offset": 0}]
+    else:
+        return None
+    return [{"kind": "pdf", "text": payload, "media_ref": "", "offset": 0}]
+
+
+def generate_corpus(sf: float, seed: int = 42) -> pa.Table:
+    """Synthesize the interleaved corpus at scale factor ``sf``
+    (n_docs = round(10_000 * sf), FIXTURES.md §3)."""
+    n_docs = max(1, round(10_000 * sf))
+    doc_ids: list[str] = []
+    all_spans: list[list[dict]] = []
+    for i in range(n_docs):
+        doc_id = f"doc-{i:08d}"
+        # per-doc child RNG → order-independent determinism
+        rng = np.random.default_rng([seed, i])
+        if i % 997 == 0 and i > 0:
+            spans = [{"kind": "pdf", "text": _b64(_golden_pdfs()["big"]),
+                      "media_ref": "", "offset": 0}]
+        else:
+            spans = _error_doc_spans(i % 503, rng, doc_id, sf) if i % 503 in range(1, 10) else None
+            if spans is None:
+                spans = _normal_doc_spans(rng, doc_id)
+        doc_ids.append(doc_id)
+        all_spans.append(spans)
+    return pa.Table.from_pydict(
+        {"doc_id": doc_ids, "spans": all_spans}, schema=INPUT_SCHEMA
+    )
+
+
+def corpus_path(sf: float, base_dir: str = "/tmp/pdf_parser_ray_corpus", seed: int = 42) -> str:
+    """Generate-once cache of the synthesized corpus on local disk."""
+    from .io import write_corpus_table
+
+    path = os.path.join(base_dir, f"sf{sf}_seed{seed}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(base_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        write_corpus_table(generate_corpus(sf, seed), tmp)
+        os.replace(tmp, path)
+    return path

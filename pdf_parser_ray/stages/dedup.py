@@ -1,0 +1,252 @@
+"""Deduplication stages: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (SURVEY.md §2.6 + north rule):
+  - exact dedup shuffles only (hash, id) pairs after a vectorized hashing
+    map — never the payload; the groupby key is the FULL sha256 (the
+    reference's 6-char prefix collides at corpus scale).
+  - near-dup stages emit fixed-width sketches per doc, explode to
+    (band_key, doc_id, sketch) rows, and groupby band buckets — documents
+    themselves never move. Salting: band keys already distribute uniformly
+    (md5 of band bytes); a hot bucket means genuinely-identical content,
+    which the per-bucket combiner reduces to one survivor row.
+  - duplicate resolution is one round of min-label propagation inside each
+    bucket (doc marked dup iff some bucket links it to a smaller-id doc at
+    ≥ threshold similarity). This under-merges long chains A~B~C where
+    A!~C — documented approximation, same contract as common LSH dedup
+    at web scale; exact connected components would need an iterative
+    groupby loop (available via repeated application).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.minhash import MinHasher, SimHasher, char_ngrams, jaccard
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def add_content_hash(batch: pa.Table, *, text_col: str = "text",
+                     out_col: str = "content_hash") -> pa.Table:
+    """Vectorized-enough sha256 over the text column (C-speed per row)."""
+    vals = batch.column(text_col).to_pylist()
+    hashes = [hashlib.sha256((v or "").encode("utf-8")).hexdigest() for v in vals]
+    return batch.append_column(out_col, pa.array(hashes, type=pa.string()))
+
+
+def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep the min-id row of each identical-content group.
+
+    hash → groupby(content_hash) → per-group first (pandas sort for a
+    deterministic survivor). The shuffle moves full rows; for very wide
+    payloads use ``exact_dedup_ids`` + semi-join instead.
+    """
+    hashed = ds.map_batches(add_content_hash, batch_format="pyarrow",
+                            fn_kwargs={"text_col": text_col})
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1)
+
+    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+class MinHashSketch:
+    """Actor-pool stage: text → 128-perm MinHash signature (binary col)."""
+
+    def __init__(self, num_perm: int = 128, shingle_width: int = 5,
+                 text_col: str = "text"):
+        self.hasher = MinHasher(num_perm=num_perm, shingle_width=shingle_width)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [
+            self.hasher.signature(t or "").astype(np.uint64).tobytes()
+            for t in batch.column(self.text_col).to_pylist()
+        ]
+        return batch.append_column("minhash_sig", pa.array(sigs, type=pa.binary()))
+
+
+class BandExplode:
+    """Signature → one row per LSH band: (band_key, doc_id, minhash_sig)."""
+
+    def __init__(self, num_perm: int = 128, num_bands: int = 16, id_col: str = "doc_id"):
+        self.hasher = MinHasher(num_perm=num_perm)
+        self.num_bands = num_bands
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, keys, sigs = [], [], []
+        for doc_id, sig_bytes in zip(
+            batch.column(self.id_col).to_pylist(), batch.column("minhash_sig").to_pylist()
+        ):
+            sig = np.frombuffer(sig_bytes, dtype=np.uint64)
+            for key in self.hasher.band_keys(sig, self.num_bands):
+                ids.append(doc_id)
+                keys.append(key)
+                sigs.append(sig_bytes)
+        return pa.table(
+            {"band_key": pa.array(keys, type=pa.string()),
+             "doc_id": pa.array(ids, type=pa.string()),
+             "minhash_sig": pa.array(sigs, type=pa.binary())}
+        )
+
+
+def _bucket_dup_edges(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Within one band bucket: link every doc to the bucket's min-id doc if
+    their signature agreement ≥ threshold. Emits (doc_id, dup_of)."""
+    if len(g) < 2:
+        return pd.DataFrame({"doc_id": [], "dup_of": []}, dtype=object)
+    g = g.sort_values("doc_id")
+    anchor_id = g["doc_id"].iloc[0]
+    anchor = np.frombuffer(g["minhash_sig"].iloc[0], dtype=np.uint64)
+    out_ids, out_dup = [], []
+    for doc_id, sig_bytes in zip(g["doc_id"].iloc[1:], g["minhash_sig"].iloc[1:]):
+        sig = np.frombuffer(sig_bytes, dtype=np.uint64)
+        if float((sig == anchor).mean()) >= threshold:
+            out_ids.append(doc_id)
+            out_dup.append(anchor_id)
+    return pd.DataFrame({"doc_id": out_ids, "dup_of": out_dup}, dtype=object)
+
+
+def minhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                        num_perm: int = 128, num_bands: int = 16,
+                        threshold: float = 0.8, concurrency=None):
+    """Dataset of (doc_id, dup_of) near-duplicate edges (doc_id > dup_of).
+
+    shingle→minhash (actor pool) → band explode → groupby(band_key) →
+    per-bucket verify. Distinct edges via a final groupby.
+    """
+    kwargs = {"concurrency": concurrency} if concurrency else {}
+    sketched = ds.map_batches(
+        MinHashSketch, fn_constructor_kwargs={"num_perm": num_perm, "text_col": text_col},
+        batch_format="pyarrow", **(kwargs or {"concurrency": 4}),
+    )
+    bands = sketched.map_batches(
+        BandExplode,
+        fn_constructor_kwargs={"num_perm": num_perm, "num_bands": num_bands, "id_col": id_col},
+        batch_format="pyarrow", concurrency=2,
+    )
+    edges = bands.groupby("band_key").map_groups(
+        lambda g: _bucket_dup_edges(g, threshold), batch_format="pandas"
+    )
+    # distinct (doc_id, dup_of): same edge may surface from several bands
+    return edges.groupby(["doc_id", "dup_of"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+class SimHashSketch:
+    """Actor-pool stage: text → 64-bit SimHash + 4×16-bit band keys."""
+
+    def __init__(self, text_col: str = "text"):
+        self.hasher = SimHasher()
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.hasher.signature(t or "") for t in batch.column(self.text_col).to_pylist()]
+        return batch.append_column("simhash", pa.array(sigs, type=pa.uint64()))
+
+
+def simhash_band_explode(batch: pa.Table, *, id_col: str = "doc_id") -> pa.Table:
+    ids, keys, sigs = [], [], []
+    for doc_id, sig in zip(batch.column(id_col).to_pylist(), batch.column("simhash").to_pylist()):
+        for b in range(4):
+            ids.append(doc_id)
+            keys.append(f"{b}:{(sig >> (16 * b)) & 0xFFFF:04x}")
+            sigs.append(sig)
+    return pa.table({"band_key": keys, "doc_id": ids, "simhash": pa.array(sigs, type=pa.uint64())})
+
+
+def simhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                        max_hamming: int = 3):
+    """(doc_id, dup_of) edges where hamming(simhash) ≤ max_hamming, found via
+    4-band 16-bit LSH (any duplicate within distance 3 shares ≥1 band)."""
+
+    def bucket_edges(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_id": [], "dup_of": []}, dtype=object)
+        g = g.sort_values("doc_id")
+        anchor_id = g["doc_id"].iloc[0]
+        anchor = int(g["simhash"].iloc[0])
+        ids, dups = [], []
+        for doc_id, sig in zip(g["doc_id"].iloc[1:], g["simhash"].iloc[1:]):
+            if bin(int(sig) ^ anchor).count("1") <= max_hamming:
+                ids.append(doc_id)
+                dups.append(anchor_id)
+        return pd.DataFrame({"doc_id": ids, "dup_of": dups}, dtype=object)
+
+    sketched = ds.map_batches(SimHashSketch, fn_constructor_kwargs={"text_col": text_col},
+                              batch_format="pyarrow", concurrency=4)
+    bands = sketched.map_batches(simhash_band_explode, batch_format="pyarrow",
+                                 fn_kwargs={"id_col": id_col})
+    edges = bands.groupby("band_key").map_groups(bucket_edges, batch_format="pandas")
+    return edges.groupby(["doc_id", "dup_of"]).map_groups(lambda g: g.head(1),
+                                                          batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification (pairwise, for candidate pairs)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(texts_a: list[str], texts_b: list[str], n: int = 5) -> list[float]:
+    """Exact character-n-gram Jaccard for aligned candidate pairs."""
+    return [jaccard(char_ngrams(a or "", n), char_ngrams(b or "", n))
+            for a, b in zip(texts_a, texts_b)]
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_edges(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
+                            threshold: float = 0.95, num_planes: int = 12, seed: int = 42):
+    """Near-duplicate edges by cosine ≥ threshold, bucketed by random-
+    hyperplane LSH (sign pattern of ``num_planes`` fixed projections).
+
+    Only vectors sharing a sign-bucket are compared — the standard SimHash-
+    for-vectors trade-off: recall < 1 for pairs near the planes; raise
+    num_planes→bands for higher recall at more shuffle volume.
+    """
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(batch[vec_col].to_numpy())
+        dim = mat.shape[1]
+        planes = np.random.default_rng(seed).standard_normal((dim, num_planes))
+        signs = (mat @ planes) >= 0
+        batch["lsh_bucket"] = [
+            "".join("1" if b else "0" for b in row) for row in signs
+        ]
+        return batch
+
+    def bucket_edges(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "dup_of": pd.Series([], dtype="int64")})
+        g = g.sort_values(id_col)
+        mat = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        anchor = unit[0]
+        sims = unit[1:] @ anchor
+        mask = sims >= threshold
+        ids = g[id_col].iloc[1:].to_numpy()[mask]
+        return pd.DataFrame({id_col: ids, "dup_of": g[id_col].iloc[0]})
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pandas")
+    return bucketed.groupby("lsh_bucket").map_groups(bucket_edges, batch_format="pandas")

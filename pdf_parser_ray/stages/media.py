@@ -1,0 +1,131 @@
+"""Multimodal stages: opaque binary media columns with typed metadata.
+
+The Ray-side plumbing is REAL (schemas, actor-pool signatures, batch sizing,
+output tensor layout); the image/audio codecs are NOT available in this
+container, so the decode kernel is stubbed (FIXTURES-style deterministic
+fake) behind ``decoder="fake"`` and raises ``NotImplementedError`` for
+``decoder="pillow"``-class real backends. Swap the kernel, keep the stage.
+
+Batch sizing: media rows are large — callers should pass small
+``batch_size`` (8-32) so batch × concurrency fits the worker heap.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("media_type", pa.string()),   # "image" | "audio" | "video"
+        ("payload", pa.binary()),      # opaque encoded bytes
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def _fake_pixels(payload: bytes, h: int, w: int, c: int = 3) -> np.ndarray:
+    """Deterministic stand-in decode: sha256-seeded uint8 tensor."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+class ImageDecode:
+    """Actor-pool stage: encoded image payload → fixed-size uint8 tensor.
+
+    Output column ``pixels``: FixedShapeTensor-compatible flat binary of
+    shape (out_h, out_w, 3) per row (resize is part of decode so the full-
+    resolution tensor never enters the object store).
+    """
+
+    def __init__(self, out_h: int = 64, out_w: int = 64, decoder: str = "fake"):
+        if decoder not in ("fake",):
+            raise NotImplementedError(
+                f"decoder={decoder!r}: real image codecs are not installed in "
+                "this environment; only the deterministic 'fake' backend runs"
+            )
+        self.out_h, self.out_w = out_h, out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pixels = []
+        for payload in batch.column("payload").to_pylist():
+            arr = _fake_pixels(payload or b"", self.out_h, self.out_w)
+            pixels.append(arr.tobytes())
+        batch = batch.append_column("pixels", pa.array(pixels, type=pa.binary()))
+        batch = batch.append_column("pixels_shape", pa.array(
+            [[self.out_h, self.out_w, 3]] * batch.num_rows, type=pa.list_(pa.int32())))
+        return batch
+
+
+class ImageFeatures:
+    """Actor-pool stage: pixel tensor → deterministic feature vector.
+
+    Stands in for batched model inference (the model-load slot is
+    ``__init__``; the per-batch matmul shape is real).
+    """
+
+    def __init__(self, dim: int = 32, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.dim = dim
+        self._proj: np.ndarray | None = None
+        self._seed_rng = rng
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for blob, shape in zip(batch.column("pixels").to_pylist(),
+                               batch.column("pixels_shape").to_pylist()):
+            arr = np.frombuffer(blob, dtype=np.uint8).astype(np.float32)
+            if self._proj is None or self._proj.shape[0] != arr.size:
+                self._proj = np.random.default_rng(42).standard_normal(
+                    (arr.size, self.dim)).astype(np.float32)
+            feats.append((arr @ self._proj / arr.size).tolist())
+        return batch.append_column(
+            "features", pa.array(feats, type=pa.list_(pa.float32())))
+
+
+class FrameSample:
+    """Actor-pool stage: 'video' payload → every-nth-frame fake sampling.
+
+    Emits one row per sampled frame (flat_map-shaped: output rows ≥ input
+    rows), preserving (media_ref, frame_index) identity.
+    """
+
+    def __init__(self, every_ms: int = 1000):
+        self.every_ms = every_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, idxs, payloads = [], [], []
+        for ref, payload, dur in zip(batch.column("media_ref").to_pylist(),
+                                     batch.column("payload").to_pylist(),
+                                     batch.column("duration_ms").to_pylist()):
+            n_frames = max(1, (dur or 0) // self.every_ms)
+            for f in range(n_frames):
+                refs.append(ref)
+                idxs.append(f)
+                payloads.append(hashlib.sha256((payload or b"") + f.to_bytes(4, "little")).digest())
+        return pa.table({
+            "media_ref": pa.array(refs, type=pa.string()),
+            "frame_index": pa.array(idxs, type=pa.int32()),
+            "frame_payload": pa.array(payloads, type=pa.binary()),
+        })
+
+
+def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic media sidecar table for tests/benchmarks."""
+    rng = np.random.default_rng(seed)
+    rows = {
+        "media_ref": [f"media://synth/{i}" for i in range(n)],
+        "media_type": [("image", "audio", "video")[i % 3] for i in range(n)],
+        "payload": [rng.integers(0, 256, size=int(rng.integers(64, 2048)),
+                                 dtype=np.uint8).tobytes() for _ in range(n)],
+        "width": [int(rng.integers(16, 512)) for _ in range(n)],
+        "height": [int(rng.integers(16, 512)) for _ in range(n)],
+        "duration_ms": [int(rng.integers(0, 10_000)) for _ in range(n)],
+    }
+    return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)

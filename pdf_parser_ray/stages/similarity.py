@@ -1,0 +1,158 @@
+"""Similarity search over an embedding column (list<float>).
+
+  - ``brute_force_topk``: exact cosine top-k. The query matrix is broadcast
+    ONCE via ``ray.put`` and read in each task (never re-shipped per batch);
+    each batch computes a float64 matmul and emits only its LOCAL top-k rows
+    per query (partial top-k combiner), so the shuffle that follows moves
+    ≤ k rows per (query, batch) — not the corpus. A final per-query
+    ``map_groups`` reduces partials to the global top-k.
+  - ``ivf_topk``: IVF-style scale path — vectors bucketed to seeded
+    centroids (one cheap pass), queries probe the ``nprobe`` nearest
+    centroid buckets only. Approximate: recall depends on nprobe.
+
+Cosine is computed in float64 with unit-normalized rows; ties broken by
+ascending id (pinned for oracle comparison).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    mat = mat.astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+class _BatchTopK:
+    """Per-batch partial top-k against the broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
+        q = ray.get(queries_ref)  # broadcast read: once per actor
+        self.q_ids = np.asarray(q["ids"])
+        self.q_unit = _unit(np.asarray(q["vectors"]))
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        mat = _unit(np.stack(batch[self.vec_col].to_numpy()))
+        ids = batch[self.id_col].to_numpy()
+        sims = self.q_unit @ mat.T  # (n_queries, batch)
+        k = min(self.k, sims.shape[1])
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            # partial top-k with deterministic (sim desc, id asc) order
+            idx = np.argpartition(-row, k - 1)[:k]
+            order = np.lexsort((ids[idx], -row[idx]))
+            sel = idx[order]
+            out_q.extend([self.q_ids[qi]] * len(sel))
+            out_id.extend(ids[sel].tolist())
+            out_sim.extend(row[sel].tolist())
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_id, "cosine": out_sim})
+
+
+def brute_force_topk(ds, query_ids: list, query_vectors: np.ndarray, k: int = 10,
+                     *, vec_col: str = "embedding", id_col: str = "vec_id",
+                     concurrency: int = 4):
+    """Exact cosine top-k of each query against the whole dataset.
+
+    Returns a Dataset with columns (query_id, neighbor_id, rank, cosine).
+    """
+    queries_ref = ray.put({"ids": list(query_ids), "vectors": np.asarray(query_vectors)})
+
+    partials = ds.map_batches(
+        _BatchTopK,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k,
+                               "vec_col": vec_col, "id_col": id_col},
+        batch_format="pandas", batch_size=4096, concurrency=concurrency,
+    )
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g
+
+    return partials.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+
+
+def kmeans_centroids(sample: np.ndarray, n_centroids: int, iters: int = 5,
+                     seed: int = 42) -> np.ndarray:
+    """Tiny deterministic k-means (driver-side, on a sample) for IVF lists."""
+    rng = np.random.default_rng(seed)
+    sample = _unit(np.asarray(sample))
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    cent = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_topk(ds, query_ids: list, query_vectors: np.ndarray, centroids: np.ndarray,
+             k: int = 10, nprobe: int = 2, *, vec_col: str = "embedding",
+             id_col: str = "vec_id", concurrency: int = 4):
+    """IVF-bucketed approximate top-k: compare each query only against
+    vectors whose nearest centroid is among the query's nprobe centroids."""
+    cent_unit = _unit(np.asarray(centroids))
+    q_unit = _unit(np.asarray(query_vectors))
+    probe_lists = np.argsort(-(q_unit @ cent_unit.T), axis=1)[:, :nprobe]
+    # query set per centroid-list, broadcast once
+    per_list: dict[int, list[int]] = {}
+    for qi, lists in enumerate(probe_lists):
+        for c in lists:
+            per_list.setdefault(int(c), []).append(qi)
+    bundle_ref = ray.put({"centroids": cent_unit, "per_list": per_list,
+                          "q_ids": list(query_ids), "q_unit": q_unit})
+
+    class ListTopK:
+        def __init__(self):
+            b = ray.get(bundle_ref)
+            self.cent = b["centroids"]
+            self.per_list = b["per_list"]
+            self.q_ids = b["q_ids"]
+            self.q_unit = b["q_unit"]
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mat = _unit(np.stack(batch[vec_col].to_numpy()))
+            ids = batch[id_col].to_numpy()
+            assign = np.argmax(mat @ self.cent.T, axis=1)
+            out_q, out_id, out_sim = [], [], []
+            for c, q_idx in self.per_list.items():
+                mask = assign == c
+                if not mask.any():
+                    continue
+                sub, sub_ids = mat[mask], ids[mask]
+                sims = self.q_unit[q_idx] @ sub.T
+                kk = min(k, sims.shape[1])
+                for row_i, qi in enumerate(q_idx):
+                    row = sims[row_i]
+                    sel = np.argpartition(-row, kk - 1)[:kk]
+                    out_q.extend([self.q_ids[qi]] * len(sel))
+                    out_id.extend(sub_ids[sel].tolist())
+                    out_sim.extend(row[sel].tolist())
+            return pd.DataFrame({"query_id": out_q, "neighbor_id": out_id, "cosine": out_sim})
+
+    partials = ds.map_batches(ListTopK, batch_format="pandas", batch_size=4096,
+                              concurrency=concurrency)
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g
+
+    return partials.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")

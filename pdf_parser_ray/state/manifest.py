@@ -1,0 +1,118 @@
+"""Checkpoint manifest: per-partition lineage + metrics + exact resume.
+
+Design (SURVEY.md §4.2 row 4 / north rule):
+  - the corpus is planned into partitions by BYTE BUDGET over contiguous
+    doc_id ranges (one oversized doc → its own partition, so a multi-GB PDF
+    never rides with 10k HTML docs);
+  - partition boundaries are a small sorted array of doc_id strings →
+    membership is ``np.searchsorted`` inside map_batches (scales to 10^12
+    docs: boundaries are one string per partition, broadcast once);
+  - each partition's output is written to a temp dir and atomically
+    ``os.replace``d into place; the manifest line (JSONL, one per
+    partition: lineage + metrics + parser_version) is appended LAST —
+    the rename+append is the commit point;
+  - resume = skip partitions whose ids appear in the manifest with
+    status committed; a killed run re-processes only uncommitted ones,
+    and the output is byte-identical to an uninterrupted run (tests).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class Partition:
+    partition_id: int
+    start_doc_id: str  # inclusive
+    end_doc_id: str | None  # exclusive; None = +inf
+    n_docs: int
+    n_bytes: int
+
+
+def plan_partitions(doc_ids: list[str], sizes: np.ndarray, byte_budget: int) -> list[Partition]:
+    """Greedy contiguous packing of (sorted) docs into ≤ byte_budget partitions.
+
+    ``doc_ids`` must be sorted ascending; an oversized single doc becomes its
+    own partition (skew isolation).
+    """
+    assert len(doc_ids) == len(sizes)
+    parts: list[Partition] = []
+    start = 0
+    acc = 0
+    for i in range(len(doc_ids)):
+        if acc > 0 and acc + int(sizes[i]) > byte_budget:
+            parts.append(Partition(len(parts), doc_ids[start],
+                                   doc_ids[i], i - start, acc))
+            start, acc = i, 0
+        acc += int(sizes[i])
+    if len(doc_ids) > start:
+        parts.append(Partition(len(parts), doc_ids[start], None,
+                               len(doc_ids) - start, acc))
+    return parts
+
+
+def partition_boundaries(parts: list[Partition]) -> list[str]:
+    """Sorted start-doc_ids of partitions 1..n-1 — searchsorted keys."""
+    return [p.start_doc_id for p in parts[1:]]
+
+
+def assign_partition(doc_ids: np.ndarray, boundaries: list[str]) -> np.ndarray:
+    """Vectorized partition-id assignment for a batch of doc_ids."""
+    if not boundaries:
+        return np.zeros(len(doc_ids), dtype=np.int64)
+    return np.searchsorted(np.asarray(boundaries, dtype=object), doc_ids, side="right")
+
+
+class Manifest:
+    """JSONL manifest at ``<out_dir>/manifest.jsonl``; append-only commits."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.path = os.path.join(out_dir, "manifest.jsonl")
+        os.makedirs(os.path.join(out_dir, "partitions"), exist_ok=True)
+
+    def committed_ids(self) -> set[int]:
+        if not os.path.exists(self.path):
+            return set()
+        out: set[int] = set()
+        with open(self.path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue  # torn tail line from a killed run → not committed
+                if rec.get("status") == "committed":
+                    out.add(int(rec["partition_id"]))
+        return out
+
+    def partition_dir(self, pid: int) -> str:
+        return os.path.join(self.out_dir, "partitions", f"partition_id={pid}")
+
+    def commit(self, record: dict) -> None:
+        record = dict(record, status="committed")
+        with open(self.path, "a") as f:
+            f.write(json.dumps(record, sort_keys=True) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def records(self) -> list[dict]:
+        if not os.path.exists(self.path):
+            return []
+        out = []
+        with open(self.path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    try:
+                        out.append(json.loads(line))
+                    except json.JSONDecodeError:
+                        continue
+        return out
