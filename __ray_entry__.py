@@ -1,44 +1,513 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``entry()`` as a smoke check (Ray already initialised),
+runs each ``queries()[name](sf_dir)`` at sf=0.01 and compares it against
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash). Nothing here calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Numeric policy for oracle-gated queries: integer-cents sums, explicit
+sum/count averages, per-mille integer ratios — see
+pdf_parser_ray/pipelines/relational.py docstring.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pdf_parser_ray.config import MAX_FILE_SIZE, MIN_FILE_SIZE
+from pdf_parser_ray.functions.textstats import LANG_STOPWORDS
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.001
+
+
+def _documents(sf_dir: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship pipeline smoke
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship extraction pipeline over the synthesized interleaved corpus
+    at sf0.001 (input_hint shape); returns the output Dataset."""
+    from pdf_parser_ray.sources.synth import corpus_path
+    from pdf_parser_ray.pipelines.extraction import extraction_dataset
+
+    path = corpus_path(0.001)
+    ds = extraction_dataset(path, parse_concurrency=2)
+    # spans are list<struct>; driver smoke-checks rows + stable schema
+    return ds.map_batches(
+        lambda b: b.drop_columns(["spans", "fields"]), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_extract_spans(sf_dir: str):
+    """Interleaved corpus → per-doc ordered span rows (the correctness
+    contract: (doc_id, span_order, kind, text, media_ref))."""
+    from pdf_parser_ray.sources.synth import corpus_path
+    from pdf_parser_ray.pipelines.extraction import extraction_dataset
+
+    ds = extraction_dataset(corpus_path(_sf_of(sf_dir)), parse_concurrency=2)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids, orders, kinds, texts, refs = [], [], [], [], []
+        for doc_id, spans in zip(batch.column("doc_id").to_pylist(),
+                                 batch.column("spans").to_pylist()):
+            for s in spans:
+                doc_ids.append(doc_id)
+                orders.append(s["offset"])
+                kinds.append(s["kind"])
+                texts.append(s["text"])
+                refs.append(s["media_ref"])
+        return pa.table({
+            "doc_id": pa.array(doc_ids, type=pa.string()),
+            "span_order": pa.array(orders, type=pa.int32()),
+            "kind": pa.array(kinds, type=pa.string()),
+            "text": pa.array(texts, type=pa.string()),
+            "media_ref": pa.array(refs, type=pa.string()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def _q_extract_fields(sf_dir: str):
+    from pdf_parser_ray.sources.synth import corpus_path
+    from pdf_parser_ray.pipelines.extraction import extraction_dataset
+
+    ds = extraction_dataset(corpus_path(_sf_of(sf_dir)), parse_concurrency=2)
+
+    def project(batch: pa.Table) -> pa.Table:
+        fields = batch.column("fields")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "file_hash": batch.column("file_hash"),
+            "file_hash6": batch.column("file_hash6"),
+            "customer_name": pc.struct_field(fields, "customer_name"),
+            "policy_number": pc.struct_field(fields, "policy_number"),
+            "claim_amount": pc.struct_field(fields, "claim_amount"),
+            "error": batch.column("error"),
+            "n_spans": batch.column("n_spans"),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _q_token_counts(sf_dir: str):
+    from pdf_parser_ray.stages.textstage import add_token_counts
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(add_token_counts, batch_format="pandas")
+    return out.map_batches(lambda b: b.drop_columns(["text"]), batch_format="pyarrow")
+
+
+def _q_quality(sf_dir: str):
+    """Quality features as exact integers (per-mille ratios) + keep flag."""
+    from pdf_parser_ray.functions import textstats
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        n_chars = textstats.char_count(batch["text"])
+        n_tokens = textstats.token_count(batch["text"])
+        denom = n_chars.clip(lower=1)
+        alpha_pm = (1000 * textstats.alpha_count(batch["text"])) // denom
+        punct_pm = (1000 * textstats.punct_count(batch["text"])) // denom
+        keep = (n_tokens >= 10) & (alpha_pm > 500) & (punct_pm < 200)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_chars": n_chars, "n_tokens": n_tokens,
+            "alpha_per_mille": alpha_pm.astype("int64"),
+            "punct_per_mille": punct_pm.astype("int64"),
+            "quality_keep": keep,
+        })
+
+    return ds.map_batches(kernel, batch_format="pandas")
+
+
+def _q_lang_id(sf_dir: str):
+    from pdf_parser_ray.stages.textstage import add_language
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(add_language, batch_format="pandas")
+    return out.map_batches(lambda b: b.drop_columns(["text"]), batch_format="pyarrow")
+
+
+def _q_fingerprint(sf_dir: str):
+    from pdf_parser_ray.stages.textstage import Fingerprint
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(Fingerprint, batch_format="pandas", concurrency=2)
+    return out.map_batches(lambda b: b.drop_columns(["text"]), batch_format="pyarrow")
+
+
+def _q_classic_fields(sf_dir: str):
+    """ClassicExtract (reference regex semantics) over the documents table,
+    with RE2-compatible patterns so DuckDB can oracle them."""
+    from pdf_parser_ray.stages.extract_fields import ClassicExtract
+
+    config = {
+        "first_word": {"display": "First word", "patterns": [r"([A-Za-z]+)"]},
+        "first_number": {"display": "First number", "patterns": [r"(\d+)"]},
+        "merge_phrase": {"display": "Merge phrase", "patterns": [r"merge ([a-z]+)"]},
+    }
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(
+        ClassicExtract, fn_constructor_kwargs={"field_config": config},
+        batch_format="pyarrow", concurrency=2,
+    )
+    return out.map_batches(lambda b: b.drop_columns(["text"]), batch_format="pyarrow")
+
+
+def _q_validate_docs(sf_dir: str):
+    from pdf_parser_ray.functions.validators import validate_sizes_arrow, has_pdf_magic_arrow
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        lengths = pc.binary_length(batch.column("text"))
+        err = validate_sizes_arrow(lengths)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_bytes": pc.cast(lengths, pa.int64()),
+            "size_error": err,
+            "has_pdf_magic": has_pdf_magic_arrow(batch.column("text")),
+        })
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def _q_hash_docs(sf_dir: str):
+    from pdf_parser_ray.functions.hashing import md5_column, sha256_column
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "sha256": sha256_column(batch.column("text")),
+            "md5": md5_column(batch.column("text")),
+        })
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def _q_dedup_exact(sf_dir: str):
+    from pdf_parser_ray.stages.dedup import exact_dedup
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    out = exact_dedup(ds, text_col="text", id_col="doc_id")
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "content_hash": b.column("content_hash")}),
+        batch_format="pyarrow",
+    )
+
+
+def _q_minhash_dedup(sf_dir: str):
+    from pdf_parser_ray.stages.dedup import minhash_dedup_edges
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return minhash_dedup_edges(ds, threshold=0.8)
+
+
+def _q_simhash_dedup(sf_dir: str):
+    from pdf_parser_ray.stages.dedup import simhash_dedup_edges
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return simhash_dedup_edges(ds)
+
+
+def _q_embedding_neardup(sf_dir: str):
+    import ray.data
+    from pdf_parser_ray.stages.dedup import embedding_neardup_edges
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    # This corpus has no pairs above cosine 0.5 (random vectors) — the
+    # near-dup threshold is lowered so the operator demonstrably links the
+    # closest pairs; an empty result is still returned with a typed schema.
+    out = embedding_neardup_edges(ds, id_col="vec_id", threshold=0.30, num_planes=4)
+    df = out.to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                           "dup_of": pd.Series(dtype="int64")})
+    return df
+
+
+def _knn_queries(sf_dir: str, n: int = 5):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    head = t.slice(0, n)
+    ids = head.column("vec_id").to_pylist()
+    vecs = np.stack([np.asarray(v, dtype=np.float64) for v in head.column("embedding").to_pylist()])
+    return ids, vecs
+
+
+def _q_knn_bruteforce(sf_dir: str):
+    import ray.data
+    from pdf_parser_ray.stages.similarity import brute_force_topk
+
+    ids, vecs = _knn_queries(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, ids, vecs, k=10)
+    return out.map_batches(
+        lambda b: pa.table({
+            "query_id": pc.cast(b.column("query_id"), pa.int64()),
+            "neighbor_id": pc.cast(b.column("neighbor_id"), pa.int64()),
+            "rank": pc.cast(b.column("rank"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def _q_knn_ivf(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data
+    from pdf_parser_ray.stages.similarity import ivf_topk, kmeans_centroids
+
+    ids, vecs = _knn_queries(sf_dir)
+    sample = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in sample.column("embedding").to_pylist()[:2000]])
+    centroids = kmeans_centroids(mat, n_centroids=8)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, ids, vecs, centroids, k=10, nprobe=2)
+    return out.map_batches(
+        lambda b: pa.table({
+            "query_id": pc.cast(b.column("query_id"), pa.int64()),
+            "neighbor_id": pc.cast(b.column("neighbor_id"), pa.int64()),
+            "rank": pc.cast(b.column("rank"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def _q_media_features(sf_dir: str):
+    import ray.data
+    from pdf_parser_ray.stages.media import ImageDecode, ImageFeatures, synth_media_table
+
+    t = synth_media_table(n=96)
+    ds = ray.data.from_arrow(t)
+    ds = ds.map_batches(ImageDecode, batch_format="pyarrow", batch_size=16, concurrency=2)
+    ds = ds.map_batches(ImageFeatures, batch_format="pyarrow", batch_size=16, concurrency=2)
+    return ds.map_batches(
+        lambda b: pa.table({
+            "media_ref": b.column("media_ref"),
+            "media_type": b.column("media_type"),
+            "feature_dim": pc.list_value_length(b.column("features")),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def _q_frame_sample(sf_dir: str):
+    import ray.data
+    from pdf_parser_ray.stages.media import FrameSample, synth_media_table
+
+    t = synth_media_table(n=48)
+    video = t.filter(pc.equal(t.column("media_type"), "video"))
+    ds = ray.data.from_arrow(video)
+    out = ds.map_batches(FrameSample, batch_format="pyarrow", batch_size=8, concurrency=2)
+    return out.map_batches(
+        lambda b: pa.table({"media_ref": b.column("media_ref"),
+                            "frame_index": b.column("frame_index")}),
+        batch_format="pyarrow",
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pdf_parser_ray.pipelines import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship extraction (interleaved corpus; non-SQL → rows-only check)
+        "extract_spans": _q_extract_spans,
+        "extract_fields": _q_extract_fields,
+        # text analysis over documents (SQL-oracled)
+        "token_counts": _q_token_counts,
+        "quality": _q_quality,
+        "lang_id": _q_lang_id,
+        "classic_fields": _q_classic_fields,
+        "validate_docs": _q_validate_docs,
+        "hash_docs": _q_hash_docs,
+        "fingerprint": _q_fingerprint,
+        # dedup
+        "dedup_exact": _q_dedup_exact,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        "embedding_neardup": _q_embedding_neardup,
+        # similarity search
+        "knn_bruteforce": _q_knn_bruteforce,
+        "knn_ivf": _q_knn_ivf,
+        # multimodal plumbing (stub decode; rows-only)
+        "media_features": _q_media_features,
+        "frame_sample": _q_frame_sample,
+        # relational / wide ops (SQL-oracled)
+        "pricing_summary": rel.pricing_summary,
+        "region_customer_count": rel.region_customer_count,
+        "supplier_nation_acctbal": rel.supplier_nation_acctbal,
+        "top_revenue_orders": rel.top_revenue_orders,
+        "orders_filter_topk": rel.orders_filter_topk,
+        "events_hourly": rel.events_hourly,
+        "events_top_users": rel.events_top_users,
+        "events_sessions": rel.events_sessions,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+def _lang_vote_sql() -> str:
+    padded = "(' ' || text || ' ')"
+    votes = {}
+    for lang in sorted(LANG_STOPWORDS):
+        terms = []
+        for w in LANG_STOPWORDS[lang]:
+            needle = f" {w} "
+            terms.append(
+                f"(length({padded}) - length(replace({padded}, '{needle}', '')))"
+                f" // {len(needle)}"
+            )
+        votes[lang] = " + ".join(terms)
+    langs = sorted(LANG_STOPWORDS)
+    vote_cols = ", ".join(f"({votes[lg]}) AS v_{lg}" for lg in langs)
+    greatest = "GREATEST(" + ", ".join(f"v_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN " + greatest + " = 0 THEN 'unknown' "
+    for lg in langs:
+        conds = " AND ".join(f"v_{lg} >= v_{other}" for other in langs if other != lg)
+        case += f"WHEN {conds} THEN '{lg}' "
+    case += "END"
+    return (
+        f"SELECT doc_id, {case} AS lang_detected FROM "
+        f"(SELECT doc_id, {vote_cols} FROM documents)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    bpe_pat = r"[A-Za-z]{1,8}|[0-9]{1,4}|[^\sA-Za-z0-9]"
+    return {
+        "token_counts": (
+            "SELECT doc_id, "
+            "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+            f"length(regexp_extract_all(text, '{bpe_pat}')) AS n_tokens_bpe "
+            "FROM documents"
+        ),
+        "quality": (
+            "SELECT doc_id, n_chars, n_tokens, alpha_per_mille, punct_per_mille, "
+            "(n_tokens >= 10 AND alpha_per_mille > 500 AND punct_per_mille < 200) AS quality_keep "
+            "FROM (SELECT doc_id, length(text) AS n_chars, "
+            "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+            "(1000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) // GREATEST(length(text), 1) AS alpha_per_mille, "
+            "(1000 * length(regexp_replace(text, '[^.,;:!?]', '', 'g'))) // GREATEST(length(text), 1) AS punct_per_mille "
+            "FROM documents)"
+        ),
+        "lang_id": _lang_vote_sql(),
+        "classic_fields": (
+            "SELECT doc_id, "
+            "NULLIF(regexp_extract(text, '(?i)([A-Za-z]+)', 1), '') AS first_word, "
+            "NULLIF(regexp_extract(text, '(?i)([0-9]+)', 1), '') AS first_number, "
+            "NULLIF(regexp_extract(text, '(?i)merge ([a-z]+)', 1), '') AS merge_phrase "
+            "FROM documents"
+        ),
+        "validate_docs": (
+            f"SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, "
+            f"CASE WHEN strlen(text) > {MAX_FILE_SIZE} THEN 'too_large' "
+            f"WHEN strlen(text) < {MIN_FILE_SIZE} THEN 'too_small' END AS size_error, "
+            "starts_with(text, '%PDF') AS has_pdf_magic "
+            "FROM documents"
+        ),
+        "hash_docs": (
+            "SELECT doc_id, sha256(text) AS sha256, md5(text) AS md5 FROM documents"
+        ),
+        "dedup_exact": (
+            "SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash "
+            "FROM documents GROUP BY text"
+        ),
+        "knn_bruteforce": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings "
+            "WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)), "
+            "sims AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.qvec, e.embedding) AS cosine "
+            "FROM q CROSS JOIN embeddings e), "
+            "ranked AS (SELECT query_id, neighbor_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank "
+            "FROM sims) "
+            "SELECT CAST(query_id AS BIGINT) AS query_id, "
+            "CAST(neighbor_id AS BIGINT) AS neighbor_id, CAST(rank AS BIGINT) AS rank "
+            "FROM ranked WHERE rank <= 10"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "sum(l_quantity) AS sum_qty, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents, "
+            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents, "
+            "count(*) AS count_order, "
+            "CAST(sum(l_quantity) AS DOUBLE) / count(*) AS avg_qty "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "region_customer_count": (
+            "SELECT r.r_name, count(*) AS n_customers FROM customer c "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "GROUP BY r.r_name"
+        ),
+        "supplier_nation_acctbal": (
+            "SELECT n.n_name, count(*) AS n_suppliers, "
+            "CAST(sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_acctbal_cents "
+            "FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "GROUP BY n.n_name"
+        ),
+        "top_revenue_orders": (
+            "SELECT l_orderkey, "
+            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem GROUP BY l_orderkey "
+            "ORDER BY revenue_cents DESC, l_orderkey ASC LIMIT 10"
+        ),
+        "orders_filter_topk": (
+            "SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority "
+            "FROM orders WHERE o_orderstatus = 'O' "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"
+        ),
+        "events_hourly": (
+            "SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type, "
+            "count(*) AS n_events, "
+            "CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "events_top_users": (
+            "SELECT user_id, CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS total_value_milli "
+            "FROM events GROUP BY user_id "
+            "ORDER BY total_value_milli DESC, user_id ASC LIMIT 10"
+        ),
+        "events_sessions": (
+            "SELECT user_id, count(*) AS n_events, "
+            "CAST(1 + sum(CASE WHEN prev_ts IS NOT NULL "
+            "AND epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions "
+            "FROM (SELECT user_id, ts, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events) "
+            "GROUP BY user_id"
+        ),
+    }

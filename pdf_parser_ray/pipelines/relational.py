@@ -1,0 +1,275 @@
+"""Relational pipelines over the TPC-H-ish test tables, Ray-Data-first.
+
+These exercise the engine's wide operators (groupby/aggregate with partial
+pre-aggregation, broadcast joins, sort/top-k, windowed event aggregation)
+and are oracle-gated: each has a matching DuckDB SQL in __ray_entry__.
+
+Numeric policy for oracle hash-equality (floats are order-of-addition
+sensitive in distributed sums): money aggregates are summed as integer
+cents via per-row ``round(x*100)`` (exact int64 sums are associative);
+averages are expressed as sum/count of deterministic operands. Raw row
+values (no aggregation) pass through untouched.
+
+Scale notes embedded per pipeline; broadcast sides are materialized once on
+the driver (they are dimension tables) and shipped via ``ray.put`` —
+read per actor in ``__init__``, never per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Per-row deterministic money→int64 cents."""
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0)),
+                        round_mode="half_towards_infinity"), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary: groupby with partial pre-aggregation
+# ---------------------------------------------------------------------------
+
+def pricing_summary(sf_dir: str):
+    """Per (l_returnflag, l_linestatus): sum_qty, sum_base_price_cents,
+    sum_disc_price_cents, count_order, avg_qty.
+
+    Pattern: per-batch partial aggregation inside map_batches (one row per
+    key per batch) → small groupby over partials → final arithmetic.
+    The all-to-all shuffle moves O(keys × blocks) rows, not the lineitem.
+    """
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        base_cents = _cents(batch.column("l_extendedprice"))
+        disc_price = pc.multiply(batch.column("l_extendedprice"),
+                                 pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        disc_cents = _cents(disc_price)
+        t = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty": batch.column("l_quantity"),
+            "base_cents": base_cents,
+            "disc_cents": disc_cents,
+        })
+        df = t.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"),
+            sum_base_price_cents=("base_cents", "sum"),
+            sum_disc_price_cents=("disc_cents", "sum"),
+            count_order=("qty", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
+        Sum("sum_disc_price_cents", alias_name="sum_disc_price_cents"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        avg_qty = pc.divide(
+            pc.cast(batch.column("sum_qty"), pa.float64()),
+            pc.cast(batch.column("count_order"), pa.float64()),
+        )
+        return batch.append_column("avg_qty", avg_qty)
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Broadcast joins (dimension tables never shuffle)
+# ---------------------------------------------------------------------------
+
+class _BroadcastMerge:
+    """Actor-pool stage: pandas merge against a driver-broadcast lookup."""
+
+    def __init__(self, lookup_ref, on: str):
+        self.lookup = ray.get(lookup_ref)  # once per actor
+        self.on = on
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(self.lookup, on=self.on, how="inner")
+
+
+def region_customer_count(sf_dir: str):
+    """Customers per region name: region⋈nation broadcast into customer scan.
+
+    The two dimension tables are joined on the driver (tiny), broadcast
+    once; the fact scan does a per-batch hash lookup. Count via partial
+    per-batch counts → small groupby.
+    """
+    region = _read(sf_dir, "region").to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    lookup = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    lookup = lookup[["n_nationkey", "r_name"]].rename(columns={"n_nationkey": "c_nationkey"})
+    lookup_ref = ray.put(lookup)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = cust.map_batches(
+        _BroadcastMerge, fn_constructor_kwargs={"lookup_ref": lookup_ref, "on": "c_nationkey"},
+        batch_format="pandas", concurrency=2,
+    )
+
+    def partial_count(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("r_name", as_index=False).agg(n_customers=("c_custkey", "size"))
+
+    partials = joined.map_batches(partial_count, batch_format="pandas")
+    return partials.groupby("r_name").aggregate(Sum("n_customers", alias_name="n_customers"))
+
+
+def supplier_nation_acctbal(sf_dir: str):
+    """Per nation name: supplier count + total acctbal cents (broadcast join)."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    lookup = nation[["n_nationkey", "n_name"]].rename(columns={"n_nationkey": "s_nationkey"})
+    lookup_ref = ray.put(lookup)
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return batch.append_column("acctbal_cents", _cents(batch.column("s_acctbal")))
+
+    joined = supp.map_batches(prep, batch_format="pyarrow").map_batches(
+        _BroadcastMerge, fn_constructor_kwargs={"lookup_ref": lookup_ref, "on": "s_nationkey"},
+        batch_format="pandas", concurrency=2,
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("n_name", as_index=False).agg(
+            n_suppliers=("s_suppkey", "size"),
+            total_acctbal_cents=("acctbal_cents", "sum"),
+        )
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+    return partials.groupby("n_name").aggregate(
+        Sum("n_suppliers", alias_name="n_suppliers"),
+        Sum("total_acctbal_cents", alias_name="total_acctbal_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Revenue per order: big groupby with partial combine + top-k
+# ---------------------------------------------------------------------------
+
+def top_revenue_orders(sf_dir: str, k: int = 10):
+    """Top-k orders by lineitem revenue (cents), tie-broken by l_orderkey.
+
+    Partial per-batch sums → groupby sum → sort desc → limit k. The sort
+    input is one row per order key — already reduced.
+    """
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "revenue_cents": _cents(rev)})
+        df = t.to_pandas().groupby("l_orderkey", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    per_order = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    summed = per_order.groupby("l_orderkey").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"))
+    top = summed.sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(k)
+    return top
+
+
+# ---------------------------------------------------------------------------
+# Raw filter + sort (no aggregation → raw float pass-through is exact)
+# ---------------------------------------------------------------------------
+
+def orders_filter_topk(sf_dir: str, status: str = "O", k: int = 20):
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("o_orderstatus"), status)),
+        batch_format="pyarrow",
+    )
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Events: tumbling-window aggregation over the stream-shaped table
+# ---------------------------------------------------------------------------
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour windows per event_type: count + value milli-sum.
+
+    Window key = floor(epoch_seconds/3600) computed per row (int64, exact);
+    partial per-batch aggregation → small groupby. Matches the guide's
+    batch-log treatment of stream-shaped inputs.
+    """
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = pc.cast(batch.column("ts"), pa.int64())  # microseconds
+        hour = pc.divide(epoch, pa.scalar(3_600_000_000))
+        value_milli = pc.cast(pc.round(pc.multiply(batch.column("value"),
+                                                   pa.scalar(1000.0)),
+                                       round_mode="half_towards_infinity"), pa.int64())
+        t = pa.table({"hour_bucket": pc.cast(hour, pa.int64()),
+                      "event_type": batch.column("event_type"),
+                      "value_milli": value_milli})
+        df = t.to_pandas().groupby(["hour_bucket", "event_type"], as_index=False).agg(
+            n_events=("value_milli", "size"), sum_value_milli=("value_milli", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return partials.groupby(["hour_bucket", "event_type"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value_milli", alias_name="sum_value_milli"),
+    )
+
+
+def events_top_users(sf_dir: str, k: int = 10):
+    """Top-k users by total event value (milli-units), tie-break user_id."""
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        value_milli = pc.cast(pc.round(pc.multiply(batch.column("value"),
+                                                   pa.scalar(1000.0)),
+                                       round_mode="half_towards_infinity"), pa.int64())
+        t = pa.table({"user_id": batch.column("user_id"), "value_milli": value_milli})
+        df = t.to_pandas().groupby("user_id", as_index=False).agg(
+            total_value_milli=("value_milli", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    summed = partials.groupby("user_id").aggregate(
+        Sum("total_value_milli", alias_name="total_value_milli"))
+    return summed.sort(["total_value_milli", "user_id"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: per-user ordered gap analysis (map_groups over sorted log)
+# ---------------------------------------------------------------------------
+
+def events_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Session count per user: events sorted by ts within user groups,
+    a new session starts when the gap exceeds ``gap_minutes``."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].astype("int64").to_numpy())
+        n_sessions = 1 + int((np.diff(ts) > gap_us).sum()) if len(ts) else 0
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_events": [len(ts)], "n_sessions": [n_sessions]})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")

@@ -95,9 +95,10 @@ class BandExplode:
                 ids.append(doc_id)
                 keys.append(key)
                 sigs.append(sig_bytes)
+        id_type = batch.column(self.id_col).type
         return pa.table(
             {"band_key": pa.array(keys, type=pa.string()),
-             "doc_id": pa.array(ids, type=pa.string()),
+             "doc_id": pa.array(ids, type=id_type),
              "minhash_sig": pa.array(sigs, type=pa.binary())}
         )
 
@@ -106,7 +107,8 @@ def _bucket_dup_edges(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
     """Within one band bucket: link every doc to the bucket's min-id doc if
     their signature agreement ≥ threshold. Emits (doc_id, dup_of)."""
     if len(g) < 2:
-        return pd.DataFrame({"doc_id": [], "dup_of": []}, dtype=object)
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=g["doc_id"].dtype),
+                             "dup_of": pd.Series([], dtype=g["doc_id"].dtype)})
     g = g.sort_values("doc_id")
     anchor_id = g["doc_id"].iloc[0]
     anchor = np.frombuffer(g["minhash_sig"].iloc[0], dtype=np.uint64)
@@ -116,7 +118,8 @@ def _bucket_dup_edges(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
         if float((sig == anchor).mean()) >= threshold:
             out_ids.append(doc_id)
             out_dup.append(anchor_id)
-    return pd.DataFrame({"doc_id": out_ids, "dup_of": out_dup}, dtype=object)
+    return pd.DataFrame({"doc_id": pd.Series(out_ids, dtype=g["doc_id"].dtype),
+                         "dup_of": pd.Series(out_dup, dtype=g["doc_id"].dtype)})
 
 
 def minhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
@@ -169,7 +172,9 @@ def simhash_band_explode(batch: pa.Table, *, id_col: str = "doc_id") -> pa.Table
             ids.append(doc_id)
             keys.append(f"{b}:{(sig >> (16 * b)) & 0xFFFF:04x}")
             sigs.append(sig)
-    return pa.table({"band_key": keys, "doc_id": ids, "simhash": pa.array(sigs, type=pa.uint64())})
+    return pa.table({"band_key": pa.array(keys, type=pa.string()),
+                     "doc_id": pa.array(ids, type=batch.column(id_col).type),
+                     "simhash": pa.array(sigs, type=pa.uint64())})
 
 
 def simhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
@@ -179,7 +184,8 @@ def simhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     def bucket_edges(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"doc_id": [], "dup_of": []}, dtype=object)
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=g["doc_id"].dtype),
+                                 "dup_of": pd.Series([], dtype=g["doc_id"].dtype)})
         g = g.sort_values("doc_id")
         anchor_id = g["doc_id"].iloc[0]
         anchor = int(g["simhash"].iloc[0])
@@ -188,7 +194,8 @@ def simhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
             if bin(int(sig) ^ anchor).count("1") <= max_hamming:
                 ids.append(doc_id)
                 dups.append(anchor_id)
-        return pd.DataFrame({"doc_id": ids, "dup_of": dups}, dtype=object)
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype=g["doc_id"].dtype),
+                             "dup_of": pd.Series(dups, dtype=g["doc_id"].dtype)})
 
     sketched = ds.map_batches(SimHashSketch, fn_constructor_kwargs={"text_col": text_col},
                               batch_format="pyarrow", concurrency=4)
