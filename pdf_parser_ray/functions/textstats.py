@@ -135,17 +135,17 @@ def kgram_hashes(text: str, k: int = 8) -> np.ndarray:
         if n == 0:
             return np.zeros(0, dtype=np.uint64)
         h = np.uint64(0)
-        for c in data:
-            h = (h * _FP_BASE + c) & _FP_MASK
+        with np.errstate(over="ignore"):
+            for c in data:
+                h = (h * _FP_BASE + c) & _FP_MASK
         return np.array([h], dtype=np.uint64)
-    # cumulative polynomial hash with precomputed powers
-    powers = np.ones(k, dtype=np.uint64)
-    for i in range(1, k):
-        powers[i] = (powers[i - 1] * _FP_BASE) & _FP_MASK
-    # windows: vectorized via stride trick on the byte array
+    # cumulative polynomial hash with precomputed powers (wraparound mod 2^64
+    # then mask is intended — silence numpy's overflow warnings)
+    base = int(_FP_BASE)
+    powers = np.array([pow(base, i, 1 << 61) for i in range(k)], dtype=np.uint64)
     windows = np.lib.stride_tricks.sliding_window_view(data, k)
-    # hash = sum(byte[j] * base^(k-1-j)) — matmul in uint64 modulo 2^64 then mask
-    h = (windows * powers[::-1]).sum(axis=1, dtype=np.uint64) & _FP_MASK
+    with np.errstate(over="ignore"):
+        h = (windows * powers[::-1]).sum(axis=1, dtype=np.uint64) & _FP_MASK
     return h
 
 

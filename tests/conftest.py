@@ -1,0 +1,41 @@
+"""Shared fixtures. Ray is initialised ONCE per pytest session."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def corpus_sf0001(tmp_path_factory):
+    """Synthesized interleaved corpus at sf0.001, written once per session."""
+    from pdf_parser_ray.sources.synth import generate_corpus
+    from pdf_parser_ray.sources.io import write_corpus_table
+
+    path = tmp_path_factory.mktemp("corpus") / "sf0.001.parquet"
+    write_corpus_table(generate_corpus(0.001), str(path))
+    return str(path)
+
+
+@pytest.fixture(scope="session")
+def sample_text_content() -> str:
+    """Reference conftest.py:126-134 canonical text blob (FIXTURES.md §2.3)."""
+    return (
+        "Customer Name: John Smith\n"
+        "Policy Number: POL-123456\n"
+        "Claim Amount: $1,500.00\n"
+        "Date: 2024-01-01"
+    )

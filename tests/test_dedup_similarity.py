@@ -1,0 +1,106 @@
+"""Dedup + similarity stages under Ray, verified against exact driver-side
+oracles (numpy / duckdb-free recomputation)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import pyarrow as pa
+
+
+@pytest.fixture(scope="module")
+def dup_docs(ray_session):
+    """Small corpus with planted exact + near duplicates."""
+    import ray.data
+
+    base = " ".join(f"tok{i}" for i in range(300))
+    near = " ".join(f"tok{i}" for i in range(295)) + " x y z q r"  # ~98% shingle overlap
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},            # exact dup of 1
+        {"doc_id": 3, "text": near},            # near dup of 1
+        {"doc_id": 4, "text": "completely different content entirely here"},
+        {"doc_id": 5, "text": " ".join(f"other{i}" for i in range(300))},
+    ]
+    return ray.data.from_items(rows)
+
+
+class TestExactDedup:
+    def test_survivors(self, dup_docs):
+        from pdf_parser_ray.stages.dedup import exact_dedup
+
+        out = exact_dedup(dup_docs).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 3, 4, 5]  # doc 2 deduped into 1
+
+    def test_hash_is_full_sha256(self, dup_docs):
+        from pdf_parser_ray.stages.dedup import exact_dedup
+        import hashlib
+
+        out = exact_dedup(dup_docs).to_pandas()
+        row = out[out["doc_id"] == 4].iloc[0]
+        expect = hashlib.sha256(
+            "completely different content entirely here".encode()).hexdigest()
+        assert row["content_hash"] == expect
+
+
+class TestMinHashDedup:
+    def test_finds_exact_and_near(self, dup_docs):
+        from pdf_parser_ray.stages.dedup import minhash_dedup_edges
+
+        edges = minhash_dedup_edges(dup_docs, threshold=0.7).to_pandas()
+        pairs = {(int(r.doc_id), int(r.dup_of)) for r in edges.itertuples()}
+        assert (2, 1) in pairs
+        assert (3, 1) in pairs
+        assert not any(d in (4, 5) for d, _ in pairs)
+
+
+class TestSimHashDedup:
+    def test_exact_dup_found(self, dup_docs):
+        from pdf_parser_ray.stages.dedup import simhash_dedup_edges
+
+        edges = simhash_dedup_edges(dup_docs).to_pandas()
+        pairs = {(int(r.doc_id), int(r.dup_of)) for r in edges.itertuples()}
+        assert (2, 1) in pairs
+
+
+class TestBruteForceTopK:
+    @pytest.fixture(scope="class")
+    def vectors(self):
+        rng = np.random.default_rng(7)
+        return rng.standard_normal((200, 16))
+
+    def test_matches_numpy_oracle(self, ray_session, vectors):
+        import ray.data
+        from pdf_parser_ray.stages.similarity import brute_force_topk
+
+        ds = ray.data.from_items(
+            [{"vec_id": i, "embedding": vectors[i].tolist()} for i in range(len(vectors))])
+        q_ids, q = [0, 1], vectors[:2]
+        out = brute_force_topk(ds, q_ids, q, k=5, concurrency=2).to_pandas()
+
+        unit = vectors / np.linalg.norm(vectors, axis=1, keepdims=True)
+        for qi in q_ids:
+            sims = unit @ unit[qi]
+            order = np.lexsort((np.arange(len(sims)), -sims))[:5]
+            got = out[out["query_id"] == qi].sort_values("rank")["neighbor_id"].tolist()
+            assert got == order.tolist()
+            assert out[out["query_id"] == qi]["rank"].tolist() == [1, 2, 3, 4, 5]
+
+    def test_ivf_recall_on_self(self, ray_session, vectors):
+        import ray.data
+        from pdf_parser_ray.stages.similarity import ivf_topk, kmeans_centroids
+
+        ds = ray.data.from_items(
+            [{"vec_id": i, "embedding": vectors[i].tolist()} for i in range(len(vectors))])
+        cents = kmeans_centroids(vectors, n_centroids=4)
+        out = ivf_topk(ds, [3], vectors[3:4], cents, k=1, nprobe=2).to_pandas()
+        # the query vector itself lives in a probed list → rank-1 self match
+        assert out.iloc[0]["neighbor_id"] == 3
+
+
+class TestNgramJaccard:
+    def test_pairs(self):
+        from pdf_parser_ray.stages.dedup import ngram_jaccard_pairs
+
+        sims = ngram_jaccard_pairs(["abcdef", "xyz"], ["abcdef", "abc"])
+        assert sims[0] == 1.0 and sims[1] == 0.0

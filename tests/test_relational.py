@@ -1,0 +1,44 @@
+"""Relational pipelines vs DuckDB oracles at sf0.001 (fast in-test check;
+the driver re-verifies at sf0.01 via __ray_entry__.oracle_sql)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _cmp(ray_df: pd.DataFrame, sql_df: pd.DataFrame):
+    a = ray_df[sorted(ray_df.columns)].sort_values(
+        sorted(ray_df.columns), ignore_index=True)
+    b = sql_df[sorted(sql_df.columns)].sort_values(
+        sorted(sql_df.columns), ignore_index=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOracleParity:
+    @pytest.mark.parametrize("name", [
+        "pricing_summary", "region_customer_count", "supplier_nation_acctbal",
+        "top_revenue_orders", "orders_filter_topk", "events_hourly",
+        "events_top_users", "events_sessions", "token_counts", "quality",
+        "lang_id", "hash_docs", "dedup_exact",
+    ])
+    def test_query_matches_oracle(self, con, name):
+        import __ray_entry__ as m
+
+        result = m.queries()[name](SF_DIR)
+        ray_df = result if isinstance(result, pd.DataFrame) else result.to_pandas()
+        sql_df = con.execute(m.oracle_sql()[name]).df()
+        assert len(ray_df) == len(sql_df)
+        _cmp(ray_df, sql_df)

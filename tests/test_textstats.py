@@ -1,0 +1,71 @@
+"""Text-analysis kernels: token counts, quality, language ID, fingerprints."""
+
+import numpy as np
+import pandas as pd
+
+from pdf_parser_ray.functions import textstats
+
+
+class TestCounts:
+    def test_token_count(self):
+        s = pd.Series(["one two three", "", None, "  padded  words "])
+        assert textstats.token_count(s).tolist() == [3, 0, 0, 2]
+
+    def test_alpha_punct(self):
+        s = pd.Series(["ab, cd!"])
+        assert textstats.alpha_count(s).tolist() == [4]
+        assert textstats.punct_count(s).tolist() == [2]
+
+    def test_substring_occurrences_replace_semantics(self):
+        # must match the SQL replace-length trick exactly, incl. overlap
+        s = pd.Series([" the the b "])
+        assert textstats.substring_occurrences(s, " the ").tolist() == [1]
+
+
+class TestQuality:
+    def test_frame(self):
+        q = textstats.quality_score(pd.Series([
+            "The quick brown fox jumps over the lazy dog again and again today.",
+            "!!! ??? ...",
+        ]))
+        assert bool(q["quality_keep"][0]) is True
+        assert bool(q["quality_keep"][1]) is False
+        assert q["n_tokens"][0] == 13
+
+
+class TestLangId:
+    def test_english(self):
+        s = pd.Series(["the cat and the dog of a house is here"])
+        assert textstats.detect_language(s).tolist() == ["en"]
+
+    def test_unknown(self):
+        s = pd.Series(["zzz qqq www"])
+        assert textstats.detect_language(s).tolist() == ["unknown"]
+
+    def test_tie_alphabetical(self):
+        # 'la' appears in both es and fr lists → tie broken alphabetically (es)
+        s = pd.Series(["la la"])
+        assert textstats.detect_language(s).tolist() == ["es"]
+
+
+class TestFingerprint:
+    def test_deterministic(self):
+        t = "some document text for fingerprinting purposes with enough length"
+        assert textstats.doc_fingerprint_hex(t) == textstats.doc_fingerprint_hex(t)
+
+    def test_differs(self):
+        a = textstats.doc_fingerprint_hex("totally different content one here")
+        b = textstats.doc_fingerprint_hex("another unrelated document body text")
+        assert a != b
+
+    def test_near_dup_overlap(self):
+        base = " ".join(f"word{i}" for i in range(200))
+        variant = base + " tail"
+        fa = set(textstats.winnow_fingerprint(base).tolist())
+        fb = set(textstats.winnow_fingerprint(variant).tolist())
+        overlap = len(fa & fb) / len(fa | fb)
+        assert overlap > 0.8  # winnowing keeps most shared k-grams
+
+    def test_empty(self):
+        assert textstats.winnow_fingerprint("").size == 0
+        assert isinstance(textstats.doc_fingerprint_hex(""), str)
