@@ -1,0 +1,223 @@
+"""Benchmark harness.
+
+Plain run: executes the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "spans_per_sec": ...}
+
+--scaling: runs the headline extraction twice in fresh subprocesses
+(num_cpus=8 then num_cpus=32) on the same input and prints throughput at
+both levels plus scaling efficiency = (thr_32/thr_8)/4; also records the
+result in BENCH/BASELINE.md (the sandbox stand-in for N vs 4N nodes via
+ray job submit — BASELINE.md target table).
+
+The headline corpus is the deterministic synthesized interleaved table at
+the SF of $GRAFT_SF_DIR, read ``BENCH_REPLICAS`` times (default sized to
+~16k docs) so the job is compute-bound rather than startup-bound; reported
+docs/sec counts processed (replicated) docs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _env_int(name: str, default: int) -> int:
+    try:
+        return int(os.environ.get(name, default))
+    except ValueError:
+        return default
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = _env_int("RAY_GRAFT_CPUS", 32)
+
+
+def _sf_of(sf_dir: str) -> float:
+    try:
+        return float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_headline_extraction(num_cpus: int) -> dict:
+    """Extraction pipeline: synth corpus (replicated) → DocParse actor pool
+    → streaming aggregate consumption. Returns timing + throughput."""
+    import ray.data
+    from pdf_parser_ray.sources.synth import corpus_path
+    from pdf_parser_ray.stages.doc_parse import DocParse
+
+    # Bench corpus: the synthesized interleaved table scaled up from the
+    # SF of $GRAFT_SF_DIR to a compute-bound size (generated once, cached).
+    from pdf_parser_ray.sources.synth import EXTRACTION_KIND_WEIGHTS
+
+    sf = _sf_of(SF_DIR)
+    bench_docs = _env_int("BENCH_DOCS", 64_000)
+    bench_sf = max(sf, bench_docs / 10_000)
+    # extraction-heavy span mix: the engine's work is PDF layout parse +
+    # HTML boilerplate strip; a pass-through-text-heavy mix benchmarks
+    # memcpy, not the engine (see synth.EXTRACTION_KIND_WEIGHTS)
+    path = corpus_path(bench_sf, kind_weights=EXTRACTION_KIND_WEIGHTS, tag="_xh")
+
+    # warm the page cache (untimed) so we measure compute, not first disk read
+    paths = ([os.path.join(path, f) for f in sorted(os.listdir(path))]
+             if os.path.isdir(path) else [path])
+    for fp in paths:
+        with open(fp, "rb") as f:
+            while f.read(16 * 1024 * 1024):
+                pass
+
+    from pdf_parser_ray.stages.doc_parse import doc_parse_batch
+
+    # tasks-mode by default: DocParse state (compiled regexes) is light, so
+    # the per-worker warm cache amortizes it identically to an actor pool
+    # while avoiding per-dataset actor spawn latency. Set BENCH_COMPUTE=actors
+    # to bench the actor-pool configuration (the default for heavy state —
+    # models, font caches; see stages/doc_parse.py).
+    compute = os.environ.get("BENCH_COMPUTE", "tasks")
+
+    def build(input_path, onb):
+        ds = ray.data.read_parquet(input_path, override_num_blocks=onb)
+        if compute == "tasks":
+            return ds.map_batches(doc_parse_batch, batch_format="pyarrow",
+                                  batch_size=16)
+        return ds.map_batches(
+            DocParse,
+            batch_format="pyarrow", batch_size=16,
+            concurrency=(max(2, num_cpus // 2), num_cpus),
+        )
+
+    # untimed pilot: warms worker processes / import caches / plasma
+    pilot = build(corpus_path(0.01), 8)
+    for _ in pilot.iter_batches(batch_format="pyarrow", batch_size=None):
+        pass
+
+    parsed = build(path, num_cpus * 8)
+    t0 = time.time()
+    docs = 0
+    spans = 0
+    errors = 0
+    for batch in parsed.iter_batches(batch_format="pyarrow", batch_size=None):
+        docs += batch.num_rows
+        spans += sum(batch.column("n_spans").to_pylist())
+        errors += sum(1 for e in batch.column("error").to_pylist() if e)
+    elapsed = time.time() - t0
+    return {
+        "sec": elapsed,
+        "docs": docs,
+        "spans": spans,
+        "errors": errors,
+        "bench_sf": bench_sf,
+        "docs_per_sec": docs / elapsed,
+        "spans_per_sec": spans / elapsed,
+    }
+
+
+def run_query_suite() -> dict:
+    """Representative operator pipelines over $GRAFT_SF_DIR, timed."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    names = ["dedup_exact", "minhash_dedup", "knn_bruteforce",
+             "pricing_summary", "events_hourly", "token_counts"]
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        result = qs[name](SF_DIR)
+        if hasattr(result, "to_pandas"):
+            result.to_pandas()  # consume
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main_plain() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    headline = run_headline_extraction(NUM_CPUS)
+    queries = {} if os.environ.get("BENCH_SKIP_QUERIES") else run_query_suite()
+    result = {
+        "metric": "interleaved-extraction end-to-end",
+        "value": round(headline["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_of(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "docs": headline["docs"],
+        "spans": headline["spans"],
+        "errors": headline["errors"],
+        "bench_sf": headline["bench_sf"],
+        "docs_per_sec": round(headline["docs_per_sec"], 1),
+        "spans_per_sec": round(headline["spans_per_sec"], 1),
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+def main_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    reps = _env_int("BENCH_SCALING_REPS", 3)
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):  # alternate levels so machine noise hits both equally
+        runs_lo.append(run(lo))
+        time.sleep(5)
+        runs_hi.append(run(hi))
+        time.sleep(5)
+
+    def median_run(runs: list[dict]) -> dict:
+        return sorted(runs, key=lambda r: r["docs_per_sec"])[len(runs) // 2]
+
+    r_lo, r_hi = median_run(runs_lo), median_run(runs_hi)
+    thr_lo, thr_hi = r_lo["docs_per_sec"], r_hi["docs_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    result = {
+        "metric": "scaling efficiency (docs/sec, 8 vs 32 CPUs, fresh processes)",
+        "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+        "docs_per_sec_8": thr_lo, "docs_per_sec_32": thr_hi,
+        "spans_per_sec_8": r_lo["spans_per_sec"], "spans_per_sec_32": r_hi["spans_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"], "bench_sf": r_hi["bench_sf"], "docs": r_hi["docs"],
+    }
+    print(json.dumps(result))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH — measured scaling (sandbox stand-in for N vs 4N nodes)\n\n"
+            "Same job, same input, two parallelism levels in fresh processes\n"
+            "(`ray.init(num_cpus=8)` vs `num_cpus=32`). Headline = interleaved\n"
+            "extraction pipeline (synth corpus, replicated read; see bench.py).\n\n"
+            "| metric | 8 CPUs | 32 CPUs |\n|---|---|---|\n"
+            f"| wall sec | {r_lo['value']} | {r_hi['value']} |\n"
+            f"| docs/sec | {thr_lo} | {thr_hi} |\n"
+            f"| spans/sec | {r_lo['spans_per_sec']} | {r_hi['spans_per_sec']} |\n\n"
+            f"**Scaling efficiency = (thr_32/thr_8)/4 = {eff:.3f}** "
+            f"(target ≥ 0.8, BASELINE.md)\n\n"
+            f"Input: synthesized corpus at sf={r_hi['bench_sf']} "
+            f"= {r_hi['docs']} docs, {r_hi['spans']} spans, {r_hi['errors']} error rows.\n"
+        )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_plain()

@@ -49,9 +49,24 @@ def payload_sizes(batch: pa.Table) -> pa.Table:
 
 def extraction_dataset(corpus_path: str, *, parse_concurrency=4,
                        batch_size: int = DEFAULT_PARSE_BATCH_SIZE,
-                       field_config: dict | None = None):
-    """Lazy read → DocParse actor-pool pipeline over the corpus."""
-    ds = read_corpus(corpus_path)
+                       field_config: dict | None = None,
+                       compute: str = "actors",
+                       override_num_blocks: int | None = None):
+    """Lazy read → DocParse pipeline over the corpus.
+
+    compute="actors" (default): actor pool holding warm parser state —
+    the right shape when state is heavy (models, font caches).
+    compute="tasks": stateless tasks with a per-worker cached parser —
+    same amortization via warm worker reuse, no actor-spawn latency;
+    only valid with the default field_config.
+    """
+    kwargs = {"override_num_blocks": override_num_blocks} if override_num_blocks else {}
+    ds = read_corpus(corpus_path, **kwargs)
+    if compute == "tasks" and field_config is None:
+        from ..stages.doc_parse import doc_parse_batch
+
+        return ds.map_batches(doc_parse_batch, batch_format="pyarrow",
+                              batch_size=batch_size)
     return ds.map_batches(
         DocParse,
         fn_constructor_kwargs={"field_config": field_config} if field_config else {},

@@ -37,7 +37,10 @@ def write_corpus_table(table: pa.Table, path: str) -> None:
 
         lance.write_dataset(table, path, mode="overwrite")
     else:
-        pq.write_table(table, path, row_group_size=512)
+        # Small row groups: row groups are the block/slice granularity
+        # downstream — a multi-MB payload row must not share a row group
+        # with (and thus ride inside every sliced block of) small docs.
+        pq.write_table(table, path, row_group_size=32)
 
 
 def write_output(ds, path: str, *, partition_cols: list[str] | None = None) -> None:

@@ -67,21 +67,40 @@ def _b64(b: bytes) -> str:
     return base64.b64encode(b).decode("ascii")
 
 
+_POOL_SIZE = 8192
+
+
+@functools.lru_cache(maxsize=8)
+def _sentence_pool(seed: int) -> tuple[list[str], np.ndarray]:
+    """Seeded pool of sentences + cumulative char lengths (generation-speed
+    optimization: per-doc filler samples pool slices instead of composing
+    word-by-word; still fully deterministic)."""
+    rng = np.random.default_rng([seed, 999_983])
+    lengths = rng.integers(5, 13, size=_POOL_SIZE)
+    sentences = []
+    for n in lengths:
+        words = rng.choice(len(_VOCAB), size=int(n))
+        s = " ".join(_VOCAB[w] for w in words)
+        sentences.append(s[0].upper() + s[1:] + ".")
+    cum = np.cumsum(np.array([len(s) + 1 for s in sentences], dtype=np.int64))
+    return sentences, cum
+
+
+_ACTIVE_POOL_SEED = 42
+
+
 def _sentence(rng: np.random.Generator) -> str:
-    n = int(rng.integers(5, 13))
-    words = rng.choice(len(_VOCAB), size=n)
-    s = " ".join(_VOCAB[w] for w in words)
-    return s[0].upper() + s[1:] + "."
+    pool, _ = _sentence_pool(_ACTIVE_POOL_SEED)
+    return pool[int(rng.integers(0, _POOL_SIZE))]
 
 
 def _filler(rng: np.random.Generator, approx_chars: int) -> str:
-    parts: list[str] = []
-    total = 0
-    while total < approx_chars:
-        s = _sentence(rng)
-        parts.append(s)
-        total += len(s) + 1
-    return " ".join(parts)
+    pool, cum = _sentence_pool(_ACTIVE_POOL_SEED)
+    start = int(rng.integers(0, _POOL_SIZE // 2))
+    base = cum[start - 1] if start > 0 else 0
+    # first index where cumulative chars from `start` reaches approx_chars
+    end = int(np.searchsorted(cum, base + approx_chars)) + 1
+    return " ".join(pool[start:min(end, _POOL_SIZE)])
 
 
 def _field_block(rng: np.random.Generator) -> str:
@@ -116,13 +135,21 @@ def _html_page(rng: np.random.Generator, doc_id: str, offset: int, approx_chars:
     )
 
 
-def _normal_doc_spans(rng: np.random.Generator, doc_id: str) -> list[dict]:
+DEFAULT_KIND_WEIGHTS = (0.45, 0.30, 0.10, 0.10, 0.05)  # text html pdf image media
+# Extraction-heavy mix for benchmarking: the engine's work is PDF layout
+# parse + HTML boilerplate strip (north star), so the bench corpus weights
+# those kinds instead of pass-through text.
+EXTRACTION_KIND_WEIGHTS = (0.15, 0.35, 0.40, 0.07, 0.03)
+
+
+def _normal_doc_spans(rng: np.random.Generator, doc_id: str,
+                      kind_weights: tuple = DEFAULT_KIND_WEIGHTS) -> list[dict]:
     n_spans = 1 + min(int(rng.poisson(3)), 11)
     approx_chars = int(np.exp(rng.normal(8.0, 1.5)))
     approx_chars = min(max(approx_chars, 64), 200_000)
     per_span = max(64, approx_chars // n_spans)
     spans = []
-    kinds = rng.choice(5, size=n_spans, p=[0.45, 0.30, 0.10, 0.10, 0.05])
+    kinds = rng.choice(5, size=n_spans, p=list(kind_weights))
     for offset in range(n_spans):
         kind = ("text", "html", "pdf", "image", "media")[int(kinds[offset])]
         if kind == "text":
@@ -166,7 +193,11 @@ def _error_doc_spans(bucket: int, rng: np.random.Generator, doc_id: str, sf: flo
                  "media_ref": "", "offset": 0}]
     elif bucket in (_ERR_DUP_A, _ERR_DUP_B):
         return [{"kind": "pdf", "text": _b64(g["claim"]), "media_ref": "", "offset": 0}]
-    elif bucket == _ERR_TOO_LARGE and sf >= 0.1:
+    elif bucket == _ERR_TOO_LARGE and sf >= 0.1 and doc_id == "doc-00000009":
+        # one genuinely-oversized doc per corpus (FIXTURES.md §2.5 "at least
+        # once") — NOT one per 503 docs: a 50 MB inline payload costs ~100 MB
+        # of object-store traffic per occurrence and would dominate the bench
+        # volume while only exercising the size-validation branch.
         big = b"%PDF-1.4\n%" + b"\x00" * (50 * 1024 * 1024)  # > MAX_FILE_SIZE
         return [{"kind": "pdf", "text": _b64(big), "media_ref": "", "offset": 0}]
     else:
@@ -174,9 +205,12 @@ def _error_doc_spans(bucket: int, rng: np.random.Generator, doc_id: str, sf: flo
     return [{"kind": "pdf", "text": payload, "media_ref": "", "offset": 0}]
 
 
-def generate_corpus(sf: float, seed: int = 42) -> pa.Table:
+def generate_corpus(sf: float, seed: int = 42,
+                    kind_weights: tuple = DEFAULT_KIND_WEIGHTS) -> pa.Table:
     """Synthesize the interleaved corpus at scale factor ``sf``
     (n_docs = round(10_000 * sf), FIXTURES.md §3)."""
+    global _ACTIVE_POOL_SEED
+    _ACTIVE_POOL_SEED = seed
     n_docs = max(1, round(10_000 * sf))
     doc_ids: list[str] = []
     all_spans: list[list[dict]] = []
@@ -190,7 +224,7 @@ def generate_corpus(sf: float, seed: int = 42) -> pa.Table:
         else:
             spans = _error_doc_spans(i % 503, rng, doc_id, sf) if i % 503 in range(1, 10) else None
             if spans is None:
-                spans = _normal_doc_spans(rng, doc_id)
+                spans = _normal_doc_spans(rng, doc_id, kind_weights)
         doc_ids.append(doc_id)
         all_spans.append(spans)
     return pa.Table.from_pydict(
@@ -198,14 +232,37 @@ def generate_corpus(sf: float, seed: int = 42) -> pa.Table:
     )
 
 
-def corpus_path(sf: float, base_dir: str = "/tmp/pdf_parser_ray_corpus", seed: int = 42) -> str:
-    """Generate-once cache of the synthesized corpus on local disk."""
+def corpus_path(sf: float, base_dir: str = "/tmp/pdf_parser_ray_corpus", seed: int = 42,
+                docs_per_file: int = 500,
+                kind_weights: tuple = DEFAULT_KIND_WEIGHTS,
+                tag: str = "") -> str:
+    """Generate-once cache of the synthesized corpus on local disk.
+
+    Written as a DIRECTORY of part files (one per ``docs_per_file`` docs) —
+    file count is the read-stage parallelism floor, and the resumable-input
+    layout the manifest's lineage records point into.
+    """
     from .io import write_corpus_table
 
-    path = os.path.join(base_dir, f"sf{sf}_seed{seed}.parquet")
-    if not os.path.exists(path):
+    path = os.path.join(base_dir, f"sf{sf}_seed{seed}{tag}")
+    done = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(done):
         os.makedirs(base_dir, exist_ok=True)
         tmp = path + ".tmp"
-        write_corpus_table(generate_corpus(sf, seed), tmp)
+        os.makedirs(tmp, exist_ok=True)
+        table = generate_corpus(sf, seed, kind_weights)
+        n = table.num_rows
+        part = 0
+        for start in range(0, n, docs_per_file):
+            chunk = table.slice(start, docs_per_file)
+            # deep-copy the slice so each part file holds only its own rows
+            chunk = chunk.combine_chunks()
+            write_corpus_table(chunk, os.path.join(tmp, f"part-{part:05d}.parquet"))
+            part += 1
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path)
         os.replace(tmp, path)
     return path

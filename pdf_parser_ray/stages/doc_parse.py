@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import base64
 import binascii
+import functools
 import hashlib
 
 import pyarrow as pa
@@ -130,3 +131,21 @@ class DocParse:
         for col in self.passthrough_cols:
             out = out.append_column(col, batch.column(col))
         return out
+
+
+@functools.lru_cache(maxsize=1)
+def _warm_parser() -> DocParse:
+    """Per-worker-process cached parser for task-mode execution."""
+    return DocParse()
+
+
+def doc_parse_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task variant of DocParse for ``map_batches(fn)``.
+
+    Ray tasks reuse warm worker processes, so the module-level cache gives
+    the same compile-once amortization as the actor pool without per-dataset
+    actor spawn latency. Use the DocParse class (actor pool) when parser
+    state grows heavy (model weights, big font caches); use this for the
+    lightweight default.
+    """
+    return _warm_parser()(batch)
