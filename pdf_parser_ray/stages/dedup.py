@@ -257,3 +257,39 @@ def embedding_neardup_edges(ds, *, vec_col: str = "embedding", id_col: str = "ve
 
     bucketed = ds.map_batches(add_bucket, batch_format="pandas")
     return bucketed.groupby("lsh_bucket").map_groups(bucket_edges, batch_format="pandas")
+
+
+def exact_dedup_salted(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                       num_salts: int = 16):
+    """Two-phase salted exact dedup for hot-key robustness (north rule).
+
+    Phase 1 groups by (salt, content_hash) — a pathologically common payload
+    (e.g. an empty doc repeated 10^9 times) splits across ``num_salts``
+    buckets instead of landing on one reducer; each bucket keeps its min-id
+    row. Phase 2 groups the ≤num_salts survivors per hash and keeps the
+    global min-id row. Output equals exact_dedup() on any input.
+    """
+    import pyarrow.compute as pc
+
+    hashed = ds.map_batches(add_content_hash, batch_format="pyarrow",
+                            fn_kwargs={"text_col": text_col})
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import zlib
+
+        # crc32, not hash(): Python's str hash is per-process randomized
+        ids = batch.column(id_col).to_pylist()
+        salts = np.array([zlib.crc32(str(i).encode()) % num_salts for i in ids],
+                         dtype=np.int64)
+        return batch.append_column("dedup_salt", pa.array(salts, type=pa.int64()))
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1)
+
+    salted = hashed.map_batches(add_salt, batch_format="pyarrow")
+    phase1 = salted.groupby(["dedup_salt", "content_hash"]).map_groups(
+        keep_first, batch_format="pandas")
+    phase2 = phase1.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    return phase2.map_batches(lambda b: b.drop_columns(["dedup_salt"]),
+                              batch_format="pyarrow")

@@ -116,3 +116,20 @@ class Manifest:
                     except json.JSONDecodeError:
                         continue
         return out
+
+
+def summarize_run(out_dir: str) -> dict:
+    """Driver-side run summary from the manifest (reference B5 parity:
+    _display_batch_results' per-file counts + error list, src/app.py:256-281,
+    rebuilt from durable per-partition records instead of an in-memory list)."""
+    m = Manifest(out_dir)
+    recs = [r for r in m.records() if r.get("status") == "committed"]
+    metrics = [r.get("metrics", {}) for r in recs]
+    return {
+        "partitions": len(recs),
+        "docs": sum(x.get("docs", 0) for x in metrics),
+        "spans": sum(x.get("spans", 0) for x in metrics),
+        "bytes": sum(x.get("bytes", 0) for x in metrics),
+        "errors": sum(x.get("errors", 0) for x in metrics),
+        "parser_versions": sorted({r.get("parser_version", "?") for r in recs}),
+    }
