@@ -338,6 +338,36 @@ def _q_frame_sample(sf_dir: str):
     )
 
 
+def _q_ai_extract(sf_dir: str):
+    """AI-mode parity pipeline (offline stub model): discover labels per doc
+    → extract → JSON persist form. Non-SQL (model-driven) → rows-only."""
+    from pdf_parser_ray.sources.synth import corpus_path
+    from pdf_parser_ray.pipelines.extraction import extraction_dataset
+    from pdf_parser_ray.stages.ai_extract import AIExtract
+
+    ds = extraction_dataset(corpus_path(_sf_of(sf_dir)), parse_concurrency=2)
+
+    def flat_text(batch: pa.Table) -> pa.Table:
+        texts = []
+        for spans in batch.column("spans").to_pylist():
+            texts.append("\n".join(s["text"] for s in spans if s["kind"] == "text"))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(texts, type=pa.string())})
+
+    flat = ds.map_batches(flat_text, batch_format="pyarrow")
+    out = flat.map_batches(AIExtract, batch_format="pyarrow", batch_size=32,
+                           concurrency=2)
+    return out.map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_labels": pc.list_value_length(b.column("ai_labels")),
+            "ai_fields_json": b.column("ai_fields_json"),
+            "ai_error": b.column("ai_error"),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_parser_ray.pipelines import relational as rel
 
@@ -345,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship extraction (interleaved corpus; non-SQL → rows-only check)
         "extract_spans": _q_extract_spans,
         "extract_fields": _q_extract_fields,
+        "ai_extract": _q_ai_extract,
         # text analysis over documents (SQL-oracled)
         "token_counts": _q_token_counts,
         "quality": _q_quality,
