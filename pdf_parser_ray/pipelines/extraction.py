@@ -173,3 +173,13 @@ def _partition_metrics(part_dir: str) -> dict:
         "bytes": int(pc.sum(t.column("n_bytes")).as_py() or 0),
         "errors": int(pc.count(t.column("error"), mode="only_valid").as_py() or 0),
     }
+
+
+def canonical_dump(ds, out_path: str | None = None):
+    """Deterministic canonical output: rows sorted by doc_id (SURVEY.md §2.6
+    sort row — cross-row order is otherwise irrelevant because span order
+    lives inside rows). A global sort is a shuffle; only use for dumps."""
+    ordered = ds.sort("doc_id")
+    if out_path is not None:
+        ordered.write_parquet(out_path)
+    return ordered

@@ -129,3 +129,33 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         "duration_ms": [int(rng.integers(0, 10_000)) for _ in range(n)],
     }
     return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+
+class MediaResolve:
+    """media_ref → payload resolution (SURVEY.md §2.5): broadcast-small-side
+    hash join. The media sidecar table is ``ray.put`` once on the driver;
+    each actor reads it in ``__init__`` and does a dict lookup per batch —
+    no shuffle. For media tables too large to broadcast, fall back to a
+    key-partitioned merge (bucket both sides on hash(media_ref) % B).
+    """
+
+    def __init__(self, media_ref_obj, ref_col: str = "media_ref"):
+        import ray
+
+        table = ray.get(media_ref_obj)  # once per actor
+        self.lookup: dict[str, tuple[bytes, str]] = {
+            r: (p, t) for r, p, t in zip(table.column("media_ref").to_pylist(),
+                                         table.column("payload").to_pylist(),
+                                         table.column("media_type").to_pylist())
+        }
+        self.ref_col = ref_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads, types = [], []
+        for ref in batch.column(self.ref_col).to_pylist():
+            hit = self.lookup.get(ref or "")
+            payloads.append(hit[0] if hit else None)
+            types.append(hit[1] if hit else None)
+        batch = batch.append_column("payload", pa.array(payloads, type=pa.binary()))
+        batch = batch.append_column("media_type", pa.array(types, type=pa.string()))
+        return batch
