@@ -368,6 +368,16 @@ def _q_ai_extract(sf_dir: str):
     )
 
 
+def _q_customers_without_orders(sf_dir: str):
+    from pdf_parser_ray.pipelines import relational as rel
+
+    df = rel.customers_without_orders(sf_dir).to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                           "c_name": pd.Series(dtype="object")})
+    return df
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_parser_ray.pipelines import relational as rel
 
@@ -397,6 +407,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": _q_frame_sample,
         # relational / wide ops (SQL-oracled)
         "pricing_summary": rel.pricing_summary,
+        "customer_order_revenue": rel.customer_order_revenue,
+        "customers_without_orders": _q_customers_without_orders,
+        "events_running_total": rel.events_running_total,
+        "event_type_distinct": rel.event_type_distinct,
         "region_customer_count": rel.region_customer_count,
         "supplier_nation_acctbal": rel.supplier_nation_acctbal,
         "top_revenue_orders": rel.top_revenue_orders,
@@ -516,6 +530,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents "
             "FROM lineitem GROUP BY l_orderkey "
             "ORDER BY revenue_cents DESC, l_orderkey ASC LIMIT 10"
+        ),
+        "customer_order_revenue": (
+            "SELECT o.o_custkey, "
+            "CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) "
+            "AS total_revenue_cents "
+            "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+            "GROUP BY o.o_custkey "
+            "ORDER BY total_revenue_cents DESC, o.o_custkey ASC LIMIT 10"
+        ),
+        "customers_without_orders": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+        ),
+        "events_running_total": (
+            "SELECT user_id, event_id, "
+            "CAST(sum(CAST(round(value * 1000) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_value_milli "
+            "FROM events WHERE user_id < 20"
+        ),
+        "event_type_distinct": (
+            "SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types "
+            "FROM events GROUP BY user_id"
         ),
         "orders_filter_topk": (
             "SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority "

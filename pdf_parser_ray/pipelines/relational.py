@@ -273,3 +273,154 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30):
                              "n_events": [len(ts)], "n_sessions": [n_sessions]})
 
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Large ⋈ large: explicit bucket-partitioned hash join
+# ---------------------------------------------------------------------------
+
+def hash_join(ds_left, ds_right, *, key: str, num_buckets: int = 32,
+              suffixes: tuple = ("", "_r")):
+    """Bucket-partitioned inner hash join for two LARGE datasets.
+
+    The portable pattern from the Ray guide: both sides get a
+    ``join_bucket = crc32(key) % B`` column, schemas are aligned (missing
+    columns null-filled) so the sides can union, and matching buckets join
+    pairwise inside map_groups — only same-bucket rows co-locate, so the
+    shuffle is one all-to-all of each side (same as any distributed hash
+    join). Skewed keys: raise num_buckets or pre-salt the hot key into
+    sub-buckets on the probe side.
+    """
+    lcols = list(ds_left.schema().names)
+    rcols = list(ds_right.schema().names)
+    rename_r = {c: c + suffixes[1] for c in rcols if c != key and c in lcols}
+    r_out = [rename_r.get(c, c) for c in rcols]
+    all_cols = lcols + [c for c in r_out if c not in lcols]
+
+    def align(side_cols, renames, side_id):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            import zlib
+
+            batch = batch.rename(columns=renames)
+            for c in all_cols:
+                if c not in batch.columns:
+                    batch[c] = None
+            batch = batch[all_cols]
+            batch["join_bucket"] = [
+                zlib.crc32(str(v).encode()) % num_buckets for v in batch[key]
+            ]
+            batch["join_side"] = side_id
+            return batch
+
+        return fn
+
+    left = ds_left.map_batches(align(lcols, {}, 0), batch_format="pandas")
+    right = ds_right.map_batches(align(r_out, rename_r, 1), batch_format="pandas")
+    both = left.union(right)
+    l_keep = lcols
+    r_keep = [c for c in r_out]
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["join_side"] == 0][l_keep]
+        r = g[g["join_side"] == 1][r_keep]
+        if l.empty or r.empty:
+            return pd.DataFrame(columns=[c for c in all_cols])
+        return l.merge(r, on=key, how="inner")
+
+    return both.groupby("join_bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def customer_order_revenue(sf_dir: str, k: int = 10):
+    """Top-k customers by total order revenue: orders ⋈ lineitem (both large)
+    via the bucket-partitioned hash join, then partial-aggregated groupby."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        t = pa.table({"o_orderkey": batch.column("l_orderkey"),
+                      "revenue_cents": _cents(rev)})
+        df = t.to_pandas().groupby("o_orderkey", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        li_partial, batch_format="pyarrow", batch_size=65536)
+
+    joined = hash_join(orders, li, key="o_orderkey", num_buckets=16)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("o_custkey", as_index=False).agg(
+            total_revenue_cents=("revenue_cents", "sum"))
+
+    per_cust = joined.map_batches(partial, batch_format="pandas")
+    summed = per_cust.groupby("o_custkey").aggregate(
+        Sum("total_revenue_cents", alias_name="total_revenue_cents"))
+    return summed.sort(["total_revenue_cents", "o_custkey"],
+                       descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Anti-join via broadcast key set (guide: semi/anti = broadcast + filter)
+# ---------------------------------------------------------------------------
+
+def customers_without_orders(sf_dir: str):
+    """Customers with no orders: broadcast the o_custkey set, filter inside
+    map_batches — no shuffle (anti-join)."""
+    custkeys = set()
+    for b in _read(sf_dir, "orders", columns=["o_custkey"]).iter_batches(
+            batch_format="pyarrow", batch_size=65536):
+        custkeys.update(pa.table(b).column("o_custkey").to_pylist())
+    keys_ref = ray.put(custkeys)
+
+    class AntiFilter:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = [k not in self.keys for k in batch.column("c_custkey").to_pylist()]
+            return batch.filter(pa.array(mask))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return cust.map_batches(AntiFilter, batch_format="pyarrow", concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# Windowed running aggregate (ordered per-group cumulative sum)
+# ---------------------------------------------------------------------------
+
+def events_running_total(sf_dir: str, max_users: int = 20):
+    """Per-user running total of event value (milli-units), ordered by
+    (ts, event_id) — deterministic tie-break; map_groups over sorted log."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.less(b.column("user_id"), max_users)),
+        batch_format="pyarrow")
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        milli = (g["value"] * 1000.0).round().astype("int64")
+        return pd.DataFrame({
+            "user_id": g["user_id"],
+            "event_id": g["event_id"],
+            "running_value_milli": milli.cumsum(),
+        })
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+
+
+def event_type_distinct(sf_dir: str):
+    """Distinct event types per user (set-op/unique operator exercise)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates()
+
+    deduped = ds.map_batches(partial, batch_format="pandas")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_event_types": [int(g["event_type"].nunique())]})
+
+    return deduped.groupby("user_id").map_groups(per_user, batch_format="pandas")
