@@ -218,9 +218,12 @@ class Lexer:
         while self.pos < n and d[self.pos] in b"+-.0123456789eE":
             self.pos += 1
         tok = d[start : self.pos].decode("latin-1")
-        if "." in tok or "e" in tok.lower():
-            return float(tok)
-        value = int(tok)
+        try:
+            if "." in tok or "e" in tok.lower():
+                return float(tok)
+            value = int(tok)
+        except ValueError as e:
+            raise PdfSyntaxError(f"malformed number {tok!r}") from e
         # lookahead for 'G R' (indirect reference)
         save = self.pos
         self.skip_ws()

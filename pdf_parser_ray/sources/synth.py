@@ -67,6 +67,10 @@ def _b64(b: bytes) -> str:
     return base64.b64encode(b).decode("ascii")
 
 
+# bump when generator output changes: the corpus_path disk cache key
+# includes it, so stale /tmp caches can never leak across code versions
+GENERATOR_VERSION = 2
+
 _POOL_SIZE = 8192
 
 
@@ -244,7 +248,7 @@ def corpus_path(sf: float, base_dir: str = "/tmp/pdf_parser_ray_corpus", seed: i
     """
     from .io import write_corpus_table
 
-    path = os.path.join(base_dir, f"sf{sf}_seed{seed}{tag}")
+    path = os.path.join(base_dir, f"v{GENERATOR_VERSION}_sf{sf}_seed{seed}{tag}")
     done = os.path.join(path, "_SUCCESS")
     if not os.path.exists(done):
         os.makedirs(base_dir, exist_ok=True)
