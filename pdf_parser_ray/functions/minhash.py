@@ -54,6 +54,40 @@ def _shingle_hashes(sh: set[str]) -> np.ndarray:
     return out
 
 
+_WORD_BASE = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
+
+
+def _word_shingle_hashes(text: str, width: int = 5) -> np.ndarray:
+    """Vectorized stable hashes of word w-shingles (the hot-path variant).
+
+    Per word: crc32 (C speed, stable across processes) mixed to 64 bits;
+    per shingle: numpy rolling polynomial combine over the word-hash array.
+    ~20× faster than hashing each shingle string through md5; distribution
+    quality is adequate for MinHash (verified against exact Jaccard in
+    tests). Duplicate shingles need no dedup — MinHash takes a min.
+    """
+    import zlib
+
+    toks = text.lower().split()
+    if not toks:
+        return np.zeros(0, dtype=np.uint64)
+    wh = np.array([zlib.crc32(t.encode("utf-8")) for t in toks], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        wh = (wh + np.uint64(1)) * _WORD_BASE  # spread crc32 into 64 bits
+        if len(wh) < width:
+            h = np.uint64(0)
+            for v in wh:
+                h = h * _WORD_BASE + v
+            return np.array([h], dtype=np.uint64)
+        windows = np.lib.stride_tricks.sliding_window_view(wh, width)
+        powers = np.empty(width, dtype=np.uint64)
+        acc = np.uint64(1)
+        for i in range(width):
+            powers[width - 1 - i] = acc
+            acc = acc * _WORD_BASE
+        return (windows * powers).sum(axis=1, dtype=np.uint64)
+
+
 class MinHasher:
     """Compile-once MinHash sketcher (held by an actor pool at scale)."""
 
@@ -63,7 +97,7 @@ class MinHasher:
         self.a, self.b = _hash_family(num_perm, seed)
 
     def signature(self, text: str) -> np.ndarray:
-        h = _shingle_hashes(shingles(text, self.shingle_width))
+        h = _word_shingle_hashes(text, self.shingle_width)
         if len(h) == 0:
             return np.full(self.num_perm, _MAX_U32, dtype=np.uint64)
         # (num_perm, n_shingles): ((a*x + b) mod p) truncated to 32 bits
@@ -100,11 +134,19 @@ class SimHasher:
         self.bits = bits
 
     def signature(self, text: str) -> int:
-        acc = np.zeros(self.bits, dtype=np.int64)
-        for tok in set(text.lower().split()):
-            h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "little")
-            for i in range(self.bits):
-                acc[i] += 1 if (h >> i) & 1 else -1
+        toks = set(text.lower().split())
+        if not toks:
+            return 0
+        import zlib
+
+        with np.errstate(over="ignore"):
+            h = np.array([zlib.crc32(t.encode("utf-8")) for t in toks], dtype=np.uint64)
+            h = (h + np.uint64(1)) * _WORD_BASE
+            h ^= h >> np.uint64(29)
+            h = h * np.uint64(0xBF58476D1CE4E5B9)  # splitmix64-style finalize
+            h ^= h >> np.uint64(32)
+        bits = ((h[:, None] >> np.arange(self.bits, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
         sig = 0
         for i in range(self.bits):
             if acc[i] > 0:
