@@ -104,22 +104,27 @@ class BandExplode:
 
 
 def _bucket_dup_edges(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """Within one band bucket: link every doc to the bucket's min-id doc if
-    their signature agreement ≥ threshold. Emits (doc_id, dup_of)."""
+    """Vectorized within-PARTITION edge finder (a partition holds many band
+    buckets — coarse crc32(band_key) groupby, fine grouping done here with
+    numpy instead of a per-bucket Python callback).
+
+    Within each band bucket: link every doc to the bucket's min-id doc if
+    signature agreement ≥ threshold. Emits (doc_id, dup_of)."""
     if len(g) < 2:
         return pd.DataFrame({"doc_id": pd.Series([], dtype=g["doc_id"].dtype),
                              "dup_of": pd.Series([], dtype=g["doc_id"].dtype)})
-    g = g.sort_values("doc_id")
-    anchor_id = g["doc_id"].iloc[0]
-    anchor = np.frombuffer(g["minhash_sig"].iloc[0], dtype=np.uint64)
-    out_ids, out_dup = [], []
-    for doc_id, sig_bytes in zip(g["doc_id"].iloc[1:], g["minhash_sig"].iloc[1:]):
-        sig = np.frombuffer(sig_bytes, dtype=np.uint64)
-        if float((sig == anchor).mean()) >= threshold:
-            out_ids.append(doc_id)
-            out_dup.append(anchor_id)
-    return pd.DataFrame({"doc_id": pd.Series(out_ids, dtype=g["doc_id"].dtype),
-                         "dup_of": pd.Series(out_dup, dtype=g["doc_id"].dtype)})
+    g = g.sort_values(["band_key", "doc_id"], kind="mergesort").reset_index(drop=True)
+    n = len(g)
+    sig_mat = np.frombuffer(b"".join(g["minhash_sig"]), dtype=np.uint64).reshape(n, -1)
+    keys = g["band_key"].to_numpy()
+    change = np.r_[True, keys[1:] != keys[:-1]]
+    first_idx = np.flatnonzero(change)
+    anchor_idx = first_idx[np.cumsum(change) - 1]
+    agree = (sig_mat == sig_mat[anchor_idx]).mean(axis=1)
+    mask = (agree >= threshold) & (np.arange(n) != anchor_idx)
+    ids = g["doc_id"].to_numpy()
+    return pd.DataFrame({"doc_id": pd.Series(ids[mask], dtype=g["doc_id"].dtype),
+                         "dup_of": pd.Series(ids[anchor_idx[mask]], dtype=g["doc_id"].dtype)})
 
 
 def minhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
@@ -140,7 +145,17 @@ def minhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
         fn_constructor_kwargs={"num_perm": num_perm, "num_bands": num_bands, "id_col": id_col},
         batch_format="pyarrow", concurrency=2,
     )
-    edges = bands.groupby("band_key").map_groups(
+    # coarse-partition by crc32(band_key) so one task handles MANY buckets
+    # with the vectorized kernel (a per-bucket map_groups callback costs
+    # milliseconds of Python per tiny group — measured 8s vs 0.5s at sf0.1)
+    def add_part(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        parts = [zlib.crc32(k.encode()) % 64 for k in batch.column("band_key").to_pylist()]
+        return batch.append_column("band_part", pa.array(parts, type=pa.int64()))
+
+    parts = bands.map_batches(add_part, batch_format="pyarrow")
+    edges = parts.groupby("band_part").map_groups(
         lambda g: _bucket_dup_edges(g, threshold), batch_format="pandas"
     )
     # distinct (doc_id, dup_of): same edge may surface from several bands
@@ -182,26 +197,36 @@ def simhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
     """(doc_id, dup_of) edges where hamming(simhash) ≤ max_hamming, found via
     4-band 16-bit LSH (any duplicate within distance 3 shares ≥1 band)."""
 
-    def bucket_edges(g: pd.DataFrame) -> pd.DataFrame:
+    def partition_edges(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized within-partition (coarse crc32 groupby; see minhash note)
         if len(g) < 2:
             return pd.DataFrame({"doc_id": pd.Series([], dtype=g["doc_id"].dtype),
                                  "dup_of": pd.Series([], dtype=g["doc_id"].dtype)})
-        g = g.sort_values("doc_id")
-        anchor_id = g["doc_id"].iloc[0]
-        anchor = int(g["simhash"].iloc[0])
-        ids, dups = [], []
-        for doc_id, sig in zip(g["doc_id"].iloc[1:], g["simhash"].iloc[1:]):
-            if bin(int(sig) ^ anchor).count("1") <= max_hamming:
-                ids.append(doc_id)
-                dups.append(anchor_id)
-        return pd.DataFrame({"doc_id": pd.Series(ids, dtype=g["doc_id"].dtype),
-                             "dup_of": pd.Series(dups, dtype=g["doc_id"].dtype)})
+        g = g.sort_values(["band_key", "doc_id"], kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        sigs = g["simhash"].to_numpy().astype(np.uint64)
+        keys = g["band_key"].to_numpy()
+        change = np.r_[True, keys[1:] != keys[:-1]]
+        anchor_idx = np.flatnonzero(change)[np.cumsum(change) - 1]
+        xor = (sigs ^ sigs[anchor_idx]).view(np.uint8).reshape(n, 8)
+        hamming = np.unpackbits(xor, axis=1).sum(axis=1)
+        mask = (hamming <= max_hamming) & (np.arange(n) != anchor_idx)
+        ids = g["doc_id"].to_numpy()
+        return pd.DataFrame({"doc_id": pd.Series(ids[mask], dtype=g["doc_id"].dtype),
+                             "dup_of": pd.Series(ids[anchor_idx[mask]], dtype=g["doc_id"].dtype)})
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        parts = [zlib.crc32(k.encode()) % 64 for k in batch.column("band_key").to_pylist()]
+        return batch.append_column("band_part", pa.array(parts, type=pa.int64()))
 
     sketched = ds.map_batches(SimHashSketch, fn_constructor_kwargs={"text_col": text_col},
                               batch_format="pyarrow", concurrency=4)
     bands = sketched.map_batches(simhash_band_explode, batch_format="pyarrow",
                                  fn_kwargs={"id_col": id_col})
-    edges = bands.groupby("band_key").map_groups(bucket_edges, batch_format="pandas")
+    parts = bands.map_batches(add_part, batch_format="pyarrow")
+    edges = parts.groupby("band_part").map_groups(partition_edges, batch_format="pandas")
     return edges.groupby(["doc_id", "dup_of"]).map_groups(lambda g: g.head(1),
                                                           batch_format="pandas")
 
