@@ -91,7 +91,8 @@ def run_extraction(corpus_path: str, out_dir: str, *,
                    byte_budget: int = PARTITION_BYTE_BUDGET,
                    parse_concurrency=4,
                    batch_size: int = DEFAULT_PARSE_BATCH_SIZE,
-                   commit_batch_size: int = 8) -> dict:
+                   commit_batch_size: int = 8,
+                   compute: str = "actors") -> dict:
     """Checkpointed extraction run with exact resume.
 
     Partitions are planned by byte budget over sorted doc_id ranges; jobs
@@ -127,12 +128,18 @@ def run_extraction(corpus_path: str, out_dir: str, *,
             lambda b: b.filter(pc.is_in(b.column("partition_id"), value_set=wanted)),
             batch_format="pyarrow",
         )
-        parsed = ds.map_batches(
-            DocParse,
-            fn_constructor_kwargs={"passthrough_cols": ["partition_id"]},
-            batch_format="pyarrow", batch_size=batch_size,
-            concurrency=parse_concurrency,
-        )
+        if compute == "tasks":
+            from ..stages.doc_parse import doc_parse_batch_partitioned
+
+            parsed = ds.map_batches(doc_parse_batch_partitioned,
+                                    batch_format="pyarrow", batch_size=batch_size)
+        else:
+            parsed = ds.map_batches(
+                DocParse,
+                fn_constructor_kwargs={"passthrough_cols": ["partition_id"]},
+                batch_format="pyarrow", batch_size=batch_size,
+                concurrency=parse_concurrency,
+            )
         parsed.write_parquet(tmp_dir, partition_cols=["partition_id"])
 
         elapsed = time.time() - t0

@@ -133,10 +133,10 @@ class DocParse:
         return out
 
 
-@functools.lru_cache(maxsize=1)
-def _warm_parser() -> DocParse:
+@functools.lru_cache(maxsize=4)
+def _warm_parser(passthrough: tuple = ()) -> DocParse:
     """Per-worker-process cached parser for task-mode execution."""
-    return DocParse()
+    return DocParse(passthrough_cols=list(passthrough))
 
 
 def doc_parse_batch(batch: pa.Table) -> pa.Table:
@@ -149,3 +149,9 @@ def doc_parse_batch(batch: pa.Table) -> pa.Table:
     lightweight default.
     """
     return _warm_parser()(batch)
+
+
+def doc_parse_batch_partitioned(batch: pa.Table) -> pa.Table:
+    """Task-mode DocParse preserving the ``partition_id`` column
+    (checkpointed-run variant of doc_parse_batch)."""
+    return _warm_parser(("partition_id",))(batch)
