@@ -53,8 +53,77 @@ def line_text(line: list[TextRun]) -> str:
     return "".join(parts)
 
 
-def page_text(runs: list[TextRun]) -> str:
-    """Full page text: lines joined with '\\n', stripped of trailing blanks."""
-    lines = [line_text(line) for line in assemble_lines(runs)]
-    lines = [ln for ln in lines if ln.strip()]
-    return "\n".join(lines)
+MIN_XCUT_GAP = 18.0  # min horizontal whitespace (pts) to split columns
+MIN_BLOCK_RUNS = 2  # don't split blocks below this many runs
+
+
+def _xy_cut(runs: list[TextRun], depth: int = 0) -> list[list[TextRun]]:
+    """Recursive XY-cut: split the run set at the widest vertical whitespace
+    band (column gap) wider than MIN_XCUT_GAP; left block reads first.
+    Horizontal (row) cuts are handled by line clustering afterwards, so only
+    X cuts recurse here. Deterministic: widest gap wins, ties → leftmost."""
+    if depth > 4 or len(runs) < MIN_BLOCK_RUNS:
+        return [runs]
+    # estimate each run's x extent
+    spans = sorted(
+        (r.x, r.x + CHAR_WIDTH_FACTOR * r.size * len(r.text)) for r in runs
+    )
+    # merge into occupied x-intervals; find the widest interior gap
+    best_gap, best_split = 0.0, None
+    cur_end = spans[0][1]
+    for x0, x1 in spans[1:]:
+        if x0 > cur_end:
+            gap = x0 - cur_end
+            if gap > best_gap:
+                best_gap, best_split = gap, (cur_end + x0) / 2.0
+        cur_end = max(cur_end, x1)
+    if best_split is None or best_gap < MIN_XCUT_GAP:
+        return [runs]
+    left = [r for r in runs if r.x < best_split]
+    right = [r for r in runs if r.x >= best_split]
+    if not left or not right:
+        return [runs]
+    return _xy_cut(left, depth + 1) + _xy_cut(right, depth + 1)
+
+
+def page_text(runs: list[TextRun], multi_column: bool = True) -> str:
+    """Full page text in reading order.
+
+    XY-cut first (columns read left-to-right, each top-to-bottom), then line
+    clustering within each block; lines joined with '\\n'. A cut only
+    triggers when a genuine column gap exists AND the blocks vertically
+    overlap (side-by-side columns) — label/value rows on the same baseline
+    (the claim-form table) stay merged by line clustering instead.
+    """
+    blocks = _xy_cut(runs) if multi_column else [runs]
+    if len(blocks) > 1:
+        # only treat as columns if blocks overlap vertically; otherwise fall
+        # back to whole-page line clustering (a table, not columns)
+        def y_range(b):
+            ys = [r.y for r in b]
+            return min(ys), max(ys)
+
+        ranges = [y_range(b) for b in blocks]
+        overlap = all(
+            min(r1[1], r2[1]) - max(r1[0], r2[0]) > 0.5 * (r1[1] - r1[0] + 1e-6)
+            for r1, r2 in zip(ranges, ranges[1:])
+        )
+        tall = all((r[1] - r[0]) > 40.0 for r in ranges)
+        # table-vs-columns: if most lines of adjacent blocks share baselines
+        # (|Δy| ≤ LINE_EPSILON), the blocks are table columns whose rows must
+        # merge — pdfplumber-style semantics the golden contract pins.
+        aligned = False
+        if overlap and tall:
+            ys_per_block = [sorted({round(r.y, 1) for r in b}) for b in blocks]
+            a, b = ys_per_block[0], ys_per_block[1]
+            hits = sum(1 for y in a if any(abs(y - y2) <= LINE_EPSILON for y2 in b))
+            aligned = hits >= 0.6 * max(len(a), 1)
+        if not (overlap and tall) or aligned:
+            blocks = [runs]
+    parts: list[str] = []
+    for block in blocks:
+        lines = [line_text(line) for line in assemble_lines(block)]
+        lines = [ln for ln in lines if ln.strip()]
+        if lines:
+            parts.append("\n".join(lines))
+    return "\n".join(parts)

@@ -178,3 +178,38 @@ class TestContentOps:
         pdf = self._single_page(
             b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (left) Tj 1 0 0 1 200 700 Tm (right) Tj ET")
         assert extract_text(pdf) == "left right"
+
+
+class TestXYCut:
+    def _two_col(self, offset: float) -> bytes:
+        from pdf_parser_ray.pdf.build import _Writer
+
+        w = _Writer("1.4")
+        font = w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        content = bytearray(b"BT /F1 10 Tf\n")
+        for i, line in enumerate(["Left one", "Left two", "Left three", "Left four"]):
+            content += f"1 0 0 1 72 {700 - 16 * i} Tm\n".encode() + b"(" + line.encode() + b") Tj\n"
+        for i, line in enumerate(["Right one", "Right two", "Right three", "Right four"]):
+            content += (f"1 0 0 1 340 {700 - offset - 16 * i} Tm\n".encode()
+                        + b"(" + line.encode() + b") Tj\n")
+        content += b"ET\n"
+        c = w.add_stream(b"", bytes(content), compress=False)
+        p = w.add(b"")
+        pages = w.add(b"<< /Type /Pages /Kids [" + f"{p} 0 R".encode() + b"] /Count 1 "
+                      b"/Resources << /Font << /F1 " + str(font).encode() + b" 0 R >> >> >>")
+        w.bodies[p - 1] = (b"<< /Type /Page /Parent " + str(pages).encode()
+                           + b" 0 R /Contents " + str(c).encode() + b" 0 R >>")
+        cat = w.add(b"<< /Type /Catalog /Pages " + str(pages).encode() + b" 0 R >>")
+        return w.build(cat)
+
+    def test_misaligned_columns_read_in_order(self):
+        # true two-column layout (independent baselines) → left col first
+        text = extract_text(self._two_col(offset=7.0))
+        assert text == ("Left one\nLeft two\nLeft three\nLeft four\n"
+                        "Right one\nRight two\nRight three\nRight four")
+
+    def test_aligned_baselines_merge_as_table(self):
+        # shared baselines = table rows → cells merge per line (golden
+        # contract: claim-form page 3 semantics)
+        text = extract_text(self._two_col(offset=0.0))
+        assert text.split("\n")[0] == "Left one Right one"
