@@ -320,3 +320,32 @@ def no_text_pdf() -> bytes:
 def not_a_pdf() -> bytes:
     """FIXTURES.md §2.5 invalid-magic payload."""
     return b"This is not a PDF file" + b"x" * 100
+
+
+def objstm_pdf() -> bytes:
+    """PDF 1.5-style fixture: page tree + font dicts packed into a compressed
+    /ObjStm; only the content stream and the ObjStm are direct objects."""
+    w = _Writer(version="1.5")
+    content = b"BT\n/F1 12 Tf\n72 720 Td\n(Text from an object stream) Tj\nET\n"
+    cont = w.add_stream(b"", content, compress=False)
+    # objects 10..13 live inside the ObjStm: catalog, pages, page, font
+    inner = {
+        10: b"<< /Type /Catalog /Pages 11 0 R >>",
+        11: b"<< /Type /Pages /Kids [12 0 R] /Count 1 >>",
+        12: (b"<< /Type /Page /Parent 11 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 13 0 R >> >> /Contents "
+             + str(cont).encode() + b" 0 R >>"),
+        13: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    header = bytearray()
+    body = bytearray()
+    for num, objbytes in inner.items():
+        header += f"{num} {len(body)} ".encode()
+        body += objbytes + b"\n"
+    first = len(header)
+    w.add_stream(
+        b"/Type /ObjStm /N " + str(len(inner)).encode() + b" /First "
+        + str(first).encode() + b" ",
+        bytes(header) + bytes(body), compress=True,
+    )
+    return w.build(root=10)

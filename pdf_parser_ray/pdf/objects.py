@@ -267,6 +267,44 @@ class PdfDocument:
             self.objects[num] = (value, stream)
         if not self.objects:
             raise PdfSyntaxError("no objects found")
+        self._expand_object_streams()
+
+    def _expand_object_streams(self) -> None:
+        """PDF 1.5+ /ObjStm support: objects stored inside compressed object
+        streams. Layout (PDF 32000-1 §7.5.7): stream data begins with N pairs
+        ``objnum offset``, then the serialized objects at ``/First + offset``.
+        Scanned objects win over ObjStm copies (revision safety)."""
+        for num, (value, raw) in list(self.objects.items()):
+            if not (isinstance(value, dict) and str(value.get("Type")) == "ObjStm"):
+                continue
+            if raw is None:
+                continue
+            try:
+                data = self._decode_stream(value, raw)
+                n = self.resolve(value.get("N"))
+                first = self.resolve(value.get("First"))
+                if not isinstance(n, int) or not isinstance(first, int):
+                    continue
+                lex = Lexer(data)
+                pairs = []
+                for _ in range(n):
+                    lex.skip_ws()
+                    objnum = lex.parse_value()
+                    lex.skip_ws()
+                    off = lex.parse_value()
+                    if not (isinstance(objnum, int) and isinstance(off, int)):
+                        raise PdfSyntaxError("bad ObjStm header")
+                    pairs.append((objnum, off))
+                for objnum, off in pairs:
+                    if objnum in self.objects:
+                        continue  # direct objects take precedence
+                    try:
+                        inner = Lexer(data, first + off).parse_value()
+                        self.objects[objnum] = (inner, None)
+                    except PdfSyntaxError:
+                        continue
+            except PdfSyntaxError:
+                continue
 
     def _parse_object_body(self, pos: int) -> tuple[Any, bytes | None]:
         lex = Lexer(self.data, pos)

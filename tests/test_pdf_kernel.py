@@ -213,3 +213,17 @@ class TestXYCut:
         # contract: claim-form page 3 semantics)
         text = extract_text(self._two_col(offset=0.0))
         assert text.split("\n")[0] == "Left one Right one"
+
+
+class TestObjectStreams:
+    def test_objstm_pdf_parses(self):
+        from pdf_parser_ray.pdf.build import objstm_pdf
+
+        assert extract_text(objstm_pdf()) == "Text from an object stream"
+
+    def test_direct_objects_win_over_objstm(self):
+        # a direct object with the same number shadows the ObjStm copy
+        from pdf_parser_ray.pdf.build import objstm_pdf
+
+        doc = PdfDocument(objstm_pdf())
+        assert 10 in doc.objects and 13 in doc.objects
