@@ -9,6 +9,8 @@ Covers the two fixture font classes (SURVEY.md §1.2):
 
 from __future__ import annotations
 
+import functools
+
 from .objects import Lexer, PdfSyntaxError
 
 
@@ -125,11 +127,20 @@ def build_font_decoders(doc, resources) -> dict[str, FontDecoder]:
         if isinstance(fdict, dict) and "ToUnicode" in fdict:
             try:
                 _, cmap_bytes = doc.get_stream(fdict["ToUnicode"])
-                cmap = parse_tounicode(cmap_bytes)
-                if cmap:
-                    width = 2 if max(cmap) > 0xFF else 1
-                    decoder = FontDecoder(cmap, code_bytes=width)
+                decoder = _decoder_for_cmap(cmap_bytes)
             except PdfSyntaxError:
                 pass
         decoders[str(fname)] = decoder
     return decoders
+
+
+@functools.lru_cache(maxsize=256)
+def _decoder_for_cmap(cmap_bytes: bytes) -> FontDecoder:
+    """Warm per-font CMap cache (SURVEY.md ST4): identical ToUnicode streams
+    (subset fonts repeated across a corpus' PDFs) are parsed ONCE per worker
+    process — measured 40% of DocParse time without this."""
+    cmap = parse_tounicode(cmap_bytes)
+    if not cmap:
+        return FALLBACK_DECODER
+    width = 2 if max(cmap) > 0xFF else 1
+    return FontDecoder(cmap, code_bytes=width)

@@ -167,21 +167,22 @@ class Lexer:
                 self.pos += 1
         raise PdfSyntaxError("unterminated literal string")
 
+    _HEX_JUNK = bytes(
+        c for c in range(256) if chr(c) not in "0123456789abcdefABCDEF"
+    )
+
     def _parse_hex_string(self) -> bytes:
         assert self.data[self.pos] == 0x3C
         self.pos += 1
-        hex_digits = []
-        d, n = self.data, self.n
-        while self.pos < n:
-            c = d[self.pos]
-            self.pos += 1
-            if c == 0x3E:  # '>'
-                break
-            if chr(c) in "0123456789abcdefABCDEF":
-                hex_digits.append(chr(c))
-        if len(hex_digits) % 2:
-            hex_digits.append("0")
-        return bytes.fromhex("".join(hex_digits))
+        end = self.data.find(b">", self.pos)
+        if end < 0:
+            end = self.n
+        raw = self.data[self.pos : end]
+        self.pos = min(end + 1, self.n)
+        h = raw.translate(None, self._HEX_JUNK)
+        if len(h) % 2:
+            h += b"0"
+        return bytes.fromhex(h.decode("ascii"))
 
     def _parse_array(self) -> list:
         assert self.data[self.pos] == 0x5B
