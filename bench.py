@@ -58,7 +58,7 @@ def run_headline_extraction(num_cpus: int) -> dict:
     from pdf_parser_ray.sources.synth import EXTRACTION_KIND_WEIGHTS
 
     sf = _sf_of(SF_DIR)
-    bench_docs = _env_int("BENCH_DOCS", 64_000)
+    bench_docs = _env_int("BENCH_DOCS", 128_000)
     bench_sf = max(sf, bench_docs / 10_000)
     # extraction-heavy span mix: the engine's work is PDF layout parse +
     # HTML boilerplate strip; a pass-through-text-heavy mix benchmarks
