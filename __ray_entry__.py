@@ -368,6 +368,43 @@ def _q_ai_extract(sf_dir: str):
     )
 
 
+def _q_distinct_flags(sf_dir: str):
+    """Dataset.unique (set-op/distinct operator) over lineitem flags."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag"])
+    values = sorted(ds.unique("l_returnflag"))
+    return pd.DataFrame({"l_returnflag": pd.Series(values, dtype="object")})
+
+
+def _q_corpus_prep(sf_dir: str):
+    """Training-data prep composition: quality filter → exact dedup →
+    token counts, as one chained Dataset pipeline (oracle-gated)."""
+    from pdf_parser_ray.functions import textstats
+    from pdf_parser_ray.stages.dedup import exact_dedup
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+
+    def quality_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        n_chars = textstats.char_count(batch["text"])
+        n_tokens = textstats.token_count(batch["text"])
+        denom = n_chars.clip(lower=1)
+        alpha_pm = (1000 * textstats.alpha_count(batch["text"])) // denom
+        punct_pm = (1000 * textstats.punct_count(batch["text"])) // denom
+        keep = (n_tokens >= 10) & (alpha_pm > 500) & (punct_pm < 200)
+        out = batch[keep].copy()
+        out["n_tokens"] = n_tokens[keep].astype("int64")
+        return out
+
+    filtered = ds.map_batches(quality_filter, batch_format="pandas")
+    deduped = exact_dedup(filtered, text_col="text", id_col="doc_id")
+    return deduped.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "n_tokens": b.column("n_tokens")}),
+        batch_format="pyarrow",
+    )
+
+
 def _q_customers_without_orders(sf_dir: str):
     from pdf_parser_ray.pipelines import relational as rel
 
@@ -396,6 +433,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         # dedup
         "dedup_exact": _q_dedup_exact,
+        "distinct_flags": _q_distinct_flags,
+        "corpus_prep": _q_corpus_prep,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "embedding_neardup": _q_embedding_neardup,
@@ -490,6 +529,19 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash "
             "FROM documents GROUP BY text"
+        ),
+        "distinct_flags": (
+            "SELECT DISTINCT l_returnflag FROM lineitem"
+        ),
+        "corpus_prep": (
+            "WITH q AS (SELECT doc_id, text, "
+            "length(regexp_extract_all(text, '\\S+')) AS n_tokens "
+            "FROM documents "
+            "WHERE length(regexp_extract_all(text, '\\S+')) >= 10 "
+            "AND (1000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) // GREATEST(length(text), 1) > 500 "
+            "AND (1000 * length(regexp_replace(text, '[^.,;:!?]', '', 'g'))) // GREATEST(length(text), 1) < 200) "
+            "SELECT min(doc_id) AS doc_id, CAST(min(n_tokens) AS BIGINT) AS n_tokens "
+            "FROM q GROUP BY text"
         ),
         "knn_bruteforce": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings "
