@@ -1,0 +1,80 @@
+"""Bloom filter for broadcast semi/anti-joins at scale.
+
+When the build-side key set is too large to broadcast as a Python set
+(hundreds of millions of keys), broadcast a Bloom filter instead: ~10 bits
+per key for 1% false positives, membership test is k hash probes into a
+shared bit array. Standard construction (k = m/n·ln2, double hashing per
+Kirsch-Mitzenmacher); deterministic (no RNG).
+
+Semi-join: filter probe side by `might_contain` (FPs allowed → exact
+verify only the survivors, or accept the FP rate).
+Anti-join: a Bloom NO is definitive, so `NOT might_contain` keeps only
+true non-members plus FP-rate losses — callers needing exactness route
+the `might_contain` minority through an exact check.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+
+
+class BloomFilter:
+    def __init__(self, capacity: int, fp_rate: float = 0.01):
+        if capacity <= 0:
+            capacity = 1
+        m = int(-capacity * math.log(fp_rate) / (math.log(2) ** 2))
+        self.num_bits = max(64, (m + 63) // 64 * 64)
+        self.num_hashes = max(1, round(self.num_bits / capacity * math.log(2)))
+        self.bits = np.zeros(self.num_bits // 64, dtype=np.uint64)
+
+    @staticmethod
+    def _hash_pair(key: str) -> tuple[int, int]:
+        d = hashlib.md5(key.encode("utf-8")).digest()
+        return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little") | 1
+
+    def _positions(self, key: str) -> np.ndarray:
+        h1, h2 = self._hash_pair(key)
+        i = np.arange(self.num_hashes, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            return (np.uint64(h1) + i * np.uint64(h2)) % np.uint64(self.num_bits)
+
+    def add(self, key) -> None:
+        pos = self._positions(str(key))
+        self.bits[pos // 64] |= np.uint64(1) << (pos % np.uint64(64))
+
+    def add_many(self, keys) -> None:
+        for k in keys:
+            self.add(k)
+
+    def might_contain(self, key) -> bool:
+        pos = self._positions(str(key))
+        word = self.bits[pos // 64]
+        return bool(((word >> (pos % np.uint64(64))) & np.uint64(1)).all())
+
+    def contains_many(self, keys) -> np.ndarray:
+        return np.array([self.might_contain(k) for k in keys], dtype=bool)
+
+    @property
+    def nbytes(self) -> int:
+        return self.bits.nbytes
+
+
+def build_bloom_from_dataset(ds, column: str, capacity_hint: int | None = None,
+                             fp_rate: float = 0.01) -> BloomFilter:
+    """Stream a Dataset column into a Bloom filter on the driver.
+
+    At cluster scale, build per-block filters inside map_batches and OR-merge
+    the (mergeable) bit arrays — this driver-side variant is for build sides
+    that stream but don't fit as a set.
+    """
+    if capacity_hint is None:
+        capacity_hint = max(1024, ds.count())
+    bf = BloomFilter(capacity_hint, fp_rate)
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        import pyarrow as pa
+
+        bf.add_many(pa.table(batch).column(column).to_pylist())
+    return bf
