@@ -43,7 +43,9 @@ class BloomFilter:
 
     def add(self, key) -> None:
         pos = self._positions(str(key))
-        self.bits[pos // 64] |= np.uint64(1) << (pos % np.uint64(64))
+        # ufunc.at: plain fancy |= drops bits when two positions share a word
+        np.bitwise_or.at(self.bits, (pos // np.uint64(64)).astype(np.int64),
+                         np.uint64(1) << (pos % np.uint64(64)))
 
     def add_many(self, keys) -> None:
         for k in keys:
