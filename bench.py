@@ -125,7 +125,8 @@ def run_query_suite() -> dict:
     import __ray_entry__ as entrymod
 
     names = ["dedup_exact", "minhash_dedup", "knn_bruteforce",
-             "pricing_summary", "events_hourly", "token_counts"]
+             "pricing_summary", "events_hourly", "token_counts",
+             "customer_order_revenue", "corpus_prep"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:

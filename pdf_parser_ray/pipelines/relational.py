@@ -284,48 +284,80 @@ def hash_join(ds_left, ds_right, *, key: str, num_buckets: int = 32,
     """Bucket-partitioned inner hash join for two LARGE datasets.
 
     The portable pattern from the Ray guide: both sides get a
-    ``join_bucket = crc32(key) % B`` column, schemas are aligned (missing
-    columns null-filled) so the sides can union, and matching buckets join
-    pairwise inside map_groups — only same-bucket rows co-locate, so the
-    shuffle is one all-to-all of each side (same as any distributed hash
-    join). Skewed keys: raise num_buckets or pre-salt the hot key into
-    sub-buckets on the probe side.
+    ``join_bucket = hash(key) % B`` column, schemas are aligned with TYPED
+    null columns (Arrow — object-dtype pandas nulls would make the shuffle
+    sort orders of magnitude slower), the sides union, and matching buckets
+    join pairwise inside map_groups. The shuffle is one all-to-all of each
+    side, same as any distributed hash join. Skewed keys: raise num_buckets
+    or pre-salt the hot key into sub-buckets on the probe side.
     """
-    lcols = list(ds_left.schema().names)
-    rcols = list(ds_right.schema().names)
-    rename_r = {c: c + suffixes[1] for c in rcols if c != key and c in lcols}
-    r_out = [rename_r.get(c, c) for c in rcols]
-    all_cols = lcols + [c for c in r_out if c not in lcols]
+    import zlib
 
-    def align(side_cols, renames, side_id):
-        def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            import zlib
+    def _arrow_type(t):
+        # Dataset.schema() yields numpy dtypes / python types for pandas
+        # blocks; normalize everything to Arrow DataTypes
+        if isinstance(t, pa.DataType):
+            return t
+        simple = {str: pa.string(), int: pa.int64(), float: pa.float64(),
+                  bool: pa.bool_(), bytes: pa.binary()}
+        if t in simple:
+            return simple[t]
+        try:
+            return pa.from_numpy_dtype(t)
+        except (TypeError, pa.lib.ArrowNotImplementedError):
+            return pa.string()
 
-            batch = batch.rename(columns=renames)
+    lschema = ds_left.schema()
+    rschema = ds_right.schema()
+    ltypes = {n: _arrow_type(t) for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: _arrow_type(t) for n, t in zip(rschema.names, rschema.types)}
+    rename_r = {c: c + suffixes[1] for c in rtypes if c != key and c in ltypes}
+    rtypes_out = {rename_r.get(c, c): t for c, t in rtypes.items()}
+    all_types = dict(ltypes)
+    for c, t in rtypes_out.items():
+        all_types.setdefault(c, t)
+    all_cols = list(all_types)
+
+    def align(renames: dict, side_id: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.rename_columns([renames.get(c, c) for c in batch.column_names])
+            n = batch.num_rows
             for c in all_cols:
-                if c not in batch.columns:
-                    batch[c] = None
-            batch = batch[all_cols]
-            batch["join_bucket"] = [
-                zlib.crc32(str(v).encode()) % num_buckets for v in batch[key]
-            ]
-            batch["join_side"] = side_id
-            return batch
+                if c not in batch.column_names:
+                    batch = batch.append_column(c, pa.nulls(n, type=all_types[c]))
+            batch = batch.select(all_cols)
+            kv = batch.column(key)
+            if pa.types.is_integer(kv.type):
+                import numpy as np
+
+                arr = kv.to_numpy(zero_copy_only=False).astype(np.int64)
+                bucket = pa.array((arr & (2**62 - 1)) % num_buckets, type=pa.int64())
+            else:
+                bucket = pa.array(
+                    [zlib.crc32(str(v).encode()) % num_buckets for v in kv.to_pylist()],
+                    type=pa.int64())
+            batch = batch.append_column("join_bucket", pc.cast(bucket, pa.int64()))
+            return batch.append_column("join_side",
+                                       pa.array([side_id] * n, type=pa.int64()))
 
         return fn
 
-    left = ds_left.map_batches(align(lcols, {}, 0), batch_format="pandas")
-    right = ds_right.map_batches(align(r_out, rename_r, 1), batch_format="pandas")
+    left = ds_left.map_batches(align({}, 0), batch_format="pyarrow")
+    right = ds_right.map_batches(align(rename_r, 1), batch_format="pyarrow")
     both = left.union(right)
-    l_keep = lcols
-    r_keep = [c for c in r_out]
+    l_keep = list(ltypes)
+    r_keep = list(rtypes_out)
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["join_side"] == 0][l_keep]
         r = g[g["join_side"] == 1][r_keep]
-        if l.empty or r.empty:
-            return pd.DataFrame(columns=[c for c in all_cols])
-        return l.merge(r, on=key, how="inner")
+        out = l.merge(r, on=key, how="inner")  # empty-safe: keeps dtypes
+        # restore integer dtypes diluted to float64 by the union's nulls
+        for c in out.columns:
+            if pa.types.is_integer(all_types.get(c, pa.string())) and \
+                    out[c].dtype.kind == "f" and not out[c].isna().any():
+                out[c] = out[c].astype("int64")
+        return out
 
     return both.groupby("join_bucket").map_groups(join_bucket, batch_format="pandas")
 
@@ -354,11 +386,17 @@ def customer_order_revenue(sf_dir: str, k: int = 10):
         return batch.groupby("o_custkey", as_index=False).agg(
             total_revenue_cents=("revenue_cents", "sum"))
 
-    per_cust = joined.map_batches(partial, batch_format="pandas")
-    summed = per_cust.groupby("o_custkey").aggregate(
-        Sum("total_revenue_cents", alias_name="total_revenue_cents"))
-    return summed.sort(["total_revenue_cents", "o_custkey"],
-                       descending=[True, False]).limit(k)
+    # per-bucket partials are ≤ buckets × customers rows — a SMALL result;
+    # final combine on the driver (collect-an-aggregate pattern) instead of
+    # a second distributed groupby over already-tiny data
+    per_cust = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    summed = per_cust.groupby("o_custkey", as_index=False).agg(
+        total_revenue_cents=("total_revenue_cents", "sum"))
+    summed["total_revenue_cents"] = summed["total_revenue_cents"].astype("int64")
+    summed["o_custkey"] = summed["o_custkey"].astype("int64")
+    out = summed.sort_values(["total_revenue_cents", "o_custkey"],
+                             ascending=[False, True], ignore_index=True).head(k)
+    return out
 
 
 # ---------------------------------------------------------------------------
