@@ -36,6 +36,12 @@ def tokenize_content(data: bytes) -> Iterator[tuple[list, str]]:
         if not kw:
             lex.pos += 1
             continue
+        if kw == "BI":
+            # inline image: skip raw binary through to the EI operator
+            idx = data.find(b"EI", lex.pos)
+            lex.pos = len(data) if idx < 0 else idx + 2
+            operands = []
+            continue
         if kw in ("true", "false", "null"):
             operands.append({"true": True, "false": False, "null": None}[kw])
             continue
@@ -63,8 +69,11 @@ class TextInterpreter:
 
     CHAR_WIDTH_FACTOR = 0.5
 
-    def __init__(self, font_decoders: dict[str, FontDecoder]):
+    def __init__(self, font_decoders: dict[str, FontDecoder],
+                 xobjects: dict | None = None, depth: int = 0):
         self.fonts = font_decoders
+        self.xobjects = xobjects or {}
+        self.depth = depth
         self.runs: list[TextRun] = []
         self._reset_text_state()
 
@@ -110,6 +119,17 @@ class TextInterpreter:
                 elif op == '"' and len(operands) >= 3:
                     self._td(0.0, -self.leading)
                     self._show(operands[-1])
+                elif op == "Do" and operands and self.depth < 8:
+                    # form XObject: execute its content inline. Approximation:
+                    # the form's CTM placement (cm) is not applied — text
+                    # positions are form-local, adequate for text extraction.
+                    name = operands[-1]
+                    entry = self.xobjects.get(str(name)) if isinstance(name, Name) else None
+                    if entry is not None:
+                        form_content, form_fonts = entry
+                        sub = TextInterpreter(form_fonts or self.fonts,
+                                              self.xobjects, self.depth + 1)
+                        self.runs.extend(sub.run(form_content))
                 elif op == "TJ" and operands and isinstance(operands[-1], list):
                     for elem in operands[-1]:
                         if isinstance(elem, bytes):

@@ -41,7 +41,8 @@ def extract_page_texts(pdf_bytes: bytes) -> tuple[list[str], list[str]]:
         try:
             content = doc.page_content(page)
             decoders = build_font_decoders(doc, page.get("Resources"))
-            runs = TextInterpreter(decoders).run(content)
+            xobjects = _build_form_xobjects(doc, page.get("Resources"))
+            runs = TextInterpreter(decoders, xobjects).run(content)
             txt = page_text(runs)
             if txt:
                 texts.append(txt)
@@ -57,3 +58,29 @@ def extract_text(pdf_bytes: bytes) -> str:
     """Flat document text: page texts joined with '\\n' (reference :61)."""
     texts, _ = extract_page_texts(pdf_bytes)
     return "\n".join(texts)
+
+
+def _build_form_xobjects(doc, resources) -> dict:
+    """name → (decoded form content, form-local font decoders) for /Form
+    XObjects in the page resources (text inside forms is extracted inline)."""
+    from .fonts import build_font_decoders
+    from .objects import PdfSyntaxError, Ref
+
+    out: dict = {}
+    res = doc.resolve(resources)
+    if not isinstance(res, dict):
+        return out
+    xobjs = doc.resolve(res.get("XObject"))
+    if not isinstance(xobjs, dict):
+        return out
+    for name, ref in xobjs.items():
+        xdict = doc.resolve(ref)
+        if not (isinstance(xdict, dict) and str(doc.resolve(xdict.get("Subtype"))) == "Form"):
+            continue
+        try:
+            _, data = doc.get_stream(ref if isinstance(ref, Ref) else ref)
+            form_fonts = build_font_decoders(doc, xdict.get("Resources")) or None
+            out[str(name)] = (data, form_fonts)
+        except PdfSyntaxError:
+            continue
+    return out

@@ -44,6 +44,7 @@ OUTPUT_SCHEMA = pa.schema(
         ("page_errors", pa.list_(pa.string())),  # per-page skip records (text_extractor.py:49-56)
         ("n_spans", pa.int32()),
         ("n_bytes", pa.int64()),
+        ("extraction_method", pa.string()),  # reference models.py:35 parity
     ]
 )
 

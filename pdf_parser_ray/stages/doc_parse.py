@@ -125,6 +125,7 @@ class DocParse:
                 pa.array([r["page_errors"] for r in rows], type=pa.list_(pa.string())),
                 pa.array([r["n_spans"] for r in rows], type=pa.int32()),
                 pa.array([r["n_bytes"] for r in rows], type=pa.int64()),
+                pa.array(["classic"] * len(rows), type=pa.string()),
             ],
             schema=OUTPUT_SCHEMA,
         )

@@ -227,3 +227,47 @@ class TestObjectStreams:
 
         doc = PdfDocument(objstm_pdf())
         assert 10 in doc.objects and 13 in doc.objects
+
+
+class TestFormXObjects:
+    def test_do_operator_extracts_form_text(self):
+        from pdf_parser_ray.pdf.build import _Writer
+
+        w = _Writer("1.4")
+        font = w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        form = w.add_stream(
+            b"/Subtype /Form /BBox [0 0 200 50] "
+            b"/Resources << /Font << /F1 " + str(font).encode() + b" 0 R >> >> ",
+            b"BT /F1 12 Tf 0 10 Td (Inside the form) Tj ET", compress=False)
+        cont = w.add_stream(
+            b"", b"BT /F1 12 Tf 72 700 Td (Page text) Tj ET\n/Fm1 Do\n", compress=False)
+        p = w.add(b"")
+        pages = w.add(
+            b"<< /Type /Pages /Kids [" + f"{p} 0 R".encode() + b"] /Count 1 >>")
+        w.bodies[p - 1] = (
+            b"<< /Type /Page /Parent " + str(pages).encode() + b" 0 R "
+            b"/Resources << /Font << /F1 " + str(font).encode() + b" 0 R >> "
+            b"/XObject << /Fm1 " + str(form).encode() + b" 0 R >> >> "
+            b"/Contents " + str(cont).encode() + b" 0 R >>")
+        cat = w.add(b"<< /Type /Catalog /Pages " + str(pages).encode() + b" 0 R >>")
+        text = extract_text(w.build(cat))
+        assert "Page text" in text and "Inside the form" in text
+
+
+class TestInlineImages:
+    def test_bi_ei_binary_skipped(self):
+        from pdf_parser_ray.pdf.build import _Writer
+
+        w = _Writer("1.4")
+        font = w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        content = (b"BT /F1 12 Tf 72 700 Td (before) Tj ET\n"
+                   b"BI /W 2 /H 2 /BPC 8 /CS /G ID \xff\x00(\x29\\ garbage EI\n"
+                   b"BT /F1 12 Tf 72 680 Td (after) Tj ET")
+        c = w.add_stream(b"", content, compress=False)
+        p = w.add(b"")
+        pages = w.add(b"<< /Type /Pages /Kids [" + f"{p} 0 R".encode() + b"] /Count 1 "
+                      b"/Resources << /Font << /F1 " + str(font).encode() + b" 0 R >> >> >>")
+        w.bodies[p - 1] = (b"<< /Type /Page /Parent " + str(pages).encode()
+                           + b" 0 R /Contents " + str(c).encode() + b" 0 R >>")
+        cat = w.add(b"<< /Type /Catalog /Pages " + str(pages).encode() + b" 0 R >>")
+        assert extract_text(w.build(cat)) == "before\nafter"
