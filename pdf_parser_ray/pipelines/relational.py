@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
