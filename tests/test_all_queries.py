@@ -1,0 +1,63 @@
+"""Every queries() entry runs; every oracle_sql() entry matches DuckDB —
+the full driver contract under `python -m pytest -x -q` (input_hint gate),
+at sf0.001 for speed (the driver re-verifies at sf0.01)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __ray_entry__ as m
+
+    return m
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _names():
+    # subset: queries not already exercised by test_relational /
+    # test_pipeline_e2e / test_dedup_similarity / test_media (running all 32
+    # pipelines in the 4-CPU test session costs >10 min; the driver and
+    # tools/check_oracles.py cover the full set at sf0.01)
+    return [
+        "distinct_flags", "corpus_prep", "customer_order_revenue",
+        "customers_without_orders", "events_running_total",
+        "event_type_distinct", "embedding_neardup", "validate_docs",
+        "classic_fields",
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDriverContract:
+    @pytest.mark.parametrize("name", _names())
+    def test_query_runs_and_matches_oracle(self, entrymod, con, name):
+        result = entrymod.queries()[name](SF_DIR)
+        ray_df = result if isinstance(result, pd.DataFrame) else result.to_pandas()
+        assert len(ray_df.columns) > 0, "query lost its schema"
+        sql = entrymod.oracle_sql().get(name)
+        if sql is None:
+            assert len(ray_df) >= 0  # rows-only contract
+            return
+        sql_df = con.execute(sql).df()
+        assert len(ray_df) == len(sql_df), f"rowcount ray={len(ray_df)} sql={len(sql_df)}"
+        assert sorted(ray_df.columns) == sorted(sql_df.columns)
+        a = ray_df[sorted(ray_df.columns)].sort_values(
+            sorted(ray_df.columns), ignore_index=True)
+        b = sql_df[sorted(sql_df.columns)].sort_values(
+            sorted(sql_df.columns), ignore_index=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_every_oracle_has_a_query(self, entrymod):
+        assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
