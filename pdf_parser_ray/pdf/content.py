@@ -19,7 +19,7 @@ _OPERATOR_CHARS = set(b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ'\"*
 
 def tokenize_content(data: bytes) -> Iterator[tuple[list, str]]:
     """Yield (operands, operator) tuples from a decoded content stream."""
-    lex = Lexer(data)
+    lex = Lexer(data, allow_refs=False)
     operands: list = []
     while True:
         lex.skip_ws()

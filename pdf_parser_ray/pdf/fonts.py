@@ -89,8 +89,17 @@ class FontDecoder:
     def __init__(self, cmap: dict[int, str] | None = None, code_bytes: int = 1):
         self.cmap = cmap
         self.code_bytes = code_bytes
+        # 1-byte cmaps decode via str.translate (C speed); the table covers
+        # ALL 256 codes so unmapped glyphs are DELETED (translate passes
+        # unmapped codepoints through otherwise — wrong semantics)
+        self._trans = (
+            {i: (cmap.get(i) or None) for i in range(256)}
+            if cmap and code_bytes == 1 else None
+        )
 
     def decode(self, raw: bytes) -> str:
+        if self._trans is not None:
+            return raw.decode("latin-1").translate(self._trans)
         if self.cmap is not None:
             w = self.code_bytes
             out = []

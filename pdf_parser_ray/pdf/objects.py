@@ -40,12 +40,18 @@ def _is_regular(ch: int) -> bool:
 
 
 class Lexer:
-    """Byte-level lexer/parser for PDF object syntax."""
+    """Byte-level lexer/parser for PDF object syntax.
 
-    def __init__(self, data: bytes, pos: int = 0):
+    ``allow_refs=False`` (content streams) skips the ``N G R`` indirect-
+    reference lookahead after integers — content operands are never refs and
+    the lookahead double-scans every number otherwise.
+    """
+
+    def __init__(self, data: bytes, pos: int = 0, allow_refs: bool = True):
         self.data = data
         self.pos = pos
         self.n = len(data)
+        self.allow_refs = allow_refs
 
     # -- low-level -------------------------------------------------------
     def skip_ws(self) -> None:
@@ -225,6 +231,8 @@ class Lexer:
             value = int(tok)
         except ValueError as e:
             raise PdfSyntaxError(f"malformed number {tok!r}") from e
+        if not self.allow_refs:
+            return value
         # lookahead for 'G R' (indirect reference)
         save = self.pos
         self.skip_ws()
