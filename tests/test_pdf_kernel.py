@@ -271,3 +271,36 @@ class TestInlineImages:
                            + b" 0 R /Contents " + str(c).encode() + b" 0 R >>")
         cat = w.add(b"<< /Type /Catalog /Pages " + str(pages).encode() + b" 0 R >>")
         assert extract_text(w.build(cat)) == "before\nafter"
+
+
+class TestTwoByteCid:
+    def test_two_byte_cmap_decode(self):
+        # CID-style font: 2-byte source codes in the CMap → FontDecoder
+        # infers code_bytes=2 and decodes hex strings pairwise
+        from pdf_parser_ray.pdf.fonts import parse_tounicode, FontDecoder
+
+        cmap = (b"2 beginbfchar\n<0101> <0048>\n<0102> <0069>\nendbfchar\n")
+        m = parse_tounicode(cmap)
+        assert m == {0x0101: "H", 0x0102: "i"}
+        dec = FontDecoder(m, code_bytes=2)
+        assert dec.decode(bytes.fromhex("01010102")) == "Hi"
+
+    def test_two_byte_font_in_document(self):
+        import zlib as _z
+        from pdf_parser_ray.pdf.build import _Writer
+
+        w = _Writer("1.7")
+        cmap = (b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+                b"3 beginbfchar\n<0101> <0041>\n<0102> <0042>\n<0103> <0043>\nendbfchar\n")
+        cmap_id = w.add_stream(b"", cmap, compress=True)
+        font = w.add(b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID "
+                     b"/ToUnicode " + str(cmap_id).encode() + b" 0 R >>")
+        cont = w.add_stream(
+            b"", b"BT /F1 12 Tf 72 700 Td <010101020103> Tj ET", compress=True)
+        p = w.add(b"")
+        pages = w.add(b"<< /Type /Pages /Kids [" + f"{p} 0 R".encode() + b"] /Count 1 "
+                      b"/Resources << /Font << /F1 " + str(font).encode() + b" 0 R >> >> >>")
+        w.bodies[p - 1] = (b"<< /Type /Page /Parent " + str(pages).encode()
+                           + b" 0 R /Contents " + str(cont).encode() + b" 0 R >>")
+        cat = w.add(b"<< /Type /Catalog /Pages " + str(pages).encode() + b" 0 R >>")
+        assert extract_text(w.build(cat)) == "ABC"
