@@ -44,3 +44,17 @@ class TestFrozenGolden:
         assert golden.num_rows == 10
         assert golden.column("doc_id").to_pylist() == [
             f"doc-{i:08d}" for i in range(10)]
+
+
+class TestFrozenGoldenSf001:
+    def test_sf001_matches(self):
+        from pdf_parser_ray.sources.synth import generate_corpus
+        from pdf_parser_ray.stages.doc_parse import DocParse
+
+        golden01 = pq.read_table(os.path.join(os.path.dirname(__file__),
+                                              "golden", "spans_sf0.01.parquet"))
+        out = DocParse()(generate_corpus(0.01))
+        out = out.take(pc.sort_indices(out.column("doc_id")))
+        assert out.num_rows == golden01.num_rows == 100
+        for col in golden01.column_names:
+            assert out.column(col).to_pylist() == golden01.column(col).to_pylist(), col

@@ -22,6 +22,7 @@ from pdf_parser_ray.sources.synth import generate_corpus  # noqa: E402
 from pdf_parser_ray.stages.doc_parse import DocParse  # noqa: E402
 
 OUT = "/root/repo/tests/golden/spans_sf0.001.parquet"
+OUT_01 = "/root/repo/tests/golden/spans_sf0.01.parquet"
 
 
 def main() -> None:
@@ -29,6 +30,10 @@ def main() -> None:
     out = out.take(pc.sort_indices(out.column("doc_id")))
     pq.write_table(out, OUT)
     print(f"wrote {OUT}: {out.num_rows} docs")
+    out01 = DocParse()(generate_corpus(0.01))
+    out01 = out01.take(pc.sort_indices(out01.column("doc_id")))
+    pq.write_table(out01, OUT_01)
+    print(f"wrote {OUT_01}: {out01.num_rows} docs")
     # spot checks (must hold after any regeneration — FIXTURES.md goldens)
     rows = {r["doc_id"]: r for r in out.to_pylist()}
     claim = rows["doc-00000007"]
