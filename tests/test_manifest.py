@@ -53,3 +53,38 @@ class TestManifest:
         with open(m.path, "a") as f:
             f.write('{"partition_id": 2, "stat')  # killed mid-write
         assert m.committed_ids() == {1}
+
+
+class TestPlanProperties:
+    """Property-based invariants of the byte-budget planner."""
+
+    def test_invariants(self):
+        import numpy as np
+        from hypothesis import given, settings, strategies as st
+
+        @given(st.lists(st.integers(min_value=0, max_value=5000),
+                        min_size=1, max_size=200),
+               st.integers(min_value=1, max_value=10_000))
+        @settings(max_examples=100, deadline=None)
+        def check(sizes, budget):
+            ids = [f"d{i:05d}" for i in range(len(sizes))]
+            parts = plan_partitions(ids, np.array(sizes), budget)
+            # every doc covered exactly once, contiguously, in order
+            assert sum(p.n_docs for p in parts) == len(ids)
+            assert parts[0].start_doc_id == ids[0]
+            for a, b in zip(parts, parts[1:]):
+                assert a.end_doc_id == b.start_doc_id
+            assert parts[-1].end_doc_id is None
+            # budget respected except single-doc oversize partitions
+            for p in parts:
+                assert p.n_bytes <= budget or p.n_docs == 1
+            # assignment agrees with the plan
+            bounds = partition_boundaries(parts)
+            assigned = assign_partition(np.array(ids, dtype=object), bounds)
+            idx = 0
+            for p in parts:
+                for _ in range(p.n_docs):
+                    assert assigned[idx] == p.partition_id
+                    idx += 1
+
+        check()
