@@ -45,7 +45,10 @@ def plan_partitions(doc_ids: list[str], sizes: np.ndarray, byte_budget: int) -> 
     start = 0
     acc = 0
     for i in range(len(doc_ids)):
-        if acc > 0 and acc + int(sizes[i]) > byte_budget:
+        # split when the current partition is non-empty (i > start) and the
+        # next doc would blow the budget — NOT `acc > 0`, which a zero-size
+        # doc at partition start would defeat
+        if i > start and acc + int(sizes[i]) > byte_budget:
             parts.append(Partition(len(parts), doc_ids[start],
                                    doc_ids[i], i - start, acc))
             start, acc = i, 0
