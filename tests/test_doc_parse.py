@@ -148,3 +148,41 @@ class TestCorpusGoldens:
         for row in parsed.to_pylist():
             if row["error"]:
                 assert row["spans"] == [] and row["n_spans"] == 0
+
+
+class TestInvariantsAcrossSeeds:
+    @pytest.mark.parametrize("seed", [7, 123, 20260817])
+    def test_docparse_invariants(self, dp, seed):
+        from pdf_parser_ray.sources.synth import generate_corpus
+
+        out = dp(generate_corpus(0.003, seed=seed))
+        for row in out.to_pylist():
+            # offsets contiguous from 0
+            offs = [s["offset"] for s in row["spans"]]
+            assert offs == list(range(len(offs)))
+            # error rows have no spans; success rows' kinds are output kinds
+            if row["error"]:
+                assert row["spans"] == []
+            for s in row["spans"]:
+                assert s["kind"] in ("text", "image", "media")
+                if s["kind"] != "text":
+                    assert s["text"] == "" and s["media_ref"]
+            # hash shape
+            assert len(row["file_hash"]) == 64
+            assert row["file_hash6"] == row["file_hash"][:6]
+            assert row["n_spans"] == len(row["spans"])
+
+    @pytest.mark.parametrize("seed", [7, 123])
+    def test_seed_determinism(self, dp, seed):
+        from pdf_parser_ray.sources.synth import generate_corpus
+
+        a = dp(generate_corpus(0.002, seed=seed))
+        b = dp(generate_corpus(0.002, seed=seed))
+        assert a.equals(b)
+
+    def test_different_seeds_differ(self, dp):
+        from pdf_parser_ray.sources.synth import generate_corpus
+
+        a = generate_corpus(0.002, seed=1)
+        b = generate_corpus(0.002, seed=2)
+        assert not a.equals(b)
