@@ -368,6 +368,32 @@ def _q_ai_extract(sf_dir: str):
     )
 
 
+def _q_events_props(sf_dir: str):
+    """JSON scalar parsing over the events.props column (json.loads per row,
+    M9/M12-family semantics) → histogram of the embedded 'k' value bucketed
+    by decile."""
+    import json
+
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["props"])
+
+    def parse(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = batch["props"].map(lambda s: json.loads(s).get("k"))
+        return pd.DataFrame({"k_decile": (ks // 10).astype("int64")})
+
+    parsed = ds.map_batches(parse, batch_format="pandas")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("k_decile", as_index=False).agg(
+            n_events=("k_decile", "size"))
+
+    from ray.data.aggregate import Sum
+
+    partials = parsed.map_batches(partial, batch_format="pandas")
+    return partials.groupby("k_decile").aggregate(Sum("n_events", alias_name="n_events"))
+
+
 def _q_distinct_flags(sf_dir: str):
     """Dataset.unique (set-op/distinct operator) over lineitem flags."""
     import ray.data
@@ -434,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup
         "dedup_exact": _q_dedup_exact,
         "distinct_flags": _q_distinct_flags,
+        "events_props": _q_events_props,
         "corpus_prep": _q_corpus_prep,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,
@@ -532,6 +559,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "distinct_flags": (
             "SELECT DISTINCT l_returnflag FROM lineitem"
+        ),
+        "events_props": (
+            "SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decile, "
+            "count(*) AS n_events FROM events GROUP BY 1"
         ),
         "corpus_prep": (
             "WITH q AS (SELECT doc_id, text, "

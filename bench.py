@@ -108,6 +108,15 @@ def run_headline_extraction(num_cpus: int) -> dict:
         spans += sum(batch.column("n_spans").to_pylist())
         errors += sum(1 for e in batch.column("error").to_pylist() if e)
     elapsed = time.time() - t0
+
+    # persist the per-operator breakdown (wall-time-on-useful-compute evidence)
+    try:
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/stats_last_run.txt", "w") as f:
+            f.write(f"# headline ds.stats() @ num_cpus={num_cpus}\n")
+            f.write(parsed.stats())
+    except Exception:
+        pass
     return {
         "sec": elapsed,
         "docs": docs,
