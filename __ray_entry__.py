@@ -394,6 +394,52 @@ def _q_events_props(sf_dir: str):
     return partials.groupby("k_decile").aggregate(Sum("n_events", alias_name="n_events"))
 
 
+def _q_text_normalize(sf_dir: str):
+    """Vectorized text normalization (trim spaces + lowercase) fingerprinted
+    with md5 (SQL-reproducible: md5(lower(trim(text))))."""
+    from pdf_parser_ray.functions.hashing import md5_column
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        norm = pc2.utf8_lower(pc2.utf8_trim(batch.column("text"), " "))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "norm_md5": md5_column(norm)})
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def _q_token_percentiles(sf_dir: str):
+    """Global token-count distribution: count/min/max distributed, exact
+    discrete quantiles on the driver over the (small) collected counts
+    column — quantile index = ceil(q*n)-1, matching DuckDB quantile_disc."""
+    import math
+
+    from pdf_parser_ray.stages.textstage import add_token_counts
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    counts = ds.map_batches(add_token_counts, batch_format="pandas").map_batches(
+        lambda b: b.select(["n_tokens"]), batch_format="pyarrow")
+    vals = np.sort(np.concatenate(
+        [pa.table(b).column("n_tokens").to_numpy(zero_copy_only=False)
+         for b in counts.iter_batches(batch_format="pyarrow", batch_size=65536)]))
+    n = len(vals)
+
+    def q_disc(q: float) -> int:
+        return int(vals[min(max(math.ceil(q * n) - 1, 0), n - 1)])
+
+    return pd.DataFrame({
+        "n_docs": pd.Series([n], dtype="int64"),
+        "min_tokens": pd.Series([int(vals[0])], dtype="int64"),
+        "p50_tokens": pd.Series([q_disc(0.5)], dtype="int64"),
+        "p90_tokens": pd.Series([q_disc(0.9)], dtype="int64"),
+        "p99_tokens": pd.Series([q_disc(0.99)], dtype="int64"),
+        "max_tokens": pd.Series([int(vals[-1])], dtype="int64"),
+    })
+
+
 def _q_distinct_flags(sf_dir: str):
     """Dataset.unique (set-op/distinct operator) over lineitem flags."""
     import ray.data
@@ -461,6 +507,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "distinct_flags": _q_distinct_flags,
         "events_props": _q_events_props,
+        "text_normalize": _q_text_normalize,
+        "token_percentiles": _q_token_percentiles,
         "corpus_prep": _q_corpus_prep,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,
@@ -563,6 +611,18 @@ def oracle_sql() -> dict[str, str]:
         "events_props": (
             "SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decile, "
             "count(*) AS n_events FROM events GROUP BY 1"
+        ),
+        "text_normalize": (
+            "SELECT doc_id, md5(lower(trim(text, ' '))) AS norm_md5 FROM documents"
+        ),
+        "token_percentiles": (
+            "SELECT count(*) AS n_docs, "
+            "CAST(min(n) AS BIGINT) AS min_tokens, "
+            "CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50_tokens, "
+            "CAST(quantile_disc(n, 0.9) AS BIGINT) AS p90_tokens, "
+            "CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_tokens, "
+            "CAST(max(n) AS BIGINT) AS max_tokens "
+            "FROM (SELECT length(regexp_extract_all(text, '\\S+')) AS n FROM documents)"
         ),
         "corpus_prep": (
             "WITH q AS (SELECT doc_id, text, "
