@@ -35,7 +35,8 @@ def _names():
         "distinct_flags", "corpus_prep", "customer_order_revenue",
         "customers_without_orders", "events_running_total",
         "event_type_distinct", "embedding_neardup", "validate_docs",
-        "classic_fields",
+        "classic_fields", "events_props", "text_normalize",
+        "token_percentiles",
     ]
 
 
