@@ -186,3 +186,11 @@ class TestInvariantsAcrossSeeds:
         a = generate_corpus(0.002, seed=1)
         b = generate_corpus(0.002, seed=2)
         assert not a.equals(b)
+
+
+class TestMethodTag:
+    def test_extraction_method_passthrough(self, dp):
+        # reference test_processors.py:367-389 method-tag pass-through parity
+        out = dp(_table([{"doc_id": "d", "spans": [
+            {"kind": "text", "text": "x", "media_ref": "", "offset": 0}]}]))
+        assert out.column("extraction_method").to_pylist() == ["classic"]
