@@ -237,6 +237,14 @@ def main_scaling() -> None:
     }
     print(json.dumps(result))
     os.makedirs("BENCH", exist_ok=True)
+    # preserve any previously-recorded skew section across rewrites
+    skew_section = ""
+    try:
+        prev = open("BENCH/BASELINE.md").read()
+        if "## Skew robustness" in prev:
+            skew_section = prev[prev.index("## Skew robustness") - 1:]
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH — measured scaling (sandbox stand-in for N vs 4N nodes)\n\n"
@@ -258,6 +266,7 @@ def main_scaling() -> None:
             f"the per-node resources do not dilute this way.\n\n"
             f"Input: synthesized corpus at sf={r_hi['bench_sf']} "
             f"= {r_hi['docs']} docs, {r_hi['spans']} spans, {r_hi['errors']} error rows.\n"
+            + skew_section
         )
 
 
