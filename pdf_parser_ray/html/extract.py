@@ -44,17 +44,25 @@ _NAMED_ENTITIES = {
 
 
 def _decode_entities(text: str) -> str:
+    def _chr(code: int) -> str:
+        # reject out-of-range and surrogate codepoints: a lone surrogate in
+        # the output would make the string un-encodable as UTF-8 (Arrow
+        # conversion would crash the batch)
+        if code > 0x10FFFF or 0xD800 <= code <= 0xDFFF:
+            return "�"
+        return chr(code)
+
     def sub(m: re.Match) -> str:
         e = m.group(1)
         if e.startswith("#x") or e.startswith("#X"):
             try:
-                return chr(int(e[2:], 16))
-            except ValueError:
+                return _chr(int(e[2:], 16))
+            except (ValueError, OverflowError):
                 return m.group(0)
         if e.startswith("#"):
             try:
-                return chr(int(e[1:]))
-            except ValueError:
+                return _chr(int(e[1:]))
+            except (ValueError, OverflowError):
                 return m.group(0)
         return _NAMED_ENTITIES.get(e.lower(), m.group(0))
 

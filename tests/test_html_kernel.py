@@ -76,3 +76,25 @@ class TestMainContent:
     def test_deterministic(self):
         assert [ (s.kind, s.text, s.media_ref) for s in extract_main_content(ARTICLE)] == \
                [ (s.kind, s.text, s.media_ref) for s in extract_main_content(ARTICLE)]
+
+
+class TestEntityEdgeCases:
+    def test_oversized_numeric_entity(self):
+        page = ("<body><p>Entity bomb &#99999999999; inside a paragraph long "
+                "enough to be kept here today.</p></body>")
+        spans = extract_main_content(page)
+        assert len(spans) == 1  # no crash; entity replaced or left verbatim
+
+    def test_surrogate_entity_sanitized(self):
+        # a lone surrogate would make the span un-encodable as UTF-8
+        page = ("<body><p>Surrogate &#xD800; in a paragraph long enough to be "
+                "kept by the scorer today.</p></body>")
+        spans = extract_main_content(page)
+        assert "\ud800" not in spans[0].text
+        spans[0].text.encode("utf-8")  # must not raise
+
+    def test_max_codepoint_ok(self):
+        page = ("<body><p>Max &#x10FFFF; codepoint in a sufficiently long "
+                "paragraph for keeping around.</p></body>")
+        spans = extract_main_content(page)
+        assert "\U0010ffff" in spans[0].text
