@@ -304,3 +304,10 @@ class TestTwoByteCid:
                            + b" 0 R /Contents " + str(cont).encode() + b" 0 R >>")
         cat = w.add(b"<< /Type /Catalog /Pages " + str(pages).encode() + b" 0 R >>")
         assert extract_text(w.build(cat)) == "ABC"
+
+
+class TestCp1252Fallback:
+    def test_win_ansi_characters_roundtrip(self):
+        # em-dash / curly quotes exist in cp1252 but not latin-1 printables
+        text = "em—dash and “curly” quotes"
+        assert extract_text(minimal_pdf([text])) == text

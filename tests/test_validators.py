@@ -53,3 +53,19 @@ class TestVectorized:
     def test_magic(self):
         col = pa.array(["%PDF-1.7 x", "nope", "%PDX"])
         assert has_pdf_magic_arrow(col).to_pylist() == [True, False, False]
+
+
+class TestSuffixHelper:
+    def test_no_extension(self):
+        from pdf_parser_ray.functions.validators import _suffix
+
+        assert _suffix("noext") == ""
+        assert _suffix("archive.tar.gz") == ".gz"
+        assert _suffix("dir.d/file") == ""
+        assert _suffix("dir.d/file.pdf") == ".pdf"
+
+    def test_error_message_mentions_suffix(self):
+        from pdf_parser_ray.functions.validators import validate_payload
+
+        err = validate_payload(b"%PDF" + b"x" * 200, "doc.docx")
+        assert ".docx" in err
