@@ -38,7 +38,6 @@ def validate_payload(payload: bytes, filename: str = "") -> str | None:
 
 
 def _suffix(filename: str) -> str:
-    i = filename.rfind(".")
     base = filename.rsplit("/", 1)[-1]
     j = base.rfind(".")
     return base[j:] if j > 0 else ""
