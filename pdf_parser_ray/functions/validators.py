@@ -50,6 +50,10 @@ def validate_sizes_arrow(byte_lengths: pa.Array | pa.ChunkedArray) -> pa.Array:
     Used by the batch validation stage over binary/string payload columns.
     """
     lengths = pc.cast(byte_lengths, pa.int64())
+    # null lengths (null payloads) count as too_small — fill_null before the
+    # comparisons so the boolean masks are null-free (numpy mask indexing
+    # chokes on None otherwise)
+    lengths = pc.fill_null(lengths, 0)
     too_large = pc.greater(lengths, MAX_FILE_SIZE)
     too_small = pc.less(lengths, MIN_FILE_SIZE)
     n = len(lengths)

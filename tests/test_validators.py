@@ -69,3 +69,19 @@ class TestSuffixHelper:
 
         err = validate_payload(b"%PDF" + b"x" * 200, "doc.docx")
         assert ".docx" in err
+
+
+class TestNullHandling:
+    def test_null_lengths_are_too_small(self):
+        import pyarrow.compute as pc
+
+        col = pa.array(["%PDF ok text here", None, "x"])
+        out = validate_sizes_arrow(pc.binary_length(col)).to_pylist()
+        assert out == ["too_small", "too_small", "too_small"]
+
+    def test_valid_sized_with_null_neighbor(self):
+        import pyarrow.compute as pc
+
+        col = pa.array(["x" * 200, None])
+        out = validate_sizes_arrow(pc.binary_length(col)).to_pylist()
+        assert out == [None, "too_small"]
