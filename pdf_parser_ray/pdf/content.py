@@ -83,6 +83,8 @@ class TextInterpreter:
         self.leading = 0.0
         self.size = 0.0
         self.decoder = FALLBACK_DECODER
+        self.ctm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+        self.gs_stack: list[list[float]] = []
 
     def run(self, content: bytes) -> list[TextRun]:
         in_text = False
@@ -92,6 +94,19 @@ class TextInterpreter:
                     in_text = True
                     self.tm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
                     self.tlm = list(self.tm)
+                elif op == "q":
+                    self.gs_stack.append(list(self.ctm))
+                elif op == "Q":
+                    if self.gs_stack:
+                        self.ctm = self.gs_stack.pop()
+                elif op == "cm" and len(operands) >= 6:
+                    m = [float(v) for v in operands[-6:]]
+                    a, b, c, d, e, f = m
+                    A, B, C, D, E, F = self.ctm
+                    # ctm' = m × ctm
+                    self.ctm = [a * A + b * C, a * B + b * D,
+                                c * A + d * C, c * B + d * D,
+                                e * A + f * C + E, e * B + f * D + F]
                 elif op == "ET":
                     in_text = False
                 elif op == "Tf" and len(operands) >= 2:
@@ -152,5 +167,10 @@ class TextInterpreter:
             return
         text = self.decoder.decode(raw)
         if text:
-            self.runs.append(TextRun(self.tm[4], self.tm[5], self.size or 12.0, text))
+            # device position = text-space origin through the CTM
+            tx, ty = self.tm[4], self.tm[5]
+            A, B, C, D, E, F = self.ctm
+            x = tx * A + ty * C + E
+            y = tx * B + ty * D + F
+            self.runs.append(TextRun(x, y, self.size or 12.0, text))
         self.tm[4] += self.CHAR_WIDTH_FACTOR * (self.size or 12.0) * len(text)

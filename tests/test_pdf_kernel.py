@@ -311,3 +311,40 @@ class TestCp1252Fallback:
         # em-dash / curly quotes exist in cp1252 but not latin-1 printables
         text = "em—dash and “curly” quotes"
         assert extract_text(minimal_pdf([text])) == text
+
+
+class TestCtm:
+    def test_cm_translation_affects_reading_order(self):
+        from pdf_parser_ray.pdf.build import _Writer
+
+        w = _Writer("1.4")
+        font = w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        # second block drawn at the SAME Td but shifted DOWN 500pt via cm
+        content = (b"BT /F1 12 Tf 72 700 Td (upper block) Tj ET\n"
+                   b"q 1 0 0 1 0 -500 cm "
+                   b"BT /F1 12 Tf 72 700 Td (lower block) Tj ET Q\n")
+        c = w.add_stream(b"", content, compress=False)
+        p = w.add(b"")
+        pages = w.add(b"<< /Type /Pages /Kids [" + f"{p} 0 R".encode() + b"] /Count 1 "
+                      b"/Resources << /Font << /F1 " + str(font).encode() + b" 0 R >> >> >>")
+        w.bodies[p - 1] = (b"<< /Type /Page /Parent " + str(pages).encode()
+                           + b" 0 R /Contents " + str(c).encode() + b" 0 R >>")
+        cat = w.add(b"<< /Type /Catalog /Pages " + str(pages).encode() + b" 0 R >>")
+        assert extract_text(w.build(cat)) == "upper block\nlower block"
+
+    def test_q_restores_transform(self):
+        from pdf_parser_ray.pdf.build import _Writer
+
+        w = _Writer("1.4")
+        font = w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        content = (b"q 1 0 0 1 0 -650 cm "
+                   b"BT /F1 12 Tf 72 700 Td (shifted to bottom) Tj ET Q\n"
+                   b"BT /F1 12 Tf 72 700 Td (back on top) Tj ET\n")
+        c = w.add_stream(b"", content, compress=False)
+        p = w.add(b"")
+        pages = w.add(b"<< /Type /Pages /Kids [" + f"{p} 0 R".encode() + b"] /Count 1 "
+                      b"/Resources << /Font << /F1 " + str(font).encode() + b" 0 R >> >> >>")
+        w.bodies[p - 1] = (b"<< /Type /Page /Parent " + str(pages).encode()
+                           + b" 0 R /Contents " + str(c).encode() + b" 0 R >>")
+        cat = w.add(b"<< /Type /Catalog /Pages " + str(pages).encode() + b" 0 R >>")
+        assert extract_text(w.build(cat)) == "back on top\nshifted to bottom"
