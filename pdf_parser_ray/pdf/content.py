@@ -135,15 +135,17 @@ class TextInterpreter:
                     self._td(0.0, -self.leading)
                     self._show(operands[-1])
                 elif op == "Do" and operands and self.depth < 8:
-                    # form XObject: execute its content inline. Approximation:
-                    # the form's CTM placement (cm) is not applied — text
-                    # positions are form-local, adequate for text extraction.
+                    # form XObject: execute its content inline, inheriting the
+                    # current CTM so `q ... cm /Fm Do Q` placement positions
+                    # the form's text correctly (form /Matrix not applied —
+                    # identity in the fixture scope)
                     name = operands[-1]
                     entry = self.xobjects.get(str(name)) if isinstance(name, Name) else None
                     if entry is not None:
                         form_content, form_fonts = entry
                         sub = TextInterpreter(form_fonts or self.fonts,
                                               self.xobjects, self.depth + 1)
+                        sub.ctm = list(self.ctm)
                         self.runs.extend(sub.run(form_content))
                 elif op == "TJ" and operands and isinstance(operands[-1], list):
                     for elem in operands[-1]:

@@ -348,3 +348,28 @@ class TestCtm:
                            + b" 0 R /Contents " + str(c).encode() + b" 0 R >>")
         cat = w.add(b"<< /Type /Catalog /Pages " + str(pages).encode() + b" 0 R >>")
         assert extract_text(w.build(cat)) == "back on top\nshifted to bottom"
+
+
+class TestFormPlacement:
+    def test_cm_placed_form(self):
+        from pdf_parser_ray.pdf.build import _Writer
+
+        w = _Writer("1.4")
+        font = w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        form = w.add_stream(
+            b"/Subtype /Form /BBox [0 0 200 50] "
+            b"/Resources << /Font << /F1 " + str(font).encode() + b" 0 R >> >> ",
+            b"BT /F1 12 Tf 0 0 Td (placed form text) Tj ET", compress=False)
+        # page text at y=700; form drawn at (72, 100) via cm → reads second
+        cont = w.add_stream(
+            b"", b"BT /F1 12 Tf 72 700 Td (page heading) Tj ET\n"
+                 b"q 1 0 0 1 72 100 cm /Fm1 Do Q\n", compress=False)
+        p = w.add(b"")
+        pages = w.add(b"<< /Type /Pages /Kids [" + f"{p} 0 R".encode() + b"] /Count 1 >>")
+        w.bodies[p - 1] = (
+            b"<< /Type /Page /Parent " + str(pages).encode() + b" 0 R "
+            b"/Resources << /Font << /F1 " + str(font).encode() + b" 0 R >> "
+            b"/XObject << /Fm1 " + str(form).encode() + b" 0 R >> >> "
+            b"/Contents " + str(cont).encode() + b" 0 R >>")
+        cat = w.add(b"<< /Type /Catalog /Pages " + str(pages).encode() + b" 0 R >>")
+        assert extract_text(w.build(cat)) == "page heading\nplaced form text"
