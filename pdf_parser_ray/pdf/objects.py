@@ -376,13 +376,17 @@ class PdfDocument:
         for f in filters:
             fname = str(self.resolve(f))
             if fname == "FlateDecode":
+                # cap expansion: a crafted stream can inflate to GBs from a
+                # few KB (decompression bomb) — fail the page, not the worker
+                MAX_INFLATE = 256 * 1024 * 1024
                 try:
-                    out = zlib.decompress(out)
-                except zlib.error:
-                    try:
-                        out = zlib.decompressobj().decompress(out)
-                    except zlib.error as e:
-                        raise PdfSyntaxError(f"FlateDecode failed: {e}") from e
+                    d = zlib.decompressobj()
+                    out = d.decompress(out, MAX_INFLATE)
+                    if d.unconsumed_tail:
+                        raise PdfSyntaxError(
+                            f"FlateDecode output exceeds {MAX_INFLATE} bytes")
+                except zlib.error as e:
+                    raise PdfSyntaxError(f"FlateDecode failed: {e}") from e
             else:
                 raise PdfSyntaxError(f"unsupported filter {fname}")
         return out

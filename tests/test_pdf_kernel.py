@@ -373,3 +373,30 @@ class TestFormPlacement:
             b"/Contents " + str(cont).encode() + b" 0 R >>")
         cat = w.add(b"<< /Type /Catalog /Pages " + str(pages).encode() + b" 0 R >>")
         assert extract_text(w.build(cat)) == "page heading\nplaced form text"
+
+
+class TestDecompressionBomb:
+    def test_bomb_page_fails_soft(self):
+        # a page whose content inflates past the cap must land in
+        # page_errors, not OOM the worker
+        from pdf_parser_ray.pdf.build import _Writer
+        from pdf_parser_ray.pdf.objects import PdfDocument, PdfSyntaxError
+
+        bomb = zlib.compress(b"\x00" * (300 * 1024 * 1024), 9)  # ~300MB → ~300KB
+        w = _Writer("1.4")
+        font = w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        c = w.add(b"<< /Filter /FlateDecode /Length " + str(len(bomb)).encode()
+                  + b" >>\nstream\n" + bomb + b"\nendstream")
+        good = w.add_stream(b"", b"BT /F1 12 Tf 72 700 Td (safe page) Tj ET",
+                            compress=False)
+        p1, p2 = w.add(b""), w.add(b"")
+        pages = w.add(b"<< /Type /Pages /Kids [" + f"{p1} 0 R {p2} 0 R".encode()
+                      + b"] /Count 2 /Resources << /Font << /F1 "
+                      + str(font).encode() + b" 0 R >> >> >>")
+        for p, cc in ((p1, c), (p2, good)):
+            w.bodies[p - 1] = (b"<< /Type /Page /Parent " + str(pages).encode()
+                               + b" 0 R /Contents " + str(cc).encode() + b" 0 R >>")
+        cat = w.add(b"<< /Type /Catalog /Pages " + str(pages).encode() + b" 0 R >>")
+        texts, errors = extract_page_texts(w.build(cat))
+        assert texts == ["safe page"]
+        assert len(errors) == 1 and "exceeds" in errors[0]
