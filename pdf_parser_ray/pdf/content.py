@@ -16,6 +16,34 @@ from .objects import Lexer, Name, PdfSyntaxError
 # Operators are regular-character keywords; everything else parses as operands.
 _OPERATOR_CHARS = set(b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ'\"*01")
 
+_WS = b"\x00\t\n\x0c\r "
+
+
+def _skip_inline_image(data: bytes, pos: int) -> int:
+    """Skip an inline image (BI <params> ID <binary> EI) starting just after
+    the BI keyword; return the position after the closing EI.
+
+    The binary pixel data may itself contain the byte pair 'EI', so EI is
+    accepted only when delimited by PDF whitespace (or EOF) on both sides —
+    the standard tolerant-parser heuristic. Without this, data.find('EI')
+    truncates mid-image and the tokenizer resumes inside pixel bytes.
+    """
+    n = len(data)
+    idx = data.find(b"ID", pos)
+    i = pos if idx < 0 else idx + 2
+    if idx >= 0 and i < n and data[i] in _WS:
+        i += 1  # exactly one whitespace byte separates ID from the data
+    while True:
+        idx = data.find(b"EI", i)
+        if idx < 0:
+            return n
+        before_ok = idx == 0 or data[idx - 1] in _WS
+        after = idx + 2
+        after_ok = after >= n or data[after] in _WS
+        if before_ok and after_ok:
+            return after
+        i = idx + 1
+
 
 def tokenize_content(data: bytes) -> Iterator[tuple[list, str]]:
     """Yield (operands, operator) tuples from a decoded content stream."""
@@ -37,9 +65,8 @@ def tokenize_content(data: bytes) -> Iterator[tuple[list, str]]:
             lex.pos += 1
             continue
         if kw == "BI":
-            # inline image: skip raw binary through to the EI operator
-            idx = data.find(b"EI", lex.pos)
-            lex.pos = len(data) if idx < 0 else idx + 2
+            # inline image: skip raw binary through the whitespace-delimited EI
+            lex.pos = _skip_inline_image(data, lex.pos)
             operands = []
             continue
         if kw in ("true", "false", "null"):

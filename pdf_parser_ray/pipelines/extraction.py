@@ -26,7 +26,8 @@ from .. import __version__ as PARSER_VERSION
 from ..config import DEFAULT_PARSE_BATCH_SIZE, PARTITION_BYTE_BUDGET
 from ..sources.io import read_corpus
 from ..stages.doc_parse import DocParse
-from ..state.manifest import Manifest, assign_partition, partition_boundaries, plan_partitions
+from ..state.manifest import (Manifest, assign_partition, partition_boundaries,
+                              plan_fingerprint, plan_partitions, validate_resume_plan)
 
 
 def payload_sizes(batch: pa.Table) -> pa.Table:
@@ -105,6 +106,10 @@ def run_extraction(corpus_path: str, out_dir: str, *,
     doc_ids, sizes = _compute_sizes(corpus_path)
     parts = plan_partitions(doc_ids, sizes, byte_budget)
     boundaries = partition_boundaries(parts)
+    fingerprint = plan_fingerprint(doc_ids, sizes)
+    # a resume against a changed corpus / byte_budget would replan different
+    # doc ranges under committed partition ids — abort loudly instead
+    validate_resume_plan(manifest.records(), parts, byte_budget, fingerprint)
     committed = manifest.committed_ids()
     todo = [p for p in parts if p.partition_id not in committed]
 
@@ -158,6 +163,8 @@ def run_extraction(corpus_path: str, out_dir: str, *,
                 "end_doc_id": p.end_doc_id,
                 "n_docs_planned": p.n_docs,
                 "n_input_bytes_planned": p.n_bytes,
+                "byte_budget": byte_budget,
+                "plan_fingerprint": fingerprint,
                 "parser_version": PARSER_VERSION,
                 "metrics": dict(metrics, job_elapsed_sec=round(elapsed, 3)),
             })

@@ -438,7 +438,10 @@ def events_running_total(sf_dir: str, max_users: int = 20):
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        milli = (g["value"] * 1000.0).round().astype("int64")
+        # half-away-from-zero (DuckDB round / repo numeric policy), NOT
+        # pandas .round() which is half-to-even
+        v = g["value"].to_numpy() * 1000.0
+        milli = pd.Series((np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64"))
         return pd.DataFrame({
             "user_id": g["user_id"],
             "event_id": g["event_id"],

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import base64
 import functools
+import hashlib
 import os
 
 import numpy as np
@@ -248,7 +249,10 @@ def corpus_path(sf: float, base_dir: str = "/tmp/pdf_parser_ray_corpus", seed: i
     """
     from .io import write_corpus_table
 
-    path = os.path.join(base_dir, f"v{GENERATOR_VERSION}_sf{sf}_seed{seed}{tag}")
+    # cache key must cover EVERY generation parameter — kind_weights /
+    # docs_per_file with the default tag previously aliased to a stale corpus
+    gen_key = hashlib.md5(repr((kind_weights, docs_per_file)).encode()).hexdigest()[:8]
+    path = os.path.join(base_dir, f"v{GENERATOR_VERSION}_sf{sf}_seed{seed}_g{gen_key}{tag}")
     done = os.path.join(path, "_SUCCESS")
     if not os.path.exists(done):
         os.makedirs(base_dir, exist_ok=True)

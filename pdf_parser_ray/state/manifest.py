@@ -59,6 +59,58 @@ def plan_partitions(doc_ids: list[str], sizes: np.ndarray, byte_budget: int) -> 
     return parts
 
 
+def plan_fingerprint(doc_ids: list[str], sizes: np.ndarray) -> str:
+    """Deterministic digest of the planning inputs (sorted doc_ids + sizes).
+
+    Stored in every manifest record; a resume whose replanned inputs hash
+    differently (corpus changed under the same out_dir) must abort rather
+    than silently commit overlapping/missing doc ranges.
+    """
+    import hashlib
+
+    h = hashlib.md5()
+    for d, s in zip(doc_ids, sizes):
+        h.update(d.encode())
+        h.update(int(s).to_bytes(8, "little", signed=True))
+    return h.hexdigest()
+
+
+def validate_resume_plan(records: list[dict], parts: list[Partition],
+                         byte_budget: int, fingerprint: str) -> None:
+    """Abort a resume whose fresh plan disagrees with committed records.
+
+    Checks, per committed record: byte_budget and plan fingerprint (when the
+    record carries them — older manifests may predate the fields), and that
+    the record's (start_doc_id, end_doc_id) equal the same partition_id's
+    range in the new plan. Any mismatch means 'resume' would assign
+    different doc ranges to already-committed partition ids — the
+    byte-identical-resume contract cannot hold, so fail loudly.
+    """
+    by_id = {p.partition_id: p for p in parts}
+    for rec in records:
+        if rec.get("status") != "committed":
+            continue
+        pid = int(rec["partition_id"])
+        if rec.get("byte_budget") is not None and int(rec["byte_budget"]) != byte_budget:
+            raise RuntimeError(
+                f"resume mismatch: partition {pid} was committed with "
+                f"byte_budget={rec['byte_budget']}, this run uses {byte_budget}; "
+                "rerun with the original byte_budget or a fresh out_dir")
+        if rec.get("plan_fingerprint") is not None and rec["plan_fingerprint"] != fingerprint:
+            raise RuntimeError(
+                f"resume mismatch: input corpus changed since partition {pid} "
+                "was committed (plan fingerprint differs); use a fresh out_dir")
+        p = by_id.get(pid)
+        if p is None or p.start_doc_id != rec.get("start_doc_id") \
+                or p.end_doc_id != rec.get("end_doc_id"):
+            raise RuntimeError(
+                f"resume mismatch: committed partition {pid} covered "
+                f"[{rec.get('start_doc_id')}, {rec.get('end_doc_id')}) but the "
+                f"fresh plan assigns "
+                f"{'nothing' if p is None else f'[{p.start_doc_id}, {p.end_doc_id})'} "
+                "to that id; use a fresh out_dir")
+
+
 def partition_boundaries(parts: list[Partition]) -> list[str]:
     """Sorted start-doc_ids of partitions 1..n-1 — searchsorted keys."""
     return [p.start_doc_id for p in parts[1:]]

@@ -272,6 +272,24 @@ class TestInlineImages:
         cat = w.add(b"<< /Type /Catalog /Pages " + str(pages).encode() + b" 0 R >>")
         assert extract_text(w.build(cat)) == "before\nafter"
 
+    def test_ei_bytes_inside_image_data_do_not_truncate(self):
+        # pixel data contains a raw 'EI' pair with NON-whitespace neighbors;
+        # only the whitespace-delimited EI terminates the image
+        from pdf_parser_ray.pdf.content import tokenize_content
+
+        content = (b"BT (before) Tj ET\n"
+                   b"BI /W 2 /H 2 /BPC 8 /CS /G ID \xffEI\xfe(junkEIjunk EI\n"
+                   b"BT (after) Tj ET")
+        ops = [(operands, op) for operands, op in tokenize_content(content)]
+        shown = [o[-1] for o, op in ops if op == "Tj"]
+        assert shown == [b"before", b"after"]
+
+    def test_ei_at_end_of_stream(self):
+        from pdf_parser_ray.pdf.content import tokenize_content
+
+        content = b"BI /W 1 /H 1 ID \x00 EI"
+        assert list(tokenize_content(content)) == []
+
 
 class TestTwoByteCid:
     def test_two_byte_cmap_decode(self):

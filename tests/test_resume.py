@@ -78,6 +78,39 @@ class TestResume:
             pc.count(t.column("error"), mode="only_valid").as_py()
 
 
+class TestResumePlanValidation:
+    def test_changed_byte_budget_aborts(self, ray_session, corpus_sf0001,
+                                        tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("budget_change"))
+        run_extraction(corpus_sf0001, out, byte_budget=4096,
+                       parse_concurrency=2, commit_batch_size=100)
+        with pytest.raises(RuntimeError, match="byte_budget"):
+            run_extraction(corpus_sf0001, out, byte_budget=8192,
+                           parse_concurrency=2, commit_batch_size=100)
+
+    def test_changed_corpus_aborts(self, ray_session, corpus_sf0001,
+                                   tmp_path_factory):
+        from pdf_parser_ray.sources.synth import corpus_path
+
+        out = str(tmp_path_factory.mktemp("corpus_change"))
+        run_extraction(corpus_sf0001, out, byte_budget=4096,
+                       parse_concurrency=2, commit_batch_size=100)
+        other = corpus_path(0.001, seed=7, tag="_resumetest")
+        with pytest.raises(RuntimeError, match="fingerprint|partition"):
+            run_extraction(other, out, byte_budget=4096,
+                           parse_concurrency=2, commit_batch_size=100)
+
+    def test_same_plan_resumes_clean(self, ray_session, corpus_sf0001,
+                                     tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("same_plan"))
+        run_extraction(corpus_sf0001, out, byte_budget=4096,
+                       parse_concurrency=2, commit_batch_size=100)
+        s = run_extraction(corpus_sf0001, out, byte_budget=4096,
+                           parse_concurrency=2, commit_batch_size=100)
+        assert s["partitions_committed_now"] == 0
+        assert s["partitions_skipped"] == s["partitions_total"]
+
+
 class TestSkewIsolation:
     def test_oversized_doc_gets_own_partition(self, ray_session, tmp_path_factory):
         from pdf_parser_ray.state.manifest import plan_partitions
