@@ -70,21 +70,21 @@ def _q_extract_spans(sf_dir: str):
     ds = extraction_dataset(corpus_path(_sf_of(sf_dir)), parse_concurrency=2)
 
     def explode(batch: pa.Table) -> pa.Table:
-        doc_ids, orders, kinds, texts, refs = [], [], [], [], []
-        for doc_id, spans in zip(batch.column("doc_id").to_pylist(),
-                                 batch.column("spans").to_pylist()):
-            for s in spans:
-                doc_ids.append(doc_id)
-                orders.append(s["offset"])
-                kinds.append(s["kind"])
-                texts.append(s["text"])
-                refs.append(s["media_ref"])
+        # Arrow-native list explode: list_flatten + list_parent_indices
+        # (same idiom as pipelines/extraction.py payload_sizes) — zero
+        # per-span Python loops. combine_chunks: parent indices are
+        # chunk-relative, so take() needs a single-chunk table.
+        batch = batch.combine_chunks()
+        spans = batch.column("spans")
+        flat = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans)
+        doc_ids = pc.take(batch.column("doc_id"), parents)
         return pa.table({
-            "doc_id": pa.array(doc_ids, type=pa.string()),
-            "span_order": pa.array(orders, type=pa.int32()),
-            "kind": pa.array(kinds, type=pa.string()),
-            "text": pa.array(texts, type=pa.string()),
-            "media_ref": pa.array(refs, type=pa.string()),
+            "doc_id": pc.cast(doc_ids, pa.string()),
+            "span_order": pc.cast(pc.struct_field(flat, "offset"), pa.int32()),
+            "kind": pc.cast(pc.struct_field(flat, "kind"), pa.string()),
+            "text": pc.cast(pc.struct_field(flat, "text"), pa.string()),
+            "media_ref": pc.cast(pc.struct_field(flat, "media_ref"), pa.string()),
         })
 
     return ds.map_batches(explode, batch_format="pyarrow")
@@ -212,10 +212,12 @@ def _q_hash_docs(sf_dir: str):
 
 
 def _q_dedup_exact(sf_dir: str):
-    from pdf_parser_ray.stages.dedup import exact_dedup
+    """Exact dedup via the ids-only shuffle path — the text payload never
+    enters the exchange (stages/dedup.py:exact_dedup_ids)."""
+    from pdf_parser_ray.stages.dedup import exact_dedup_ids
 
     ds = _documents(sf_dir, columns=["doc_id", "text"])
-    out = exact_dedup(ds, text_col="text", id_col="doc_id")
+    out = exact_dedup_ids(ds, text_col="text", id_col="doc_id")
     return out.map_batches(
         lambda b: pa.table({"doc_id": b.column("doc_id"),
                             "content_hash": b.column("content_hash")}),
@@ -412,31 +414,47 @@ def _q_text_normalize(sf_dir: str):
 
 
 def _q_token_percentiles(sf_dir: str):
-    """Global token-count distribution: count/min/max distributed, exact
-    discrete quantiles on the driver over the (small) collected counts
-    column — quantile index = ceil(q*n)-1, matching DuckDB quantile_disc."""
+    """Global token-count distribution via a DISTRIBUTED exact histogram.
+
+    Token counts are small integers, so exact discrete quantiles reduce to
+    a bounded histogram: per-batch ``np.bincount`` partials → distributed
+    groupby-sum over (n_tokens, n_docs) pairs → the driver sees only one
+    row per DISTINCT token count (bounded by max tokens/doc, independent of
+    corpus size). Quantile index = ceil(q*n)-1 over the cumulative counts,
+    matching DuckDB quantile_disc. No full-column driver collect."""
     import math
+
+    from ray.data.aggregate import Sum
 
     from pdf_parser_ray.stages.textstage import add_token_counts
 
     ds = _documents(sf_dir, columns=["doc_id", "text"])
-    counts = ds.map_batches(add_token_counts, batch_format="pandas").map_batches(
-        lambda b: b.select(["n_tokens"]), batch_format="pyarrow")
-    vals = np.sort(np.concatenate(
-        [pa.table(b).column("n_tokens").to_numpy(zero_copy_only=False)
-         for b in counts.iter_batches(batch_format="pyarrow", batch_size=65536)]))
-    n = len(vals)
+    counts = ds.map_batches(add_token_counts, batch_format="pandas")
+
+    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        hist = np.bincount(batch["n_tokens"].to_numpy())
+        nz = np.flatnonzero(hist)
+        return pd.DataFrame({"n_tokens": nz.astype("int64"),
+                             "n_docs": hist[nz].astype("int64")})
+
+    hist = counts.map_batches(hist_partial, batch_format="pandas").groupby(
+        "n_tokens").aggregate(Sum("n_docs", alias_name="n_docs"))
+    df = hist.to_pandas().sort_values("n_tokens", ignore_index=True)
+    values = df["n_tokens"].to_numpy()
+    cum = df["n_docs"].to_numpy().cumsum()
+    n = int(cum[-1])
 
     def q_disc(q: float) -> int:
-        return int(vals[min(max(math.ceil(q * n) - 1, 0), n - 1)])
+        idx = min(max(math.ceil(q * n) - 1, 0), n - 1)
+        return int(values[np.searchsorted(cum, idx + 1)])
 
     return pd.DataFrame({
         "n_docs": pd.Series([n], dtype="int64"),
-        "min_tokens": pd.Series([int(vals[0])], dtype="int64"),
+        "min_tokens": pd.Series([int(values[0])], dtype="int64"),
         "p50_tokens": pd.Series([q_disc(0.5)], dtype="int64"),
         "p90_tokens": pd.Series([q_disc(0.9)], dtype="int64"),
         "p99_tokens": pd.Series([q_disc(0.99)], dtype="int64"),
-        "max_tokens": pd.Series([int(vals[-1])], dtype="int64"),
+        "max_tokens": pd.Series([int(values[-1])], dtype="int64"),
     })
 
 
@@ -453,7 +471,7 @@ def _q_corpus_prep(sf_dir: str):
     """Training-data prep composition: quality filter → exact dedup →
     token counts, as one chained Dataset pipeline (oracle-gated)."""
     from pdf_parser_ray.functions import textstats
-    from pdf_parser_ray.stages.dedup import exact_dedup
+    from pdf_parser_ray.stages.dedup import exact_dedup_ids
 
     ds = _documents(sf_dir, columns=["doc_id", "text"])
 
@@ -469,10 +487,13 @@ def _q_corpus_prep(sf_dir: str):
         return out
 
     filtered = ds.map_batches(quality_filter, batch_format="pandas")
-    deduped = exact_dedup(filtered, text_col="text", id_col="doc_id")
+    # ids-only dedup shuffle; n_tokens rides along as a narrow keep_col
+    # (identical text ⇒ identical n_tokens, so the survivor's value is exact)
+    deduped = exact_dedup_ids(filtered, text_col="text", id_col="doc_id",
+                              keep_cols=("n_tokens",))
     return deduped.map_batches(
         lambda b: pa.table({"doc_id": b.column("doc_id"),
-                            "n_tokens": b.column("n_tokens")}),
+                            "n_tokens": pc.cast(b.column("n_tokens"), pa.int64())}),
         batch_format="pyarrow",
     )
 

@@ -80,3 +80,30 @@ def build_bloom_from_dataset(ds, column: str, capacity_hint: int | None = None,
 
         bf.add_many(pa.table(batch).column(column).to_pylist())
     return bf
+
+
+def build_bloom_distributed(ds, column: str, capacity: int,
+                            fp_rate: float = 0.01) -> BloomFilter:
+    """Distributed Bloom construction: each batch builds a partial filter
+    over its keys inside map_batches; the driver OR-merges the fixed-size
+    bit arrays. Driver traffic = num_blocks × filter bytes, independent of
+    key count — the scale path for build sides with billions of keys.
+
+    All partials share (num_bits, num_hashes) because they're derived from
+    the same (capacity, fp_rate), so the bitwise OR is an exact merge.
+    """
+    import pyarrow as pa
+
+    capacity = max(1024, capacity)
+    merged = BloomFilter(capacity, fp_rate)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(capacity, fp_rate)
+        bf.add_many(batch.column(column).to_pylist())
+        return pa.table({"bloom_bits": pa.array([bf.bits.tobytes()], type=pa.binary())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for bits in pa.table(b).column("bloom_bits").to_pylist():
+            merged.bits |= np.frombuffer(bits, dtype=np.uint64)
+    return merged

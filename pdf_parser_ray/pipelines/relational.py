@@ -275,6 +275,32 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+def _arrow_type(t):
+    """Normalize Dataset.schema() entries (numpy dtypes / python types for
+    pandas blocks) to Arrow DataTypes."""
+    if isinstance(t, pa.DataType):
+        return t
+    simple = {str: pa.string(), int: pa.int64(), float: pa.float64(),
+              bool: pa.bool_(), bytes: pa.binary()}
+    if t in simple:
+        return simple[t]
+    try:
+        return pa.from_numpy_dtype(t)
+    except (TypeError, pa.lib.ArrowNotImplementedError):
+        return pa.string()
+
+
+def _bucket_array(kv, num_buckets: int) -> pa.Array:
+    """Deterministic hash bucket per key (int: masked mod; other: crc32)."""
+    import zlib
+
+    if pa.types.is_integer(kv.type):
+        arr = kv.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.array((arr & (2**62 - 1)) % num_buckets, type=pa.int64())
+    return pa.array([zlib.crc32(str(v).encode()) % num_buckets for v in kv.to_pylist()],
+                    type=pa.int64())
+
+
 # ---------------------------------------------------------------------------
 # Large ⋈ large: explicit bucket-partitioned hash join
 # ---------------------------------------------------------------------------
@@ -292,20 +318,6 @@ def hash_join(ds_left, ds_right, *, key: str, num_buckets: int = 32,
     or pre-salt the hot key into sub-buckets on the probe side.
     """
     import zlib
-
-    def _arrow_type(t):
-        # Dataset.schema() yields numpy dtypes / python types for pandas
-        # blocks; normalize everything to Arrow DataTypes
-        if isinstance(t, pa.DataType):
-            return t
-        simple = {str: pa.string(), int: pa.int64(), float: pa.float64(),
-                  bool: pa.bool_(), bytes: pa.binary()}
-        if t in simple:
-            return simple[t]
-        try:
-            return pa.from_numpy_dtype(t)
-        except (TypeError, pa.lib.ArrowNotImplementedError):
-            return pa.string()
 
     lschema = ds_left.schema()
     rschema = ds_right.schema()
@@ -383,45 +395,114 @@ def customer_order_revenue(sf_dir: str, k: int = 10):
     joined = hash_join(orders, li, key="o_orderkey", num_buckets=16)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby("o_custkey", as_index=False).agg(
+        out = batch.groupby("o_custkey", as_index=False).agg(
             total_revenue_cents=("revenue_cents", "sum"))
+        return out.astype({"o_custkey": "int64", "total_revenue_cents": "int64"})
 
-    # per-bucket partials are ≤ buckets × customers rows — a SMALL result;
-    # final combine on the driver (collect-an-aggregate pattern) instead of
-    # a second distributed groupby over already-tiny data
-    per_cust = joined.map_batches(partial, batch_format="pandas").to_pandas()
-    summed = per_cust.groupby("o_custkey", as_index=False).agg(
-        total_revenue_cents=("total_revenue_cents", "sum"))
-    summed["total_revenue_cents"] = summed["total_revenue_cents"].astype("int64")
-    summed["o_custkey"] = summed["o_custkey"].astype("int64")
-    out = summed.sort_values(["total_revenue_cents", "o_custkey"],
-                             ascending=[False, True], ignore_index=True).head(k)
-    return out
+    # per-bucket partials → distributed groupby-sum → sort/limit: the same
+    # pattern as top_revenue_orders; nothing customer-sized ever reaches
+    # the driver (customers alone are 10^8+ rows at full scale)
+    per_cust = joined.map_batches(partial, batch_format="pandas")
+    summed = per_cust.groupby("o_custkey").aggregate(
+        Sum("total_revenue_cents", alias_name="total_revenue_cents"))
+    return summed.sort(["total_revenue_cents", "o_custkey"],
+                       descending=[True, False]).limit(k)
 
 
 # ---------------------------------------------------------------------------
-# Anti-join via broadcast key set (guide: semi/anti = broadcast + filter)
+# Semi / anti join: bucket-partitioned exact membership, keys-only exchange
 # ---------------------------------------------------------------------------
+
+def semi_anti_join(ds_left, ds_right, *, left_key: str, right_key: str | None = None,
+                   anti: bool = False, num_buckets: int = 32):
+    """Exact semi-join (``anti=False``: left rows WITH a right match) or
+    anti-join (``anti=True``: left rows WITHOUT one), bucket-partitioned.
+
+    The right side contributes only its key column, deduplicated per batch
+    before the exchange — the shuffle carries left rows once plus unique
+    right keys, never right payloads. Skewed keys: raise num_buckets.
+    """
+    right_key = right_key or left_key
+    lschema = ds_left.schema()
+    ltypes = {n: _arrow_type(t) for n, t in zip(lschema.names, lschema.types)}
+    lcols = list(ltypes)
+
+    def prep_left(batch: pa.Table) -> pa.Table:
+        batch = batch.select(lcols)
+        batch = batch.append_column(
+            "join_bucket", _bucket_array(batch.column(left_key), num_buckets))
+        return batch.append_column(
+            "join_side", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        keys = pc.unique(batch.column(right_key))
+        keys = pc.cast(keys, ltypes[left_key])
+        n = len(keys)
+        cols = {c: (keys if c == left_key else pa.nulls(n, type=ltypes[c]))
+                for c in lcols}
+        t = pa.table(cols)
+        t = t.append_column("join_bucket", _bucket_array(t.column(left_key), num_buckets))
+        return t.append_column("join_side", pa.array(np.ones(n, dtype=np.int64)))
+
+    both = ds_left.map_batches(prep_left, batch_format="pyarrow").union(
+        ds_right.map_batches(prep_right, batch_format="pyarrow"))
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["join_side"] == 0]
+        member = left[left_key].isin(g.loc[g["join_side"] == 1, left_key])
+        out = left[~member if anti else member][lcols].copy()
+        # restore integer dtypes diluted to float64 by the union's nulls
+        for c in out.columns:
+            if pa.types.is_integer(ltypes[c]) and out[c].dtype.kind == "f" \
+                    and not out[c].isna().any():
+                out[c] = out[c].astype("int64")
+        return out
+
+    return both.groupby("join_bucket").map_groups(bucket_fn, batch_format="pandas")
+
 
 def customers_without_orders(sf_dir: str):
-    """Customers with no orders: broadcast the o_custkey set, filter inside
-    map_batches — no shuffle (anti-join)."""
-    custkeys = set()
-    for b in _read(sf_dir, "orders", columns=["o_custkey"]).iter_batches(
-            batch_format="pyarrow", batch_size=65536):
-        custkeys.update(pa.table(b).column("o_custkey").to_pylist())
-    keys_ref = ray.put(custkeys)
+    """Customers with no orders — Bloom-prefiltered exact anti-join.
 
-    class AntiFilter:
+    A Bloom filter over o_custkey (~10 bits/key, built as a distributed
+    OR-reduce of per-batch partials) is broadcast once. Customers the
+    filter REJECTS are definite non-members (Bloom has no false negatives)
+    and stream straight to the output with no shuffle; only the
+    might-contain minority (true members + ~1% FPs) routes through the
+    bucket-partitioned exact anti-join. Exact result, no O(|orders|)
+    driver set, no full-fact-table shuffle.
+    """
+    from ..functions.bloom import build_bloom_distributed
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    bloom = build_bloom_distributed(orders, "o_custkey", capacity=orders.count())
+    bloom_ref = ray.put(bloom)
+
+    class BloomFlag:
         def __init__(self):
-            self.keys = ray.get(keys_ref)
+            self.bloom = ray.get(bloom_ref)  # once per actor
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = [k not in self.keys for k in batch.column("c_custkey").to_pylist()]
-            return batch.filter(pa.array(mask))
+            mask = self.bloom.contains_many(batch.column("c_custkey").to_pylist())
+            return batch.append_column("maybe_member", pa.array(mask))
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    return cust.map_batches(AntiFilter, batch_format="pyarrow", concurrency=2)
+    # materialize once so the definite/maybe splits don't recompute the
+    # flag stage; the pinned blocks are (int64, name, bool) — narrow
+    flagged = cust.map_batches(BloomFlag, batch_format="pyarrow",
+                               concurrency=2).materialize()
+
+    def split(want: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            keep = batch.filter(pc.equal(batch.column("maybe_member"), want))
+            return keep.drop_columns(["maybe_member"])
+        return fn
+
+    definite_out = flagged.map_batches(split(False), batch_format="pyarrow")
+    maybe = flagged.map_batches(split(True), batch_format="pyarrow")
+    fp_out = semi_anti_join(maybe, orders, left_key="c_custkey",
+                            right_key="o_custkey", anti=True)
+    return definite_out.union(fp_out)
 
 
 # ---------------------------------------------------------------------------

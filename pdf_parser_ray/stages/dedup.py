@@ -45,8 +45,10 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     """Keep the min-id row of each identical-content group.
 
     hash → groupby(content_hash) → per-group first (pandas sort for a
-    deterministic survivor). The shuffle moves full rows; for very wide
-    payloads use ``exact_dedup_ids`` + semi-join instead.
+    deterministic survivor). The shuffle moves full rows — fine for narrow
+    tables; for wide payloads use ``exact_dedup_ids`` (survivor ids with an
+    ids-only shuffle) or ``exact_dedup_semi`` (full survivor rows via
+    semi-join, payload never enters a groupby shuffle).
     """
     hashed = ds.map_batches(add_content_hash, batch_format="pyarrow",
                             fn_kwargs={"text_col": text_col})
@@ -55,6 +57,69 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
         return g.sort_values(id_col).head(1)
 
     return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+
+
+def _slim_hash_parts(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                     keep_cols: tuple = (), num_parts: int = 64):
+    """Pre-shuffle stage of the ids-only dedup: hash the payload, DROP it,
+    pre-combine per batch (one row per hash per batch), coarse-partition by
+    crc32(hash). The returned dataset — the only thing that shuffles —
+    carries (id, content_hash, *keep_cols, dedup_part); no payload column.
+    """
+    import zlib
+
+    hashed = ds.map_batches(add_content_hash, batch_format="pyarrow",
+                            fn_kwargs={"text_col": text_col})
+    slim_cols = [id_col, "content_hash", *keep_cols]
+
+    def slim(batch: pa.Table) -> pa.Table:
+        df = batch.select(slim_cols).to_pandas()
+        # per-batch combiner: keep only each hash's min-id row before the
+        # exchange (an all-identical batch collapses to one row)
+        df = df.sort_values(["content_hash", id_col], kind="mergesort")
+        df = df.drop_duplicates("content_hash", keep="first")
+        df["dedup_part"] = [zlib.crc32(h.encode()) % num_parts
+                            for h in df["content_hash"]]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return hashed.map_batches(slim, batch_format="pyarrow")
+
+
+def exact_dedup_ids(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    keep_cols: tuple = (), num_parts: int = 64):
+    """Survivor (min-id) rows of each identical-content group, shuffling
+    ONLY (id, content_hash, *keep_cols) — never the payload.
+
+    The groupby key is a coarse crc32(hash) partition; the min-id pick is a
+    vectorized sort + drop_duplicates within each partition (a per-hash
+    map_groups would cost milliseconds of Python per tiny group).
+    Output columns: (id_col, content_hash, *keep_cols).
+    """
+    parts = _slim_hash_parts(ds, text_col=text_col, id_col=id_col,
+                             keep_cols=keep_cols, num_parts=num_parts)
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["content_hash", id_col], kind="mergesort")
+        return g.drop_duplicates("content_hash", keep="first").drop(columns=["dedup_part"])
+
+    return parts.groupby("dedup_part").map_groups(keep_min, batch_format="pandas")
+
+
+def exact_dedup_semi(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                     num_parts: int = 64):
+    """Full-row exact dedup for WIDE payloads: pick survivor ids with the
+    ids-only shuffle, then semi-join the original dataset on id to recover
+    full rows. The payload crosses the wire exactly once, through a bucket
+    partition exchange — never through a sort/groupby of wide rows.
+    (The input is consumed twice — hashing pass + semi-join pass — which at
+    scale is two pruned streaming reads, the standard trade for not
+    shuffling payloads.)
+    """
+    from ..pipelines.relational import semi_anti_join
+
+    survivors = exact_dedup_ids(ds, text_col=text_col, id_col=id_col,
+                                num_parts=num_parts)
+    return semi_anti_join(ds, survivors, left_key=id_col, anti=False)
 
 
 # ---------------------------------------------------------------------------

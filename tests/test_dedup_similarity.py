@@ -43,6 +43,45 @@ class TestExactDedup:
         assert row["content_hash"] == expect
 
 
+class TestExactDedupIds:
+    def test_matches_exact_dedup(self, dup_docs):
+        from pdf_parser_ray.stages.dedup import exact_dedup, exact_dedup_ids
+
+        full = exact_dedup(dup_docs).to_pandas()
+        slim = exact_dedup_ids(dup_docs).to_pandas()
+        a = full[["doc_id", "content_hash"]].sort_values("doc_id", ignore_index=True)
+        b = slim[["doc_id", "content_hash"]].sort_values("doc_id", ignore_index=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_no_payload_in_shuffle_stage(self, dup_docs):
+        """The dataset feeding the groupby exchange must not carry text."""
+        from pdf_parser_ray.stages.dedup import _slim_hash_parts
+
+        parts = _slim_hash_parts(dup_docs)
+        names = parts.schema().names
+        assert "text" not in names
+        assert set(names) == {"doc_id", "content_hash", "dedup_part"}
+
+    def test_keep_cols_ride_along(self, dup_docs):
+        from pdf_parser_ray.stages.dedup import exact_dedup_ids
+
+        with_len = dup_docs.map_batches(
+            lambda df: df.assign(n_chars=df["text"].str.len()),
+            batch_format="pandas")
+        out = exact_dedup_ids(with_len, keep_cols=("n_chars",)).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 3, 4, 5]
+        row = out[out["doc_id"] == 4].iloc[0]
+        assert row["n_chars"] == len("completely different content entirely here")
+
+    def test_semi_join_returns_full_rows(self, dup_docs):
+        from pdf_parser_ray.stages.dedup import exact_dedup_semi
+
+        out = exact_dedup_semi(dup_docs).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 3, 4, 5]
+        assert "text" in out.columns
+        assert out[out["doc_id"] == 5]["text"].iloc[0].startswith("other0 ")
+
+
 class TestMinHashDedup:
     def test_finds_exact_and_near(self, dup_docs):
         from pdf_parser_ray.stages.dedup import minhash_dedup_edges

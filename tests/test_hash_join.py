@@ -40,3 +40,83 @@ class TestHashJoin:
         got = hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
                         key="k", num_buckets=2).to_pandas()
         assert len(got) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSemiAntiJoin:
+    def _frames(self):
+        left = pd.DataFrame({"k": [1, 2, 2, 3, 5, 7], "lv": list("abcdef")})
+        right = pd.DataFrame({"rk": [2, 2, 3, 4, 9], "rv": [10, 20, 30, 40, 50]})
+        return left, right
+
+    def test_anti_join(self):
+        import ray.data
+        from pdf_parser_ray.pipelines.relational import semi_anti_join
+
+        left, right = self._frames()
+        got = semi_anti_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                             left_key="k", right_key="rk", anti=True).to_pandas()
+        want = left[~left["k"].isin(right["rk"])]
+        assert sorted(got["lv"]) == sorted(want["lv"])
+        assert got["k"].dtype.kind == "i"  # int dtype survives the union nulls
+
+    def test_semi_join(self):
+        import ray.data
+        from pdf_parser_ray.pipelines.relational import semi_anti_join
+
+        left, right = self._frames()
+        got = semi_anti_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                             left_key="k", right_key="rk", anti=False).to_pandas()
+        want = left[left["k"].isin(right["rk"])]
+        assert sorted(got["lv"]) == sorted(want["lv"])
+
+    def test_string_keys(self):
+        import ray.data
+        from pdf_parser_ray.pipelines.relational import semi_anti_join
+
+        left = pd.DataFrame({"k": ["a", "b", "c"], "v": [1, 2, 3]})
+        right = pd.DataFrame({"k": ["b"]})
+        got = semi_anti_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                             left_key="k", anti=True).to_pandas()
+        assert sorted(got["k"]) == ["a", "c"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBloomAntiJoinPipeline:
+    def test_bloom_prefilter_exact_on_synthetic(self, tmp_path):
+        """customers_without_orders over a fixture where some customers
+        genuinely lack orders (sf0.01 testdata has none) — bloom FPs must
+        not leak wrong rows in either direction."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+        from pdf_parser_ray.pipelines.relational import customers_without_orders
+
+        rng = np.random.default_rng(3)
+        cust = pa.table({"c_custkey": pa.array(range(200), type=pa.int64()),
+                         "c_name": [f"cust-{i}" for i in range(200)]})
+        with_orders = sorted(rng.choice(200, size=120, replace=False).tolist())
+        orders = pa.table({
+            "o_custkey": pa.array(with_orders * 3, type=pa.int64()),
+            "o_orderkey": pa.array(range(len(with_orders) * 3), type=pa.int64()),
+        })
+        pq.write_table(cust, str(tmp_path / "customer.parquet"))
+        pq.write_table(orders, str(tmp_path / "orders.parquet"))
+        got = customers_without_orders(str(tmp_path)).to_pandas()
+        want = sorted(set(range(200)) - set(with_orders))
+        assert sorted(got["c_custkey"].tolist()) == want
+
+
+class TestDistributedBloom:
+    def test_matches_driver_build(self, ray_session):
+        import ray.data
+        from pdf_parser_ray.functions.bloom import (BloomFilter,
+                                                    build_bloom_distributed)
+
+        keys = [f"key-{i}" for i in range(5000)]
+        ds = ray.data.from_items([{"k": k} for k in keys]).repartition(8)
+        bf = build_bloom_distributed(ds, "k", capacity=5000)
+        ref = BloomFilter(5000)
+        ref.add_many(keys)
+        assert (bf.bits == ref.bits).all()
+        assert all(bf.might_contain(k) for k in keys)
