@@ -232,6 +232,17 @@ def _q_minhash_dedup(sf_dir: str):
     return minhash_dedup_edges(ds, threshold=0.8)
 
 
+def _q_neardup_clusters(sf_dir: str):
+    """Exact duplicate-cluster resolution: MinHash edges → iterative
+    connected components (fixpoint min-label propagation). Non-SQL
+    (iterative algorithm) → rows-only."""
+    from pdf_parser_ray.stages.dedup import connected_components, minhash_dedup_edges
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    edges = minhash_dedup_edges(ds, threshold=0.8)
+    return connected_components(edges)
+
+
 def _q_simhash_dedup(sf_dir: str):
     from pdf_parser_ray.stages.dedup import simhash_dedup_edges
 
@@ -532,6 +543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_percentiles": _q_token_percentiles,
         "corpus_prep": _q_corpus_prep,
         "minhash_dedup": _q_minhash_dedup,
+        "neardup_clusters": _q_neardup_clusters,
         "simhash_dedup": _q_simhash_dedup,
         "embedding_neardup": _q_embedding_neardup,
         # similarity search

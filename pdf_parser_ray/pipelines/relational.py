@@ -306,7 +306,8 @@ def _bucket_array(kv, num_buckets: int) -> pa.Array:
 # ---------------------------------------------------------------------------
 
 def hash_join(ds_left, ds_right, *, key: str, num_buckets: int = 32,
-              suffixes: tuple = ("", "_r")):
+              suffixes: tuple = ("", "_r"),
+              left_types: dict | None = None, right_types: dict | None = None):
     """Bucket-partitioned inner hash join for two LARGE datasets.
 
     The portable pattern from the Ray guide: both sides get a
@@ -319,10 +320,22 @@ def hash_join(ds_left, ds_right, *, key: str, num_buckets: int = 32,
     """
     import zlib
 
-    lschema = ds_left.schema()
-    rschema = ds_right.schema()
-    ltypes = {n: _arrow_type(t) for n, t in zip(lschema.names, lschema.types)}
-    rtypes = {n: _arrow_type(t) for n, t in zip(rschema.names, rschema.types)}
+    # Dataset.schema() EXECUTES a lazy upstream pipeline to sample its
+    # schema — callers that know their column types pass left_types /
+    # right_types ({name: arrow type}) to keep the join fully lazy.
+    if left_types is None or right_types is None:
+        lschema = ds_left.schema() if left_types is None else True
+        rschema = ds_right.schema() if right_types is None else True
+        if lschema is None or rschema is None:
+            # a schemaless (fully empty) side makes the inner join empty;
+            # return the empty side so downstream stages no-op
+            return ds_left if lschema is None else ds_right
+        if left_types is None:
+            left_types = {n: _arrow_type(t) for n, t in zip(lschema.names, lschema.types)}
+        if right_types is None:
+            right_types = {n: _arrow_type(t) for n, t in zip(rschema.names, rschema.types)}
+    ltypes = dict(left_types)
+    rtypes = dict(right_types)
     rename_r = {c: c + suffixes[1] for c in rtypes if c != key and c in ltypes}
     rtypes_out = {rename_r.get(c, c): t for c, t in rtypes.items()}
     all_types = dict(ltypes)
@@ -414,7 +427,8 @@ def customer_order_revenue(sf_dir: str, k: int = 10):
 # ---------------------------------------------------------------------------
 
 def semi_anti_join(ds_left, ds_right, *, left_key: str, right_key: str | None = None,
-                   anti: bool = False, num_buckets: int = 32):
+                   anti: bool = False, num_buckets: int = 32,
+                   left_types: dict | None = None):
     """Exact semi-join (``anti=False``: left rows WITH a right match) or
     anti-join (``anti=True``: left rows WITHOUT one), bucket-partitioned.
 
@@ -423,8 +437,16 @@ def semi_anti_join(ds_left, ds_right, *, left_key: str, right_key: str | None = 
     right keys, never right payloads. Skewed keys: raise num_buckets.
     """
     right_key = right_key or left_key
-    lschema = ds_left.schema()
-    ltypes = {n: _arrow_type(t) for n, t in zip(lschema.names, lschema.types)}
+    if left_types is not None:
+        ltypes = dict(left_types)
+    else:
+        lschema = ds_left.schema()
+        if lschema is None:
+            return ds_left  # schemaless empty left → empty result
+        ltypes = {n: _arrow_type(t) for n, t in zip(lschema.names, lschema.types)}
+    # an empty right side needs no special-casing: it contributes zero
+    # blocks to the union, so bucket_fn sees no join_side==1 rows and the
+    # semi/anti semantics fall out naturally
     lcols = list(ltypes)
 
     def prep_left(batch: pa.Table) -> pa.Table:

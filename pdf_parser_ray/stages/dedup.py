@@ -10,16 +10,17 @@ Scale design (SURVEY.md §2.6 + north rule):
     themselves never move. Salting: band keys already distribute uniformly
     (md5 of band bytes); a hot bucket means genuinely-identical content,
     which the per-bucket combiner reduces to one survivor row.
-  - duplicate resolution is one round of min-label propagation inside each
-    bucket (doc marked dup iff some bucket links it to a smaller-id doc at
-    ≥ threshold similarity). This under-merges long chains A~B~C where
-    A!~C — documented approximation, same contract as common LSH dedup
-    at web scale; exact connected components would need an iterative
-    groupby loop (available via repeated application).
+  - duplicate resolution: the edge queries emit one round of min-label
+    propagation inside each bucket (doc marked dup iff some bucket links
+    it to a smaller-id doc at ≥ threshold similarity) — the common LSH
+    dedup contract at web scale. For exact cluster resolution of chains
+    A~B~C where A!~C, ``connected_components`` iterates min-label
+    propagation over the edge set to fixpoint.
 """
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import numpy as np
@@ -27,6 +28,14 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.minhash import MinHasher, SimHasher, char_ngrams, jaccard
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_minhasher(num_perm: int, shingle_width: int = 5) -> MinHasher:
+    """Per-worker warm MinHasher for task-mode map_batches (same
+    amortization as an actor pool, no actor-spawn latency — the pattern
+    measured in stages/doc_parse.py)."""
+    return MinHasher(num_perm=num_perm, shingle_width=shingle_width)
 
 
 # ---------------------------------------------------------------------------
@@ -119,7 +128,9 @@ def exact_dedup_semi(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     survivors = exact_dedup_ids(ds, text_col=text_col, id_col=id_col,
                                 num_parts=num_parts)
-    return semi_anti_join(ds, survivors, left_key=id_col, anti=False)
+    survivor_ids = survivors.map_batches(
+        lambda b: b.select([id_col]), batch_format="pyarrow")
+    return semi_anti_join(ds, survivor_ids, left_key=id_col, anti=False)
 
 
 # ---------------------------------------------------------------------------
@@ -143,7 +154,13 @@ class MinHashSketch:
 
 
 class BandExplode:
-    """Signature → one row per LSH band: (band_key, doc_id, minhash_sig)."""
+    """Signature → one SLIM row per LSH band: (band_key, doc_id).
+
+    The signature itself does NOT ride in the band rows — a 128-perm sig is
+    ~1 KB and replicating it into all 16 bands would 16× the exchange
+    (measured: minhash_dedup 9.6 s → the band shuffle dominated). Bands
+    carry ~30 B/row; candidate pairs are verified afterwards by joining
+    signatures back on doc id (``minhash_dedup_edges``)."""
 
     def __init__(self, num_perm: int = 128, num_bands: int = 16, id_col: str = "doc_id"):
         self.hasher = MinHasher(num_perm=num_perm)
@@ -151,7 +168,7 @@ class BandExplode:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, keys, sigs = [], [], []
+        ids, keys = [], []
         for doc_id, sig_bytes in zip(
             batch.column(self.id_col).to_pylist(), batch.column("minhash_sig").to_pylist()
         ):
@@ -159,34 +176,55 @@ class BandExplode:
             for key in self.hasher.band_keys(sig, self.num_bands):
                 ids.append(doc_id)
                 keys.append(key)
-                sigs.append(sig_bytes)
         id_type = batch.column(self.id_col).type
         return pa.table(
             {"band_key": pa.array(keys, type=pa.string()),
-             "doc_id": pa.array(ids, type=id_type),
-             "minhash_sig": pa.array(sigs, type=pa.binary())}
+             "doc_id": pa.array(ids, type=id_type)}
         )
 
 
-def _bucket_dup_edges(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """Vectorized within-PARTITION edge finder (a partition holds many band
-    buckets — coarse crc32(band_key) groupby, fine grouping done here with
-    numpy instead of a per-bucket Python callback).
+def minhash_sketch_batch(batch: pa.Table, *, num_perm: int = 128,
+                         shingle_width: int = 5,
+                         text_col: str = "text") -> pa.Table:
+    """Task-mode sketch stage (warm per-worker hasher via lru_cache)."""
+    hasher = _cached_minhasher(num_perm, shingle_width)
+    sigs = [hasher.signature(t or "").astype(np.uint64).tobytes()
+            for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("minhash_sig", pa.array(sigs, type=pa.binary()))
 
-    Within each band bucket: link every doc to the bucket's min-id doc if
-    signature agreement ≥ threshold. Emits (doc_id, dup_of)."""
+
+def band_explode_batch(batch: pa.Table, *, num_perm: int = 128,
+                       num_bands: int = 16, id_col: str = "doc_id") -> pa.Table:
+    """Task-mode slim band explode: (band_key, doc_id) rows only."""
+    hasher = _cached_minhasher(num_perm)
+    ids, keys = [], []
+    for doc_id, sig_bytes in zip(
+        batch.column(id_col).to_pylist(), batch.column("minhash_sig").to_pylist()
+    ):
+        sig = np.frombuffer(sig_bytes, dtype=np.uint64)
+        for key in hasher.band_keys(sig, num_bands):
+            ids.append(doc_id)
+            keys.append(key)
+    return pa.table({"band_key": pa.array(keys, type=pa.string()),
+                     "doc_id": pa.array(ids, type=batch.column(id_col).type)})
+
+
+def _bucket_candidates(g: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized within-PARTITION candidate finder (a partition holds many
+    band buckets — coarse crc32(band_key) groupby, fine grouping done here
+    with numpy instead of a per-bucket Python callback).
+
+    Within each band bucket: pair every doc with the bucket's min-id doc.
+    Emits unverified (doc_id, dup_of) candidates."""
     if len(g) < 2:
         return pd.DataFrame({"doc_id": pd.Series([], dtype=g["doc_id"].dtype),
                              "dup_of": pd.Series([], dtype=g["doc_id"].dtype)})
     g = g.sort_values(["band_key", "doc_id"], kind="mergesort").reset_index(drop=True)
     n = len(g)
-    sig_mat = np.frombuffer(b"".join(g["minhash_sig"]), dtype=np.uint64).reshape(n, -1)
     keys = g["band_key"].to_numpy()
     change = np.r_[True, keys[1:] != keys[:-1]]
-    first_idx = np.flatnonzero(change)
-    anchor_idx = first_idx[np.cumsum(change) - 1]
-    agree = (sig_mat == sig_mat[anchor_idx]).mean(axis=1)
-    mask = (agree >= threshold) & (np.arange(n) != anchor_idx)
+    anchor_idx = np.flatnonzero(change)[np.cumsum(change) - 1]
+    mask = np.arange(n) != anchor_idx
     ids = g["doc_id"].to_numpy()
     return pd.DataFrame({"doc_id": pd.Series(ids[mask], dtype=g["doc_id"].dtype),
                          "dup_of": pd.Series(ids[anchor_idx[mask]], dtype=g["doc_id"].dtype)})
@@ -195,20 +233,41 @@ def _bucket_dup_edges(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
 def minhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
                         num_perm: int = 128, num_bands: int = 16,
                         threshold: float = 0.8, concurrency=None):
-    """Dataset of (doc_id, dup_of) near-duplicate edges (doc_id > dup_of).
+    """Dataset of verified (doc_id, dup_of) near-duplicate edges.
 
-    shingle→minhash (actor pool) → band explode → groupby(band_key) →
-    per-bucket verify. Distinct edges via a final groupby.
+    Candidates-then-verify architecture (sketch shuffle minimized):
+      1. shingle→minhash (actor pool) → SLIM band explode (band_key, id) →
+         coarse band-bucket groupby → candidate pairs (bucket min-id anchor);
+      2. distinct candidates;
+      3. signatures joined back onto the candidate pairs (bucket hash join
+         on each endpoint) → full-signature agreement ≥ threshold.
+    The band exchange carries ~30 B/doc/band instead of the full ~1 KB
+    signature (16× lighter); signatures cross the wire twice total (once
+    per join side), only where candidates exist. The sketch stage feeds
+    both the band path and the sig joins — at corpus scale persist the
+    sketches (sketch once → parquet) instead of recomputing.
+    Edge semantics identical to verifying inside the buckets.
     """
-    kwargs = {"concurrency": concurrency} if concurrency else {}
+    from ..pipelines.relational import hash_join
+
+    # materialize: the sketch feeds TWO consumers (band path + sig joins);
+    # without pinning, every schema probe / consumer re-runs the shingle+
+    # minhash stage (measured 6× re-execution). Pinned size = ~1 KB/doc; at
+    # corpus scale write the sketches to parquet once instead. Task-mode
+    # map_batches (warm lru_cache hasher) avoids per-query actor spawns.
     sketched = ds.map_batches(
-        MinHashSketch, fn_constructor_kwargs={"num_perm": num_perm, "text_col": text_col},
-        batch_format="pyarrow", **(kwargs or {"concurrency": 4}),
-    )
+        minhash_sketch_batch,
+        fn_kwargs={"num_perm": num_perm, "text_col": text_col},
+        batch_format="pyarrow",
+    ).materialize()
+    from ..pipelines.relational import _arrow_type
+
+    id_type = _arrow_type(dict(zip(sketched.schema().names,
+                                   sketched.schema().types))[id_col])
     bands = sketched.map_batches(
-        BandExplode,
-        fn_constructor_kwargs={"num_perm": num_perm, "num_bands": num_bands, "id_col": id_col},
-        batch_format="pyarrow", concurrency=2,
+        band_explode_batch,
+        fn_kwargs={"num_perm": num_perm, "num_bands": num_bands, "id_col": id_col},
+        batch_format="pyarrow",
     )
     # coarse-partition by crc32(band_key) so one task handles MANY buckets
     # with the vectorized kernel (a per-bucket map_groups callback costs
@@ -220,13 +279,53 @@ def minhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return batch.append_column("band_part", pa.array(parts, type=pa.int64()))
 
     parts = bands.map_batches(add_part, batch_format="pyarrow")
-    edges = parts.groupby("band_part").map_groups(
-        lambda g: _bucket_dup_edges(g, threshold), batch_format="pandas"
-    )
-    # distinct (doc_id, dup_of): same edge may surface from several bands
-    return edges.groupby(["doc_id", "dup_of"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    cands = parts.groupby("band_part").map_groups(_bucket_candidates,
+                                                  batch_format="pandas")
+    # distinct (doc_id, dup_of): same pair may surface from several bands.
+    # Vectorized: coarse-partition by hash(doc_id), drop_duplicates within
+    # each partition (a pair always lands in one partition) — not a
+    # per-pair map_groups.
+    def add_pair_part(df: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        df = df.copy()
+        df["pair_part"] = [zlib.crc32(str(v).encode()) % 64 for v in df["doc_id"]]
+        return df
+
+    cands = cands.map_batches(add_pair_part, batch_format="pandas").groupby(
+        "pair_part").map_groups(
+        lambda g: g.drop_duplicates(["doc_id", "dup_of"]).drop(columns=["pair_part"]),
+        batch_format="pandas")
+
+    # candidate columns are always (doc_id, dup_of); align the sig side
+    sigs = sketched.map_batches(
+        lambda b: b.select([id_col, "minhash_sig"]).rename_columns(
+            ["doc_id", "minhash_sig"]),
+        batch_format="pyarrow")
+    sigs_b = sigs.map_batches(
+        lambda b: b.rename_columns(["dup_of", "sig_b"]), batch_format="pyarrow")
+
+    # explicit types keep the joins lazy (schema probes would re-execute
+    # the whole candidate pipeline)
+    cand_types = {"doc_id": id_type, "dup_of": id_type}
+    sig_types = {"doc_id": id_type, "minhash_sig": pa.binary()}
+    j1 = hash_join(cands, sigs, key="doc_id", num_buckets=16,
+                   left_types=cand_types, right_types=sig_types)
+    j2 = hash_join(j1, sigs_b, key="dup_of", num_buckets=16,
+                   left_types={**cand_types, "minhash_sig": pa.binary()},
+                   right_types={"dup_of": id_type, "sig_b": pa.binary()})
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=batch["doc_id"].dtype),
+                                 "dup_of": pd.Series([], dtype=batch["dup_of"].dtype)})
+        n = len(batch)
+        a = np.frombuffer(b"".join(batch["minhash_sig"]), dtype=np.uint64).reshape(n, -1)
+        b_ = np.frombuffer(b"".join(batch["sig_b"]), dtype=np.uint64).reshape(n, -1)
+        agree = (a == b_).mean(axis=1)
+        return batch.loc[agree >= threshold, ["doc_id", "dup_of"]]
+
+    return j2.map_batches(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -286,14 +385,30 @@ def simhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
         parts = [zlib.crc32(k.encode()) % 64 for k in batch.column("band_key").to_pylist()]
         return batch.append_column("band_part", pa.array(parts, type=pa.int64()))
 
-    sketched = ds.map_batches(SimHashSketch, fn_constructor_kwargs={"text_col": text_col},
-                              batch_format="pyarrow", concurrency=4)
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        # task-mode (SimHasher is stateless-cheap; no actor pool needed)
+        hasher = SimHasher()
+        sigs = [hasher.signature(t or "")
+                for t in batch.column(text_col).to_pylist()]
+        return batch.append_column("simhash", pa.array(sigs, type=pa.uint64()))
+
+    def add_pair_part(df: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        df = df.copy()
+        df["pair_part"] = [zlib.crc32(str(v).encode()) % 64 for v in df["doc_id"]]
+        return df
+
+    sketched = ds.map_batches(sketch_batch, batch_format="pyarrow")
     bands = sketched.map_batches(simhash_band_explode, batch_format="pyarrow",
                                  fn_kwargs={"id_col": id_col})
     parts = bands.map_batches(add_part, batch_format="pyarrow")
     edges = parts.groupby("band_part").map_groups(partition_edges, batch_format="pandas")
-    return edges.groupby(["doc_id", "dup_of"]).map_groups(lambda g: g.head(1),
-                                                          batch_format="pandas")
+    # vectorized distinct (see minhash_dedup_edges)
+    return edges.map_batches(add_pair_part, batch_format="pandas").groupby(
+        "pair_part").map_groups(
+        lambda g: g.drop_duplicates(["doc_id", "dup_of"]).drop(columns=["pair_part"]),
+        batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -347,6 +462,73 @@ def embedding_neardup_edges(ds, *, vec_col: str = "embedding", id_col: str = "ve
 
     bucketed = ds.map_batches(add_bucket, batch_format="pandas")
     return bucketed.groupby("lsh_bucket").map_groups(bucket_edges, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Connected components: exact duplicate-cluster resolution over an edge set
+# ---------------------------------------------------------------------------
+
+def connected_components(edges_ds, *, a_col: str = "doc_id", b_col: str = "dup_of",
+                         max_rounds: int = 25, num_blocks: int = 8):
+    """Exact connected components over an undirected edge set: returns a
+    Dataset of (doc_id, component_id) where component_id is the MIN doc id
+    in the component — fixing the one-round min-label under-merge on chains
+    A~B~C (module docstring): iterate label propagation to fixpoint.
+
+    Distributed shape: the edge set (duplicate pairs — a small fraction of
+    the corpus) stays in the cluster; each round is one hash-join of labels
+    onto edges + a groupby-min, with labels REPARTITIONED to a fixed block
+    count and materialized per round — without the repartition the block
+    count compounds each round and the join's sort degrades quadratically
+    (measured: 1 s → 112 s/round on a 13-node graph). Self-loop edges make
+    each node its own label carrier, so no per-round union is needed.
+    Rounds needed = graph diameter (duplicate clusters are shallow in
+    practice); bounded by ``max_rounds``.
+    """
+    from ray.data.aggregate import Min
+
+    from ..pipelines.relational import hash_join
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        # both directions + self-loops (self-loop = label retention)
+        src = pd.concat([df[a_col], df[b_col], df[a_col], df[b_col]],
+                        ignore_index=True)
+        dst = pd.concat([df[b_col], df[a_col], df[a_col], df[b_col]],
+                        ignore_index=True)
+        return pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+
+    sym_edges = edges_ds.map_batches(sym, batch_format="pandas").repartition(
+        num_blocks).materialize()
+
+    # init: label(node) = min(node, min direct neighbor)
+    def init_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["src"], "label": df[["src", "dst"]].min(axis=1)})
+
+    labels = sym_edges.map_batches(init_pairs, batch_format="pandas").groupby(
+        "node").aggregate(Min("label", alias_name="label")).repartition(
+        num_blocks).materialize()
+
+    for _ in range(max_rounds):
+        lab_src = labels.map_batches(
+            lambda df: df.rename(columns={"node": "src", "label": "cand"}),
+            batch_format="pandas")
+        j = hash_join(sym_edges, lab_src, key="src", num_buckets=8)
+        new_labels = j.map_batches(
+            lambda df: pd.DataFrame({"node": df["dst"], "label": df["cand"]}),
+            batch_format="pandas").groupby("node").aggregate(
+            Min("label", alias_name="label")).repartition(num_blocks).materialize()
+        # converged when no label changed (labels only ever decrease)
+        cmp = hash_join(labels, new_labels, key="node", num_buckets=8)
+        changed = cmp.map_batches(
+            lambda df: pd.DataFrame({"n": [int((df["label"] != df["label_r"]).sum())]}),
+            batch_format="pandas").sum("n")
+        labels = new_labels
+        if not changed:
+            break
+
+    return labels.map_batches(
+        lambda df: df.rename(columns={"node": a_col, "label": "component_id"}),
+        batch_format="pandas")
 
 
 def exact_dedup_salted(ds, *, text_col: str = "text", id_col: str = "doc_id",

@@ -93,6 +93,73 @@ class TestMinHashDedup:
         assert not any(d in (4, 5) for d, _ in pairs)
 
 
+class TestMinHashSlimBands:
+    def test_band_rows_carry_no_signature(self, ray_session):
+        """The band exchange must be slim: (band_key, doc_id) only."""
+        import ray.data
+        from pdf_parser_ray.stages.dedup import BandExplode, MinHashSketch
+
+        ds = ray.data.from_items([{"doc_id": 1, "text": "a b c d e f g"}])
+        sketched = ds.map_batches(MinHashSketch, batch_format="pyarrow",
+                                  concurrency=1)
+        bands = sketched.map_batches(
+            BandExplode, fn_constructor_kwargs={"id_col": "doc_id"},
+            batch_format="pyarrow", concurrency=1)
+        assert set(bands.schema().names) == {"band_key", "doc_id"}
+
+    def test_verify_rejects_low_agreement(self, ray_session):
+        """Docs sharing one band but < threshold overall agreement must not
+        become an edge (the sig-join verify stage does real work)."""
+        import ray.data
+        from pdf_parser_ray.stages.dedup import minhash_dedup_edges
+
+        base = " ".join(f"tok{i}" for i in range(100))
+        half = " ".join(f"tok{i}" for i in range(50)) + " " + \
+            " ".join(f"zz{i}" for i in range(50))
+        ds = ray.data.from_items([{"doc_id": 1, "text": base},
+                                  {"doc_id": 2, "text": half}])
+        strict = minhash_dedup_edges(ds, threshold=0.95).to_pandas()
+        assert len(strict) == 0
+
+
+class TestConnectedComponents:
+    def test_chain_merges_to_one_component(self, ray_session):
+        """A~B~C with A!~C: one-round propagation under-merges; CC must not."""
+        import ray.data
+        from pdf_parser_ray.stages.dedup import connected_components
+
+        edges = ray.data.from_items([
+            {"doc_id": "B", "dup_of": "A"},
+            {"doc_id": "C", "dup_of": "B"},
+            {"doc_id": "E", "dup_of": "D"},   # separate component
+        ])
+        out = connected_components(edges).to_pandas()
+        comp = dict(zip(out["doc_id"], out["component_id"]))
+        assert comp["A"] == comp["B"] == comp["C"] == "A"
+        assert comp["D"] == comp["E"] == "D"
+
+    def test_long_chain_converges(self, ray_session):
+        import ray.data
+        from pdf_parser_ray.stages.dedup import connected_components
+
+        n = 12
+        edges = ray.data.from_items([
+            {"doc_id": f"n{i + 1:02d}", "dup_of": f"n{i:02d}"} for i in range(n)
+        ])
+        out = connected_components(edges).to_pandas()
+        assert set(out["component_id"]) == {"n00"}
+        assert len(out) == n + 1
+
+    def test_int_ids(self, ray_session):
+        import ray.data
+        from pdf_parser_ray.stages.dedup import connected_components
+
+        edges = ray.data.from_items([{"doc_id": 5, "dup_of": 3},
+                                     {"doc_id": 3, "dup_of": 1}])
+        out = connected_components(edges).to_pandas()
+        assert set(out["component_id"]) == {1}
+
+
 class TestSimHashDedup:
     def test_exact_dup_found(self, dup_docs):
         from pdf_parser_ray.stages.dedup import simhash_dedup_edges
