@@ -598,9 +598,49 @@ def _lang_vote_sql() -> str:
     )
 
 
+def _simhash_sql() -> str:
+    """DuckDB reproduction of the SimHash LSH dedup (stages/dedup.py):
+    md5-based 64-bit simhash per doc → 4×16-bit band buckets → min-id
+    anchor per bucket → hamming(sig, anchor_sig) ≤ 3 edges."""
+    return (
+        "WITH tok AS ("
+        " SELECT DISTINCT d.doc_id, t.t AS tok"
+        " FROM documents d, unnest(string_split_regex(lower(d.text), '\\s+')) AS t(t)"
+        " WHERE t.t <> ''), "
+        "th AS ("
+        " SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS h"
+        " FROM tok), "
+        "votes AS ("
+        " SELECT doc_id, b.b AS bit,"
+        " sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v"
+        " FROM th, range(64) b(b) GROUP BY doc_id, b.b), "
+        "sigs0 AS ("
+        " SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << bit"
+        " ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sig"
+        " FROM votes GROUP BY doc_id), "
+        "sh AS ("
+        " SELECT d.doc_id, COALESCE(s.sig, CAST(0 AS UBIGINT)) AS sig"
+        " FROM documents d LEFT JOIN sigs0 s USING (doc_id)), "
+        "bands AS ("
+        " SELECT doc_id, b.b AS band, (sig >> CAST(16 * b.b AS UBIGINT)) & 65535 AS bk"
+        " FROM sh, range(4) b(b)), "
+        "anchors AS ("
+        " SELECT band, bk, min(doc_id) AS anchor FROM bands GROUP BY band, bk), "
+        "cand AS ("
+        " SELECT DISTINCT bands.doc_id, a.anchor AS dup_of"
+        " FROM bands JOIN anchors a ON bands.band = a.band AND bands.bk = a.bk"
+        " WHERE bands.doc_id <> a.anchor) "
+        "SELECT c.doc_id, c.dup_of "
+        "FROM cand c JOIN sh x ON c.doc_id = x.doc_id "
+        "JOIN sh y ON c.dup_of = y.doc_id "
+        "WHERE bit_count(xor(x.sig, y.sig)) <= 3"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     bpe_pat = r"[A-Za-z]{1,8}|[0-9]{1,4}|[^\sA-Za-z0-9]"
     return {
+        "simhash_dedup": _simhash_sql(),
         "token_counts": (
             "SELECT doc_id, "
             "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "

@@ -127,24 +127,31 @@ def jaccard(a: set, b: set) -> float:
     return len(a & b) / len(a | b)
 
 
+import re
+
+_ASCII_WS = re.compile(r"\s+", re.ASCII)
+
+
 class SimHasher:
-    """64-bit SimHash over word features (Charikar 2002)."""
+    """64-bit SimHash over word features (Charikar 2002).
+
+    Token hash = first 8 bytes of md5 (big-endian hex prefix) — chosen so
+    the whole signature is reproducible in ANSI SQL (DuckDB:
+    ``CAST('0x' || substr(md5(tok),1,16) AS UBIGINT)``), making the
+    simhash dedup pipeline oracle-checkable. Tokenization is ASCII-\\s+
+    split to match SQL regexp semantics.
+    """
 
     def __init__(self, bits: int = 64):
         self.bits = bits
 
     def signature(self, text: str) -> int:
-        toks = set(text.lower().split())
+        toks = {t for t in _ASCII_WS.split(text.lower()) if t}
         if not toks:
             return 0
-        import zlib
-
-        with np.errstate(over="ignore"):
-            h = np.array([zlib.crc32(t.encode("utf-8")) for t in toks], dtype=np.uint64)
-            h = (h + np.uint64(1)) * _WORD_BASE
-            h ^= h >> np.uint64(29)
-            h = h * np.uint64(0xBF58476D1CE4E5B9)  # splitmix64-style finalize
-            h ^= h >> np.uint64(32)
+        h = np.array(
+            [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16) for t in toks],
+            dtype=np.uint64)
         bits = ((h[:, None] >> np.arange(self.bits, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
         acc = (2 * bits - 1).sum(axis=0)
         sig = 0
