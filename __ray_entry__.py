@@ -225,6 +225,36 @@ def _q_dedup_exact(sf_dir: str):
     )
 
 
+def _q_dedup_semi(sf_dir: str):
+    """Wide-payload exact dedup: ids-only shuffle picks survivors, semi-join
+    recovers FULL rows (text included) — the payload never enters a
+    groupby exchange (stages/dedup.py:exact_dedup_semi)."""
+    from pdf_parser_ray.stages.dedup import exact_dedup_semi
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    out = exact_dedup_semi(ds, text_col="text", id_col="doc_id")
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": pc.cast(b.column("doc_id"), pa.int64())
+                            if pa.types.is_floating(b.column("doc_id").type)
+                            else b.column("doc_id"),
+                            "text": b.column("text")}),
+        batch_format="pyarrow",
+    )
+
+
+def _q_customers_with_orders(sf_dir: str):
+    """Exact bucket-partitioned SEMI join (keys-only right exchange)."""
+    import ray.data
+    from pdf_parser_ray.pipelines.relational import semi_anti_join
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+    return semi_anti_join(cust, orders, left_key="c_custkey",
+                          right_key="o_custkey", anti=False)
+
+
 def _q_minhash_dedup(sf_dir: str):
     from pdf_parser_ray.stages.dedup import minhash_dedup_edges
 
@@ -537,6 +567,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         # dedup
         "dedup_exact": _q_dedup_exact,
+        "dedup_semi": _q_dedup_semi,
+        "customers_with_orders": _q_customers_with_orders,
         "distinct_flags": _q_distinct_flags,
         "events_props": _q_events_props,
         "text_normalize": _q_text_normalize,
@@ -677,6 +709,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash "
             "FROM documents GROUP BY text"
+        ),
+        "dedup_semi": (
+            "SELECT d.doc_id, d.text FROM documents d "
+            "JOIN (SELECT min(doc_id) AS m FROM documents GROUP BY text) s "
+            "ON d.doc_id = s.m"
+        ),
+        "customers_with_orders": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
         ),
         "distinct_flags": (
             "SELECT DISTINCT l_returnflag FROM lineitem"

@@ -426,42 +426,74 @@ def ngram_jaccard_pairs(texts_a: list[str], texts_b: list[str], n: int = 5) -> l
 # ---------------------------------------------------------------------------
 
 def embedding_neardup_edges(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
-                            threshold: float = 0.95, num_planes: int = 12, seed: int = 42):
-    """Near-duplicate edges by cosine ≥ threshold, bucketed by random-
-    hyperplane LSH (sign pattern of ``num_planes`` fixed projections).
-
-    Only vectors sharing a sign-bucket are compared — the standard SimHash-
-    for-vectors trade-off: recall < 1 for pairs near the planes; raise
-    num_planes→bands for higher recall at more shuffle volume.
+                            threshold: float = 0.95, num_planes: int = 8,
+                            num_bands: int = 4, seed: int = 42):
+    """Near-duplicate edges by cosine ≥ threshold, bucketed by BANDED
+    random-hyperplane LSH: ``num_bands`` independent banks of
+    ``num_planes`` hyperplanes each; vectors sharing ANY band's full sign
+    pattern are compared (multi-band OR — recall 1-(1-p^r)^b instead of a
+    single bank's p^r, fixing the near-plane recall loss of one bucket
+    set). Candidates link to their bucket's min-id anchor and are verified
+    with exact cosine; edges deduped across bands.
     """
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+    def add_buckets(batch: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack(batch[vec_col].to_numpy())
         dim = mat.shape[1]
-        planes = np.random.default_rng(seed).standard_normal((dim, num_planes))
+        planes = np.random.default_rng(seed).standard_normal(
+            (dim, num_bands * num_planes))
         signs = (mat @ planes) >= 0
-        batch["lsh_bucket"] = [
-            "".join("1" if b else "0" for b in row) for row in signs
-        ]
-        return batch
+        out = []
+        for b in range(num_bands):
+            sl = signs[:, b * num_planes:(b + 1) * num_planes]
+            keys = [f"{b}:" + "".join("1" if x else "0" for x in row) for row in sl]
+            out.append(pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                                     vec_col: batch[vec_col].to_numpy(),
+                                     "lsh_bucket": keys}))
+        return pd.concat(out, ignore_index=True)
 
-    def bucket_edges(g: pd.DataFrame) -> pd.DataFrame:
+    def partition_edges(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized within coarse partition (many buckets per task)
         if len(g) < 2:
-            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
-                                 "dup_of": pd.Series([], dtype="int64")})
-        g = g.sort_values(id_col)
+            return pd.DataFrame({id_col: pd.Series([], dtype=g[id_col].dtype),
+                                 "dup_of": pd.Series([], dtype=g[id_col].dtype)})
+        g = g.sort_values(["lsh_bucket", id_col], kind="mergesort").reset_index(drop=True)
         mat = np.stack(g[vec_col].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         unit = mat / norms[:, None]
-        anchor = unit[0]
-        sims = unit[1:] @ anchor
-        mask = sims >= threshold
-        ids = g[id_col].iloc[1:].to_numpy()[mask]
-        return pd.DataFrame({id_col: ids, "dup_of": g[id_col].iloc[0]})
+        keys = g["lsh_bucket"].to_numpy()
+        change = np.r_[True, keys[1:] != keys[:-1]]
+        anchor_idx = np.flatnonzero(change)[np.cumsum(change) - 1]
+        sims = np.einsum("ij,ij->i", unit, unit[anchor_idx])
+        mask = (sims >= threshold) & (np.arange(len(g)) != anchor_idx)
+        ids = g[id_col].to_numpy()
+        return pd.DataFrame({id_col: pd.Series(ids[mask], dtype=g[id_col].dtype),
+                             "dup_of": pd.Series(ids[anchor_idx[mask]],
+                                                 dtype=g[id_col].dtype)})
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pandas")
-    return bucketed.groupby("lsh_bucket").map_groups(bucket_edges, batch_format="pandas")
+    def add_parts(df: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        df = df.copy()
+        df["bucket_part"] = [zlib.crc32(k.encode()) % 64 for k in df["lsh_bucket"]]
+        return df
+
+    def add_pair_part(df: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        df = df.copy()
+        df["pair_part"] = [zlib.crc32(str(v).encode()) % 64 for v in df[id_col]]
+        return df
+
+    bucketed = ds.map_batches(add_buckets, batch_format="pandas").map_batches(
+        add_parts, batch_format="pandas")
+    edges = bucketed.groupby("bucket_part").map_groups(partition_edges,
+                                                       batch_format="pandas")
+    return edges.map_batches(add_pair_part, batch_format="pandas").groupby(
+        "pair_part").map_groups(
+        lambda g: g.drop_duplicates([id_col, "dup_of"]).drop(columns=["pair_part"]),
+        batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
