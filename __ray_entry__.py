@@ -597,6 +597,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": rel.events_hourly,
         "events_top_users": rel.events_top_users,
         "events_sessions": rel.events_sessions,
+        "events_sliding_window": rel.events_sliding_window,
+        "hash_sample": rel.hash_sample,
     }
 
 
@@ -826,6 +828,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS total_value_milli "
             "FROM events GROUP BY user_id "
             "ORDER BY total_value_milli DESC, user_id ASC LIMIT 10"
+        ),
+        "events_sliding_window": (
+            "WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type, "
+            "CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli "
+            "FROM events GROUP BY 1, 2) "
+            "SELECT event_type, hour_bucket, "
+            "CAST(sum(sum_value_milli) OVER (PARTITION BY event_type "
+            "ORDER BY hour_bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS window3_value_milli FROM h"
+        ),
+        "hash_sample": (
+            "SELECT doc_id FROM documents "
+            "WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "AS UBIGINT) % 100 < 10"
         ),
         "events_sessions": (
             "SELECT user_id, count(*) AS n_events, "

@@ -65,14 +65,18 @@ def pricing_summary(sf_dir: str):
             "base_cents": base_cents,
             "disc_cents": disc_cents,
         })
-        df = t.to_pandas()
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("qty", "sum"),
-            sum_base_price_cents=("base_cents", "sum"),
-            sum_disc_price_cents=("disc_cents", "sum"),
-            count_order=("qty", "size"),
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # Arrow-native combiner: no pandas round-trip copy per batch
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_cents", "sum"), ("disc_cents", "sum"),
+             ("qty", "count")])
+        return pa.table({
+            "l_returnflag": g.column("l_returnflag"),
+            "l_linestatus": g.column("l_linestatus"),
+            "sum_qty": g.column("qty_sum"),
+            "sum_base_price_cents": g.column("base_cents_sum"),
+            "sum_disc_price_cents": g.column("disc_cents_sum"),
+            "count_order": pc.cast(g.column("qty_count"), pa.int64()),
+        })
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -179,9 +183,9 @@ def top_revenue_orders(sf_dir: str, k: int = 10):
                           pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
         t = pa.table({"l_orderkey": batch.column("l_orderkey"),
                       "revenue_cents": _cents(rev)})
-        df = t.to_pandas().groupby("l_orderkey", as_index=False).agg(
-            revenue_cents=("revenue_cents", "sum"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        g = t.group_by("l_orderkey").aggregate([("revenue_cents", "sum")])
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "revenue_cents": g.column("revenue_cents_sum")})
 
     per_order = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     summed = per_order.groupby("l_orderkey").aggregate(
@@ -226,9 +230,14 @@ def events_hourly(sf_dir: str):
         t = pa.table({"hour_bucket": pc.cast(hour, pa.int64()),
                       "event_type": batch.column("event_type"),
                       "value_milli": value_milli})
-        df = t.to_pandas().groupby(["hour_bucket", "event_type"], as_index=False).agg(
-            n_events=("value_milli", "size"), sum_value_milli=("value_milli", "sum"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        g = t.group_by(["hour_bucket", "event_type"]).aggregate(
+            [("value_milli", "count"), ("value_milli", "sum")])
+        return pa.table({
+            "hour_bucket": g.column("hour_bucket"),
+            "event_type": g.column("event_type"),
+            "n_events": pc.cast(g.column("value_milli_count"), pa.int64()),
+            "sum_value_milli": g.column("value_milli_sum"),
+        })
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     return partials.groupby(["hour_bucket", "event_type"]).aggregate(
@@ -246,9 +255,9 @@ def events_top_users(sf_dir: str, k: int = 10):
                                                    pa.scalar(1000.0)),
                                        round_mode="half_towards_infinity"), pa.int64())
         t = pa.table({"user_id": batch.column("user_id"), "value_milli": value_milli})
-        df = t.to_pandas().groupby("user_id", as_index=False).agg(
-            total_value_milli=("value_milli", "sum"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        g = t.group_by("user_id").aggregate([("value_milli", "sum")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "total_value_milli": g.column("value_milli_sum")})
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     summed = partials.groupby("user_id").aggregate(
@@ -397,9 +406,9 @@ def customer_order_revenue(sf_dir: str, k: int = 10):
                           pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
         t = pa.table({"o_orderkey": batch.column("l_orderkey"),
                       "revenue_cents": _cents(rev)})
-        df = t.to_pandas().groupby("o_orderkey", as_index=False).agg(
-            revenue_cents=("revenue_cents", "sum"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        g = t.group_by("o_orderkey").aggregate([("revenue_cents", "sum")])
+        return pa.table({"o_orderkey": g.column("o_orderkey"),
+                         "revenue_cents": g.column("revenue_cents_sum")})
 
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
@@ -552,6 +561,44 @@ def events_running_total(sf_dir: str, max_users: int = 20):
         })
 
     return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+
+
+def events_sliding_window(sf_dir: str):
+    """3-hour MOVING sum per event_type over the hourly aggregate
+    (windowed-aggregate composition: distributed pre-agg → per-type sorted
+    window; exact integer arithmetic via cumsum difference, not float
+    rolling)."""
+    hourly = events_hourly(sf_dir)
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour_bucket").reset_index(drop=True)
+        cs = g["sum_value_milli"].cumsum()
+        w3 = cs - cs.shift(3, fill_value=0)
+        return pd.DataFrame({
+            "event_type": g["event_type"],
+            "hour_bucket": g["hour_bucket"],
+            "window3_value_milli": w3.astype("int64"),
+        })
+
+    return hourly.groupby("event_type").map_groups(window, batch_format="pandas")
+
+
+def hash_sample(sf_dir: str, pct: int = 10):
+    """Deterministic hash sampling (§2.6 sampling operator): keep rows whose
+    md5(doc_id) bucket mod 100 < pct — reproducible across runs/engines
+    (unlike random_shuffle/random sample), embarrassingly parallel, no
+    shuffle."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keep = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 < pct
+                for i in ids]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
 
 
 def event_type_distinct(sf_dir: str):

@@ -70,19 +70,20 @@ class ImageFeatures:
     ``__init__``; the per-batch matmul shape is real).
     """
 
-    def __init__(self, dim: int = 32, seed: int = 42):
-        rng = np.random.default_rng(seed)
+    def __init__(self, dim: int = 32, seed: int = 42, input_size: int = 32 * 32 * 3):
+        # the "model" (projection matrix) is built ONCE per actor here —
+        # actor-pool state belongs in __init__, not lazily in __call__
         self.dim = dim
-        self._proj: np.ndarray | None = None
-        self._seed_rng = rng
+        self.seed = seed
+        self._proj = np.random.default_rng(seed).standard_normal(
+            (input_size, dim)).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []
-        for blob, shape in zip(batch.column("pixels").to_pylist(),
-                               batch.column("pixels_shape").to_pylist()):
+        for blob in batch.column("pixels").to_pylist():
             arr = np.frombuffer(blob, dtype=np.uint8).astype(np.float32)
-            if self._proj is None or self._proj.shape[0] != arr.size:
-                self._proj = np.random.default_rng(42).standard_normal(
+            if arr.size != self._proj.shape[0]:  # fail-soft on odd shapes
+                self._proj = np.random.default_rng(self.seed).standard_normal(
                     (arr.size, self.dim)).astype(np.float32)
             feats.append((arr @ self._proj / arr.size).tolist())
         return batch.append_column(

@@ -8,9 +8,19 @@ INCREMENTAL state across an unbounded, arriving-in-order stream — one actor
 per key-hash bucket holds running state and consumes batches in timestamp
 order, emitting closed windows as they complete.
 
-Partitioning assumption (documented per the custom-operator contract): the
-feed must deliver each key's events in non-decreasing ts order per bucket;
-bucket = crc32(key) % num_buckets, so a key never spans buckets.
+Data path (scale design): the sorted Dataset's block REFS are taken in
+order on the driver (refs only — the driver never deserializes event
+data); each block is routed to the bucket actors by a worker-side router
+task, so payloads flow worker → actor through the object store. Because
+router tasks run in parallel, feeds can arrive out of order; every feed
+carries the block's global sequence number and each actor reorders —
+processing the contiguous prefix incrementally, buffering gaps (the
+router feeds every bucket for every block, empty or not, so the prefix
+always advances).
+
+Partitioning assumption (documented per the custom-operator contract):
+bucket = crc32(key) % num_buckets, so a key never spans buckets; the
+global sort guarantees block n's events all precede block n+1's.
 """
 
 from __future__ import annotations
@@ -24,14 +34,21 @@ import ray
 
 @ray.remote
 class SessionWindowActor:
-    """Per-bucket incremental sessionizer: gap > ``gap_us`` closes a session."""
+    """Per-bucket incremental sessionizer: gap > ``gap_us`` closes a session.
+
+    Feeds arrive tagged with a global block sequence number; the actor
+    applies the contiguous prefix immediately (incremental emission) and
+    buffers out-of-order blocks until the gap fills.
+    """
 
     def __init__(self, gap_us: int):
         self.gap_us = gap_us
         self.state: dict = {}  # key → (session_start, last_ts, n_events)
         self.closed: list[tuple] = []
+        self.buffer: dict[int, tuple] = {}  # seq → (keys, ts_us)
+        self.next_seq = 0
 
-    def feed(self, keys: list, ts_us: list) -> int:
+    def _apply(self, keys: list, ts_us: list) -> None:
         for k, t in zip(keys, ts_us):
             st = self.state.get(k)
             if st is None:
@@ -43,40 +60,68 @@ class SessionWindowActor:
                     self.state[k] = (t, t, 1)
                 else:
                     self.state[k] = (start, t, n + 1)
+
+    def feed(self, seq: int, keys: list, ts_us: list) -> int:
+        self.buffer[seq] = (keys, ts_us)
+        while self.next_seq in self.buffer:
+            k, t = self.buffer.pop(self.next_seq)
+            self._apply(k, t)
+            self.next_seq += 1
         return len(self.closed)
 
     def flush(self) -> list[tuple]:
-        """Close all open sessions (end-of-stream) and return every window."""
+        """End-of-stream: drain any buffered blocks in seq order, close all
+        open sessions, return every window."""
+        for seq in sorted(self.buffer):
+            k, t = self.buffer[seq]
+            self._apply(k, t)
+        self.buffer = {}
         for k, (start, last, n) in sorted(self.state.items()):
             self.closed.append((k, start, last, n))
         self.state = {}
         return self.closed
 
 
+@ray.remote
+def _route_block(block, seq: int, actors: list, key_col: str, ts_col: str,
+                 num_buckets: int):
+    """Worker-side router: split one (already-sorted) block by key bucket and
+    feed every bucket actor — empty feeds included so each actor's seq
+    prefix always advances. Returns the feed refs for the global barrier."""
+    df = block.to_pandas() if hasattr(block, "to_pandas") else block
+    ts_us = df[ts_col].astype("int64")
+    buckets = df[key_col].map(lambda k: zlib.crc32(str(k).encode()) % num_buckets)
+    refs = []
+    for b, actor in enumerate(actors):
+        mask = buckets == b
+        refs.append(actor.feed.remote(
+            seq, df[key_col][mask].tolist(), ts_us[mask].tolist()))
+    return refs
+
+
 def sessionize_stream(ds, *, key_col: str = "user_id", ts_col: str = "ts",
                       gap_minutes: int = 30, num_buckets: int = 4) -> pd.DataFrame:
     """Incremental sessionization of an ordered event log via bucket actors.
 
-    The Dataset is consumed in ts order on the driver (iter_batches over the
-    pre-sorted log) and routed to per-bucket actors; actors emit closed
-    windows incrementally. Returns (key, session_start, session_end,
-    n_events) for every session. Matches the batch map_groups sessionizer
-    on any input (tested).
+    Returns (key, session_start, session_end, n_events) for every session.
+    Matches the batch map_groups sessionizer on any input (tested). The
+    driver touches only block refs and seq numbers; event payloads move
+    worker → actor.
     """
     gap_us = gap_minutes * 60 * 1_000_000
     actors = [SessionWindowActor.remote(gap_us) for _ in range(num_buckets)]
     ordered = ds.sort(ts_col)
-    pending = []
-    for batch in ordered.iter_batches(batch_format="pandas", batch_size=8192):
-        ts_us = batch[ts_col].astype("int64")
-        buckets = batch[key_col].map(
-            lambda k: zlib.crc32(str(k).encode()) % num_buckets)
-        for b in range(num_buckets):
-            mask = buckets == b
-            if mask.any():
-                pending.append(actors[b].feed.remote(
-                    batch[key_col][mask].tolist(), ts_us[mask].tolist()))
-    ray.get(pending)  # barrier: all feeds applied in order before flush
+
+    route_refs = []
+    seq = 0
+    for bundle in ordered.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            route_refs.append(_route_block.remote(
+                block_ref, seq, actors, key_col, ts_col, num_buckets))
+            seq += 1
+    # barrier: every feed applied before flush
+    feed_refs = [r for sub in ray.get(route_refs) for r in sub]
+    ray.get(feed_refs)
     rows = []
     for a in actors:
         rows.extend(ray.get(a.flush.remote()))

@@ -49,3 +49,52 @@ class TestStreamingSessions:
         assert len(u1) == 2
         assert u1.iloc[0]["n_events"] == 2 and u1.iloc[1]["n_events"] == 1
         assert len(out[out["user_id"] == 2]) == 1
+
+    def test_out_of_order_feeds_reordered(self, ray_session=None):
+        """Feeds arriving out of seq order must be buffered and applied in
+        order — the worker-side router makes no delivery-order promise."""
+        import ray
+        from pdf_parser_ray.stages.streaming import SessionWindowActor
+
+        gap_us = 30 * 60 * 1_000_000
+        a = SessionWindowActor.remote(gap_us)
+        h = 3_600_000_000  # 1h in us
+        # seq 2 (t=2h, 3h: new session after gap) arrives BEFORE seq 0/1
+        ray.get(a.feed.remote(2, ["u"], [3 * h]))
+        ray.get(a.feed.remote(0, ["u"], [0]))
+        ray.get(a.feed.remote(1, ["u"], [10 * 60 * 1_000_000]))
+        rows = ray.get(a.flush.remote())
+        ray.kill(a)
+        # session 1: [0, 10min]; session 2: [3h, 3h]
+        assert len(rows) == 2
+        assert rows[0][3] == 2 and rows[1][3] == 1
+
+    def test_many_blocks_roundtrip(self):
+        """Sessionization over a log spread across many blocks matches the
+        batch sessionizer (exercises the ref-bundle seq path)."""
+        import numpy as np
+        import pandas as pd
+        import ray.data
+        from pdf_parser_ray.pipelines.relational import events_sessions
+        from pdf_parser_ray.stages.streaming import sessionize_stream
+
+        rng = np.random.default_rng(11)
+        n = 4000
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 37, size=n),
+            "ts": pd.to_datetime(
+                np.sort(rng.integers(0, 3 * 24 * 3600, size=n)), unit="s"),
+        })
+        ds = ray.data.from_pandas(df).repartition(16)
+        got = sessionize_stream(ds, gap_minutes=30, num_buckets=4)
+        per_user = got.groupby("user_id", as_index=False).agg(
+            n_sessions=("session_start", "size"), n_events=("n_events", "sum"))
+
+        import tempfile, os
+        tmp = tempfile.mkdtemp()
+        ds.write_parquet(os.path.join(tmp, "events.parquet"))
+        want = events_sessions(tmp).to_pandas()
+        merged = per_user.merge(want, on="user_id", suffixes=("_got", "_want"))
+        assert len(merged) == len(want)
+        assert (merged["n_sessions_got"] == merged["n_sessions_want"]).all()
+        assert (merged["n_events_got"] == merged["n_events_want"]).all()
