@@ -25,6 +25,7 @@ import re
 import pyarrow as pa
 
 from ..config import AI_DISCOVERY_TRUNCATE, AI_EXTRACT_TRUNCATE, AI_MAX_LABELS
+from ..state.metrics import observe
 
 _JSON_FISH = re.compile(r"\{.*\}", re.S)
 
@@ -68,6 +69,53 @@ class StubModel(ModelClient):
         return "{}"
 
 
+class HTTPChatModel(ModelClient):
+    """Env-keyed OpenAI-compatible chat-completions client (stdlib urllib).
+
+    The real-model counterpart of the reference's wired client
+    (ai_extractor.py:39-56), behind the same pluggable interface. Reads
+    ``AI_MODEL_BASE_URL`` (e.g. https://api.openai.com/v1),
+    ``AI_MODEL_API_KEY`` (falls back to ``OPENAI_API_KEY``) and
+    ``AI_MODEL_NAME``. Never constructed by default — ``model_from_env``
+    returns the offline StubModel unless the env is configured — so the
+    sandbox (no network) always runs the deterministic path.
+    """
+
+    def __init__(self, base_url: str, api_key: str, model_name: str,
+                 timeout_s: int = 60):
+        self.url = base_url.rstrip("/") + "/chat/completions"
+        self.api_key = api_key
+        self.model_name = model_name
+        self.timeout_s = timeout_s
+
+    def complete(self, prompt: str) -> str:
+        import urllib.request
+
+        body = json.dumps({
+            "model": self.model_name,
+            "messages": [{"role": "user", "content": prompt}],
+            "temperature": 0,
+        }).encode("utf-8")
+        req = urllib.request.Request(
+            self.url, data=body,
+            headers={"Authorization": f"Bearer {self.api_key}",
+                     "Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            payload = json.loads(resp.read().decode("utf-8"))
+        return payload["choices"][0]["message"]["content"]
+
+
+def model_from_env() -> ModelClient:
+    """StubModel unless AI_MODEL_BASE_URL + an API key are configured."""
+    import os
+
+    base = os.environ.get("AI_MODEL_BASE_URL")
+    key = os.environ.get("AI_MODEL_API_KEY") or os.environ.get("OPENAI_API_KEY")
+    if base and key:
+        return HTTPChatModel(base, key, os.environ.get("AI_MODEL_NAME", "gpt-4o-mini"))
+    return StubModel()
+
+
 def parse_model_json(raw: str) -> dict:
     """Reference ai_extractor.py:200-227: first {...} DOTALL → dict or raise."""
     m = _JSON_FISH.search(raw or "")
@@ -94,16 +142,18 @@ class AIExtract:
 
     def __init__(self, model: ModelClient | None = None, text_col: str = "text",
                  labels: list[str] | None = None):
-        self.model = model if model is not None else StubModel()
+        self.model = model if model is not None else model_from_env()
         self.text_col = text_col
         self.fixed_labels = labels
 
+    @observe("ai_extract.discover")
     def _discover(self, text: str) -> list[str]:
         raw = self.model.complete("DISCOVER:" + text[:AI_DISCOVERY_TRUNCATE])
         tail = raw.split(":", 1)[1] if ":" in raw else raw
         labels = [l.strip() for l in tail.split(",")]
         return filter_labels([l for l in labels if l])
 
+    @observe("ai_extract.extract")
     def _extract(self, text: str, labels: list[str]) -> dict:
         prompt = ("EXTRACT:" + ",".join(labels) + "\n" + text[:AI_EXTRACT_TRUNCATE])
         return parse_model_json(self.model.complete(prompt))

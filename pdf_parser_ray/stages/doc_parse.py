@@ -37,6 +37,7 @@ from ..functions.validators import validate_payload
 from ..pdf import PdfError, extract_page_texts
 from ..html import extract_main_content
 from ..schema import FIELDS_STRUCT, OUTPUT_SCHEMA, SPAN_STRUCT
+from ..state.metrics import observe
 
 
 class DocParse:
@@ -46,6 +47,7 @@ class DocParse:
         self.passthrough_cols = passthrough_cols or []
 
     # -- per-document kernel --------------------------------------------
+    @observe("doc_parse.process_doc")
     def _process_doc(self, spans: list[dict]) -> dict:
         out_spans: list[dict] = []
         page_errors: list[str] = []

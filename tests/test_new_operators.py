@@ -1,0 +1,145 @@
+"""Property tests for round-2 operators: semi_anti_join, topk,
+partitioned_group_sum vs pandas oracles; metrics registry; model factory."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTopK:
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.integers(min_value=-1000, max_value=1000),
+                    min_size=1, max_size=200),
+           st.integers(min_value=1, max_value=12))
+    def test_matches_sorted_head(self, vals, k):
+        import ray.data
+        from pdf_parser_ray.pipelines.relational import topk
+
+        df = pd.DataFrame({"v": vals, "id": range(len(vals))})
+        ds = ray.data.from_pandas(df).repartition(4)
+        got = topk(ds, by=["v", "id"], descending=[True, False], k=k).to_pandas()
+        want = df.sort_values(["v", "id"], ascending=[False, True],
+                              ignore_index=True).head(k)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True)[["v", "id"]], want[["v", "id"]],
+            check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPartitionedGroupSum:
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.tuples(st.integers(min_value=0, max_value=30),
+                              st.integers(min_value=-100, max_value=100)),
+                    min_size=1, max_size=300))
+    def test_matches_pandas_groupby(self, rows):
+        import ray.data
+        from pdf_parser_ray.pipelines.relational import partitioned_group_sum
+
+        df = pd.DataFrame(rows, columns=["k", "v"])
+        ds = ray.data.from_pandas(df).repartition(4)
+        got = partitioned_group_sum(ds, key="k", sum_cols={"total": "v"},
+                                    num_parts=8).to_pandas()
+        want = df.groupby("k", as_index=False).agg(total=("v", "sum"))
+        a = got.sort_values("k", ignore_index=True)[["k", "total"]]
+        b = want.sort_values("k", ignore_index=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_string_keys(self, ray_session):
+        import ray.data
+        from pdf_parser_ray.pipelines.relational import partitioned_group_sum
+
+        df = pd.DataFrame({"k": ["a", "b", "a", "c"], "v": [1, 2, 3, 4]})
+        got = partitioned_group_sum(ray.data.from_pandas(df), key="k",
+                                    sum_cols={"total": "v"}).to_pandas()
+        assert dict(zip(got["k"], got["total"])) == {"a": 4, "b": 2, "c": 4}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSemiAntiProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=20), min_size=0, max_size=60),
+           st.lists(st.integers(min_value=0, max_value=20), min_size=0, max_size=60))
+    def test_partition(self, left_keys, right_keys):
+        """semi(L,R) ∪ anti(L,R) == L exactly (multiset)."""
+        import ray.data
+        from pdf_parser_ray.pipelines.relational import semi_anti_join
+
+        if not left_keys:
+            return
+        left = pd.DataFrame({"k": left_keys, "row": range(len(left_keys))})
+        right = pd.DataFrame({"k": right_keys if right_keys else [999]})
+        lds = ray.data.from_pandas(left).repartition(3)
+        rds = ray.data.from_pandas(right)
+        semi = semi_anti_join(lds, rds, left_key="k", anti=False).to_pandas()
+        anti = semi_anti_join(lds, rds, left_key="k", anti=True).to_pandas()
+        rset = set(right["k"])
+
+        def rows(df):
+            # a fully-empty map_groups output loses its schema (Ray
+            # limitation; query wrappers guard the same way)
+            return sorted(df["row"]) if "row" in df.columns else []
+
+        assert rows(semi) == sorted(left[left["k"].isin(rset)]["row"])
+        assert rows(anti) == sorted(left[~left["k"].isin(rset)]["row"])
+
+
+class TestMetrics:
+    def test_observe_counts_and_errors(self):
+        from pdf_parser_ray.state import metrics
+
+        metrics.reset()
+
+        @metrics.observe("op.test")
+        def f(x):
+            if x < 0:
+                raise ValueError("neg")
+            return x * 2
+
+        assert f(2) == 4
+        assert f(3) == 6
+        with pytest.raises(ValueError):
+            f(-1)
+        snap = metrics.snapshot()
+        assert snap["op.test"]["calls"] == 3
+        assert snap["op.test"]["errors"] == 1
+        assert snap["op.test"]["total_s"] >= 0
+        metrics.reset()
+        assert metrics.snapshot() == {}
+
+    def test_ai_extract_records_ops(self, ray_session):
+        import pyarrow as pa
+        from pdf_parser_ray.stages.ai_extract import AIExtract
+        from pdf_parser_ray.state import metrics
+
+        metrics.reset()
+        stage = AIExtract()
+        batch = pa.table({"text": ["Customer Name: Ann\nPolicy Number: P1"]})
+        out = stage(batch)
+        assert out.column("ai_error").to_pylist() == [None]
+        snap = metrics.snapshot()
+        assert snap["ai_extract.discover"]["calls"] == 1
+        assert snap["ai_extract.extract"]["calls"] == 1
+        metrics.reset()
+
+
+class TestModelFactory:
+    def test_default_is_stub(self, monkeypatch):
+        from pdf_parser_ray.stages.ai_extract import StubModel, model_from_env
+
+        monkeypatch.delenv("AI_MODEL_BASE_URL", raising=False)
+        monkeypatch.delenv("AI_MODEL_API_KEY", raising=False)
+        monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+        assert isinstance(model_from_env(), StubModel)
+
+    def test_env_selects_http_client(self, monkeypatch):
+        from pdf_parser_ray.stages.ai_extract import HTTPChatModel, model_from_env
+
+        monkeypatch.setenv("AI_MODEL_BASE_URL", "https://example.test/v1")
+        monkeypatch.setenv("AI_MODEL_API_KEY", "k")
+        monkeypatch.setenv("AI_MODEL_NAME", "m")
+        m = model_from_env()
+        assert isinstance(m, HTTPChatModel)
+        assert m.url == "https://example.test/v1/chat/completions"
+        assert m.model_name == "m"
