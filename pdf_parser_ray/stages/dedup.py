@@ -232,7 +232,8 @@ def _bucket_candidates(g: pd.DataFrame) -> pd.DataFrame:
 
 def minhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
                         num_perm: int = 128, num_bands: int = 16,
-                        threshold: float = 0.8, concurrency=None):
+                        threshold: float = 0.8, concurrency=None,
+                        broadcast_limit: int = 500_000):
     """Dataset of verified (doc_id, dup_of) near-duplicate edges.
 
     Candidates-then-verify architecture (sketch shuffle minimized):
@@ -284,7 +285,8 @@ def minhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
     # distinct (doc_id, dup_of): same pair may surface from several bands.
     # Vectorized: coarse-partition by hash(doc_id), drop_duplicates within
     # each partition (a pair always lands in one partition) — not a
-    # per-pair map_groups.
+    # per-pair map_groups. Materialized: the distinct pairs are tiny and
+    # feed three consumers (two joins + the bloom prefilters below).
     def add_pair_part(df: pd.DataFrame) -> pd.DataFrame:
         import zlib
 
@@ -295,18 +297,68 @@ def minhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
     cands = cands.map_batches(add_pair_part, batch_format="pandas").groupby(
         "pair_part").map_groups(
         lambda g: g.drop_duplicates(["doc_id", "dup_of"]).drop(columns=["pair_part"]),
+        batch_format="pandas").materialize()
+
+    if cands.count() == 0:
+        return cands  # no candidate pairs anywhere → no edges
+
+    # Bloom-prefilter the signature side: candidates are a small minority
+    # of the corpus, so most signatures need never enter the join
+    # exchange. One filter covers BOTH pair endpoints; a false positive
+    # only adds a sig row that the inner join then drops — exactness is
+    # preserved (no false negatives). The surviving sig pool is tiny
+    # (candidate endpoints + ~1% FPs) and is pinned once for both joins.
+    from ..functions.bloom import BloomFilter, build_bloom_distributed
+
+    n_cands = cands.count()
+    both_ends = cands.map_batches(
+        lambda df: pd.DataFrame(
+            {"cid": pd.concat([df["doc_id"], df["dup_of"]], ignore_index=True)}),
         batch_format="pandas")
+    bloom = build_bloom_distributed(both_ends, "cid", capacity=2 * n_cands)
+    import ray as _ray
 
-    # candidate columns are always (doc_id, dup_of); align the sig side
-    sigs = sketched.map_batches(
-        lambda b: b.select([id_col, "minhash_sig"]).rename_columns(
-            ["doc_id", "minhash_sig"]),
+    bloom_ref = _ray.put(bloom)
+
+    def sig_filter(batch: pa.Table) -> pa.Table:
+        bf: BloomFilter = _ray.get(bloom_ref)
+        keep = bf.contains_many(batch.column(id_col).to_pylist())
+        return batch.filter(pa.array(keep)).select([id_col, "minhash_sig"])
+
+    sig_pool = sketched.map_batches(sig_filter, batch_format="pyarrow").materialize()
+
+    if sig_pool.count() <= broadcast_limit:
+        # the filtered sig pool is candidate-scale: broadcast it once and
+        # verify inside map_batches over the candidate pairs — no join
+        # exchange at all (Ray's sort-shuffle costs ~10 s of fixed
+        # overhead even on a few hundred rows spread over small blocks)
+        sig_df = sig_pool.to_pandas()
+        lookup_ref = _ray.put(dict(zip(sig_df[id_col], sig_df["minhash_sig"])))
+
+        def verify_broadcast(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return df.reindex(columns=["doc_id", "dup_of"])
+            lk = _ray.get(lookup_ref)
+            n = len(df)
+            # every candidate endpoint is in the pool (Bloom has no false
+            # negatives), so the maps are total
+            a = np.frombuffer(b"".join(df["doc_id"].map(lk)),
+                              dtype=np.uint64).reshape(n, -1)
+            b_ = np.frombuffer(b"".join(df["dup_of"].map(lk)),
+                               dtype=np.uint64).reshape(n, -1)
+            agree = (a == b_).mean(axis=1)
+            return df.loc[agree >= threshold, ["doc_id", "dup_of"]]
+
+        return cands.map_batches(verify_broadcast, batch_format="pandas")
+
+    # huge candidate set (dup-heavy corpus): bucket-partitioned sig joins.
+    # Explicit types keep the joins lazy (schema probes would re-execute
+    # the whole candidate pipeline).
+    sigs = sig_pool.map_batches(
+        lambda b: b.rename_columns(["doc_id", "minhash_sig"]),
         batch_format="pyarrow")
-    sigs_b = sigs.map_batches(
+    sigs_b = sig_pool.map_batches(
         lambda b: b.rename_columns(["dup_of", "sig_b"]), batch_format="pyarrow")
-
-    # explicit types keep the joins lazy (schema probes would re-execute
-    # the whole candidate pipeline)
     cand_types = {"doc_id": id_type, "dup_of": id_type}
     sig_types = {"doc_id": id_type, "minhash_sig": pa.binary()}
     j1 = hash_join(cands, sigs, key="doc_id", num_buckets=16,
