@@ -297,41 +297,44 @@ def main_scaling() -> None:
     }
     print(json.dumps(result))
     os.makedirs("BENCH", exist_ok=True)
-    # preserve any previously-recorded skew section across rewrites
-    skew_section = ""
+    section = (
+        "<!-- SCALING:BEGIN -->\n"
+        "## Latest scaling run\n\n"
+        f"`ray.init(num_cpus={lo})` vs `num_cpus={hi}` (exactly 4×), identical\n"
+        f"fixed-block plan, fresh processes, alternating reps={reps}.\n\n"
+        f"| metric | {lo} CPUs | {hi} CPUs |\n|---|---|---|\n"
+        f"| wall sec | {r_lo['value']} | {r_hi['value']} |\n"
+        f"| docs/sec | {thr_lo} | {thr_hi} |\n"
+        f"| spans/sec | {r_lo['spans_per_sec']} | {r_hi['spans_per_sec']} |\n"
+        f"| all reps (docs/sec) | {result['all_runs_lo']} | {result['all_runs_hi']} |\n\n"
+        f"**Scaling efficiency = (thr_hi/thr_lo)/4 = {eff:.3f}** (target ≥ 0.8).\n"
+        f"ALU host ceiling {lo}→{hi} measured in the same session: "
+        f"**{ceiling:.3f}** → normalized engine efficiency "
+        f"{eff:.3f}/{ceiling:.3f} = **{eff/ceiling:.3f}**.\n"
+        f"Input: synthesized corpus at sf={r_hi['bench_sf']} = {r_hi['docs']} "
+        f"docs, {r_hi['spans']} spans, {r_hi['errors']} error rows.\n"
+        "<!-- SCALING:END -->\n"
+    )
+    path = "BENCH/BASELINE.md"
     try:
-        prev = open("BENCH/BASELINE.md").read()
-        if "## Skew robustness" in prev:
-            skew_section = prev[prev.index("## Skew robustness") - 1:]
+        prev = open(path).read()
     except FileNotFoundError:
-        pass
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write(
-            "# BENCH — measured scaling (sandbox stand-in for N vs 4N nodes)\n\n"
-            f"Same job, same input, SAME plan (256 fixed blocks, 2× replicated\n"
-            f"corpus read), two parallelism levels in fresh processes\n"
-            f"(`ray.init(num_cpus={lo})` vs `num_cpus={hi}`, exactly 4×; {hi} not 32 so\n"
-            "the Ray control plane keeps headroom, as on a real cluster head\n"
-            "node). Alternating median-of-3. Headline = interleaved extraction\n"
-            "pipeline (see bench.py).\n\n"
-            f"| metric | {lo} CPUs | {hi} CPUs |\n|---|---|---|\n"
-            f"| wall sec | {r_lo['value']} | {r_hi['value']} |\n"
-            f"| docs/sec | {thr_lo} | {thr_hi} |\n"
-            f"| spans/sec | {r_lo['spans_per_sec']} | {r_hi['spans_per_sec']} |\n"
-            f"| all reps (docs/sec) | {result['all_runs_lo']} | {result['all_runs_hi']} |\n\n"
-            f"**Scaling efficiency = (thr_hi/thr_lo)/4 = {eff:.3f}** "
-            f"(target ≥ 0.8, BASELINE.md)\n\n"
-            f"Hardware calibration: an identical pure-ALU fixed-work loop in {lo} vs {hi}\n"
-            f"concurrent processes (no Ray) scales at only **{ceiling:.3f}** efficiency on\n"
-            f"this VM (per-process time inflates at {hi}-way — host-level contention),\n"
-            f"so {ceiling:.3f} is the measured ceiling for ANY software here. Normalized\n"
-            f"engine efficiency = {eff:.3f}/{ceiling:.3f} = **{eff/ceiling:.3f}**. On a real\n"
-            f"N → 4N **node** scale-out (separate machines, the north-rule setting)\n"
-            f"the per-node resources do not dilute this way.\n\n"
-            f"Input: synthesized corpus at sf={r_hi['bench_sf']} "
-            f"= {r_hi['docs']} docs, {r_hi['spans']} spans, {r_hi['errors']} error rows.\n"
-            + skew_section
-        )
+        prev = ""
+    if "<!-- SCALING:BEGIN -->" in prev:
+        # curated file: replace only the marked block, keep the multi-level
+        # evidence and methodology sections around it
+        a = prev.index("<!-- SCALING:BEGIN -->")
+        b = prev.index("<!-- SCALING:END -->") + len("<!-- SCALING:END -->\n")
+        out = prev[:a] + section + prev[b:]
+    else:
+        header = ("# BENCH — measured scaling (sandbox stand-in for N vs 4N "
+                  "nodes)\n\nSee bench.py `--scaling` for the protocol.\n\n")
+        skew = ""
+        if "## Skew robustness" in prev:
+            skew = prev[prev.index("## Skew robustness") - 1:]
+        out = header + section + skew
+    with open(path, "w") as f:
+        f.write(out)
 
 
 def main_skew() -> None:
