@@ -243,7 +243,8 @@ def hardware_ceiling(lo: int = 8, hi: int = 32) -> float:
 def main_scaling() -> None:
     """Scaling protocol (the BASELINE.md "N vs 4N nodes" stand-in):
 
-    - Levels: num_cpus = 7 and 28 (exactly 4×). 28 — not 32 — so the Ray
+    - Levels: num_cpus = 4 and 16 by default (exactly 4×;
+      BENCH_SCALE_LO/HI override, e.g. 7/28). Below 32 total so the Ray
       control plane (driver, raylet, GCS, plasma) has headroom on this
       32-core host, as it would on a real cluster where the head node
       doesn't run tasks; at num_cpus=32 workers + control plane

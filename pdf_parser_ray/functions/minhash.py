@@ -129,7 +129,10 @@ def jaccard(a: set, b: set) -> float:
 
 import re
 
-_ASCII_WS = re.compile(r"\s+", re.ASCII)
+# explicit class matching RE2's \s ([ \t\n\f\r]) — Python's re.ASCII \s
+# additionally matches \v (0x0B), which would silently diverge from the
+# DuckDB oracle on texts containing vertical tabs
+_ASCII_WS = re.compile(r"[ \t\n\r\f]+")
 
 
 class SimHasher:

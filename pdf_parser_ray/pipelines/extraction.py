@@ -102,6 +102,12 @@ def run_extraction(corpus_path: str, out_dir: str, *,
     partition dir into place and append its manifest record (commit point).
     Returns a summary dict.
     """
+    from ..state import metrics as op_metrics
+
+    # opt into cluster-wide per-op observability: workers flush their
+    # @observe registries to this named actor; totals land in the summary
+    agg = op_metrics.create_aggregator()
+
     manifest = Manifest(out_dir)
     doc_ids, sizes = _compute_sizes(corpus_path)
     parts = plan_partitions(doc_ids, sizes, byte_budget)
@@ -171,8 +177,13 @@ def run_extraction(corpus_path: str, out_dir: str, *,
             n_done += 1
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
+    import ray as _ray
+
+    op_totals = _ray.get(agg.get_totals.remote())
+    op_metrics.destroy_aggregator()
     return {"partitions_total": len(parts), "partitions_committed_now": n_done,
-            "partitions_skipped": len(committed), "out_dir": out_dir}
+            "partitions_skipped": len(committed), "out_dir": out_dir,
+            "op_metrics": op_totals}
 
 
 def _partition_metrics(part_dir: str) -> dict:

@@ -30,6 +30,17 @@ import pyarrow as pa
 from ..functions.minhash import MinHasher, SimHasher, char_ngrams, jaccard
 
 
+
+def _add_pair_part(df: pd.DataFrame, col: str = "doc_id",
+                   num_parts: int = 64) -> pd.DataFrame:
+    """Coarse partition key for pair-distinct passes: a (col, dup_of) pair
+    always lands in one partition (keyed by col only)."""
+    import zlib
+
+    df = df.copy()
+    df["pair_part"] = [zlib.crc32(str(v).encode()) % num_parts for v in df[col]]
+    return df
+
 @functools.lru_cache(maxsize=8)
 def _cached_minhasher(num_perm: int, shingle_width: int = 5) -> MinHasher:
     """Per-worker warm MinHasher for task-mode map_batches (same
@@ -138,49 +149,35 @@ def exact_dedup_semi(ds, *, text_col: str = "text", id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 class MinHashSketch:
-    """Actor-pool stage: text → 128-perm MinHash signature (binary col)."""
+    """Actor-pool form of ``minhash_sketch_batch`` (same kernel; use the
+    class when sketching rides in a pool with other heavy state)."""
 
     def __init__(self, num_perm: int = 128, shingle_width: int = 5,
                  text_col: str = "text"):
-        self.hasher = MinHasher(num_perm=num_perm, shingle_width=shingle_width)
+        self.num_perm = num_perm
+        self.shingle_width = shingle_width
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [
-            self.hasher.signature(t or "").astype(np.uint64).tobytes()
-            for t in batch.column(self.text_col).to_pylist()
-        ]
-        return batch.append_column("minhash_sig", pa.array(sigs, type=pa.binary()))
+        return minhash_sketch_batch(batch, num_perm=self.num_perm,
+                                    shingle_width=self.shingle_width,
+                                    text_col=self.text_col)
 
 
 class BandExplode:
-    """Signature → one SLIM row per LSH band: (band_key, doc_id).
-
-    The signature itself does NOT ride in the band rows — a 128-perm sig is
-    ~1 KB and replicating it into all 16 bands would 16× the exchange
-    (measured: minhash_dedup 9.6 s → the band shuffle dominated). Bands
-    carry ~30 B/row; candidate pairs are verified afterwards by joining
-    signatures back on doc id (``minhash_dedup_edges``)."""
+    """Actor-pool form of ``band_explode_batch``: signature → one SLIM row
+    per LSH band (band_key, doc_id); see the function for the shuffle
+    rationale."""
 
     def __init__(self, num_perm: int = 128, num_bands: int = 16, id_col: str = "doc_id"):
-        self.hasher = MinHasher(num_perm=num_perm)
+        self.num_perm = num_perm
         self.num_bands = num_bands
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, keys = [], []
-        for doc_id, sig_bytes in zip(
-            batch.column(self.id_col).to_pylist(), batch.column("minhash_sig").to_pylist()
-        ):
-            sig = np.frombuffer(sig_bytes, dtype=np.uint64)
-            for key in self.hasher.band_keys(sig, self.num_bands):
-                ids.append(doc_id)
-                keys.append(key)
-        id_type = batch.column(self.id_col).type
-        return pa.table(
-            {"band_key": pa.array(keys, type=pa.string()),
-             "doc_id": pa.array(ids, type=id_type)}
-        )
+        return band_explode_batch(batch, num_perm=self.num_perm,
+                                  num_bands=self.num_bands, id_col=self.id_col)
+
 
 
 def minhash_sketch_batch(batch: pa.Table, *, num_perm: int = 128,
@@ -195,7 +192,10 @@ def minhash_sketch_batch(batch: pa.Table, *, num_perm: int = 128,
 
 def band_explode_batch(batch: pa.Table, *, num_perm: int = 128,
                        num_bands: int = 16, id_col: str = "doc_id") -> pa.Table:
-    """Task-mode slim band explode: (band_key, doc_id) rows only."""
+    """Task-mode slim band explode: (band_key, doc_id) rows only — the
+    ~1 KB signature does NOT ride in the band rows (it would 16× the
+    exchange; measured to dominate the dedup wall time). Candidates are
+    verified afterwards against the bloom-prefiltered signature pool."""
     hasher = _cached_minhasher(num_perm)
     ids, keys = [], []
     for doc_id, sig_bytes in zip(
@@ -256,10 +256,11 @@ def minhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
     # minhash stage (measured 6× re-execution). Pinned size = ~1 KB/doc; at
     # corpus scale write the sketches to parquet once instead. Task-mode
     # map_batches (warm lru_cache hasher) avoids per-query actor spawns.
+    sketch_kwargs = {"concurrency": concurrency} if concurrency else {}
     sketched = ds.map_batches(
         minhash_sketch_batch,
         fn_kwargs={"num_perm": num_perm, "text_col": text_col},
-        batch_format="pyarrow",
+        batch_format="pyarrow", **sketch_kwargs,
     ).materialize()
     from ..pipelines.relational import _arrow_type
 
@@ -287,14 +288,7 @@ def minhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
     # each partition (a pair always lands in one partition) — not a
     # per-pair map_groups. Materialized: the distinct pairs are tiny and
     # feed three consumers (two joins + the bloom prefilters below).
-    def add_pair_part(df: pd.DataFrame) -> pd.DataFrame:
-        import zlib
-
-        df = df.copy()
-        df["pair_part"] = [zlib.crc32(str(v).encode()) % 64 for v in df["doc_id"]]
-        return df
-
-    cands = cands.map_batches(add_pair_part, batch_format="pandas").groupby(
+    cands = cands.map_batches(_add_pair_part, batch_format="pandas").groupby(
         "pair_part").map_groups(
         lambda g: g.drop_duplicates(["doc_id", "dup_of"]).drop(columns=["pair_part"]),
         batch_format="pandas").materialize()
@@ -444,20 +438,13 @@ def simhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
                 for t in batch.column(text_col).to_pylist()]
         return batch.append_column("simhash", pa.array(sigs, type=pa.uint64()))
 
-    def add_pair_part(df: pd.DataFrame) -> pd.DataFrame:
-        import zlib
-
-        df = df.copy()
-        df["pair_part"] = [zlib.crc32(str(v).encode()) % 64 for v in df["doc_id"]]
-        return df
-
     sketched = ds.map_batches(sketch_batch, batch_format="pyarrow")
     bands = sketched.map_batches(simhash_band_explode, batch_format="pyarrow",
                                  fn_kwargs={"id_col": id_col})
     parts = bands.map_batches(add_part, batch_format="pyarrow")
     edges = parts.groupby("band_part").map_groups(partition_edges, batch_format="pandas")
     # vectorized distinct (see minhash_dedup_edges)
-    return edges.map_batches(add_pair_part, batch_format="pandas").groupby(
+    return edges.map_batches(_add_pair_part, batch_format="pandas").groupby(
         "pair_part").map_groups(
         lambda g: g.drop_duplicates(["doc_id", "dup_of"]).drop(columns=["pair_part"]),
         batch_format="pandas")
@@ -479,73 +466,139 @@ def ngram_jaccard_pairs(texts_a: list[str], texts_b: list[str], n: int = 5) -> l
 
 def embedding_neardup_edges(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
                             threshold: float = 0.95, num_planes: int = 8,
-                            num_bands: int = 4, seed: int = 42):
+                            num_bands: int = 4, seed: int = 42,
+                            broadcast_limit: int = 200_000):
     """Near-duplicate edges by cosine ≥ threshold, bucketed by BANDED
     random-hyperplane LSH: ``num_bands`` independent banks of
     ``num_planes`` hyperplanes each; vectors sharing ANY band's full sign
     pattern are compared (multi-band OR — recall 1-(1-p^r)^b instead of a
     single bank's p^r, fixing the near-plane recall loss of one bucket
-    set). Candidates link to their bucket's min-id anchor and are verified
-    with exact cosine; edges deduped across bands.
+    set).
+
+    Same candidates-then-verify shape as ``minhash_dedup_edges``: band
+    rows are SLIM (id, bucket) — an embedding is KBs and replicating it
+    into every band would multiply the exchange num_bands× — candidates
+    link to their bucket's min-id anchor, and exact cosine verification
+    runs against a Bloom-prefiltered (candidate-scale) vector pool,
+    broadcast when small, bucket-joined above ``broadcast_limit``.
     """
+    import ray as _ray
+
+    from ..functions.bloom import BloomFilter, build_bloom_distributed
+    from ..pipelines.relational import _arrow_type, hash_join
 
     def add_buckets(batch: pd.DataFrame) -> pd.DataFrame:
+        # SLIM band rows: (id, bucket) only — no vector payload
         mat = np.stack(batch[vec_col].to_numpy())
         dim = mat.shape[1]
         planes = np.random.default_rng(seed).standard_normal(
             (dim, num_bands * num_planes))
         signs = (mat @ planes) >= 0
-        out = []
+        ids, keys = [], []
         for b in range(num_bands):
             sl = signs[:, b * num_planes:(b + 1) * num_planes]
-            keys = [f"{b}:" + "".join("1" if x else "0" for x in row) for row in sl]
-            out.append(pd.DataFrame({id_col: batch[id_col].to_numpy(),
-                                     vec_col: batch[vec_col].to_numpy(),
-                                     "lsh_bucket": keys}))
-        return pd.concat(out, ignore_index=True)
-
-    def partition_edges(g: pd.DataFrame) -> pd.DataFrame:
-        # vectorized within coarse partition (many buckets per task)
-        if len(g) < 2:
-            return pd.DataFrame({id_col: pd.Series([], dtype=g[id_col].dtype),
-                                 "dup_of": pd.Series([], dtype=g[id_col].dtype)})
-        g = g.sort_values(["lsh_bucket", id_col], kind="mergesort").reset_index(drop=True)
-        mat = np.stack(g[vec_col].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        unit = mat / norms[:, None]
-        keys = g["lsh_bucket"].to_numpy()
-        change = np.r_[True, keys[1:] != keys[:-1]]
-        anchor_idx = np.flatnonzero(change)[np.cumsum(change) - 1]
-        sims = np.einsum("ij,ij->i", unit, unit[anchor_idx])
-        mask = (sims >= threshold) & (np.arange(len(g)) != anchor_idx)
-        ids = g[id_col].to_numpy()
-        return pd.DataFrame({id_col: pd.Series(ids[mask], dtype=g[id_col].dtype),
-                             "dup_of": pd.Series(ids[anchor_idx[mask]],
-                                                 dtype=g[id_col].dtype)})
+            ids.extend(batch[id_col].tolist())
+            keys.extend(f"{b}:" + "".join("1" if x else "0" for x in row)
+                        for row in sl)
+        return pd.DataFrame({id_col: ids, "band_key": keys})
 
     def add_parts(df: pd.DataFrame) -> pd.DataFrame:
         import zlib
 
         df = df.copy()
-        df["bucket_part"] = [zlib.crc32(k.encode()) % 64 for k in df["lsh_bucket"]]
+        df["band_part"] = [zlib.crc32(k.encode()) % 64 for k in df["band_key"]]
         return df
 
-    def add_pair_part(df: pd.DataFrame) -> pd.DataFrame:
-        import zlib
+    def partition_candidates(g: pd.DataFrame) -> pd.DataFrame:
+        # per-bucket min-id anchor pairing, vectorized per coarse partition
+        if len(g) < 2:
+            return pd.DataFrame({id_col: pd.Series([], dtype=g[id_col].dtype),
+                                 "dup_of": pd.Series([], dtype=g[id_col].dtype)})
+        g = g.sort_values(["band_key", id_col], kind="mergesort").reset_index(drop=True)
+        keys = g["band_key"].to_numpy()
+        change = np.r_[True, keys[1:] != keys[:-1]]
+        anchor_idx = np.flatnonzero(change)[np.cumsum(change) - 1]
+        mask = np.arange(len(g)) != anchor_idx
+        ids = g[id_col].to_numpy()
+        return pd.DataFrame({id_col: pd.Series(ids[mask], dtype=g[id_col].dtype),
+                             "dup_of": pd.Series(ids[anchor_idx[mask]],
+                                                 dtype=g[id_col].dtype)})
 
-        df = df.copy()
-        df["pair_part"] = [zlib.crc32(str(v).encode()) % 64 for v in df[id_col]]
-        return df
-
-    bucketed = ds.map_batches(add_buckets, batch_format="pandas").map_batches(
+    bands = ds.map_batches(add_buckets, batch_format="pandas").map_batches(
         add_parts, batch_format="pandas")
-    edges = bucketed.groupby("bucket_part").map_groups(partition_edges,
-                                                       batch_format="pandas")
-    return edges.map_batches(add_pair_part, batch_format="pandas").groupby(
+    cands = bands.groupby("band_part").map_groups(partition_candidates,
+                                                  batch_format="pandas")
+    cands = cands.map_batches(_add_pair_part, batch_format="pandas",
+                              fn_kwargs={"col": id_col}).groupby(
         "pair_part").map_groups(
         lambda g: g.drop_duplicates([id_col, "dup_of"]).drop(columns=["pair_part"]),
+        batch_format="pandas").materialize()
+
+    if cands.count() == 0:
+        return cands
+
+    # candidate-scale vector pool via Bloom over both endpoints (no false
+    # negatives, so every candidate's vector survives; FPs just ride along)
+    both = cands.map_batches(
+        lambda df: pd.DataFrame(
+            {"cid": pd.concat([df[id_col], df["dup_of"]], ignore_index=True)}),
         batch_format="pandas")
+    bloom = build_bloom_distributed(both, "cid", capacity=2 * cands.count())
+    bloom_ref = _ray.put(bloom)
+
+    def vec_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        bf: BloomFilter = _ray.get(bloom_ref)
+        keep = bf.contains_many(batch[id_col].tolist())
+        return batch.loc[keep, [id_col, vec_col]]
+
+    vec_pool = ds.map_batches(vec_filter, batch_format="pandas").materialize()
+
+    def _unit(v) -> np.ndarray:
+        a = np.asarray(v, dtype=np.float64)
+        n = np.linalg.norm(a)
+        return a / n if n else a
+
+    if vec_pool.count() <= broadcast_limit:
+        pool_df = vec_pool.to_pandas()
+        lookup_ref = _ray.put({i: _unit(v) for i, v in
+                               zip(pool_df[id_col], pool_df[vec_col])})
+
+        def verify_broadcast(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return df.reindex(columns=[id_col, "dup_of"])
+            lk = _ray.get(lookup_ref)
+            a = np.stack([lk[i] for i in df[id_col]])
+            b = np.stack([lk[i] for i in df["dup_of"]])
+            sims = np.einsum("ij,ij->i", a, b)
+            return df.loc[sims >= threshold, [id_col, "dup_of"]]
+
+        return cands.map_batches(verify_broadcast, batch_format="pandas")
+
+    # huge candidate set: bucket-join the vectors back onto the pairs
+    lschema = ds.schema()
+    id_type = _arrow_type(dict(zip(lschema.names, lschema.types))[id_col])
+    vecs_a = vec_pool.map_batches(
+        lambda df: df.rename(columns={vec_col: "vec_a"}), batch_format="pandas")
+    vecs_b = vec_pool.map_batches(
+        lambda df: df.rename(columns={id_col: "dup_of", vec_col: "vec_b"}),
+        batch_format="pandas")
+    vec_type = pa.list_(pa.float64())
+    j1 = hash_join(cands, vecs_a, key=id_col, num_buckets=16,
+                   left_types={id_col: id_type, "dup_of": id_type},
+                   right_types={id_col: id_type, "vec_a": vec_type})
+    j2 = hash_join(j1, vecs_b, key="dup_of", num_buckets=16,
+                   left_types={id_col: id_type, "dup_of": id_type, "vec_a": vec_type},
+                   right_types={"dup_of": id_type, "vec_b": vec_type})
+
+    def verify_joined(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.reindex(columns=[id_col, "dup_of"])
+        a = np.stack([_unit(v) for v in df["vec_a"]])
+        b = np.stack([_unit(v) for v in df["vec_b"]])
+        sims = np.einsum("ij,ij->i", a, b)
+        return df.loc[sims >= threshold, [id_col, "dup_of"]]
+
+    return j2.map_batches(verify_joined, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -609,6 +662,11 @@ def connected_components(edges_ds, *, a_col: str = "doc_id", b_col: str = "dup_o
         labels = new_labels
         if not changed:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} rounds "
+            "(component diameter exceeds the cap); raise max_rounds — "
+            "returning unconverged labels would silently split real clusters")
 
     return labels.map_batches(
         lambda df: df.rename(columns={"node": a_col, "label": "component_id"}),

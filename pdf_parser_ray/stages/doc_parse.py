@@ -37,6 +37,7 @@ from ..functions.validators import validate_payload
 from ..pdf import PdfError, extract_page_texts
 from ..html import extract_main_content
 from ..schema import FIELDS_STRUCT, OUTPUT_SCHEMA, SPAN_STRUCT
+from ..state import metrics
 from ..state.metrics import observe
 
 
@@ -151,10 +152,14 @@ def doc_parse_batch(batch: pa.Table) -> pa.Table:
     state grows heavy (model weights, big font caches); use this for the
     lightweight default.
     """
-    return _warm_parser()(batch)
+    out = _warm_parser()(batch)
+    metrics.maybe_flush(every=1)  # ship per-op latencies to the aggregator, if any
+    return out
 
 
 def doc_parse_batch_partitioned(batch: pa.Table) -> pa.Table:
     """Task-mode DocParse preserving the ``partition_id`` column
     (checkpointed-run variant of doc_parse_batch)."""
-    return _warm_parser(("partition_id",))(batch)
+    out = _warm_parser(("partition_id",))(batch)
+    metrics.maybe_flush(every=1)
+    return out

@@ -62,6 +62,11 @@ class SessionWindowActor:
                     self.state[k] = (start, t, n + 1)
 
     def feed(self, seq: int, keys: list, ts_us: list) -> int:
+        # idempotence guard: a retried router task (Ray tasks are
+        # at-least-once) may re-deliver an already-applied or already-
+        # buffered seq — applying it twice would corrupt session counts
+        if seq < self.next_seq or seq in self.buffer:
+            return len(self.closed)
         self.buffer[seq] = (keys, ts_us)
         while self.next_seq in self.buffer:
             k, t = self.buffer.pop(self.next_seq)

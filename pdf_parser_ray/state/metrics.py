@@ -74,3 +74,98 @@ def snapshot() -> dict[str, dict]:
 def reset() -> None:
     with _LOCK:
         _REGISTRY.clear()
+
+
+def drain() -> dict[str, dict]:
+    """Atomically snapshot and clear (flush-to-aggregator primitive)."""
+    with _LOCK:
+        out = {k: dict(v) for k, v in _REGISTRY.items()}
+        _REGISTRY.clear()
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Cluster-wide collection: a named aggregator actor the driver opts into.
+# Workers flush their per-process registries to it (fire-and-forget);
+# the driver fetches merged totals at end of run.
+# ---------------------------------------------------------------------------
+
+_AGGREGATOR_NAME = "pdf_parser_ray_metrics"
+_flush_counter = 0
+
+
+class MetricsAggregator:
+    """Merged op-metrics across all worker processes (driver-owned actor)."""
+
+    def __init__(self):
+        self.totals: dict[str, dict] = {}
+
+    def merge(self, snap: dict[str, dict]) -> None:
+        for k, v in snap.items():
+            e = self.totals.setdefault(
+                k, {"calls": 0, "errors": 0, "total_s": 0.0, "max_s": 0.0})
+            e["calls"] += v["calls"]
+            e["errors"] += v["errors"]
+            e["total_s"] += v["total_s"]
+            e["max_s"] = max(e["max_s"], v["max_s"])
+
+    def get_totals(self) -> dict[str, dict]:
+        return {k: dict(v) for k, v in self.totals.items()}
+
+
+def create_aggregator():
+    """Driver-side: create (or reuse) the named aggregator actor."""
+    import ray
+
+    return ray.remote(MetricsAggregator).options(
+        name=_AGGREGATOR_NAME, get_if_exists=True).remote()
+
+
+def destroy_aggregator() -> None:
+    import ray
+
+    try:
+        ray.kill(ray.get_actor(_AGGREGATOR_NAME))
+    except ValueError:
+        pass
+
+
+def maybe_flush(every: int = 8) -> None:
+    """Worker-side: every ``every`` calls, send the local registry to the
+    aggregator actor IF the driver created one (no-op otherwise — the
+    lookup miss is cheap and rate-limited by ``every``)."""
+    global _flush_counter
+
+    _flush_counter += 1
+    if _flush_counter < every:
+        return
+    _flush_counter = 0
+    import ray
+
+    if not ray.is_initialized():
+        return
+    try:
+        agg = ray.get_actor(_AGGREGATOR_NAME)
+    except ValueError:
+        return
+    snap = drain()
+    if snap:
+        agg.merge.remote(snap)  # fire-and-forget
+
+
+def final_flush() -> None:
+    """Unconditional flush (stage teardown / end of batch loop)."""
+    global _flush_counter
+
+    _flush_counter = 0
+    import ray
+
+    if not ray.is_initialized():
+        return
+    try:
+        agg = ray.get_actor(_AGGREGATOR_NAME)
+    except ValueError:
+        return
+    snap = drain()
+    if snap:
+        agg.merge.remote(snap)

@@ -143,3 +143,18 @@ class TestModelFactory:
         assert isinstance(m, HTTPChatModel)
         assert m.url == "https://example.test/v1/chat/completions"
         assert m.model_name == "m"
+
+
+class TestMetricsAggregation:
+    def test_run_extraction_collects_op_metrics(self, ray_session, corpus_sf0001,
+                                                tmp_path_factory):
+        from pdf_parser_ray.pipelines.extraction import run_extraction
+
+        out = str(tmp_path_factory.mktemp("op_metrics"))
+        s = run_extraction(corpus_sf0001, out, byte_budget=64 * 1024,
+                           parse_concurrency=2, commit_batch_size=100,
+                           compute="tasks")
+        ops = s["op_metrics"]
+        assert "doc_parse.process_doc" in ops
+        assert ops["doc_parse.process_doc"]["calls"] >= 10
+        assert ops["doc_parse.process_doc"]["total_s"] > 0
