@@ -210,3 +210,40 @@ class TestNgramJaccard:
 
         sims = ngram_jaccard_pairs(["abcdef", "xyz"], ["abcdef", "abc"])
         assert sims[0] == 1.0 and sims[1] == 0.0
+
+
+class TestVerifyFallbackPaths:
+    def test_minhash_join_fallback_equals_broadcast(self, dup_docs):
+        """broadcast_limit=0 forces the bucket-join verify; edge set must
+        equal the broadcast path's."""
+        from pdf_parser_ray.stages.dedup import minhash_dedup_edges
+
+        a = minhash_dedup_edges(dup_docs, threshold=0.7).to_pandas()
+        b = minhash_dedup_edges(dup_docs, threshold=0.7,
+                                broadcast_limit=0).to_pandas()
+        pa_ = {(int(r.doc_id), int(r.dup_of)) for r in a.itertuples()}
+        pb_ = {(int(r.doc_id), int(r.dup_of)) for r in b.itertuples()}
+        assert pa_ == pb_ and len(pa_) > 0
+
+    def test_embedding_join_fallback_equals_broadcast(self, ray_session):
+        import numpy as np
+        import ray.data
+        from pdf_parser_ray.stages.dedup import embedding_neardup_edges
+
+        rng = np.random.default_rng(5)
+        base = rng.standard_normal((40, 16))
+        # plant near-dups: rows 20..29 are tiny perturbations of rows 0..9
+        base[20:30] = base[0:10] + 0.01 * rng.standard_normal((10, 16))
+        rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(40)]
+        ds = ray.data.from_items(rows)
+        a = embedding_neardup_edges(ds, threshold=0.98).to_pandas()
+        b = embedding_neardup_edges(ds, threshold=0.98,
+                                    broadcast_limit=0).to_pandas()
+
+        def pairs(df):
+            if "vec_id" not in df.columns:
+                return set()
+            return {(int(r.vec_id), int(r.dup_of)) for r in df.itertuples()}
+
+        assert pairs(a) == pairs(b)
+        assert len(pairs(a)) > 0  # planted dups found
