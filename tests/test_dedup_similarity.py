@@ -203,6 +203,31 @@ class TestBruteForceTopK:
         # the query vector itself lives in a probed list → rank-1 self match
         assert out.iloc[0]["neighbor_id"] == 3
 
+    def test_ivf_recall_vs_brute_force(self, ray_session, vectors):
+        """Quantitative quality gate for the approximate path: top-10 recall
+        vs exact brute force must clear 0.7 with nprobe=4 of 8 lists on
+        RANDOM vectors — IVF's worst case, since true neighbors scatter
+        across lists (clustered real data recalls far higher)."""
+        import ray.data
+        from pdf_parser_ray.stages.similarity import (brute_force_topk,
+                                                      ivf_topk,
+                                                      kmeans_centroids)
+
+        ds = ray.data.from_items(
+            [{"vec_id": i, "embedding": vectors[i].tolist()}
+             for i in range(len(vectors))])
+        q_ids = [0, 1, 2, 3, 4]
+        q = vectors[:5]
+        cents = kmeans_centroids(vectors, n_centroids=8)
+        exact = brute_force_topk(ds, q_ids, q, k=10, concurrency=2).to_pandas()
+        approx = ivf_topk(ds, q_ids, q, cents, k=10, nprobe=4).to_pandas()
+        recalls = []
+        for qi in q_ids:
+            e = set(exact[exact["query_id"] == qi]["neighbor_id"])
+            a = set(approx[approx["query_id"] == qi]["neighbor_id"])
+            recalls.append(len(e & a) / len(e))
+        assert sum(recalls) / len(recalls) >= 0.7, recalls
+
 
 class TestNgramJaccard:
     def test_pairs(self):
