@@ -539,6 +539,51 @@ def _q_corpus_prep(sf_dir: str):
     )
 
 
+def _q_corpus_prep_neardup(sf_dir: str):
+    """Full training-data prep composition: quality filter → exact dedup
+    (ids-only shuffle) → NEAR-dup removal (MinHash LSH edges; the doc_id
+    side of each verified edge is dropped, keeping min-id survivors) →
+    token counts. Non-SQL (MinHash) → rows-only; the building blocks are
+    each oracle-gated separately."""
+    from pdf_parser_ray.functions import textstats
+    from pdf_parser_ray.pipelines.relational import semi_anti_join
+    from pdf_parser_ray.stages.dedup import exact_dedup_ids, minhash_dedup_edges
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+
+    def quality_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        n_chars = textstats.char_count(batch["text"])
+        n_tokens = textstats.token_count(batch["text"])
+        denom = n_chars.clip(lower=1)
+        alpha_pm = (1000 * textstats.alpha_count(batch["text"])) // denom
+        punct_pm = (1000 * textstats.punct_count(batch["text"])) // denom
+        keep = (n_tokens >= 10) & (alpha_pm > 500) & (punct_pm < 200)
+        out = batch[keep].copy()
+        out["n_tokens"] = n_tokens[keep].astype("int64")
+        return out
+
+    filtered = ds.map_batches(quality_filter, batch_format="pandas")
+    exact_survivors = exact_dedup_ids(filtered, keep_cols=("n_tokens",))
+    # recover text for the near-dup pass (narrow semi-join on id)
+    survivors_full = semi_anti_join(
+        filtered, exact_survivors.map_batches(
+            lambda b: b.select(["doc_id"]), batch_format="pyarrow"),
+        left_key="doc_id", anti=False)
+    edges = minhash_dedup_edges(survivors_full, threshold=0.8)
+    dup_ids = edges.map_batches(lambda b: b.select(["doc_id"]),
+                                batch_format="pyarrow")
+    kept = semi_anti_join(survivors_full, dup_ids, left_key="doc_id", anti=True)
+    out = kept.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "n_tokens": pc.cast(b.column("n_tokens"), pa.int64())}),
+        batch_format="pyarrow")
+    df = out.to_pandas()
+    if df.empty or "doc_id" not in df.columns:
+        df = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                           "n_tokens": pd.Series(dtype="int64")})
+    return df
+
+
 def _q_customers_without_orders(sf_dir: str):
     from pdf_parser_ray.pipelines import relational as rel
 
@@ -574,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": _q_text_normalize,
         "token_percentiles": _q_token_percentiles,
         "corpus_prep": _q_corpus_prep,
+        "corpus_prep_neardup": _q_corpus_prep_neardup,
         "minhash_dedup": _q_minhash_dedup,
         "neardup_clusters": _q_neardup_clusters,
         "simhash_dedup": _q_simhash_dedup,
