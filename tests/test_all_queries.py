@@ -36,7 +36,8 @@ def _names():
         "customers_without_orders", "events_running_total",
         "event_type_distinct", "embedding_neardup", "validate_docs",
         "classic_fields", "events_props", "text_normalize",
-        "token_percentiles",
+        "token_percentiles", "hash_sample", "events_sliding_window",
+        "dedup_semi", "customers_with_orders",
     ]
 
 
