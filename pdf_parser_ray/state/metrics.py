@@ -150,7 +150,10 @@ def maybe_flush(every: int = 8) -> None:
         return
     snap = drain()
     if snap:
-        agg.merge.remote(snap)  # fire-and-forget
+        # synchronous: actor mailboxes have no cross-sender ordering, so a
+        # fire-and-forget merge could still be in flight when the driver
+        # reads totals after the run — waiting (~ms) closes the race
+        ray.get(agg.merge.remote(snap))
 
 
 def final_flush() -> None:
@@ -168,4 +171,4 @@ def final_flush() -> None:
         return
     snap = drain()
     if snap:
-        agg.merge.remote(snap)
+        ray.get(agg.merge.remote(snap))
