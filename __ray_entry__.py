@@ -112,6 +112,24 @@ def _q_extract_fields(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+
+def _quality_filter_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Shared quality-filter kernel (oracle-gated via corpus_prep/quality;
+    corpus_prep_neardup composes the SAME kernel so the rows-only pipeline
+    can't drift from the gated predicate)."""
+    from pdf_parser_ray.functions import textstats
+
+    n_chars = textstats.char_count(batch["text"])
+    n_tokens = textstats.token_count(batch["text"])
+    denom = n_chars.clip(lower=1)
+    alpha_pm = (1000 * textstats.alpha_count(batch["text"])) // denom
+    punct_pm = (1000 * textstats.punct_count(batch["text"])) // denom
+    keep = (n_tokens >= 10) & (alpha_pm > 500) & (punct_pm < 200)
+    out = batch[keep].copy()
+    out["n_tokens"] = n_tokens[keep].astype("int64")
+    return out
+
+
 def _q_token_counts(sf_dir: str):
     from pdf_parser_ray.stages.textstage import add_token_counts
 
@@ -511,23 +529,10 @@ def _q_distinct_flags(sf_dir: str):
 def _q_corpus_prep(sf_dir: str):
     """Training-data prep composition: quality filter → exact dedup →
     token counts, as one chained Dataset pipeline (oracle-gated)."""
-    from pdf_parser_ray.functions import textstats
     from pdf_parser_ray.stages.dedup import exact_dedup_ids
 
     ds = _documents(sf_dir, columns=["doc_id", "text"])
-
-    def quality_filter(batch: pd.DataFrame) -> pd.DataFrame:
-        n_chars = textstats.char_count(batch["text"])
-        n_tokens = textstats.token_count(batch["text"])
-        denom = n_chars.clip(lower=1)
-        alpha_pm = (1000 * textstats.alpha_count(batch["text"])) // denom
-        punct_pm = (1000 * textstats.punct_count(batch["text"])) // denom
-        keep = (n_tokens >= 10) & (alpha_pm > 500) & (punct_pm < 200)
-        out = batch[keep].copy()
-        out["n_tokens"] = n_tokens[keep].astype("int64")
-        return out
-
-    filtered = ds.map_batches(quality_filter, batch_format="pandas")
+    filtered = ds.map_batches(_quality_filter_batch, batch_format="pandas")
     # ids-only dedup shuffle; n_tokens rides along as a narrow keep_col
     # (identical text ⇒ identical n_tokens, so the survivor's value is exact)
     deduped = exact_dedup_ids(filtered, text_col="text", id_col="doc_id",
@@ -545,30 +550,19 @@ def _q_corpus_prep_neardup(sf_dir: str):
     side of each verified edge is dropped, keeping min-id survivors) →
     token counts. Non-SQL (MinHash) → rows-only; the building blocks are
     each oracle-gated separately."""
-    from pdf_parser_ray.functions import textstats
     from pdf_parser_ray.pipelines.relational import semi_anti_join
     from pdf_parser_ray.stages.dedup import exact_dedup_ids, minhash_dedup_edges
 
     ds = _documents(sf_dir, columns=["doc_id", "text"])
-
-    def quality_filter(batch: pd.DataFrame) -> pd.DataFrame:
-        n_chars = textstats.char_count(batch["text"])
-        n_tokens = textstats.token_count(batch["text"])
-        denom = n_chars.clip(lower=1)
-        alpha_pm = (1000 * textstats.alpha_count(batch["text"])) // denom
-        punct_pm = (1000 * textstats.punct_count(batch["text"])) // denom
-        keep = (n_tokens >= 10) & (alpha_pm > 500) & (punct_pm < 200)
-        out = batch[keep].copy()
-        out["n_tokens"] = n_tokens[keep].astype("int64")
-        return out
-
-    filtered = ds.map_batches(quality_filter, batch_format="pandas")
+    filtered = ds.map_batches(_quality_filter_batch, batch_format="pandas")
     exact_survivors = exact_dedup_ids(filtered, keep_cols=("n_tokens",))
-    # recover text for the near-dup pass (narrow semi-join on id)
+    # recover text for the near-dup pass (narrow semi-join on id);
+    # materialized: it feeds the minhash sketch AND the final anti-join,
+    # and lazy re-execution would re-run read+filter+semi-join per consumer
     survivors_full = semi_anti_join(
         filtered, exact_survivors.map_batches(
             lambda b: b.select(["doc_id"]), batch_format="pyarrow"),
-        left_key="doc_id", anti=False)
+        left_key="doc_id", anti=False).materialize()
     edges = minhash_dedup_edges(survivors_full, threshold=0.8)
     dup_ids = edges.map_batches(lambda b: b.select(["doc_id"]),
                                 batch_format="pyarrow")

@@ -321,11 +321,13 @@ def main_scaling() -> None:
         prev = open(path).read()
     except FileNotFoundError:
         prev = ""
-    if "<!-- SCALING:BEGIN -->" in prev:
+    if "<!-- SCALING:BEGIN -->" in prev and "<!-- SCALING:END -->" in prev:
         # curated file: replace only the marked block, keep the multi-level
         # evidence and methodology sections around it
         a = prev.index("<!-- SCALING:BEGIN -->")
-        b = prev.index("<!-- SCALING:END -->") + len("<!-- SCALING:END -->\n")
+        b = prev.index("<!-- SCALING:END -->") + len("<!-- SCALING:END -->")
+        if prev[b:b + 1] == "\n":
+            b += 1
         out = prev[:a] + section + prev[b:]
     else:
         header = ("# BENCH — measured scaling (sandbox stand-in for N vs 4N "

@@ -105,9 +105,23 @@ def run_extraction(corpus_path: str, out_dir: str, *,
     from ..state import metrics as op_metrics
 
     # opt into cluster-wide per-op observability: workers flush their
-    # @observe registries to this named actor; totals land in the summary
+    # @observe registries to this named actor; totals land in the summary.
+    # (One aggregator per session: concurrent run_extraction calls in one
+    # driver would share/kill each other's actor — run them sequentially.)
     agg = op_metrics.create_aggregator()
+    try:
+        return _run_extraction_inner(
+            corpus_path, out_dir, agg, byte_budget=byte_budget,
+            parse_concurrency=parse_concurrency, batch_size=batch_size,
+            commit_batch_size=commit_batch_size, compute=compute)
+    finally:
+        op_metrics.destroy_aggregator()  # never leak partial totals
 
+
+def _run_extraction_inner(corpus_path: str, out_dir: str, agg, *,
+                          byte_budget: int, parse_concurrency,
+                          batch_size: int, commit_batch_size: int,
+                          compute: str) -> dict:
     manifest = Manifest(out_dir)
     doc_ids, sizes = _compute_sizes(corpus_path)
     parts = plan_partitions(doc_ids, sizes, byte_budget)
@@ -180,7 +194,6 @@ def run_extraction(corpus_path: str, out_dir: str, *,
     import ray as _ray
 
     op_totals = _ray.get(agg.get_totals.remote())
-    op_metrics.destroy_aggregator()
     return {"partitions_total": len(parts), "partitions_committed_now": n_done,
             "partitions_skipped": len(committed), "out_dir": out_dir,
             "op_metrics": op_totals}

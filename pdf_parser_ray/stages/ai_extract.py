@@ -170,7 +170,11 @@ class AIExtract:
                 all_labels.append(labels)
                 all_json.append(json.dumps(fields, ensure_ascii=False))
                 all_err.append(None)
-            except (ValueError, json.JSONDecodeError) as e:
+            except Exception as e:  # noqa: BLE001 — per-row fail-soft is the
+                # contract (module docstring / reference per-file try-except):
+                # a real model client can raise HTTP/socket/shape errors for
+                # ONE document, and that must land in the row's ai_error, not
+                # kill the whole map_batches task
                 all_labels.append([])
                 all_json.append(None)
                 all_err.append(str(e))

@@ -576,13 +576,19 @@ def embedding_neardup_edges(ds, *, vec_col: str = "embedding", id_col: str = "ve
 
     # huge candidate set: bucket-join the vectors back onto the pairs
     lschema = ds.schema()
-    id_type = _arrow_type(dict(zip(lschema.names, lschema.types))[id_col])
+    ltypes = dict(zip(lschema.names, lschema.types))
+    id_type = _arrow_type(ltypes[id_col])
+    # derive the vector type from the source (list<float32> vs float64
+    # matters: a hardcoded type would make the join union's typed-null
+    # fill conflict with the pool's native blocks)
+    vec_type = _arrow_type(ltypes[vec_col])
+    if not pa.types.is_list(vec_type) and not pa.types.is_fixed_size_list(vec_type):
+        vec_type = pa.list_(pa.float64())
     vecs_a = vec_pool.map_batches(
         lambda df: df.rename(columns={vec_col: "vec_a"}), batch_format="pandas")
     vecs_b = vec_pool.map_batches(
         lambda df: df.rename(columns={id_col: "dup_of", vec_col: "vec_b"}),
         batch_format="pandas")
-    vec_type = pa.list_(pa.float64())
     j1 = hash_join(cands, vecs_a, key=id_col, num_buckets=16,
                    left_types={id_col: id_type, "dup_of": id_type},
                    right_types={id_col: id_type, "vec_a": vec_type})

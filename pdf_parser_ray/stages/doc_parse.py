@@ -134,6 +134,7 @@ class DocParse:
         )
         for col in self.passthrough_cols:
             out = out.append_column(col, batch.column(col))
+        metrics.maybe_flush(every=1)  # actor-pool path reports op metrics too
         return out
 
 

