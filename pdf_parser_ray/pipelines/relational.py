@@ -272,19 +272,37 @@ def events_top_users(sf_dir: str, k: int = 10):
 # Sessionization: per-user ordered gap analysis (map_groups over sorted log)
 # ---------------------------------------------------------------------------
 
-def events_sessions(sf_dir: str, gap_minutes: int = 30):
-    """Session count per user: events sorted by ts within user groups,
-    a new session starts when the gap exceeds ``gap_minutes``."""
+def events_sessions(sf_dir: str, gap_minutes: int = 30, num_parts: int = 64):
+    """Session count per user: a new session starts when the gap between a
+    user's consecutive events exceeds ``gap_minutes``.
+
+    Coarse crc32(user) partition + ONE vectorized kernel per partition
+    (sort by (user, ts); session starts = user changes ∪ gap exceeded;
+    per-user counts via a C-speed groupby) — a per-user map_groups costs
+    ~ms of Python per key and dies at 10^9 users.
+    """
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].astype("int64").to_numpy())
-        n_sessions = 1 + int((np.diff(ts) > gap_us).sum()) if len(ts) else 0
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_events": [len(ts)], "n_sessions": [n_sessions]})
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "sess_part", _bucket_array(batch.column("user_id"), num_parts))
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def sessions_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        ts = g["ts"].astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy()
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        gap = np.r_[np.int64(0), ts[1:] - ts[:-1]]
+        new_sess = new_user | (gap > gap_us)
+        df = pd.DataFrame({"user_id": uid, "new_sess": new_sess})
+        out = df.groupby("user_id", as_index=False).agg(
+            n_events=("new_sess", "size"), n_sessions=("new_sess", "sum"))
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        return out
+
+    return ds.map_batches(add_part, batch_format="pyarrow").groupby(
+        "sess_part").map_groups(sessions_part, batch_format="pandas")
 
 
 def _arrow_type(t):
@@ -590,16 +608,25 @@ def customers_without_orders(sf_dir: str):
 # Windowed running aggregate (ordered per-group cumulative sum)
 # ---------------------------------------------------------------------------
 
-def events_running_total(sf_dir: str, max_users: int = 20):
+def events_running_total(sf_dir: str, max_users: int = 20, num_parts: int = 16):
     """Per-user running total of event value (milli-units), ordered by
-    (ts, event_id) — deterministic tie-break; map_groups over sorted log."""
+    (ts, event_id) — deterministic tie-break.
+
+    Coarse user-hash partition + vectorized per-partition kernel: sort by
+    (user, ts, event_id), then ONE grouped cumsum over the whole
+    partition (C-speed) instead of per-user Python."""
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
     ds = ds.map_batches(
         lambda b: b.filter(pc.less(b.column("user_id"), max_users)),
         batch_format="pyarrow")
 
-    def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "rt_part", _bucket_array(batch.column("user_id"), num_parts))
+
+    def running_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
         # half-away-from-zero (DuckDB round / repo numeric policy), NOT
         # pandas .round() which is half-to-even
         v = g["value"].to_numpy() * 1000.0
@@ -607,10 +634,11 @@ def events_running_total(sf_dir: str, max_users: int = 20):
         return pd.DataFrame({
             "user_id": g["user_id"],
             "event_id": g["event_id"],
-            "running_value_milli": milli.cumsum(),
+            "running_value_milli": milli.groupby(g["user_id"].to_numpy()).cumsum(),
         })
 
-    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+    return ds.map_batches(add_part, batch_format="pyarrow").groupby(
+        "rt_part").map_groups(running_part, batch_format="pandas")
 
 
 def events_sliding_window(sf_dir: str):
@@ -651,17 +679,27 @@ def hash_sample(sf_dir: str, pct: int = 10):
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
-def event_type_distinct(sf_dir: str):
-    """Distinct event types per user (set-op/unique operator exercise)."""
+def event_type_distinct(sf_dir: str, num_parts: int = 64):
+    """Distinct event types per user (set-op/unique operator exercise):
+    per-batch dedup combiner → coarse user-hash partition → vectorized
+    per-partition drop_duplicates + C-speed groupby nunique."""
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.drop_duplicates()
+        out = batch.drop_duplicates().copy()
+        return out
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "et_part", _bucket_array(batch.column("user_id"), num_parts))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "event_type"])
+        out = g.groupby("user_id", as_index=False).agg(
+            n_event_types=("event_type", "nunique"))
+        out["n_event_types"] = out["n_event_types"].astype("int64")
+        return out
 
     deduped = ds.map_batches(partial, batch_format="pandas")
-
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_event_types": [int(g["event_type"].nunique())]})
-
-    return deduped.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return deduped.map_batches(add_part, batch_format="pyarrow").groupby(
+        "et_part").map_groups(per_partition, batch_format="pandas")
