@@ -61,22 +61,35 @@ def add_content_hash(batch: pa.Table, *, text_col: str = "text",
     return batch.append_column(out_col, pa.array(hashes, type=pa.string()))
 
 
-def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
-    """Keep the min-id row of each identical-content group.
+def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                num_parts: int = 64):
+    """Keep the min-id row of each identical-content group (full rows).
 
-    hash → groupby(content_hash) → per-group first (pandas sort for a
-    deterministic survivor). The shuffle moves full rows — fine for narrow
-    tables; for wide payloads use ``exact_dedup_ids`` (survivor ids with an
-    ids-only shuffle) or ``exact_dedup_semi`` (full survivor rows via
-    semi-join, payload never enters a groupby shuffle).
+    hash → coarse crc32(hash) partition → ONE vectorized sort +
+    drop_duplicates per partition (a per-hash map_groups would cost ~ms
+    of Python per group — the repo's standard coarse-partition pattern).
+    The shuffle moves full rows — fine for narrow tables; for wide
+    payloads use ``exact_dedup_ids`` (survivor ids with an ids-only
+    shuffle) or ``exact_dedup_semi`` (full survivor rows via semi-join,
+    payload never enters a groupby shuffle).
     """
+    import zlib
+
     hashed = ds.map_batches(add_content_hash, batch_format="pyarrow",
                             fn_kwargs={"text_col": text_col})
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    def add_part(batch: pa.Table) -> pa.Table:
+        parts = [zlib.crc32(h.encode()) % num_parts
+                 for h in batch.column("content_hash").to_pylist()]
+        return batch.append_column("dedup_part", pa.array(parts, type=pa.int64()))
 
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["content_hash", id_col], kind="mergesort")
+        return g.drop_duplicates("content_hash", keep="first").drop(
+            columns=["dedup_part"])
+
+    return hashed.map_batches(add_part, batch_format="pyarrow").groupby(
+        "dedup_part").map_groups(keep_min, batch_format="pandas")
 
 
 def _slim_hash_parts(ds, *, text_col: str = "text", id_col: str = "doc_id",
