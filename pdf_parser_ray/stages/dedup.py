@@ -717,12 +717,34 @@ def exact_dedup_salted(ds, *, text_col: str = "text", id_col: str = "doc_id",
                          dtype=np.int64)
         return batch.append_column("dedup_salt", pa.array(salts, type=pa.int64()))
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    # both phases use the coarse-partition vectorized kernel (per-key
+    # map_groups costs ~ms of Python per group). Phase 1 partitions by
+    # crc32(hash ∥ salt) so a hot hash's salted buckets spread across
+    # partitions; phase 2 by crc32(hash) alone.
+    import zlib
+
+    def add_part(cols):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = zip(*(batch.column(c).to_pylist() for c in cols))
+            parts = [zlib.crc32("|".join(str(v) for v in k).encode()) % 64
+                     for k in keys]
+            return batch.append_column("sd_part", pa.array(parts, type=pa.int64()))
+        return fn
+
+    def keep_min(group_cols):
+        def fn(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values([*group_cols, id_col], kind="mergesort")
+            return g.drop_duplicates(group_cols, keep="first").drop(
+                columns=["sd_part"])
+        return fn
 
     salted = hashed.map_batches(add_salt, batch_format="pyarrow")
-    phase1 = salted.groupby(["dedup_salt", "content_hash"]).map_groups(
-        keep_first, batch_format="pandas")
-    phase2 = phase1.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    phase1 = salted.map_batches(add_part(["content_hash", "dedup_salt"]),
+                                batch_format="pyarrow").groupby(
+        "sd_part").map_groups(keep_min(["dedup_salt", "content_hash"]),
+                              batch_format="pandas")
+    phase2 = phase1.map_batches(add_part(["content_hash"]),
+                                batch_format="pyarrow").groupby(
+        "sd_part").map_groups(keep_min(["content_hash"]), batch_format="pandas")
     return phase2.map_batches(lambda b: b.drop_columns(["dedup_salt"]),
                               batch_format="pyarrow")
