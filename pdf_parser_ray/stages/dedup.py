@@ -641,7 +641,7 @@ def connected_components(edges_ds, *, a_col: str = "doc_id", b_col: str = "dup_o
     Rounds needed = graph diameter (duplicate clusters are shallow in
     practice); bounded by ``max_rounds``.
     """
-    from ray.data.aggregate import Min
+    import zlib
 
     from ..pipelines.relational import hash_join
 
@@ -656,12 +656,28 @@ def connected_components(edges_ds, *, a_col: str = "doc_id", b_col: str = "dup_o
     sym_edges = edges_ds.map_batches(sym, batch_format="pandas").repartition(
         num_blocks).materialize()
 
+    def group_min_labels(pairs_ds):
+        """(node, label) pairs → per-node min label via the coarse-partition
+        vectorized kernel (Ray's per-key aggregate fold costs ~ms of Python
+        per node — prohibitive for per-round use on large dup graphs)."""
+
+        def add_part(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["cc_part"] = [zlib.crc32(str(v).encode()) % 16 for v in df["node"]]
+            return df
+
+        def kmin(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("node", as_index=False).agg(label=("label", "min"))
+
+        return pairs_ds.map_batches(add_part, batch_format="pandas").groupby(
+            "cc_part").map_groups(kmin, batch_format="pandas")
+
     # init: label(node) = min(node, min direct neighbor)
     def init_pairs(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": df["src"], "label": df[["src", "dst"]].min(axis=1)})
 
-    labels = sym_edges.map_batches(init_pairs, batch_format="pandas").groupby(
-        "node").aggregate(Min("label", alias_name="label")).repartition(
+    labels = group_min_labels(
+        sym_edges.map_batches(init_pairs, batch_format="pandas")).repartition(
         num_blocks).materialize()
 
     for _ in range(max_rounds):
@@ -669,10 +685,9 @@ def connected_components(edges_ds, *, a_col: str = "doc_id", b_col: str = "dup_o
             lambda df: df.rename(columns={"node": "src", "label": "cand"}),
             batch_format="pandas")
         j = hash_join(sym_edges, lab_src, key="src", num_buckets=8)
-        new_labels = j.map_batches(
+        new_labels = group_min_labels(j.map_batches(
             lambda df: pd.DataFrame({"node": df["dst"], "label": df["cand"]}),
-            batch_format="pandas").groupby("node").aggregate(
-            Min("label", alias_name="label")).repartition(num_blocks).materialize()
+            batch_format="pandas")).repartition(num_blocks).materialize()
         # converged when no label changed (labels only ever decrease)
         cmp = hash_join(labels, new_labels, key="node", num_buckets=8)
         changed = cmp.map_batches(
