@@ -490,11 +490,13 @@ def _q_token_percentiles(sf_dir: str):
     ds = _documents(sf_dir, columns=["doc_id", "text"])
     counts = ds.map_batches(add_token_counts, batch_format="pandas")
 
-    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def hist_partial(batch: pd.DataFrame) -> pa.Table:
         hist = np.bincount(batch["n_tokens"].to_numpy())
         nz = np.flatnonzero(hist)
-        return pd.DataFrame({"n_tokens": nz.astype("int64"),
-                             "n_docs": hist[nz].astype("int64")})
+        # Arrow output: Ray's aggregate over pandas blocks falls into a
+        # per-key Python fold (~ms/key); Arrow blocks take the fast path
+        return pa.table({"n_tokens": pa.array(nz.astype("int64")),
+                         "n_docs": pa.array(hist[nz].astype("int64"))})
 
     hist = counts.map_batches(hist_partial, batch_format="pandas").groupby(
         "n_tokens").aggregate(Sum("n_docs", alias_name="n_docs"))
