@@ -280,6 +280,81 @@ def _q_minhash_dedup(sf_dir: str):
     return minhash_dedup_edges(ds, threshold=0.8)
 
 
+def _q_minhash_dedup_md5(sf_dir: str):
+    """ORACLE-GATED MinHash LSH dedup: the md5/exact-modular sketch
+    configuration whose every step — shingles, permutations, banding,
+    min-id anchors, agreement verify — is replayed in DuckDB SQL with the
+    permutation constants inlined (see _minhash_md5_sql)."""
+    from pdf_parser_ray.stages.dedup import minhash_dedup_edges
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    out = minhash_dedup_edges(ds, num_perm=32, num_bands=8, threshold=0.8,
+                              sketch="md5")
+    df = out.to_pandas()
+    if df.empty or "doc_id" not in df.columns:
+        df = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                           "dup_of": pd.Series(dtype="int64")})
+    return df
+
+
+def _minhash_md5_sql(num_perm: int = 32, width: int = 5, bands: int = 8,
+                     threshold: float = 0.8, seed: int = 42) -> str:
+    """DuckDB replay of the md5-mode MinHash dedup (stages/dedup.py):
+    sig_i = min over distinct word-5-shingles of ((a_i*md5_64(sh)+b_i)
+    mod 2^61-1) mod 2^32, computed in HUGEINT with the (a_i, b_i)
+    constants inlined; 8 bands of 4 rows; min-id anchors; agreement
+    ≥ threshold."""
+    from pdf_parser_ray.functions.minhash import _hash_family
+
+    a, b = _hash_family(num_perm, seed)
+    perm_values = ", ".join(f"({i}, {int(ai)}, {int(bi)})"
+                            for i, (ai, bi) in enumerate(zip(a, b)))
+    p61 = (1 << 61) - 1
+    rows = num_perm // bands
+    return f"""
+WITH perms(i, pa, pb) AS (VALUES {perm_values}),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(w) = 0 THEN []
+         WHEN len(w) < {width} THEN [array_to_string(w, ' ')]
+         ELSE list_distinct([array_to_string(w[i: i+{width - 1}], ' ') for i in range(1, len(w) - {width - 2})])
+    END AS shingles
+  FROM toks
+),
+hs AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(s.sh), 1, 16)) AS UBIGINT) & {p61} AS h
+  FROM sh, unnest(sh.shingles) AS s(sh)
+),
+sig_rows AS (
+  SELECT hs.doc_id, p.i,
+    CAST(min( CAST(((CAST(p.pa AS HUGEINT) * hs.h + p.pb) % {p61}) % 4294967296 AS UBIGINT) ) AS UBIGINT) AS v
+  FROM hs, perms p GROUP BY hs.doc_id, p.i
+),
+sigs0 AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM sig_rows GROUP BY doc_id),
+sigs AS (
+  SELECT d.doc_id, COALESCE(s.sig, [CAST(4294967295 AS UBIGINT) for x in range({num_perm})]) AS sig
+  FROM documents d LEFT JOIN sigs0 s USING (doc_id)
+),
+bands AS (
+  SELECT doc_id, b.b AS band, sig[{rows}*b.b+1 : {rows}*b.b+{rows}] AS bk
+  FROM sigs, range({bands}) b(b)
+),
+anchors AS (SELECT band, bk, min(doc_id) AS anchor FROM bands GROUP BY band, bk),
+cand AS (
+  SELECT DISTINCT bands.doc_id, a.anchor AS dup_of
+  FROM bands JOIN anchors a ON bands.band = a.band AND bands.bk = a.bk
+  WHERE bands.doc_id <> a.anchor
+)
+SELECT c.doc_id, c.dup_of
+FROM cand c JOIN sigs x ON c.doc_id = x.doc_id JOIN sigs y ON c.dup_of = y.doc_id
+WHERE len(list_filter(range({num_perm}), i -> x.sig[i+1] = y.sig[i+1])) >= {num_perm} * {threshold}
+"""
+
+
 def _q_neardup_clusters(sf_dir: str):
     """Exact duplicate-cluster resolution: MinHash edges → iterative
     connected components (fixpoint min-label propagation). Non-SQL
@@ -617,6 +692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep": _q_corpus_prep,
         "corpus_prep_neardup": _q_corpus_prep_neardup,
         "minhash_dedup": _q_minhash_dedup,
+        "minhash_dedup_md5": _q_minhash_dedup_md5,
         "neardup_clusters": _q_neardup_clusters,
         "simhash_dedup": _q_simhash_dedup,
         "embedding_neardup": _q_embedding_neardup,
@@ -717,6 +793,7 @@ def oracle_sql() -> dict[str, str]:
     bpe_pat = r"[A-Za-z]{1,8}|[0-9]{1,4}|[^\sA-Za-z0-9]"
     return {
         "simhash_dedup": _simhash_sql(),
+        "minhash_dedup_md5": _minhash_md5_sql(),
         "token_counts": (
             "SELECT doc_id, "
             "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "

@@ -115,6 +115,43 @@ class MinHasher:
         return keys
 
 
+def shingles_ascii(text: str, width: int = 5) -> set[str]:
+    """Word w-shingles with ASCII-\\s+ tokenization (RE2/SQL-compatible —
+    see SimHasher note; the plain ``shingles`` uses Python str.split which
+    also splits on unicode whitespace)."""
+    toks = [t for t in _ASCII_WS.split(text.lower()) if t]
+    if not toks:
+        return set()
+    if len(toks) < width:
+        return {" ".join(toks)}
+    return {" ".join(toks[i: i + width]) for i in range(len(toks) - width + 1)}
+
+
+_P61 = (1 << 61) - 1
+
+
+def minhash_signature_md5(text: str, num_perm: int = 32,
+                          shingle_width: int = 5, seed: int = 42) -> list[int]:
+    """SQL-reproducible MinHash signature: md5-prefix shingle hashes
+    (big-endian hex → UBIGINT, DuckDB-matchable) and EXACT modular
+    permutations sig_i = min over shingles of ((a_i*h + b_i) mod 2^61-1)
+    mod 2^32 — no numpy wraparound, so the arithmetic can be replayed in
+    HUGEINT SQL with the (a, b) constants inlined. Empty text → all
+    0xFFFFFFFF. Slower than the crc32 production sketch (python-int
+    bigint math); used by the oracle-gated dedup variant.
+    """
+    sh = shingles_ascii(text, shingle_width)
+    if not sh:
+        return [0xFFFFFFFF] * num_perm
+    a, b = _hash_family(num_perm, seed)
+    hs = [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16) & _P61
+          for s in sh]
+    out = []
+    for ai, bi in zip(a.tolist(), b.tolist()):
+        out.append(min(((ai * h + bi) % _P61) & 0xFFFFFFFF for h in hs))
+    return out
+
+
 def minhash_jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     return float((sig_a == sig_b).mean())
 

@@ -203,6 +203,21 @@ def minhash_sketch_batch(batch: pa.Table, *, num_perm: int = 128,
     return batch.append_column("minhash_sig", pa.array(sigs, type=pa.binary()))
 
 
+def minhash_sketch_md5_batch(batch: pa.Table, *, num_perm: int = 32,
+                             shingle_width: int = 5,
+                             text_col: str = "text") -> pa.Table:
+    """SQL-reproducible sketch variant (functions.minhash.
+    minhash_signature_md5): md5 shingle hashes + exact modular
+    permutations. Slower than the crc32 production sketch; exists so the
+    MinHash dedup pipeline has a DuckDB-oracle-gated configuration."""
+    from ..functions.minhash import minhash_signature_md5
+
+    sigs = [np.array(minhash_signature_md5(t or "", num_perm, shingle_width),
+                     dtype=np.uint64).tobytes()
+            for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("minhash_sig", pa.array(sigs, type=pa.binary()))
+
+
 def band_explode_batch(batch: pa.Table, *, num_perm: int = 128,
                        num_bands: int = 16, id_col: str = "doc_id") -> pa.Table:
     """Task-mode slim band explode: (band_key, doc_id) rows only — the
@@ -246,7 +261,8 @@ def _bucket_candidates(g: pd.DataFrame) -> pd.DataFrame:
 def minhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
                         num_perm: int = 128, num_bands: int = 16,
                         threshold: float = 0.8, concurrency=None,
-                        broadcast_limit: int = 500_000):
+                        broadcast_limit: int = 500_000,
+                        sketch: str = "crc32"):
     """Dataset of verified (doc_id, dup_of) near-duplicate edges.
 
     Candidates-then-verify architecture (sketch shuffle minimized):
@@ -270,8 +286,10 @@ def minhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
     # corpus scale write the sketches to parquet once instead. Task-mode
     # map_batches (warm lru_cache hasher) avoids per-query actor spawns.
     sketch_kwargs = {"concurrency": concurrency} if concurrency else {}
+    sketch_fn = (minhash_sketch_md5_batch if sketch == "md5"
+                 else minhash_sketch_batch)
     sketched = ds.map_batches(
-        minhash_sketch_batch,
+        sketch_fn,
         fn_kwargs={"num_perm": num_perm, "text_col": text_col},
         batch_format="pyarrow", **sketch_kwargs,
     ).materialize()
