@@ -390,6 +390,47 @@ def _q_embedding_neardup(sf_dir: str):
     return df
 
 
+def _q_embedding_neardup_exact(sf_dir: str):
+    """EXACT all-pairs cosine near-dup (the oracle-gated counterpart of the
+    LSH-bucketed embedding_neardup): the normalized matrix is broadcast
+    once (bounded at test SFs; the LSH variant is the scale path) and each
+    batch computes its rows × all columns block of the similarity matrix,
+    keeping (vec_id > dup_of, cosine ≥ threshold) pairs."""
+    import ray
+    import ray.data
+
+    threshold = 0.30
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    all_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in t.column("embedding").to_pylist()])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit_ref = ray.put((all_ids, mat / norms[:, None]))
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        ids_all, unit = ray.get(unit_ref)
+        rows = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        rn = np.linalg.norm(rows, axis=1)
+        rn[rn == 0] = 1.0
+        sims = (rows / rn[:, None]) @ unit.T
+        rid = batch["vec_id"].to_numpy()
+        ii, jj = np.nonzero((sims >= threshold) & (rid[:, None] > ids_all[None, :]))
+        return pd.DataFrame({"vec_id": rid[ii].astype("int64"),
+                             "dup_of": ids_all[jj].astype("int64")})
+
+    df = ds.map_batches(pairs, batch_format="pandas").to_pandas()
+    if df.empty or "vec_id" not in df.columns:
+        df = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                           "dup_of": pd.Series(dtype="int64")})
+    return df
+
+
 def _knn_queries(sf_dir: str, n: int = 5):
     import pyarrow.parquet as pq
 
@@ -696,6 +737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": _q_neardup_clusters,
         "simhash_dedup": _q_simhash_dedup,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_exact": _q_embedding_neardup_exact,
         # similarity search
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_ivf": _q_knn_ivf,
@@ -868,6 +910,12 @@ def oracle_sql() -> dict[str, str]:
             "AND (1000 * length(regexp_replace(text, '[^.,;:!?]', '', 'g'))) // GREATEST(length(text), 1) < 200) "
             "SELECT min(doc_id) AS doc_id, CAST(min(n_tokens) AS BIGINT) AS n_tokens "
             "FROM q GROUP BY text"
+        ),
+        "embedding_neardup_exact": (
+            "SELECT CAST(a.vec_id AS BIGINT) AS vec_id, "
+            "CAST(b.vec_id AS BIGINT) AS dup_of "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id > b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.30"
         ),
         "knn_bruteforce": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings "
