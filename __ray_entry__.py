@@ -685,15 +685,12 @@ def _q_corpus_prep_neardup(sf_dir: str):
     dup_ids = edges.map_batches(lambda b: b.select(["doc_id"]),
                                 batch_format="pyarrow")
     kept = semi_anti_join(survivors_full, dup_ids, left_key="doc_id", anti=True)
-    out = kept.map_batches(
+    # returned lazily — the driver/consumer decides how to collect; a full
+    # to_pandas() here would pull the whole surviving corpus to the driver
+    return kept.map_batches(
         lambda b: pa.table({"doc_id": b.column("doc_id"),
                             "n_tokens": pc.cast(b.column("n_tokens"), pa.int64())}),
         batch_format="pyarrow")
-    df = out.to_pandas()
-    if df.empty or "doc_id" not in df.columns:
-        df = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                           "n_tokens": pd.Series(dtype="int64")})
-    return df
 
 
 def _q_customers_without_orders(sf_dir: str):

@@ -65,10 +65,12 @@ def pricing_summary(sf_dir: str):
             "base_cents": base_cents,
             "disc_cents": disc_cents,
         })
-        # Arrow-native combiner: no pandas round-trip copy per batch
+        # Arrow-native combiner: no pandas round-trip copy per batch.
+        # count mode="all" preserves row-count semantics (plain "count"
+        # skips nulls — a silent change for null-bearing value columns)
         g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("qty", "sum"), ("base_cents", "sum"), ("disc_cents", "sum"),
-             ("qty", "count")])
+             ("qty", "count", pc.CountOptions(mode="all"))])
         return pa.table({
             "l_returnflag": g.column("l_returnflag"),
             "l_linestatus": g.column("l_linestatus"),
@@ -225,7 +227,11 @@ def events_hourly(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        epoch = pc.cast(batch.column("ts"), pa.int64())  # microseconds
+        # normalize to µs before the int cast so the bucket math is
+        # resolution-independent (a timestamp[ns] input would otherwise
+        # yield ns and shift every bucket by 1000×)
+        epoch = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")),
+                        pa.int64())
         hour = pc.divide(epoch, pa.scalar(3_600_000_000))
         value_milli = pc.cast(pc.round(pc.multiply(batch.column("value"),
                                                    pa.scalar(1000.0)),
@@ -233,8 +239,10 @@ def events_hourly(sf_dir: str):
         t = pa.table({"hour_bucket": pc.cast(hour, pa.int64()),
                       "event_type": batch.column("event_type"),
                       "value_milli": value_milli})
+        # count mode="all": row-count semantics even with null values
         g = t.group_by(["hour_bucket", "event_type"]).aggregate(
-            [("value_milli", "count"), ("value_milli", "sum")])
+            [("value_milli", "count", pc.CountOptions(mode="all")),
+             ("value_milli", "sum")])
         return pa.table({
             "hour_bucket": g.column("hour_bucket"),
             "event_type": g.column("event_type"),
@@ -272,6 +280,16 @@ def events_top_users(sf_dir: str, k: int = 10):
 # Sessionization: per-user ordered gap analysis (map_groups over sorted log)
 # ---------------------------------------------------------------------------
 
+def ts_int_us(s: pd.Series) -> np.ndarray:
+    """Timestamp series → int64 epoch MICROSECONDS regardless of the input
+    resolution (datetime64[ns]/[us]/[s] or already-integer-µs). A bare
+    .astype('int64') yields nanoseconds for datetime64[ns] inputs, silently
+    scaling every gap threshold by 1000×."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return s.astype("datetime64[us]").astype("int64").to_numpy()
+    return s.astype("int64").to_numpy()
+
+
 def events_sessions(sf_dir: str, gap_minutes: int = 30, num_parts: int = 64):
     """Session count per user: a new session starts when the gap between a
     user's consecutive events exceeds ``gap_minutes``.
@@ -290,7 +308,7 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30, num_parts: int = 64):
 
     def sessions_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts"], kind="mergesort")
-        ts = g["ts"].astype("int64").to_numpy()
+        ts = ts_int_us(g["ts"])
         uid = g["user_id"].to_numpy()
         new_user = np.r_[True, uid[1:] != uid[:-1]]
         gap = np.r_[np.int64(0), ts[1:] - ts[:-1]]
@@ -642,10 +660,15 @@ def events_running_total(sf_dir: str, max_users: int = 20, num_parts: int = 16):
 
 
 def events_sliding_window(sf_dir: str):
-    """3-hour MOVING sum per event_type over the hourly aggregate
-    (windowed-aggregate composition: distributed pre-agg → per-type sorted
+    """3-ROW moving sum per event_type over the hourly aggregate, ordered by
+    hour_bucket — i.e. SQL ``ROWS BETWEEN 2 PRECEDING AND CURRENT ROW``
+    semantics (matches the oracle exactly). NOTE: rows-based, not
+    range-based — if an event_type has empty hours the window spans more
+    than 3 wall-clock hours; densify the hourly grid or range-bound on
+    ``hour_bucket >= current-2`` for true time-window semantics.
+    (Windowed-aggregate composition: distributed pre-agg → per-type sorted
     window; exact integer arithmetic via cumsum difference, not float
-    rolling)."""
+    rolling.)"""
     hourly = events_hourly(sf_dir)
 
     def window(g: pd.DataFrame) -> pd.DataFrame:
@@ -671,8 +694,13 @@ def hash_sample(sf_dir: str, pct: int = 10):
     ds = _read(sf_dir, "documents", columns=["doc_id"])
 
     def kernel(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        keep = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 < pct
+        # md5 must run per row for DuckDB-oracle parity (no vectorized md5
+        # exists); keep the loop lean: Arrow-side string cast, local-bound
+        # md5, digest-bytes prefix instead of hexdigest slicing. No shuffle
+        # — embarrassingly parallel either way.
+        ids = pc.cast(batch.column("doc_id"), pa.string()).to_pylist()
+        _md5 = hashlib.md5
+        keep = [int.from_bytes(_md5(i.encode()).digest()[:4], "big") % 100 < pct
                 for i in ids]
         return batch.filter(pa.array(keep))
 

@@ -258,6 +258,24 @@ def _bucket_candidates(g: pd.DataFrame) -> pd.DataFrame:
                          "dup_of": pd.Series(ids[anchor_idx[mask]], dtype=g["doc_id"].dtype)})
 
 
+def _sketch_slim(ds, *, text_col: str, id_col: str, num_perm: int,
+                 concurrency, sketch: str):
+    """Sketch every doc and pin ONLY the slim (id, minhash_sig) pair.
+
+    Both downstream consumers (band explode, sig filter) need exactly these
+    two columns; projecting before the materialize keeps the object-store
+    pin at ~1 KB/doc independent of payload width — the text column never
+    enters the pin."""
+    sketch_kwargs = {"concurrency": concurrency} if concurrency else {}
+    sketch_fn = (minhash_sketch_md5_batch if sketch == "md5"
+                 else minhash_sketch_batch)
+    return ds.map_batches(
+        sketch_fn,
+        fn_kwargs={"num_perm": num_perm, "text_col": text_col},
+        batch_format="pyarrow", **sketch_kwargs,
+    ).select_columns([id_col, "minhash_sig"]).materialize()
+
+
 def minhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
                         num_perm: int = 128, num_bands: int = 16,
                         threshold: float = 0.8, concurrency=None,
@@ -280,19 +298,11 @@ def minhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
     """
     from ..pipelines.relational import hash_join
 
-    # materialize: the sketch feeds TWO consumers (band path + sig joins);
-    # without pinning, every schema probe / consumer re-runs the shingle+
-    # minhash stage (measured 6× re-execution). Pinned size = ~1 KB/doc; at
-    # corpus scale write the sketches to parquet once instead. Task-mode
-    # map_batches (warm lru_cache hasher) avoids per-query actor spawns.
-    sketch_kwargs = {"concurrency": concurrency} if concurrency else {}
-    sketch_fn = (minhash_sketch_md5_batch if sketch == "md5"
-                 else minhash_sketch_batch)
-    sketched = ds.map_batches(
-        sketch_fn,
-        fn_kwargs={"num_perm": num_perm, "text_col": text_col},
-        batch_format="pyarrow", **sketch_kwargs,
-    ).materialize()
+    # pinned slim: see _sketch_slim — without pinning every schema probe /
+    # consumer re-runs shingle+minhash (measured 6× re-execution)
+    sketched = _sketch_slim(ds, text_col=text_col, id_col=id_col,
+                            num_perm=num_perm, concurrency=concurrency,
+                            sketch=sketch)
     from ..pipelines.relational import _arrow_type
 
     id_type = _arrow_type(dict(zip(sketched.schema().names,

@@ -72,20 +72,26 @@ class ImageFeatures:
 
     def __init__(self, dim: int = 32, seed: int = 42, input_size: int = 32 * 32 * 3):
         # the "model" (projection matrix) is built ONCE per actor here —
-        # actor-pool state belongs in __init__, not lazily in __call__
+        # actor-pool state belongs in __init__, not lazily in __call__.
+        # Cached per input size: a mixed-size batch must not regenerate the
+        # matrix on every size alternation (O(rows) RNG rebuilds otherwise).
         self.dim = dim
         self.seed = seed
-        self._proj = np.random.default_rng(seed).standard_normal(
-            (input_size, dim)).astype(np.float32)
+        self._proj_by_size: dict[int, np.ndarray] = {
+            input_size: self._make_proj(input_size)}
+
+    def _make_proj(self, size: int) -> np.ndarray:
+        return np.random.default_rng(self.seed).standard_normal(
+            (size, self.dim)).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []
         for blob in batch.column("pixels").to_pylist():
             arr = np.frombuffer(blob, dtype=np.uint8).astype(np.float32)
-            if arr.size != self._proj.shape[0]:  # fail-soft on odd shapes
-                self._proj = np.random.default_rng(self.seed).standard_normal(
-                    (arr.size, self.dim)).astype(np.float32)
-            feats.append((arr @ self._proj / arr.size).tolist())
+            proj = self._proj_by_size.get(arr.size)
+            if proj is None:  # fail-soft on odd shapes, cached thereafter
+                proj = self._proj_by_size[arr.size] = self._make_proj(arr.size)
+            feats.append((arr @ proj / arr.size).tolist())
         return batch.append_column(
             "features", pa.array(feats, type=pa.list_(pa.float32())))
 

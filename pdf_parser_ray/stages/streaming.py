@@ -94,7 +94,11 @@ def _route_block(block, seq: int, actors: list, key_col: str, ts_col: str,
     feed every bucket actor — empty feeds included so each actor's seq
     prefix always advances. Returns the feed refs for the global barrier."""
     df = block.to_pandas() if hasattr(block, "to_pandas") else block
-    ts_us = df[ts_col].astype("int64")
+    # resolution-independent µs (bare int64 cast gives ns for datetime64[ns],
+    # shrinking the effective gap threshold 1000×)
+    from ..pipelines.relational import ts_int_us
+
+    ts_us = pd.Series(ts_int_us(df[ts_col]))
     buckets = df[key_col].map(lambda k: zlib.crc32(str(k).encode()) % num_buckets)
     refs = []
     for b, actor in enumerate(actors):

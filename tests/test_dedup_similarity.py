@@ -107,6 +107,20 @@ class TestMinHashSlimBands:
             batch_format="pyarrow", concurrency=1)
         assert set(bands.schema().names) == {"band_key", "doc_id"}
 
+    def test_pinned_sketch_excludes_payload(self, ray_session):
+        """The materialized sketch pin must hold ONLY (id, minhash_sig) —
+        never the text payload (at 100 TB the payload pin would be
+        corpus-sized)."""
+        import ray.data
+        from pdf_parser_ray.stages.dedup import _sketch_slim
+
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": "a b c d e f g", "extra": "x" * 100}
+             for i in range(4)])
+        pinned = _sketch_slim(ds, text_col="text", id_col="doc_id",
+                              num_perm=32, concurrency=None, sketch="crc32")
+        assert set(pinned.schema().names) == {"doc_id", "minhash_sig"}
+
     def test_verify_rejects_low_agreement(self, ray_session):
         """Docs sharing one band but < threshold overall agreement must not
         become an edge (the sig-join verify stage does real work)."""

@@ -5,6 +5,13 @@ import pandas as pd
 import pytest
 
 
+def pa_table_ns(df):
+    """pandas frame → Arrow table preserving timestamp[ns]."""
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestStreamingSessions:
     def test_matches_batch_sessionizer(self):
@@ -49,6 +56,46 @@ class TestStreamingSessions:
         assert len(u1) == 2
         assert u1.iloc[0]["n_events"] == 2 and u1.iloc[1]["n_events"] == 1
         assert len(out[out["user_id"] == 2]) == 1
+
+    def test_ns_resolution_gap_semantics(self):
+        """datetime64[ns] input must use the SAME gap threshold as [us] —
+        a bare int64 cast would make the threshold 1000× too small."""
+        import pyarrow as pa
+        import ray.data
+        from pdf_parser_ray.stages.streaming import sessionize_stream
+
+        ts_us = [0, 10 * 60 * 1_000_000, 120 * 60 * 1_000_000]
+        t = pa.table({"user_id": [1, 1, 1],
+                      "ts": pa.array(
+                          [v * 1000 for v in ts_us], type=pa.timestamp("ns"))})
+        out = sessionize_stream(ray.data.from_arrow(t),
+                                gap_minutes=30, num_buckets=2)
+        # 0 and 10min share a session; 2h starts a new one → exactly 2
+        assert len(out) == 2
+        assert sorted(out["n_events"]) == [1, 2]
+
+    def test_ns_resolution_batch_sessions(self):
+        """events_sessions over a ns-resolution frame matches µs semantics."""
+        import numpy as np
+        import pandas as pd
+        import ray.data
+        from pdf_parser_ray.pipelines.relational import events_sessions
+        import os, tempfile
+
+        df = pd.DataFrame({
+            "user_id": [1, 1, 1, 2],
+            "ts": pd.to_datetime([0, 10 * 60, 120 * 60, 0], unit="s"),
+        })
+        assert df["ts"].dtype == "datetime64[ns]"
+        tmp = tempfile.mkdtemp()
+        # force ns storage so read-back stays ns
+        import pyarrow.parquet as pq
+        pq.write_table(
+            pa_table_ns(df), os.path.join(tmp, "events.parquet"),
+            coerce_timestamps=None)
+        out = events_sessions(tmp).to_pandas().sort_values(
+            "user_id", ignore_index=True)
+        assert out["n_sessions"].tolist() == [2, 1]
 
     def test_out_of_order_feeds_reordered(self, ray_session=None):
         """Feeds arriving out of seq order must be buffered and applied in
