@@ -71,7 +71,7 @@ def _q_extract_spans(sf_dir: str):
 
     def explode(batch: pa.Table) -> pa.Table:
         # Arrow-native list explode: list_flatten + list_parent_indices
-        # (same idiom as pipelines/extraction.py payload_sizes) — zero
+        # — zero
         # per-span Python loops. combine_chunks: parent indices are
         # chunk-relative, so take() needs a single-chunk table.
         batch = batch.combine_chunks()

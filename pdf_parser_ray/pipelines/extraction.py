@@ -17,35 +17,16 @@ import os
 import shutil
 import time
 
-import numpy as np
-import pyarrow as pa
 import pyarrow.dataset as pads
 import pyarrow.compute as pc
 
 from .. import __version__ as PARSER_VERSION
 from ..config import DEFAULT_PARSE_BATCH_SIZE, PARTITION_BYTE_BUDGET
-from ..sources.io import read_corpus
+from ..sources.io import read_corpus, read_fragment_ranges
 from ..stages.doc_parse import DocParse
-from ..state.manifest import (Manifest, assign_partition, partition_boundaries,
-                              plan_fingerprint, plan_partitions, validate_resume_plan)
-
-
-def payload_sizes(batch: pa.Table) -> pa.Table:
-    """Light planning pass: per-doc payload byte estimate (span text lengths).
-
-    Uses Arrow list-flatten kernels — the span payloads are measured without
-    leaving Arrow. Only (doc_id, n_input_bytes) goes back to the driver.
-    """
-    spans = batch.column("spans")
-    flat = pc.list_flatten(spans)
-    text_len = pc.binary_length(pc.struct_field(flat, "text"))
-    # sum text lengths back per row
-    offsets = pc.list_parent_indices(spans)
-    sums = np.zeros(batch.num_rows, dtype=np.int64)
-    np.add.at(sums, offsets.to_numpy(zero_copy_only=False),
-              text_len.to_numpy(zero_copy_only=False))
-    return pa.table({"doc_id": batch.column("doc_id"),
-                     "n_input_bytes": pa.array(sums, type=pa.int64())})
+from ..state.manifest import (Manifest, fragment_plan_fingerprint,
+                              fragment_stats, plan_fragment_partitions,
+                              ranges_json, validate_fragment_resume)
 
 
 def extraction_dataset(corpus_path: str, *, parse_concurrency=4,
@@ -77,17 +58,6 @@ def extraction_dataset(corpus_path: str, *, parse_concurrency=4,
     )
 
 
-def _compute_sizes(corpus_path: str) -> tuple[list[str], np.ndarray]:
-    """Planning pass on the driver: sorted doc_ids + per-doc byte sizes."""
-    ds = read_corpus(corpus_path)
-    small = ds.map_batches(payload_sizes, batch_format="pyarrow")
-    tbl = pa.concat_tables([pa.table(b) for b in small.iter_batches(batch_format="pyarrow")])
-    order = pc.sort_indices(tbl.column("doc_id"))
-    tbl = tbl.take(order)
-    return (tbl.column("doc_id").to_pylist(),
-            tbl.column("n_input_bytes").to_numpy(zero_copy_only=False))
-
-
 def run_extraction(corpus_path: str, out_dir: str, *,
                    byte_budget: int = PARTITION_BYTE_BUDGET,
                    parse_concurrency=4,
@@ -96,9 +66,12 @@ def run_extraction(corpus_path: str, out_dir: str, *,
                    compute: str = "actors") -> dict:
     """Checkpointed extraction run with exact resume.
 
-    Partitions are planned by byte budget over sorted doc_id ranges; jobs
-    process ``commit_batch_size`` uncommitted partitions at a time, write
-    hive-partitioned Parquet to a temp dir, then atomically move each
+    Partitions are planned by byte budget over contiguous FRAGMENT (parquet
+    row-group) ranges using footer metadata only — the driver never holds a
+    per-document structure (O(n_fragments) plan state, sound at 10^12 docs).
+    Jobs process ``commit_batch_size`` uncommitted partitions at a time,
+    reading ONLY those partitions' fragments (no full-corpus scan + filter),
+    write hive-partitioned Parquet to a temp dir, then atomically move each
     partition dir into place and append its manifest record (commit point).
     Returns a summary dict.
     """
@@ -123,36 +96,28 @@ def _run_extraction_inner(corpus_path: str, out_dir: str, agg, *,
                           batch_size: int, commit_batch_size: int,
                           compute: str) -> dict:
     manifest = Manifest(out_dir)
-    doc_ids, sizes = _compute_sizes(corpus_path)
-    parts = plan_partitions(doc_ids, sizes, byte_budget)
-    boundaries = partition_boundaries(parts)
-    fingerprint = plan_fingerprint(doc_ids, sizes)
+    frags = fragment_stats(corpus_path)
+    parts = plan_fragment_partitions(frags, byte_budget)
+    fingerprint = fragment_plan_fingerprint(frags)
     # a resume against a changed corpus / byte_budget would replan different
-    # doc ranges under committed partition ids — abort loudly instead
-    validate_resume_plan(manifest.records(), parts, byte_budget, fingerprint)
+    # fragment ranges under committed partition ids — abort loudly instead
+    validate_fragment_resume(manifest.records(), parts, byte_budget, fingerprint)
     committed = manifest.committed_ids()
     todo = [p for p in parts if p.partition_id not in committed]
-
-    def add_pid(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=object)
-        pid = assign_partition(ids, boundaries)
-        return batch.append_column("partition_id", pa.array(pid, type=pa.int64()))
 
     n_done = 0
     for chunk_start in range(0, len(todo), commit_batch_size):
         chunk = todo[chunk_start : chunk_start + commit_batch_size]
-        chunk_ids = {p.partition_id for p in chunk}
         t0 = time.time()
         tmp_dir = os.path.join(out_dir, f"_tmp_job_{chunk[0].partition_id}")
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
-        wanted = pa.array(sorted(chunk_ids), type=pa.int64())
-        ds = read_corpus(corpus_path)
-        ds = ds.map_batches(add_pid, batch_format="pyarrow")
-        ds = ds.map_batches(
-            lambda b: b.filter(pc.is_in(b.column("partition_id"), value_set=wanted)),
-            batch_format="pyarrow",
-        )
+        # read ONLY this chunk's fragments (one read task per fragment
+        # range) — the rest of the corpus is never touched by this job
+        ds = read_fragment_ranges(
+            corpus_path,
+            [(p.partition_id, path, lo, hi)
+             for p in chunk for path, lo, hi in p.ranges])
         if compute == "tasks":
             from ..stages.doc_parse import doc_parse_batch_partitioned
 
@@ -179,9 +144,8 @@ def _run_extraction_inner(corpus_path: str, out_dir: str, agg, *,
             manifest.commit({
                 "partition_id": p.partition_id,
                 "input_path": corpus_path,
-                "start_doc_id": p.start_doc_id,
-                "end_doc_id": p.end_doc_id,
-                "n_docs_planned": p.n_docs,
+                "fragments": ranges_json(p),
+                "n_docs_planned": p.n_rows,
                 "n_input_bytes_planned": p.n_bytes,
                 "byte_budget": byte_budget,
                 "plan_fingerprint": fingerprint,

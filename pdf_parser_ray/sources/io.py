@@ -30,7 +30,48 @@ def read_corpus(path: str, *, columns: list[str] | None = None, **ray_kwargs):
     return ray.data.read_parquet(path, columns=columns, **ray_kwargs)
 
 
-def write_corpus_table(table: pa.Table, path: str) -> None:
+def read_fragment_ranges(corpus_root: str,
+                         ranges: list[tuple[int, str, int, int]],
+                         *, columns: list[str] | None = None):
+    """Dataset over specific fragment ranges: one read task per
+    (partition_id, file, rg_lo, rg_hi) descriptor, emitting the rows with a
+    ``partition_id`` column attached.
+
+    This is the checkpointed-run read path: a job touches ONLY its
+    partitions' row groups (footer-planned), never the whole corpus. For a
+    Lance corpus the equivalent is per-fragment ``ray.data.read_lance``
+    with fragment ids; parquet implementation below.
+    """
+    import os
+
+    import ray.data
+
+    if not os.path.isdir(corpus_root):  # single-file corpus
+        corpus_root = os.path.dirname(corpus_root) or "."
+    items = [{"pid": pid, "path": path, "lo": lo, "hi": hi}
+             for pid, path, lo, hi in ranges]
+
+    def read_one(batch):
+        import os
+
+        tables = []
+        for pid, path, lo, hi in zip(batch["pid"], batch["path"],
+                                     batch["lo"], batch["hi"]):
+            pf = pq.ParquetFile(os.path.join(corpus_root, path))
+            t = pf.read_row_groups(list(range(int(lo), int(hi))),
+                                   columns=columns)
+            tables.append(t.append_column(
+                "partition_id",
+                pa.array([int(pid)] * t.num_rows, type=pa.int64())))
+        return pa.concat_tables(tables)
+
+    return ray.data.from_items(
+        items, override_num_blocks=len(items)).map_batches(
+        read_one, batch_format="numpy", batch_size=1)
+
+
+def write_corpus_table(table: pa.Table, path: str, *,
+                       row_group_size: int = 32) -> None:
     """Driver-side write of a (small, synthesized) corpus table."""
     if CORPUS_FORMAT == "lance":  # pragma: no cover
         import lance
@@ -39,8 +80,11 @@ def write_corpus_table(table: pa.Table, path: str) -> None:
     else:
         # Small row groups: row groups are the block/slice granularity
         # downstream — a multi-MB payload row must not share a row group
-        # with (and thus ride inside every sliced block of) small docs.
-        pq.write_table(table, path, row_group_size=32)
+        # with (and thus ride inside every sliced block of) small docs —
+        # AND the fragment-planning granularity (state/manifest.py): a
+        # giant doc dominates its own small row group, so byte-budget
+        # skew isolation works from footer metadata alone.
+        pq.write_table(table, path, row_group_size=row_group_size)
 
 
 def write_output(ds, path: str, *, partition_cols: list[str] | None = None) -> None:

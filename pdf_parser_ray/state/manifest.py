@@ -2,18 +2,24 @@
 
 Design (SURVEY.md §4.2 row 4 / north rule):
   - the corpus is planned into partitions by BYTE BUDGET over contiguous
-    doc_id ranges (one oversized doc → its own partition, so a multi-GB PDF
-    never rides with 10k HTML docs);
-  - partition boundaries are a small sorted array of doc_id strings →
-    membership is ``np.searchsorted`` inside map_batches (scales to 10^12
-    docs: boundaries are one string per partition, broadcast once);
+    FRAGMENT (parquet row-group / Lance fragment) ranges, using only
+    footer/fragment METADATA — the driver never enumerates documents, so
+    the planning structure is O(n_fragments), not O(n_docs) (at 10^12
+    docs with ~10^7 fragments that is MBs, not TBs, of driver state);
+  - one oversized fragment → its own partition (skew isolation: the
+    corpus writer keeps row groups small — 32 docs — so a multi-GB PDF
+    dominates its own row group and lands alone);
   - each partition's output is written to a temp dir and atomically
     ``os.replace``d into place; the manifest line (JSONL, one per
-    partition: lineage + metrics + parser_version) is appended LAST —
-    the rename+append is the commit point;
+    partition: fragment-range lineage + metrics + parser_version) is
+    appended LAST — the rename+append is the commit point;
   - resume = skip partitions whose ids appear in the manifest with
     status committed; a killed run re-processes only uncommitted ones,
     and the output is byte-identical to an uninterrupted run (tests).
+
+``plan_partitions``/``assign_partition`` (doc-id-range planning) remain as
+the logical-level planner for callers that already hold per-doc sizes;
+the extraction run path uses the fragment planner exclusively.
 """
 
 from __future__ import annotations
@@ -109,6 +115,159 @@ def validate_resume_plan(records: list[dict], parts: list[Partition],
                 f"fresh plan assigns "
                 f"{'nothing' if p is None else f'[{p.start_doc_id}, {p.end_doc_id})'} "
                 "to that id; use a fresh out_dir")
+
+
+# ---------------------------------------------------------------------------
+# Fragment-metadata planning (the extraction run path)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Fragment:
+    """One planning unit: a parquet row group (or a Lance fragment).
+
+    ``path`` is relative to the corpus root so plans are location-portable;
+    ``index`` is the row-group index within the file."""
+    path: str
+    index: int
+    n_rows: int
+    n_bytes: int  # uncompressed total_byte_size from the footer
+
+
+@dataclass(frozen=True)
+class FragPartition:
+    """A contiguous run of fragments. ``ranges`` is a compact tuple of
+    (path, rg_lo, rg_hi) half-open row-group ranges — the durable lineage
+    record (manifest) and the read instruction for the partition job."""
+    partition_id: int
+    ranges: tuple[tuple[str, int, int], ...]
+    n_rows: int
+    n_bytes: int
+
+
+def fragment_stats(corpus_path: str) -> list[Fragment]:
+    """Per-row-group (path, index, n_rows, n_bytes) from parquet FOOTERS only
+    — no data pages are read, no document is enumerated.
+
+    Files are visited in sorted-name order (the corpus writer emits doc-id-
+    ordered part files, so fragment order == doc order). For a Lance corpus
+    the equivalent is ``dataset.get_fragments()`` → per-fragment
+    ``count_rows()`` + physical size; same Fragment shape either way.
+    At >10^4 files fan the footer reads out as Ray tasks (footers are
+    O(KB) each; the driver only holds the resulting stats list).
+    """
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(corpus_path):
+        names = sorted(f for f in os.listdir(corpus_path)
+                       if f.endswith(".parquet"))
+    else:
+        corpus_path, names = os.path.dirname(corpus_path) or ".", \
+            [os.path.basename(corpus_path)]
+
+    def file_stats(name: str) -> list[Fragment]:
+        md = pq.ParquetFile(os.path.join(corpus_path, name)).metadata
+        return [Fragment(name, i, md.row_group(i).num_rows,
+                         md.row_group(i).total_byte_size)
+                for i in range(md.num_row_groups)]
+
+    if len(names) >= 10_000:  # distributed metadata pass
+        import ray
+
+        @ray.remote(num_cpus=0.25)
+        def _remote_stats(root: str, chunk: list[str]) -> list[Fragment]:
+            out: list[Fragment] = []
+            for n in chunk:
+                md = pq.ParquetFile(os.path.join(root, n)).metadata
+                out.extend(Fragment(n, i, md.row_group(i).num_rows,
+                                    md.row_group(i).total_byte_size)
+                           for i in range(md.num_row_groups))
+            return out
+
+        chunks = [names[i:i + 256] for i in range(0, len(names), 256)]
+        results = ray.get([_remote_stats.remote(corpus_path, c) for c in chunks])
+        return [f for sub in results for f in sub]
+    return [f for n in names for f in file_stats(n)]
+
+
+def plan_fragment_partitions(frags: list[Fragment],
+                             byte_budget: int) -> list[FragPartition]:
+    """Greedy contiguous packing of fragments into ≤ byte_budget partitions.
+
+    An oversized single fragment becomes its own partition (skew isolation
+    at row-group granularity). Consecutive row groups of one file collapse
+    into a single (path, lo, hi) range."""
+    parts: list[FragPartition] = []
+    cur: list[Fragment] = []
+    acc_bytes = acc_rows = 0
+
+    def close():
+        nonlocal cur, acc_bytes, acc_rows
+        if not cur:
+            return
+        ranges: list[tuple[str, int, int]] = []
+        for f in cur:
+            if ranges and ranges[-1][0] == f.path and ranges[-1][2] == f.index:
+                ranges[-1] = (f.path, ranges[-1][1], f.index + 1)
+            else:
+                ranges.append((f.path, f.index, f.index + 1))
+        parts.append(FragPartition(len(parts), tuple(ranges),
+                                   acc_rows, acc_bytes))
+        cur, acc_bytes, acc_rows = [], 0, 0
+
+    for f in frags:
+        if cur and acc_bytes + f.n_bytes > byte_budget:
+            close()
+        cur.append(f)
+        acc_bytes += f.n_bytes
+        acc_rows += f.n_rows
+    close()
+    return parts
+
+
+def fragment_plan_fingerprint(frags: list[Fragment]) -> str:
+    """Digest of the fragment METADATA (path, index, rows, bytes) — O(n_frags).
+    A resume whose corpus stats hash differently must abort (same contract
+    as the legacy per-doc fingerprint, without enumerating docs)."""
+    import hashlib
+
+    h = hashlib.md5()
+    for f in frags:
+        h.update(f.path.encode())
+        h.update(f.index.to_bytes(4, "little"))
+        h.update(f.n_rows.to_bytes(8, "little"))
+        h.update(f.n_bytes.to_bytes(8, "little", signed=True))
+    return h.hexdigest()
+
+
+def ranges_json(p: FragPartition) -> list[list]:
+    return [[path, lo, hi] for path, lo, hi in p.ranges]
+
+
+def validate_fragment_resume(records: list[dict], parts: list[FragPartition],
+                             byte_budget: int, fingerprint: str) -> None:
+    """Abort a resume whose fresh fragment plan disagrees with committed
+    records (same contract as validate_resume_plan, fragment-range keyed)."""
+    by_id = {p.partition_id: p for p in parts}
+    for rec in records:
+        if rec.get("status") != "committed":
+            continue
+        pid = int(rec["partition_id"])
+        if rec.get("byte_budget") is not None and int(rec["byte_budget"]) != byte_budget:
+            raise RuntimeError(
+                f"resume mismatch: partition {pid} was committed with "
+                f"byte_budget={rec['byte_budget']}, this run uses {byte_budget}; "
+                "rerun with the original byte_budget or a fresh out_dir")
+        if rec.get("plan_fingerprint") is not None and rec["plan_fingerprint"] != fingerprint:
+            raise RuntimeError(
+                f"resume mismatch: input corpus changed since partition {pid} "
+                "was committed (plan fingerprint differs); use a fresh out_dir")
+        p = by_id.get(pid)
+        want = rec.get("fragments")
+        if p is None or (want is not None and ranges_json(p) != want):
+            raise RuntimeError(
+                f"resume mismatch: committed partition {pid} covered fragment "
+                f"ranges {want} but the fresh plan assigns "
+                f"{'nothing' if p is None else ranges_json(p)}; use a fresh out_dir")
 
 
 def partition_boundaries(parts: list[Partition]) -> list[str]:

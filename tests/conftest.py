@@ -26,7 +26,9 @@ def corpus_sf0001(tmp_path_factory):
     from pdf_parser_ray.sources.io import write_corpus_table
 
     path = tmp_path_factory.mktemp("corpus") / "sf0.001.parquet"
-    write_corpus_table(generate_corpus(0.001), str(path))
+    # tiny row groups: this 10-doc corpus must still plan into multiple
+    # fragment-metadata partitions for the resume tests
+    write_corpus_table(generate_corpus(0.001), str(path), row_group_size=2)
     return str(path)
 
 

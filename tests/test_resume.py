@@ -66,7 +66,9 @@ class TestResume:
         recs = [json.loads(l) for l in open(os.path.join(out, "manifest.jsonl"))]
         for r in recs:
             assert r["status"] == "committed"
-            assert "start_doc_id" in r and "parser_version" in r
+            assert "fragments" in r and "parser_version" in r
+            # fragment-range lineage: [path, rg_lo, rg_hi] triples
+            assert all(len(rng) == 3 for rng in r["fragments"])
             assert set(r["metrics"]) >= {"docs", "spans", "bytes", "errors"}
 
     def test_metrics_match_written_data(self, full_run):
@@ -121,3 +123,40 @@ class TestSkewIsolation:
         parts = plan_partitions(ids, sizes, byte_budget=500)
         big = [p for p in parts if p.start_doc_id == "doc-0005"]
         assert len(big) == 1 and big[0].n_docs == 1  # isolated straggler
+
+    def test_oversized_fragment_gets_own_partition(self):
+        from pdf_parser_ray.state.manifest import (Fragment,
+                                                   plan_fragment_partitions)
+
+        frags = ([Fragment("part-0.parquet", i, 32, 100) for i in range(5)]
+                 + [Fragment("part-1.parquet", 0, 1, 10_000)]
+                 + [Fragment("part-2.parquet", i, 32, 100) for i in range(4)])
+        parts = plan_fragment_partitions(frags, byte_budget=500)
+        big = [p for p in parts if p.ranges == (("part-1.parquet", 0, 1),)]
+        assert len(big) == 1 and big[0].n_rows == 1  # isolated straggler
+
+
+class TestFragmentPlanScale:
+    def test_plan_never_enumerates_docs(self):
+        """A 10^12-doc corpus (10^6 fragments × 10^6 rows each) must plan
+        from fragment metadata alone — O(n_fragments) state, instant."""
+        from pdf_parser_ray.state.manifest import (
+            Fragment, fragment_plan_fingerprint, plan_fragment_partitions)
+
+        n_frag, rows_per, bytes_per = 1_000_000, 1_000_000, 1 << 30
+        frags = [Fragment(f"part-{i // 64:07d}.parquet", i % 64,
+                          rows_per, bytes_per) for i in range(n_frag)]
+        parts = plan_fragment_partitions(frags, byte_budget=16 << 30)
+        assert sum(p.n_rows for p in parts) == n_frag * rows_per  # 10^12 docs
+        assert all(p.n_bytes <= 16 << 30 for p in parts)
+        # contiguous, complete, non-overlapping coverage
+        assert sum(hi - lo for p in parts for _, lo, hi in p.ranges) == n_frag
+        assert len(fragment_plan_fingerprint(frags)) == 32
+
+    def test_ranges_collapse_within_file(self):
+        from pdf_parser_ray.state.manifest import (Fragment,
+                                                   plan_fragment_partitions)
+
+        frags = [Fragment("f.parquet", i, 10, 10) for i in range(8)]
+        parts = plan_fragment_partitions(frags, byte_budget=1000)
+        assert parts[0].ranges == (("f.parquet", 0, 8),)
