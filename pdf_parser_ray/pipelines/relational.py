@@ -480,36 +480,98 @@ def hash_join(ds_left, ds_right, *, key: str, num_buckets: int = 32,
     return both.groupby("join_bucket").map_groups(join_bucket, batch_format="pandas")
 
 
-def customer_order_revenue(sf_dir: str, k: int = 10):
-    """Top-k customers by total order revenue: orders ⋈ lineitem (both large)
-    via the bucket-partitioned hash join, then partial-aggregated groupby."""
+def customer_order_revenue(sf_dir: str, k: int = 10,
+                           broadcast_limit: int = 2_000_000):
+    """Top-k customers by total order revenue (orders ⋈ lineitem → group by
+    customer → top-k).
+
+    Two execution paths, chosen by the orders-side row count (metadata-only
+    ``count()`` — no scan), mirroring the minhash verify's
+    broadcast-with-bucket-join-fallback:
+
+    * ``count(orders) ≤ broadcast_limit``: the (o_orderkey → o_custkey)
+      mapping is ``ray.put`` ONCE as two sorted numpy arrays (16 B/row —
+      2M orders = 32 MB) and each lineitem batch resolves custkeys via
+      ``np.searchsorted`` and pre-aggregates per custkey. The combine is a
+      sortless two-level tree (repartition coalesce → vectorized group-sum),
+      so the whole query runs with ZERO sort shuffles.
+    * larger orders side: bucket-partitioned hash join + partitioned
+      group-sum + bounded two-level top-k — two slim all-to-all exchanges,
+      nothing customer-sized on the driver. This is the 10^12-row path.
+    """
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
-    def li_partial(batch: pa.Table) -> pa.Table:
+    def li_revenue(batch: pa.Table):
         rev = pc.multiply(batch.column("l_extendedprice"),
                           pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return _cents(rev)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    if orders.count() <= broadcast_limit:
+        import numpy as np
+        import ray as _ray
+
+        odf = orders.to_pandas()
+        okey = odf["o_orderkey"].to_numpy(np.int64)
+        order = np.argsort(okey, kind="stable")
+        map_ref = _ray.put((okey[order],
+                            odf["o_custkey"].to_numpy(np.int64)[order]))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            ok, cu = _ray.get(map_ref)
+            lkey = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            idx = np.minimum(np.searchsorted(ok, lkey), len(ok) - 1)
+            hit = ok[idx] == lkey  # inner-join semantics: drop unmatched
+            cents = li_revenue(batch).to_numpy(zero_copy_only=False)
+            df = pd.DataFrame({"o_custkey": cu[idx][hit],
+                               "total_revenue_cents": cents[hit]})
+            g = df.groupby("o_custkey", as_index=False)["total_revenue_cents"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        def combine(batch: pa.Table) -> pa.Table:
+            g = batch.group_by("o_custkey").aggregate(
+                [("total_revenue_cents", "sum")])
+            return pa.table({
+                "o_custkey": g.column("o_custkey"),
+                "total_revenue_cents": g.column("total_revenue_cents_sum")})
+
+        partials = li.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=131072)
+        # sortless tree combine: blocks → 8 → 1; each level is a
+        # RepartitionReduce (concat) + Arrow group-sum, no sort shuffle.
+        # Final block ≤ 8 × distinct custkeys ≤ 8 × broadcast_limit slim
+        # rows — bounded by the same limit that let us broadcast at all.
+        lvl1 = partials.repartition(8).map_batches(
+            combine, batch_format="pyarrow", batch_size=None)
+        final = lvl1.repartition(1).map_batches(
+            combine, batch_format="pyarrow", batch_size=None)
+
+        def head(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.sort_values(
+                ["total_revenue_cents", "o_custkey"],
+                ascending=[False, True]).head(k)
+
+        return final.map_batches(head, batch_format="pandas", batch_size=None)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"o_orderkey": batch.column("l_orderkey"),
-                      "revenue_cents": _cents(rev)})
+                      "revenue_cents": li_revenue(batch)})
         g = t.group_by("o_orderkey").aggregate([("revenue_cents", "sum")])
         return pa.table({"o_orderkey": g.column("o_orderkey"),
                          "revenue_cents": g.column("revenue_cents_sum")})
 
-    li = _read(sf_dir, "lineitem",
-               columns=["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
-        li_partial, batch_format="pyarrow", batch_size=65536)
+    joined = hash_join(orders, li.map_batches(
+        li_partial, batch_format="pyarrow", batch_size=65536),
+        key="o_orderkey", num_buckets=16)
 
-    joined = hash_join(orders, li, key="o_orderkey", num_buckets=16)
-
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial_cust(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.groupby("o_custkey", as_index=False).agg(
             total_revenue_cents=("revenue_cents", "sum"))
         return out.astype({"o_custkey": "int64", "total_revenue_cents": "int64"})
 
-    # per-bucket partials → coarse-partitioned vectorized group-sum →
-    # bounded two-level top-k. Nothing customer-sized reaches the driver
-    # (customers alone are 10^8+ rows at full scale), and no per-key
-    # Python fold / full distributed sort either (see the two helpers).
-    per_cust = joined.map_batches(partial, batch_format="pandas")
+    per_cust = joined.map_batches(partial_cust, batch_format="pandas")
     summed = partitioned_group_sum(
         per_cust, key="o_custkey",
         sum_cols={"total_revenue_cents": "total_revenue_cents"})

@@ -42,3 +42,18 @@ class TestOracleParity:
         sql_df = con.execute(m.oracle_sql()[name]).df()
         assert len(ray_df) == len(sql_df)
         _cmp(ray_df, sql_df)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCustomerOrderRevenuePaths:
+    def test_broadcast_and_bucket_join_paths_agree(self):
+        """The broadcast fast path (orders small enough to ray.put) and the
+        bucket-hash-join fallback (10^12-row path) must return identical
+        top-k rows."""
+        from pdf_parser_ray.pipelines.relational import customer_order_revenue
+
+        fast = customer_order_revenue(SF_DIR).to_pandas()
+        slow = customer_order_revenue(SF_DIR, broadcast_limit=0).to_pandas()
+        pd.testing.assert_frame_equal(fast.reset_index(drop=True),
+                                      slow.reset_index(drop=True),
+                                      check_dtype=False)
