@@ -178,6 +178,63 @@ def _q_fingerprint(sf_dir: str):
     return out.map_batches(lambda b: b.drop_columns(["text"]), batch_format="pyarrow")
 
 
+def _q_fingerprint_set(sf_dir: str):
+    """ORACLE-GATED winnowing: the exploded per-doc winnowed k-gram hash
+    SET (the whole fingerprint algorithm — rolling polynomial hashes,
+    16-window mins, distinct — replayed in SQL). The sha256 digest wrapper
+    of the ``fingerprint`` query stays rows-only because this DuckDB build
+    has no BLOB sha256."""
+    from pdf_parser_ray.functions.textstats import winnow_fingerprint
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, vals = [], []
+        for i, t in zip(batch["doc_id"], batch["text"]):
+            fp = winnow_fingerprint(t or "")
+            ids.extend([i] * len(fp))
+            vals.extend(int(v) for v in fp)
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                             "fp_value": pd.Series(vals, dtype="int64")})
+
+    return ds.map_batches(explode, batch_format="pandas")
+
+
+def _fingerprint_set_sql(k: int = 8, window: int = 16) -> str:
+    """DuckDB replay of winnow_fingerprint (functions/textstats.py):
+    rolling polynomial k-gram hashes mod 2^61 (uint64 wraparound + mask ≡
+    plain mod 2^61 because 2^61 | 2^64), sliding-window mins, distinct."""
+    p61 = 1 << 61
+    base = 1_000_003
+    powers = [pow(base, i, p61) for i in range(k)]
+    terms = " + ".join(f"cs[i+{j}] * {powers[k - 1 - j]}" for j in range(k))
+    return f"""
+WITH chars AS (
+  SELECT doc_id,
+    list_transform(string_split(text, ''), c -> CAST(ord(c) AS HUGEINT)) AS cs,
+    len(text) AS n
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+    CASE WHEN n = 0 THEN []
+         WHEN n < {k} THEN [CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), cs), (a, b) -> (a * {base} + b) % {p61}) AS UBIGINT)]
+         ELSE [CAST(({terms}) % {p61} AS UBIGINT) for i in range(1, n - {k - 2})]
+    END AS hs
+  FROM chars
+),
+fp AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(hs) = 0 THEN []
+         WHEN len(hs) <= {window} THEN [list_aggregate(hs, 'min')]
+         ELSE [list_aggregate(hs[i : i+{window - 1}], 'min') for i in range(1, len(hs) - {window - 2})]
+    END) AS v
+  FROM hashed
+)
+SELECT doc_id, CAST(v AS BIGINT) AS fp_value FROM fp
+"""
+
+
 def _q_classic_fields(sf_dir: str):
     """ClassicExtract (reference regex semantics) over the documents table,
     with RE2-compatible patterns so DuckDB can oracle them."""
@@ -356,14 +413,45 @@ WHERE len(list_filter(range({num_perm}), i -> x.sig[i+1] = y.sig[i+1])) >= {num_
 
 
 def _q_neardup_clusters(sf_dir: str):
-    """Exact duplicate-cluster resolution: MinHash edges → iterative
-    connected components (fixpoint min-label propagation). Non-SQL
-    (iterative algorithm) → rows-only."""
+    """Exact duplicate-cluster resolution: MinHash edges (md5/exact-modular
+    sketch — the oracle-replayable configuration) → iterative connected
+    components (fixpoint min-label propagation). ORACLE-GATED: DuckDB
+    replays the edge set via _minhash_md5_sql and the components via a
+    recursive min-label-walk CTE."""
     from pdf_parser_ray.stages.dedup import connected_components, minhash_dedup_edges
 
     ds = _documents(sf_dir, columns=["doc_id", "text"])
-    edges = minhash_dedup_edges(ds, threshold=0.8)
-    return connected_components(edges)
+    edges = minhash_dedup_edges(ds, num_perm=32, num_bands=8, threshold=0.8,
+                                sketch="md5")
+    out = connected_components(edges)
+    return out.map_batches(
+        lambda df: df.astype({"doc_id": "int64", "component_id": "int64"}),
+        batch_format="pandas")
+
+
+def _neardup_clusters_sql() -> str:
+    """Connected components over the md5 MinHash edge set: symmetrize the
+    edges, seed every node with its own label, walk labels along edges
+    (DuckDB recursive CTE with UNION dedup — terminates because the
+    reachable (node, label) pair space is finite), keep min per node."""
+    edges = _minhash_md5_sql()
+    return f"""
+WITH RECURSIVE
+edges AS ({edges}),
+sym AS (
+  SELECT doc_id AS src, dup_of AS dst FROM edges
+  UNION
+  SELECT dup_of AS src, doc_id AS dst FROM edges
+),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.dst AS node, w.label FROM walk w JOIN sym s ON s.src = w.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(label) AS BIGINT) AS component_id
+FROM walk GROUP BY node
+"""
 
 
 def _q_simhash_dedup(sf_dir: str):
@@ -480,6 +568,62 @@ def _q_knn_ivf(sf_dir: str):
         }),
         batch_format="pyarrow",
     )
+
+
+def _knn_ivf_sql(sf_dir: str = "/root/testdata/sf0.01", n_centroids: int = 8,
+                 nprobe: int = 2, k: int = 10) -> str:
+    """DuckDB replay of the IVF query: the SAME deterministic driver-side
+    k-means (kmeans_centroids, seed 42, first-2000 sample) is recomputed
+    here and inlined as centroid literals; assignment (arg-max cosine,
+    lowest-cid ties), nprobe probing and in-bucket ranking are then pure
+    SQL. The gate runs at sf0.01 (driver contract), so the centroids are
+    derived from that table."""
+    import pyarrow.parquet as pq
+    from pdf_parser_ray.stages.similarity import kmeans_centroids
+
+    sample = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in sample.column("embedding").to_pylist()[:2000]])
+    centroids = kmeans_centroids(mat, n_centroids=n_centroids)
+    cent_values = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(x)) for x in row))
+        for i, row in enumerate(centroids))
+    return f"""
+WITH cent(cid, cvec) AS (VALUES {cent_values}),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)
+),
+assign_rn AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+    row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (SELECT vec_id, embedding, cid FROM assign_rn WHERE rn = 1),
+probe_rn AS (
+  SELECT q.query_id, q.qvec, c.cid,
+    row_number() OVER (PARTITION BY q.query_id
+      ORDER BY list_cosine_similarity(q.qvec, c.cvec) DESC, c.cid ASC) AS rn
+  FROM q CROSS JOIN cent c
+),
+probed AS (SELECT query_id, qvec, cid FROM probe_rn WHERE rn <= {nprobe}),
+sims AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+    list_cosine_similarity(p.qvec, a.embedding) AS cosine
+  FROM probed p JOIN assigned a ON a.cid = p.cid
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
 
 
 def _q_media_features(sf_dir: str):
@@ -719,6 +863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_docs": _q_validate_docs,
         "hash_docs": _q_hash_docs,
         "fingerprint": _q_fingerprint,
+        "fingerprint_set": _q_fingerprint_set,
         # dedup
         "dedup_exact": _q_dedup_exact,
         "dedup_semi": _q_dedup_semi,
@@ -833,6 +978,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "simhash_dedup": _simhash_sql(),
         "minhash_dedup_md5": _minhash_md5_sql(),
+        "neardup_clusters": _neardup_clusters_sql(),
+        "fingerprint_set": _fingerprint_set_sql(),
+        "knn_ivf": _knn_ivf_sql(),
         "token_counts": (
             "SELECT doc_id, "
             "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "

@@ -38,6 +38,9 @@ def _names():
         "classic_fields", "events_props", "text_normalize",
         "token_percentiles", "hash_sample", "events_sliding_window",
         "dedup_semi", "customers_with_orders",
+        # round-3 oracles (knn_ivf is excluded here: its oracle inlines
+        # centroid literals derived at the sf0.01 gate scale)
+        "fingerprint_set", "neardup_clusters",
     ]
 
 
