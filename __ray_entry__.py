@@ -644,6 +644,32 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_media_features_png(sf_dir: str):
+    """REAL image decode: deterministic baseline-PNG payloads decoded by
+    the from-scratch stdlib-zlib codec (functions/png.py) inside the
+    ImageDecode actor pool, then featurized. Rows-only (PNG inflate +
+    unfilter is legitimately non-SQL); correctness is pytest-gated by
+    round-trip and known-pixel tests (tests/test_png.py)."""
+    import ray.data
+    from pdf_parser_ray.stages.media import (ImageDecode, ImageFeatures,
+                                             synth_png_table)
+
+    ds = ray.data.from_arrow(synth_png_table(n=64))
+    ds = ds.map_batches(
+        ImageDecode, fn_constructor_kwargs={"decoder": "png"},
+        batch_format="pyarrow", batch_size=16, concurrency=2)
+    ds = ds.map_batches(ImageFeatures, batch_format="pyarrow",
+                        batch_size=16, concurrency=2)
+    return ds.map_batches(
+        lambda b: pa.table({
+            "media_ref": b.column("media_ref"),
+            "decoded": pc.is_valid(b.column("pixels")),
+            "feature_dim": pc.list_value_length(b.column("features")),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def _q_frame_sample(sf_dir: str):
     import ray.data
     from pdf_parser_ray.stages.media import FrameSample, synth_media_table
@@ -885,6 +911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         # multimodal plumbing (stub decode; rows-only)
         "media_features": _q_media_features,
+        "media_features_png": _q_media_features_png,
         "frame_sample": _q_frame_sample,
         # relational / wide ops (SQL-oracled)
         "pricing_summary": rel.pricing_summary,

@@ -42,24 +42,65 @@ class ImageDecode:
     Output column ``pixels``: FixedShapeTensor-compatible flat binary of
     shape (out_h, out_w, 3) per row (resize is part of decode so the full-
     resolution tensor never enters the object store).
+
+    Backends:
+      - ``"png"``: REAL decode of baseline PNGs via the from-scratch
+        stdlib-zlib codec (functions/png.py) + nearest-neighbor resize +
+        RGB normalization. Undecodable payloads yield null pixels plus a
+        ``decode_error`` string (per-row fail-soft, B2-style).
+      - ``"fake"``: deterministic sha256-seeded tensor (schema/determinism
+        tests, non-PNG media types).
+      - anything else (``"pillow"``...): NotImplementedError — those
+        libraries are not installed here.
     """
 
     def __init__(self, out_h: int = 64, out_w: int = 64, decoder: str = "fake"):
-        if decoder not in ("fake",):
+        if decoder not in ("fake", "png"):
             raise NotImplementedError(
                 f"decoder={decoder!r}: real image codecs are not installed in "
-                "this environment; only the deterministic 'fake' backend runs"
+                "this environment; use the from-scratch 'png' backend or the "
+                "deterministic 'fake' backend"
             )
         self.out_h, self.out_w = out_h, out_w
+        self.decoder = decoder
+
+    def _decode_png(self, payload: bytes) -> np.ndarray:
+        from ..functions.png import decode_png
+
+        arr = decode_png(payload)
+        h, w, c = arr.shape
+        # nearest-neighbor resize via index maps (no deps)
+        ys = (np.arange(self.out_h) * h) // self.out_h
+        xs = (np.arange(self.out_w) * w) // self.out_w
+        arr = arr[ys][:, xs]
+        if c == 1:  # gray → RGB
+            arr = np.repeat(arr, 3, axis=2)
+        elif c == 2:  # gray+alpha → RGB (alpha dropped)
+            arr = np.repeat(arr[:, :, :1], 3, axis=2)
+        elif c == 4:  # RGBA → RGB
+            arr = arr[:, :, :3]
+        return np.ascontiguousarray(arr)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        pixels = []
+        pixels, errors = [], []
         for payload in batch.column("payload").to_pylist():
-            arr = _fake_pixels(payload or b"", self.out_h, self.out_w)
-            pixels.append(arr.tobytes())
+            if self.decoder == "png":
+                try:
+                    pixels.append(self._decode_png(payload or b"").tobytes())
+                    errors.append(None)
+                except Exception as e:  # fail-soft per row, like DocParse
+                    pixels.append(None)
+                    errors.append(f"{type(e).__name__}: {e}")
+            else:
+                pixels.append(
+                    _fake_pixels(payload or b"", self.out_h, self.out_w).tobytes())
+                errors.append(None)
         batch = batch.append_column("pixels", pa.array(pixels, type=pa.binary()))
         batch = batch.append_column("pixels_shape", pa.array(
             [[self.out_h, self.out_w, 3]] * batch.num_rows, type=pa.list_(pa.int32())))
+        if self.decoder == "png":
+            batch = batch.append_column(
+                "decode_error", pa.array(errors, type=pa.string()))
         return batch
 
 
@@ -87,6 +128,9 @@ class ImageFeatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []
         for blob in batch.column("pixels").to_pylist():
+            if blob is None:  # upstream decode_error row rides through
+                feats.append(None)
+                continue
             arr = np.frombuffer(blob, dtype=np.uint8).astype(np.float32)
             proj = self._proj_by_size.get(arr.size)
             if proj is None:  # fail-soft on odd shapes, cached thereafter
@@ -136,6 +180,34 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         "duration_ms": [int(rng.integers(0, 10_000)) for _ in range(n)],
     }
     return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+
+def synth_png_table(n: int = 32, seed: int = 42) -> pa.Table:
+    """Deterministic table of REAL encoded baseline PNGs (via the
+    from-scratch codec's encoder) — the real-decode benchmark/test input.
+    Sizes, channel counts and filter types vary per row so the decode path
+    is exercised across the full supported matrix."""
+    from ..functions.png import encode_png
+
+    rng = np.random.default_rng(seed)
+    refs, payloads, widths, heights = [], [], [], []
+    for i in range(n):
+        h = int(rng.integers(8, 48))
+        w = int(rng.integers(8, 48))
+        c = (1, 2, 3, 4)[i % 4]
+        px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        refs.append(f"png://synth/{i}")
+        payloads.append(encode_png(px, filter_type=i % 5))
+        widths.append(w)
+        heights.append(h)
+    return pa.table({
+        "media_ref": pa.array(refs, type=pa.string()),
+        "media_type": pa.array(["image"] * n, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": pa.array(widths, type=pa.int32()),
+        "height": pa.array(heights, type=pa.int32()),
+        "duration_ms": pa.array([0] * n, type=pa.int32()),
+    })
 
 
 class MediaResolve:
