@@ -41,12 +41,18 @@ class SessionWindowActor:
     buffers out-of-order blocks until the gap fills.
     """
 
-    def __init__(self, gap_us: int):
+    def __init__(self, gap_us: int, max_buffer: int | None = None):
         self.gap_us = gap_us
         self.state: dict = {}  # key → (session_start, last_ts, n_events)
         self.closed: list[tuple] = []
         self.buffer: dict[int, tuple] = {}  # seq → (keys, ts_us)
         self.next_seq = 0
+        # backpressure bound: the driver's sliding submission window
+        # guarantees ≤ max_in_flight out-of-order feeds can be outstanding,
+        # so a larger buffer means the contract broke — fail loudly instead
+        # of growing without bound (at 10^7 blocks an unbounded gap buffer
+        # is an OOM, not a warning).
+        self.max_buffer = max_buffer
 
     def _apply(self, keys: list, ts_us: list) -> None:
         for k, t in zip(keys, ts_us):
@@ -67,6 +73,11 @@ class SessionWindowActor:
         # buffered seq — applying it twice would corrupt session counts
         if seq < self.next_seq or seq in self.buffer:
             return len(self.closed)
+        if self.max_buffer is not None and len(self.buffer) >= self.max_buffer:
+            raise RuntimeError(
+                f"gap buffer exceeded max_buffer={self.max_buffer} "
+                f"(next_seq={self.next_seq}, got seq={seq}); the router "
+                "submission window is not bounding out-of-order delivery")
         self.buffer[seq] = (keys, ts_us)
         while self.next_seq in self.buffer:
             k, t = self.buffer.pop(self.next_seq)
@@ -92,7 +103,8 @@ def _route_block(block, seq: int, actors: list, key_col: str, ts_col: str,
                  num_buckets: int):
     """Worker-side router: split one (already-sorted) block by key bucket and
     feed every bucket actor — empty feeds included so each actor's seq
-    prefix always advances. Returns the feed refs for the global barrier."""
+    prefix always advances. Blocks until every feed is accepted, then
+    returns the feed count (driver windows on router completion)."""
     df = block.to_pandas() if hasattr(block, "to_pandas") else block
     # resolution-independent µs (bare int64 cast gives ns for datetime64[ns],
     # shrinking the effective gap threshold 1000×)
@@ -105,32 +117,45 @@ def _route_block(block, seq: int, actors: list, key_col: str, ts_col: str,
         mask = buckets == b
         refs.append(actor.feed.remote(
             seq, df[key_col][mask].tolist(), ts_us[mask].tolist()))
-    return refs
+    # the router completes only once every bucket actor ACCEPTED its feed —
+    # this is what makes the driver's sliding window a real backpressure
+    # bound on the actors' gap buffers
+    ray.get(refs)
+    return len(refs)
 
 
 def sessionize_stream(ds, *, key_col: str = "user_id", ts_col: str = "ts",
-                      gap_minutes: int = 30, num_buckets: int = 4) -> pd.DataFrame:
+                      gap_minutes: int = 30, num_buckets: int = 4,
+                      max_in_flight: int = 64) -> pd.DataFrame:
     """Incremental sessionization of an ordered event log via bucket actors.
 
     Returns (key, session_start, session_end, n_events) for every session.
     Matches the batch map_groups sessionizer on any input (tested). The
     driver touches only block refs and seq numbers; event payloads move
     worker → actor.
+
+    Backpressure: at most ``max_in_flight`` router tasks run at once, and
+    the window slides in SEQ ORDER (wait on the oldest outstanding router
+    before submitting the next), so any gap-buffered seq is within the
+    current window — each actor's out-of-order buffer is bounded by
+    ``max_in_flight`` blocks and the actor enforces that bound loudly.
     """
     gap_us = gap_minutes * 60 * 1_000_000
-    actors = [SessionWindowActor.remote(gap_us) for _ in range(num_buckets)]
+    actors = [SessionWindowActor.remote(gap_us, max_buffer=max_in_flight)
+              for _ in range(num_buckets)]
     ordered = ds.sort(ts_col)
 
-    route_refs = []
+    pending: list = []
     seq = 0
     for bundle in ordered.iter_internal_ref_bundles():
         for block_ref in bundle.block_refs:
-            route_refs.append(_route_block.remote(
+            if len(pending) >= max_in_flight:
+                ray.get(pending.pop(0))  # oldest-first: window slides in seq order
+            pending.append(_route_block.remote(
                 block_ref, seq, actors, key_col, ts_col, num_buckets))
             seq += 1
-    # barrier: every feed applied before flush
-    feed_refs = [r for sub in ray.get(route_refs) for r in sub]
-    ray.get(feed_refs)
+    # barrier: every feed accepted before flush (routers confirm acceptance)
+    ray.get(pending)
     rows = []
     for a in actors:
         rows.extend(ray.get(a.flush.remote()))

@@ -116,6 +116,69 @@ class TestStreamingSessions:
         assert len(rows) == 2
         assert rows[0][3] == 2 and rows[1][3] == 1
 
+    def test_out_of_order_routers_with_induced_delay(self):
+        """Routers completing in REVERSE seq order (induced sleeps) must
+        still produce correct sessions — the per-actor seq reorder buffer is
+        what's under test."""
+        import time
+
+        import ray
+        from pdf_parser_ray.stages.streaming import SessionWindowActor
+
+        gap_us = 30 * 60 * 1_000_000
+        actor = SessionWindowActor.remote(gap_us, max_buffer=8)
+
+        @ray.remote
+        def delayed_feed(seq, keys, ts, delay_s):
+            time.sleep(delay_s)
+            return ray.get(actor.feed.remote(seq, keys, ts))
+
+        h = 3_600_000_000
+        blocks = [(0, ["u"], [0]), (1, ["u"], [10 * 60 * 1_000_000]),
+                  (2, ["u"], [3 * h]), (3, ["u"], [3 * h + 60_000_000])]
+        # later seqs get SHORTER delays → delivery order is reversed
+        refs = [delayed_feed.remote(s, k, t, 0.05 * (len(blocks) - s))
+                for s, k, t in blocks]
+        ray.get(refs)
+        rows = ray.get(actor.flush.remote())
+        ray.kill(actor)
+        assert len(rows) == 2
+        assert rows[0][3] == 2 and rows[1][3] == 2
+
+    def test_buffer_cap_enforced(self):
+        """A gap buffer growing past max_buffer must fail loudly, not OOM."""
+        import pytest
+        import ray
+        from pdf_parser_ray.stages.streaming import SessionWindowActor
+
+        actor = SessionWindowActor.remote(1, max_buffer=2)
+        # seq 0 never arrives; 1..3 must overflow the cap of 2
+        ray.get(actor.feed.remote(1, ["u"], [1]))
+        ray.get(actor.feed.remote(2, ["u"], [2]))
+        with pytest.raises(ray.exceptions.RayTaskError, match="max_buffer"):
+            ray.get(actor.feed.remote(3, ["u"], [3]))
+        ray.kill(actor)
+
+    def test_sliding_window_bounds_buffer(self):
+        """End-to-end with a tiny max_in_flight: correctness holds and the
+        actor-side cap (== max_in_flight) is never tripped."""
+        import numpy as np
+        import pandas as pd
+        import ray.data
+        from pdf_parser_ray.stages.streaming import sessionize_stream
+
+        rng = np.random.default_rng(5)
+        n = 1500
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 11, size=n),
+            "ts": pd.to_datetime(
+                np.sort(rng.integers(0, 24 * 3600, size=n)), unit="s"),
+        })
+        ds = ray.data.from_pandas(df).repartition(12)
+        out = sessionize_stream(ds, gap_minutes=30, num_buckets=3,
+                                max_in_flight=2)
+        assert out["n_events"].sum() == n
+
     def test_many_blocks_roundtrip(self):
         """Sessionization over a log spread across many blocks matches the
         batch sessionizer (exercises the ref-bundle seq path)."""
