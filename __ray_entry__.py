@@ -354,13 +354,14 @@ def _q_minhash_dedup_md5(sf_dir: str):
     return df
 
 
-def _minhash_md5_sql(num_perm: int = 32, width: int = 5, bands: int = 8,
-                     threshold: float = 0.8, seed: int = 42) -> str:
-    """DuckDB replay of the md5-mode MinHash dedup (stages/dedup.py):
-    sig_i = min over distinct word-5-shingles of ((a_i*md5_64(sh)+b_i)
-    mod 2^61-1) mod 2^32, computed in HUGEINT with the (a_i, b_i)
-    constants inlined; 8 bands of 4 rows; min-id anchors; agreement
-    ≥ threshold."""
+def _minhash_md5_ctes(num_perm: int = 32, width: int = 5, bands: int = 8,
+                      seed: int = 42,
+                      source: str = "SELECT doc_id, text FROM documents") -> str:
+    """Shared CTE block replaying the md5-mode MinHash LSH candidate
+    generation (stages/dedup.py) up to the ``cand`` pairs; finishers append
+    their own verify (signature agreement / exact n-gram Jaccard).
+    ``source`` is any relation with (doc_id, text) — the full documents
+    table by default, or e.g. the corpus-prep survivor subset."""
     from pdf_parser_ray.functions.minhash import _hash_family
 
     a, b = _hash_family(num_perm, seed)
@@ -368,11 +369,11 @@ def _minhash_md5_sql(num_perm: int = 32, width: int = 5, bands: int = 8,
                             for i, (ai, bi) in enumerate(zip(a, b)))
     p61 = (1 << 61) - 1
     rows = num_perm // bands
-    return f"""
-WITH perms(i, pa, pb) AS (VALUES {perm_values}),
+    return f"""perms(i, pa, pb) AS (VALUES {perm_values}),
+src AS ({source}),
 toks AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'), x -> x <> '') AS w
-  FROM documents
+  FROM src
 ),
 sh AS (
   SELECT doc_id,
@@ -394,7 +395,7 @@ sig_rows AS (
 sigs0 AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM sig_rows GROUP BY doc_id),
 sigs AS (
   SELECT d.doc_id, COALESCE(s.sig, [CAST(4294967295 AS UBIGINT) for x in range({num_perm})]) AS sig
-  FROM documents d LEFT JOIN sigs0 s USING (doc_id)
+  FROM src d LEFT JOIN sigs0 s USING (doc_id)
 ),
 bands AS (
   SELECT doc_id, b.b AS band, sig[{rows}*b.b+1 : {rows}*b.b+{rows}] AS bk
@@ -405,10 +406,47 @@ cand AS (
   SELECT DISTINCT bands.doc_id, a.anchor AS dup_of
   FROM bands JOIN anchors a ON bands.band = a.band AND bands.bk = a.bk
   WHERE bands.doc_id <> a.anchor
-)
+)"""
+
+
+def _minhash_md5_sql(num_perm: int = 32, width: int = 5, bands: int = 8,
+                     threshold: float = 0.8, seed: int = 42,
+                     source: str = "SELECT doc_id, text FROM documents") -> str:
+    """DuckDB replay of the md5-mode MinHash dedup (stages/dedup.py):
+    sig_i = min over distinct word-5-shingles of ((a_i*md5_64(sh)+b_i)
+    mod 2^61-1) mod 2^32, computed in HUGEINT with the (a_i, b_i)
+    constants inlined; 8 bands of 4 rows; min-id anchors; agreement
+    ≥ threshold."""
+    ctes = _minhash_md5_ctes(num_perm, width, bands, seed, source)
+    return f"""
+WITH {ctes}
 SELECT c.doc_id, c.dup_of
 FROM cand c JOIN sigs x ON c.doc_id = x.doc_id JOIN sigs y ON c.dup_of = y.doc_id
 WHERE len(list_filter(range({num_perm}), i -> x.sig[i+1] = y.sig[i+1])) >= {num_perm} * {threshold}
+"""
+
+
+def _ngram_jaccard_sql(threshold: float = 0.5, ngram: int = 5,
+                       num_perm: int = 32, bands: int = 8) -> str:
+    """DuckDB replay of ngram_jaccard_dedup_edges: the same md5 LSH
+    candidate CTEs, finished by EXACT lowercased char-n-gram Jaccard."""
+    ctes = _minhash_md5_ctes(num_perm=num_perm, bands=bands)
+    return f"""
+WITH {ctes},
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(lower(text)) = 0 THEN []
+         WHEN len(lower(text)) < {ngram} THEN [lower(text)]
+         ELSE list_distinct([substr(lower(text), i, {ngram}) for i in range(1, len(lower(text)) - {ngram - 2})])
+    END AS g
+  FROM src
+)
+SELECT c.doc_id, c.dup_of
+FROM cand c JOIN grams a ON c.doc_id = a.doc_id JOIN grams b ON c.dup_of = b.doc_id
+WHERE CASE WHEN len(a.g) = 0 AND len(b.g) = 0 THEN 1.0
+           WHEN len(a.g) = 0 OR len(b.g) = 0 THEN 0.0
+           ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(list_distinct(a.g || b.g))
+      END >= {threshold}
 """
 
 
@@ -527,6 +565,36 @@ def _knn_queries(sf_dir: str, n: int = 5):
     ids = head.column("vec_id").to_pylist()
     vecs = np.stack([np.asarray(v, dtype=np.float64) for v in head.column("embedding").to_pylist()])
     return ids, vecs
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    """Exact char-5-gram Jaccard near-dup edges, LSH-bucketed (no
+    all-pairs). ORACLE-GATED: candidate CTEs + exact list-Jaccard in SQL."""
+    from pdf_parser_ray.stages.dedup import ngram_jaccard_dedup_edges
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    df = ngram_jaccard_dedup_edges(ds, threshold=0.5).to_pandas()
+    if df.empty or "doc_id" not in df.columns:
+        df = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                           "dup_of": pd.Series(dtype="int64")})
+    return df.astype({"doc_id": "int64", "dup_of": "int64"})
+
+
+def _q_events_sessions_stream(sf_dir: str):
+    """The INCREMENTAL actor-state streaming sessionizer, aggregated to the
+    same per-user contract as events_sessions — gated by the SAME SQL
+    oracle, so the raw-Ray escape hatch is value-checked end to end, not
+    just property-tested against the batch kernel."""
+    import ray.data
+    from pdf_parser_ray.stages.streaming import sessionize_stream
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    stream = sessionize_stream(ds, gap_minutes=30, num_buckets=4)
+    per_user = stream.groupby("user_id", as_index=False).agg(
+        n_events=("n_events", "sum"), n_sessions=("session_start", "size"))
+    return per_user.astype({"user_id": "int64", "n_events": "int64",
+                            "n_sessions": "int64"})
 
 
 def _q_knn_bruteforce(sf_dir: str):
@@ -834,10 +902,12 @@ def _q_corpus_prep(sf_dir: str):
 
 def _q_corpus_prep_neardup(sf_dir: str):
     """Full training-data prep composition: quality filter → exact dedup
-    (ids-only shuffle) → NEAR-dup removal (MinHash LSH edges; the doc_id
-    side of each verified edge is dropped, keeping min-id survivors) →
-    token counts. Non-SQL (MinHash) → rows-only; the building blocks are
-    each oracle-gated separately."""
+    (ids-only shuffle) → NEAR-dup removal (MinHash LSH edges in the
+    md5/exact-modular oracle-replayable configuration; the doc_id side of
+    each verified edge is dropped, keeping min-id survivors) → token
+    counts. ORACLE-GATED end to end: DuckDB replays the quality filter,
+    the group-by-text exact dedup, the LSH edges over the survivor subset,
+    and the anti-join in one statement."""
     from pdf_parser_ray.pipelines.relational import semi_anti_join
     from pdf_parser_ray.stages.dedup import exact_dedup_ids, minhash_dedup_edges
 
@@ -851,7 +921,8 @@ def _q_corpus_prep_neardup(sf_dir: str):
         filtered, exact_survivors.map_batches(
             lambda b: b.select(["doc_id"]), batch_format="pyarrow"),
         left_key="doc_id", anti=False).materialize()
-    edges = minhash_dedup_edges(survivors_full, threshold=0.8)
+    edges = minhash_dedup_edges(survivors_full, num_perm=32, num_bands=8,
+                                threshold=0.8, sketch="md5")
     dup_ids = edges.map_batches(lambda b: b.select(["doc_id"]),
                                 batch_format="pyarrow")
     kept = semi_anti_join(survivors_full, dup_ids, left_key="doc_id", anti=True)
@@ -861,6 +932,30 @@ def _q_corpus_prep_neardup(sf_dir: str):
         lambda b: pa.table({"doc_id": b.column("doc_id"),
                             "n_tokens": pc.cast(b.column("n_tokens"), pa.int64())}),
         batch_format="pyarrow")
+
+
+def _corpus_prep_neardup_sql() -> str:
+    """DuckDB replay of the FULL corpus-prep-with-near-dup pipeline:
+    quality filter → group-by-text exact dedup (min doc_id survives) →
+    md5 MinHash LSH edges over the SURVIVOR subset → drop the doc_id side
+    of every verified edge."""
+    edges = _minhash_md5_sql(source="SELECT doc_id, text FROM surv")
+    return f"""
+WITH q AS (
+  SELECT doc_id, text, length(regexp_extract_all(text, '\\S+')) AS n_tokens
+  FROM documents
+  WHERE length(regexp_extract_all(text, '\\S+')) >= 10
+  AND (1000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) // GREATEST(length(text), 1) > 500
+  AND (1000 * length(regexp_replace(text, '[^.,;:!?]', '', 'g'))) // GREATEST(length(text), 1) < 200
+),
+surv AS (
+  SELECT min(doc_id) AS doc_id, CAST(min(n_tokens) AS BIGINT) AS n_tokens, text
+  FROM q GROUP BY text
+),
+edges AS ({edges})
+SELECT s.doc_id, s.n_tokens FROM surv s
+WHERE s.doc_id NOT IN (SELECT doc_id FROM edges)
+"""
 
 
 def _q_customers_without_orders(sf_dir: str):
@@ -902,6 +997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep_neardup": _q_corpus_prep_neardup,
         "minhash_dedup": _q_minhash_dedup,
         "minhash_dedup_md5": _q_minhash_dedup_md5,
+        "ngram_jaccard": _q_ngram_jaccard,
         "neardup_clusters": _q_neardup_clusters,
         "simhash_dedup": _q_simhash_dedup,
         "embedding_neardup": _q_embedding_neardup,
@@ -926,6 +1022,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": rel.events_hourly,
         "events_top_users": rel.events_top_users,
         "events_sessions": rel.events_sessions,
+        "events_sessions_stream": _q_events_sessions_stream,
+        "events_asof": rel.events_asof,
         "events_sliding_window": rel.events_sliding_window,
         "hash_sample": rel.hash_sample,
     }
@@ -1008,6 +1106,8 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": _neardup_clusters_sql(),
         "fingerprint_set": _fingerprint_set_sql(),
         "knn_ivf": _knn_ivf_sql(),
+        "ngram_jaccard": _ngram_jaccard_sql(),
+        "corpus_prep_neardup": _corpus_prep_neardup_sql(),
         "token_counts": (
             "SELECT doc_id, "
             "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "
@@ -1183,6 +1283,23 @@ def oracle_sql() -> dict[str, str]:
             "AS UBIGINT) % 100 < 10"
         ),
         "events_sessions": (
+            "SELECT user_id, count(*) AS n_events, "
+            "CAST(1 + sum(CASE WHEN prev_ts IS NOT NULL "
+            "AND epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions "
+            "FROM (SELECT user_id, ts, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events) "
+            "GROUP BY user_id"
+        ),
+        "events_asof": (
+            "SELECT event_id, user_id, "
+            "epoch_us(last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS last_mark_ts_us "
+            "FROM events"
+        ),
+        # the incremental actor-state sessionizer must land on the exact
+        # same per-user numbers as the batch kernel's oracle
+        "events_sessions_stream": (
             "SELECT user_id, count(*) AS n_events, "
             "CAST(1 + sum(CASE WHEN prev_ts IS NOT NULL "
             "AND epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions "

@@ -746,6 +746,44 @@ def events_sliding_window(sf_dir: str):
     return hourly.groupby("event_type").map_groups(window, batch_format="pandas")
 
 
+def events_asof(sf_dir: str, mark_type: str = "purchase", num_parts: int = 64):
+    """Backward AS-OF JOIN of the event stream against its own marker
+    sub-stream: for every event, the epoch-µs timestamp of the same user's
+    most recent ``mark_type`` event at or before it (inclusive; ties broken
+    by event_id), NULL if none yet — i.e. the generic
+    last-known-value-at-time operator Ray Data has no primitive for.
+
+    Composition (custom-operator contract): coarse crc32(user) partition →
+    ONE vectorized kernel per partition (sort by (user, ts, event_id),
+    mark rows carry their own ts, grouped forward-fill). Partitioning
+    assumption: the ``by`` key (user) never spans partitions, so the fill
+    never needs cross-partition state. The marker stream rides the same
+    shuffle as the probe stream — no second exchange.
+    """
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "asof_part", _bucket_array(batch.column("user_id"), num_parts))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts_us = ts_int_us(g["ts"])
+        # float64 is exact for integer µs < 2^53 (~year 2255) — safe carrier
+        mark = np.where(g["event_type"].to_numpy() == mark_type,
+                        ts_us.astype(np.float64), np.nan)
+        filled = pd.Series(mark).groupby(g["user_id"].to_numpy()).ffill()
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "last_mark_ts_us": filled.round().astype("Int64").to_numpy(),
+        })
+
+    return ds.map_batches(add_part, batch_format="pyarrow").groupby(
+        "asof_part").map_groups(kernel, batch_format="pandas")
+
+
 def hash_sample(sf_dir: str, pct: int = 10):
     """Deterministic hash sampling (§2.6 sampling operator): keep rows whose
     md5(doc_id) bucket mod 100 < pct — reproducible across runs/engines

@@ -276,6 +276,43 @@ def _sketch_slim(ds, *, text_col: str, id_col: str, num_perm: int,
     ).select_columns([id_col, "minhash_sig"]).materialize()
 
 
+def _lsh_candidate_pairs(sketched, *, num_perm: int, num_bands: int,
+                         id_col: str):
+    """Banded-LSH candidate generation over pinned slim sketches: SLIM band
+    explode (band_key, id) → coarse crc32(band_key) partition (one task
+    handles MANY buckets with the vectorized kernel — a per-bucket
+    map_groups callback costs milliseconds of Python per tiny group,
+    measured 8 s vs 0.5 s at sf0.1) → bucket min-id anchor pairs →
+    distinct. Returns (materialized distinct pairs, id arrow type); the
+    pairs are tiny and feed several consumers (joins, bloom prefilters)."""
+    from ..pipelines.relational import _arrow_type
+
+    id_type = _arrow_type(dict(zip(sketched.schema().names,
+                                   sketched.schema().types))[id_col])
+    bands = sketched.map_batches(
+        band_explode_batch,
+        fn_kwargs={"num_perm": num_perm, "num_bands": num_bands, "id_col": id_col},
+        batch_format="pyarrow",
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        parts = [zlib.crc32(k.encode()) % 64 for k in batch.column("band_key").to_pylist()]
+        return batch.append_column("band_part", pa.array(parts, type=pa.int64()))
+
+    parts = bands.map_batches(add_part, batch_format="pyarrow")
+    cands = parts.groupby("band_part").map_groups(_bucket_candidates,
+                                                  batch_format="pandas")
+    # distinct (doc_id, dup_of): same pair may surface from several bands.
+    # Coarse-partition by hash(doc_id), drop_duplicates within each
+    # partition (a pair always lands in one partition).
+    return cands.map_batches(_add_pair_part, batch_format="pandas").groupby(
+        "pair_part").map_groups(
+        lambda g: g.drop_duplicates(["doc_id", "dup_of"]).drop(columns=["pair_part"]),
+        batch_format="pandas").materialize(), id_type
+
+
 def minhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
                         num_perm: int = 128, num_bands: int = 16,
                         threshold: float = 0.8, concurrency=None,
@@ -303,36 +340,8 @@ def minhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
     sketched = _sketch_slim(ds, text_col=text_col, id_col=id_col,
                             num_perm=num_perm, concurrency=concurrency,
                             sketch=sketch)
-    from ..pipelines.relational import _arrow_type
-
-    id_type = _arrow_type(dict(zip(sketched.schema().names,
-                                   sketched.schema().types))[id_col])
-    bands = sketched.map_batches(
-        band_explode_batch,
-        fn_kwargs={"num_perm": num_perm, "num_bands": num_bands, "id_col": id_col},
-        batch_format="pyarrow",
-    )
-    # coarse-partition by crc32(band_key) so one task handles MANY buckets
-    # with the vectorized kernel (a per-bucket map_groups callback costs
-    # milliseconds of Python per tiny group — measured 8s vs 0.5s at sf0.1)
-    def add_part(batch: pa.Table) -> pa.Table:
-        import zlib
-
-        parts = [zlib.crc32(k.encode()) % 64 for k in batch.column("band_key").to_pylist()]
-        return batch.append_column("band_part", pa.array(parts, type=pa.int64()))
-
-    parts = bands.map_batches(add_part, batch_format="pyarrow")
-    cands = parts.groupby("band_part").map_groups(_bucket_candidates,
-                                                  batch_format="pandas")
-    # distinct (doc_id, dup_of): same pair may surface from several bands.
-    # Vectorized: coarse-partition by hash(doc_id), drop_duplicates within
-    # each partition (a pair always lands in one partition) — not a
-    # per-pair map_groups. Materialized: the distinct pairs are tiny and
-    # feed three consumers (two joins + the bloom prefilters below).
-    cands = cands.map_batches(_add_pair_part, batch_format="pandas").groupby(
-        "pair_part").map_groups(
-        lambda g: g.drop_duplicates(["doc_id", "dup_of"]).drop(columns=["pair_part"]),
-        batch_format="pandas").materialize()
+    cands, id_type = _lsh_candidate_pairs(
+        sketched, num_perm=num_perm, num_bands=num_bands, id_col=id_col)
 
     if cands.count() == 0:
         return cands  # no candidate pairs anywhere → no edges
@@ -411,6 +420,89 @@ def minhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
         b_ = np.frombuffer(b"".join(batch["sig_b"]), dtype=np.uint64).reshape(n, -1)
         agree = (a == b_).mean(axis=1)
         return batch.loc[agree >= threshold, ["doc_id", "dup_of"]]
+
+    return j2.map_batches(verify, batch_format="pandas")
+
+
+def ngram_jaccard_dedup_edges(ds, *, text_col: str = "text",
+                              id_col: str = "doc_id", threshold: float = 0.5,
+                              ngram: int = 5, num_perm: int = 32,
+                              num_bands: int = 8, concurrency=None,
+                              broadcast_limit: int = 200_000):
+    """(doc_id, dup_of) edges where EXACT char-n-gram Jaccard ≥ threshold,
+    candidate-bucketed by the md5 MinHash bands (SURVEY §2.9 "n-gram
+    Jaccard" dedup as a first-class pipeline).
+
+    Same candidates-then-verify shape as minhash_dedup_edges — banded LSH
+    proposes, exact set Jaccard disposes — so no all-pairs comparison ever
+    runs; recall is the LSH's (band agreement), precision is exact. The
+    verify pool carries TEXT, so it is Bloom-prefiltered to candidate
+    endpoints and broadcast only when small; above ``broadcast_limit``
+    rows it falls back to bucket hash joins (payload crosses the wire
+    once per endpoint side, only where candidates exist).
+    """
+    from ..functions.minhash import char_ngrams, jaccard
+    from ..pipelines.relational import hash_join
+
+    sketched = _sketch_slim(ds, text_col=text_col, id_col=id_col,
+                            num_perm=num_perm, concurrency=concurrency,
+                            sketch="md5")
+    cands, id_type = _lsh_candidate_pairs(
+        sketched, num_perm=num_perm, num_bands=num_bands, id_col=id_col)
+    if cands.count() == 0:
+        return cands
+
+    from ..functions.bloom import BloomFilter, build_bloom_distributed
+    import ray as _ray
+
+    n_cands = cands.count()
+    both_ends = cands.map_batches(
+        lambda df: pd.DataFrame(
+            {"cid": pd.concat([df["doc_id"], df["dup_of"]], ignore_index=True)}),
+        batch_format="pandas")
+    bloom = build_bloom_distributed(both_ends, "cid", capacity=2 * n_cands)
+    bloom_ref = _ray.put(bloom)
+
+    def text_filter(batch: pa.Table) -> pa.Table:
+        bf: BloomFilter = _ray.get(bloom_ref)
+        keep = bf.contains_many(batch.column(id_col).to_pylist())
+        return batch.filter(pa.array(keep)).select([id_col, text_col])
+
+    text_pool = ds.map_batches(text_filter, batch_format="pyarrow").materialize()
+
+    if text_pool.count() <= broadcast_limit:
+        tdf = text_pool.to_pandas()
+        lookup_ref = _ray.put(dict(zip(tdf[id_col], tdf[text_col])))
+
+        def verify_broadcast(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return df.reindex(columns=["doc_id", "dup_of"])
+            lk = _ray.get(lookup_ref)
+            keep = [jaccard(char_ngrams(lk[a] or "", ngram),
+                            char_ngrams(lk[b] or "", ngram)) >= threshold
+                    for a, b in zip(df["doc_id"], df["dup_of"])]
+            return df.loc[keep, ["doc_id", "dup_of"]]
+
+        return cands.map_batches(verify_broadcast, batch_format="pandas")
+
+    texts_a = text_pool.map_batches(
+        lambda b: b.rename_columns(["doc_id", "text_a"]), batch_format="pyarrow")
+    texts_b = text_pool.map_batches(
+        lambda b: b.rename_columns(["dup_of", "text_b"]), batch_format="pyarrow")
+    cand_types = {"doc_id": id_type, "dup_of": id_type}
+    j1 = hash_join(cands, texts_a, key="doc_id", num_buckets=16,
+                   left_types=cand_types,
+                   right_types={"doc_id": id_type, "text_a": pa.string()})
+    j2 = hash_join(j1, texts_b, key="dup_of", num_buckets=16,
+                   left_types={**cand_types, "text_a": pa.string()},
+                   right_types={"dup_of": id_type, "text_b": pa.string()})
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.reindex(columns=["doc_id", "dup_of"])
+        keep = [jaccard(char_ngrams(a or "", ngram), char_ngrams(b or "", ngram))
+                >= threshold for a, b in zip(df["text_a"], df["text_b"])]
+        return df.loc[keep, ["doc_id", "dup_of"]]
 
     return j2.map_batches(verify, batch_format="pandas")
 

@@ -41,6 +41,8 @@ def _names():
         # round-3 oracles (knn_ivf is excluded here: its oracle inlines
         # centroid literals derived at the sf0.01 gate scale)
         "fingerprint_set", "neardup_clusters",
+        "ngram_jaccard", "events_asof", "events_sessions_stream",
+        "corpus_prep_neardup",
     ]
 
 

@@ -136,6 +136,39 @@ class TestMinHashSlimBands:
         assert len(strict) == 0
 
 
+class TestNgramJaccardDedup:
+    def test_exact_dup_linked_dissimilar_not(self, dup_docs):
+        from pdf_parser_ray.stages.dedup import ngram_jaccard_dedup_edges
+
+        edges = ngram_jaccard_dedup_edges(dup_docs, threshold=0.5).to_pandas()
+        pairs = {(int(r.doc_id), int(r.dup_of)) for r in edges.itertuples()}
+        assert (2, 1) in pairs  # exact duplicate
+        assert not any(d in (4, 5) for d, _ in pairs)  # unrelated docs
+
+    def test_join_fallback_equals_broadcast(self, dup_docs):
+        from pdf_parser_ray.stages.dedup import ngram_jaccard_dedup_edges
+
+        a = ngram_jaccard_dedup_edges(dup_docs, threshold=0.5).to_pandas()
+        b = ngram_jaccard_dedup_edges(dup_docs, threshold=0.5,
+                                      broadcast_limit=0).to_pandas()
+        key = lambda df: sorted(map(tuple, df[["doc_id", "dup_of"]].to_numpy()))
+        assert key(a) == key(b)
+
+    def test_threshold_is_exact_jaccard(self, ray_session):
+        """Two docs sharing a band but with low exact n-gram Jaccard must
+        be rejected — the verify is exact, not sketch agreement."""
+        import ray.data
+        from pdf_parser_ray.stages.dedup import ngram_jaccard_dedup_edges
+
+        base = " ".join(f"tok{i}" for i in range(60))
+        half = " ".join(f"tok{i}" for i in range(30)) + " " + \
+            " ".join(f"zz{i}" for i in range(30))
+        ds = ray.data.from_items([{"doc_id": 1, "text": base},
+                                  {"doc_id": 2, "text": half}])
+        strict = ngram_jaccard_dedup_edges(ds, threshold=0.95).to_pandas()
+        assert len(strict) == 0
+
+
 class TestConnectedComponents:
     def test_chain_merges_to_one_component(self, ray_session):
         """A~B~C with A!~C: one-round propagation under-merges; CC must not."""
