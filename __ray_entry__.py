@@ -372,7 +372,7 @@ def _minhash_md5_ctes(num_perm: int = 32, width: int = 5, bands: int = 8,
     return f"""perms(i, pa, pb) AS (VALUES {perm_values}),
 src AS ({source}),
 toks AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'), x -> x <> '') AS w
+  SELECT doc_id, list_filter(string_split_regex(COALESCE(lower(text), ''), '[ \t\n\r\f]+'), x -> x <> '') AS w
   FROM src
 ),
 sh AS (
@@ -434,9 +434,12 @@ def _ngram_jaccard_sql(threshold: float = 0.5, ngram: int = 5,
     return f"""
 WITH {ctes},
 grams AS (
+  -- COALESCE: NULL text must behave like '' (python char_ngrams(None or
+  -- '') = empty set; bare lower(NULL) would NULL-propagate and silently
+  -- drop the pair in the WHERE below)
   SELECT doc_id,
-    CASE WHEN len(lower(text)) = 0 THEN []
-         WHEN len(lower(text)) < {ngram} THEN [lower(text)]
+    CASE WHEN len(COALESCE(lower(text), '')) = 0 THEN []
+         WHEN len(COALESCE(lower(text), '')) < {ngram} THEN [lower(text)]
          ELSE list_distinct([substr(lower(text), i, {ngram}) for i in range(1, len(lower(text)) - {ngram - 2})])
     END AS g
   FROM src
@@ -638,6 +641,9 @@ def _q_knn_ivf(sf_dir: str):
     )
 
 
+_KNN_IVF_SQL_CACHE: dict[str, str] = {}
+
+
 def _knn_ivf_sql(sf_dir: str = "/root/testdata/sf0.01", n_centroids: int = 8,
                  nprobe: int = 2, k: int = 10) -> str:
     """DuckDB replay of the IVF query: the SAME deterministic driver-side
@@ -649,6 +655,8 @@ def _knn_ivf_sql(sf_dir: str = "/root/testdata/sf0.01", n_centroids: int = 8,
     import pyarrow.parquet as pq
     from pdf_parser_ray.stages.similarity import kmeans_centroids
 
+    if sf_dir in _KNN_IVF_SQL_CACHE:  # k-means + parquet read once per process
+        return _KNN_IVF_SQL_CACHE[sf_dir]
     sample = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
     mat = np.stack([np.asarray(v, dtype=np.float64)
                     for v in sample.column("embedding").to_pylist()[:2000]])
@@ -656,7 +664,7 @@ def _knn_ivf_sql(sf_dir: str = "/root/testdata/sf0.01", n_centroids: int = 8,
     cent_values = ", ".join(
         "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(x)) for x in row))
         for i, row in enumerate(centroids))
-    return f"""
+    _KNN_IVF_SQL_CACHE[sf_dir] = f"""
 WITH cent(cid, cvec) AS (VALUES {cent_values}),
 q AS (
   SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
@@ -692,6 +700,7 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+    return _KNN_IVF_SQL_CACHE[sf_dir]
 
 
 def _q_media_features(sf_dir: str):
@@ -921,6 +930,12 @@ def _q_corpus_prep_neardup(sf_dir: str):
         filtered, exact_survivors.map_batches(
             lambda b: b.select(["doc_id"]), batch_format="pyarrow"),
         left_key="doc_id", anti=False).materialize()
+    if survivors_full.count() == 0:
+        # typed empty result: an all-filtered corpus loses its schema
+        # through the map_groups/join chain (and if ANY survivor exists,
+        # the output is non-empty — every edge keeps its min-id anchor)
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_tokens": pd.Series(dtype="int64")})
     edges = minhash_dedup_edges(survivors_full, num_perm=32, num_bands=8,
                                 threshold=0.8, sketch="md5")
     dup_ids = edges.map_batches(lambda b: b.select(["doc_id"]),
@@ -1100,12 +1115,11 @@ def _simhash_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     bpe_pat = r"[A-Za-z]{1,8}|[0-9]{1,4}|[^\sA-Za-z0-9]"
-    return {
+    out = {
         "simhash_dedup": _simhash_sql(),
         "minhash_dedup_md5": _minhash_md5_sql(),
         "neardup_clusters": _neardup_clusters_sql(),
         "fingerprint_set": _fingerprint_set_sql(),
-        "knn_ivf": _knn_ivf_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "corpus_prep_neardup": _corpus_prep_neardup_sql(),
         "token_counts": (
@@ -1308,3 +1322,11 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY user_id"
         ),
     }
+    # knn_ivf's oracle derives centroid literals from the sf0.01 gate table;
+    # on a checkout without that path the entry is OMITTED (rows-only
+    # fallback) instead of breaking every other oracle lookup
+    try:
+        out["knn_ivf"] = _knn_ivf_sql()
+    except (FileNotFoundError, OSError):
+        pass
+    return out

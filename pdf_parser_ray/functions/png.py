@@ -55,8 +55,11 @@ def decode_png(data: bytes) -> np.ndarray:
             raise PngFormatError("truncated chunk body")
         pos += 12 + length  # length + type + body + crc (crc not verified)
         if ctype == b"IHDR":
-            width, height, bit_depth, color_type, _comp, _filt, interlace = \
-                struct.unpack(">IIBBBBB", body)
+            try:
+                width, height, bit_depth, color_type, _comp, _filt, interlace = \
+                    struct.unpack(">IIBBBBB", body)
+            except struct.error as e:
+                raise PngFormatError(f"malformed IHDR: {e}") from e
             if bit_depth != 8:
                 raise PngFormatError(f"unsupported bit depth {bit_depth}")
             if color_type not in _CHANNELS:
@@ -72,7 +75,10 @@ def decode_png(data: bytes) -> np.ndarray:
     if not idat:
         raise PngFormatError("missing IDAT")
     channels = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # keep the documented PngFormatError contract
+        raise PngFormatError(f"corrupt IDAT stream: {e}") from e
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise PngFormatError(

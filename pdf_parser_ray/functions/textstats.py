@@ -128,8 +128,12 @@ _FP_MASK = np.uint64((1 << 61) - 1)
 
 
 def kgram_hashes(text: str, k: int = 8) -> np.ndarray:
-    """Rolling polynomial hashes of all k-grams of ``text`` (uint64)."""
-    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    """Rolling polynomial hashes of all k-grams of ``text`` (uint64).
+
+    k-grams are over Unicode CODEPOINTS (utf-32 units), not bytes — one
+    hash position per character regardless of encoding width, which is
+    also what the SQL oracle's per-character ord() replay computes."""
+    data = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
     n = len(data)
     if n < k:
         if n == 0:

@@ -229,9 +229,14 @@ def events_hourly(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         # normalize to µs before the int cast so the bucket math is
         # resolution-independent (a timestamp[ns] input would otherwise
-        # yield ns and shift every bucket by 1000×)
-        epoch = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")),
-                        pa.int64())
+        # yield ns and shift every bucket by 1000×); allow_time_truncate:
+        # sub-µs remainders truncate like the pandas-path ts_int_us helper
+        # instead of raising ArrowInvalid
+        epoch = pc.cast(
+            pc.cast(batch.column("ts"),
+                    options=pc.CastOptions(target_type=pa.timestamp("us"),
+                                           allow_time_truncate=True)),
+            pa.int64())
         hour = pc.divide(epoch, pa.scalar(3_600_000_000))
         value_milli = pc.cast(pc.round(pc.multiply(batch.column("value"),
                                                    pa.scalar(1000.0)),
@@ -514,6 +519,9 @@ def customer_order_revenue(sf_dir: str, k: int = 10,
         import ray as _ray
 
         odf = orders.to_pandas()
+        if "o_orderkey" not in odf.columns:  # fully-empty side loses schema
+            odf = pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                                "o_custkey": pd.Series(dtype="int64")})
         okey = odf["o_orderkey"].to_numpy(np.int64)
         order = np.argsort(okey, kind="stable")
         map_ref = _ray.put((okey[order],
@@ -521,6 +529,9 @@ def customer_order_revenue(sf_dir: str, k: int = 10,
 
         def partial(batch: pa.Table) -> pa.Table:
             ok, cu = _ray.get(map_ref)
+            if len(ok) == 0:  # empty orders side → empty inner join
+                return pa.table({"o_custkey": pa.array([], type=pa.int64()),
+                                 "total_revenue_cents": pa.array([], type=pa.int64())})
             lkey = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
             idx = np.minimum(np.searchsorted(ok, lkey), len(ok) - 1)
             hit = ok[idx] == lkey  # inner-join semantics: drop unmatched

@@ -276,6 +276,36 @@ def _sketch_slim(ds, *, text_col: str, id_col: str, num_perm: int,
     ).select_columns([id_col, "minhash_sig"]).materialize()
 
 
+def _bloom_filtered_pool(source_ds, cands, *, id_col: str, value_col: str,
+                         pair_col: str = "doc_id"):
+    """Bloom-prefiltered (id, value) pool restricted to candidate-pair
+    endpoints — the shared verify plumbing of the near-dup family.
+
+    Builds a distributed Bloom filter over BOTH endpoints of ``cands``
+    (columns ``pair_col``/``dup_of``) and filters ``source_ds`` down to
+    rows whose id might be an endpoint. No false negatives, so every
+    candidate's value survives; a false positive only adds a row the
+    verify/join then drops — exactness preserved. The surviving pool is
+    candidate-scale and materialized once for all downstream consumers."""
+    import ray as _ray
+
+    from ..functions.bloom import BloomFilter, build_bloom_distributed
+
+    both = cands.map_batches(
+        lambda df: pd.DataFrame(
+            {"cid": pd.concat([df[pair_col], df["dup_of"]], ignore_index=True)}),
+        batch_format="pandas")
+    bloom = build_bloom_distributed(both, "cid", capacity=2 * cands.count())
+    bloom_ref = _ray.put(bloom)
+
+    def pool_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        bf: BloomFilter = _ray.get(bloom_ref)
+        keep = bf.contains_many(batch[id_col].tolist())
+        return batch.loc[keep, [id_col, value_col]]
+
+    return source_ds.map_batches(pool_filter, batch_format="pandas").materialize()
+
+
 def _lsh_candidate_pairs(sketched, *, num_perm: int, num_bands: int,
                          id_col: str):
     """Banded-LSH candidate generation over pinned slim sketches: SLIM band
@@ -347,29 +377,12 @@ def minhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return cands  # no candidate pairs anywhere → no edges
 
     # Bloom-prefilter the signature side: candidates are a small minority
-    # of the corpus, so most signatures need never enter the join
-    # exchange. One filter covers BOTH pair endpoints; a false positive
-    # only adds a sig row that the inner join then drops — exactness is
-    # preserved (no false negatives). The surviving sig pool is tiny
-    # (candidate endpoints + ~1% FPs) and is pinned once for both joins.
-    from ..functions.bloom import BloomFilter, build_bloom_distributed
-
-    n_cands = cands.count()
-    both_ends = cands.map_batches(
-        lambda df: pd.DataFrame(
-            {"cid": pd.concat([df["doc_id"], df["dup_of"]], ignore_index=True)}),
-        batch_format="pandas")
-    bloom = build_bloom_distributed(both_ends, "cid", capacity=2 * n_cands)
+    # of the corpus, so most signatures never enter the join exchange
+    # (shared plumbing: _bloom_filtered_pool)
     import ray as _ray
 
-    bloom_ref = _ray.put(bloom)
-
-    def sig_filter(batch: pa.Table) -> pa.Table:
-        bf: BloomFilter = _ray.get(bloom_ref)
-        keep = bf.contains_many(batch.column(id_col).to_pylist())
-        return batch.filter(pa.array(keep)).select([id_col, "minhash_sig"])
-
-    sig_pool = sketched.map_batches(sig_filter, batch_format="pyarrow").materialize()
+    sig_pool = _bloom_filtered_pool(sketched, cands, id_col=id_col,
+                                    value_col="minhash_sig")
 
     if sig_pool.count() <= broadcast_limit:
         # the filtered sig pool is candidate-scale: broadcast it once and
@@ -452,23 +465,10 @@ def ngram_jaccard_dedup_edges(ds, *, text_col: str = "text",
     if cands.count() == 0:
         return cands
 
-    from ..functions.bloom import BloomFilter, build_bloom_distributed
     import ray as _ray
 
-    n_cands = cands.count()
-    both_ends = cands.map_batches(
-        lambda df: pd.DataFrame(
-            {"cid": pd.concat([df["doc_id"], df["dup_of"]], ignore_index=True)}),
-        batch_format="pandas")
-    bloom = build_bloom_distributed(both_ends, "cid", capacity=2 * n_cands)
-    bloom_ref = _ray.put(bloom)
-
-    def text_filter(batch: pa.Table) -> pa.Table:
-        bf: BloomFilter = _ray.get(bloom_ref)
-        keep = bf.contains_many(batch.column(id_col).to_pylist())
-        return batch.filter(pa.array(keep)).select([id_col, text_col])
-
-    text_pool = ds.map_batches(text_filter, batch_format="pyarrow").materialize()
+    text_pool = _bloom_filtered_pool(ds, cands, id_col=id_col,
+                                     value_col=text_col)
 
     if text_pool.count() <= broadcast_limit:
         tdf = text_pool.to_pandas()
@@ -617,7 +617,6 @@ def embedding_neardup_edges(ds, *, vec_col: str = "embedding", id_col: str = "ve
     """
     import ray as _ray
 
-    from ..functions.bloom import BloomFilter, build_bloom_distributed
     from ..pipelines.relational import _arrow_type, hash_join
 
     def add_buckets(batch: pd.DataFrame) -> pd.DataFrame:
@@ -670,21 +669,9 @@ def embedding_neardup_edges(ds, *, vec_col: str = "embedding", id_col: str = "ve
     if cands.count() == 0:
         return cands
 
-    # candidate-scale vector pool via Bloom over both endpoints (no false
-    # negatives, so every candidate's vector survives; FPs just ride along)
-    both = cands.map_batches(
-        lambda df: pd.DataFrame(
-            {"cid": pd.concat([df[id_col], df["dup_of"]], ignore_index=True)}),
-        batch_format="pandas")
-    bloom = build_bloom_distributed(both, "cid", capacity=2 * cands.count())
-    bloom_ref = _ray.put(bloom)
-
-    def vec_filter(batch: pd.DataFrame) -> pd.DataFrame:
-        bf: BloomFilter = _ray.get(bloom_ref)
-        keep = bf.contains_many(batch[id_col].tolist())
-        return batch.loc[keep, [id_col, vec_col]]
-
-    vec_pool = ds.map_batches(vec_filter, batch_format="pandas").materialize()
+    # candidate-scale vector pool via the shared Bloom plumbing
+    vec_pool = _bloom_filtered_pool(ds, cands, id_col=id_col,
+                                    value_col=vec_col, pair_col=id_col)
 
     def _unit(v) -> np.ndarray:
         a = np.asarray(v, dtype=np.float64)

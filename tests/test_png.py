@@ -112,3 +112,22 @@ class TestImageDecodePngStage:
         assert small.shape == (4, 4, 3)
         # nearest-neighbor: each output pixel equals a source pixel
         assert np.array_equal(small[0, 0], px[0, 0])
+
+
+class TestErrorContract:
+    def test_short_ihdr_raises_pngformaterror(self):
+        import struct, zlib
+        sig = b"\x89PNG\r\n\x1a\n"
+        body = b"\x00" * 4  # IHDR too short for the 13-byte layout
+        chunk = struct.pack(">I", len(body)) + b"IHDR" + body + b"\x00" * 4
+        with pytest.raises(PngFormatError, match="IHDR"):
+            decode_png(sig + chunk)
+
+    def test_corrupt_idat_raises_pngformaterror(self):
+        data = bytearray(encode_png(_img(8, 8, 3)))
+        # flip bytes inside the IDAT payload
+        i = bytes(data).find(b"IDAT") + 8
+        data[i] ^= 0xFF
+        data[i + 1] ^= 0xFF
+        with pytest.raises(PngFormatError):
+            decode_png(bytes(data))

@@ -57,3 +57,42 @@ class TestCustomerOrderRevenuePaths:
         pd.testing.assert_frame_equal(fast.reset_index(drop=True),
                                       slow.reset_index(drop=True),
                                       check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReviewRegressions:
+    def test_events_hourly_subus_ns_truncates(self, tmp_path):
+        """timestamp[ns] values with sub-microsecond remainders must
+        truncate (like ts_int_us), not raise ArrowInvalid."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pdf_parser_ray.pipelines.relational import events_hourly
+
+        t = pa.table({
+            "ts": pa.array([1_500_000_123_456_789, 3_600_000_000_000_000_123],
+                           type=pa.timestamp("ns")),
+            "event_type": ["a", "a"],
+            "value": [1.0, 2.0],
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = events_hourly(str(tmp_path)).to_pandas()
+        # 1.5e15 ns = 1.5e12 µs → hour 416; 3.6e18 ns → hour 10^6.
+        # The point: sub-µs remainders truncate instead of raising.
+        assert sorted(out["hour_bucket"]) == [416, 1_000_000]
+
+    def test_customer_order_revenue_empty_orders(self, tmp_path):
+        """Broadcast fast path with an empty orders side returns the empty
+        inner-join result instead of IndexError."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pdf_parser_ray.pipelines.relational import customer_order_revenue
+
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array([], type=pa.int64()),
+            "o_custkey": pa.array([], type=pa.int64())}),
+            str(tmp_path / "orders.parquet"))
+        pq.write_table(pa.table({
+            "l_orderkey": [1], "l_extendedprice": [10.0], "l_discount": [0.0]}),
+            str(tmp_path / "lineitem.parquet"))
+        out = customer_order_revenue(str(tmp_path)).to_pandas()
+        assert len(out) == 0
