@@ -173,7 +173,8 @@ def run_query_suite() -> dict:
 
     names = ["dedup_exact", "minhash_dedup", "knn_bruteforce",
              "pricing_summary", "events_hourly", "token_counts",
-             "customer_order_revenue", "corpus_prep"]
+             "customer_order_revenue", "corpus_prep",
+             "ngram_jaccard", "events_asof"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:
