@@ -130,26 +130,52 @@ def shingles_ascii(text: str, width: int = 5) -> set[str]:
 _P61 = (1 << 61) - 1
 
 
+def _perm_min_p61(hs: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """min over shingles of ((a_i*h + b_i) mod 2^61-1) & 0xFFFFFFFF, exact.
+
+    Vectorized 61-bit modmul via 31/30-bit split so every intermediate
+    stays < 2^64 (no uint64 wraparound) — bit-identical to python-int
+    arithmetic, hence still replayable in DuckDB HUGEINT SQL:
+      a*h = a1*h1*2^62 + (a1*h0 + a0*h1)*2^31 + a0*h0,  2^61 ≡ 1 (mod p)
+    Shapes: a, b (P,); hs (H,) with every value < 2^61. Returns (P,).
+    """
+    p = _MERSENNE
+    one, c30, c31, c61 = (np.uint64(1), np.uint64(30), np.uint64(31),
+                          np.uint64(61))
+    m30, m31 = np.uint64(0x3FFFFFFF), np.uint64(0x7FFFFFFF)
+    A, H = a[:, None], hs[None, :]
+    a1, a0 = A >> c31, A & m31          # a1 < 2^30, a0 < 2^31
+    h1, h0 = H >> c31, H & m31
+    hi2 = (a1 * h1) << one              # a1*h1 < 2^60 < p; ×2 ≡ ×2^62 (mod p)
+    mid = a1 * h0 + a0 * h1             # < 2^62
+    mid = (mid >> c61) + (mid & p)      # ≤ p + 1
+    np.subtract(mid, p, out=mid, where=mid >= p)
+    # mid*2^31 mod p: mid = m1*2^30 + m0 → m1*2^61 + m0*2^31 ≡ m1 + m0*2^31
+    midr = (mid >> c30) + ((mid & m30) << c31)      # < 2^31 + 2^61
+    s = hi2 + midr + a0 * h0 + b[:, None]           # < 2^63 + 2^62-ish < 2^64
+    s = (s >> c61) + (s & p)                        # ≤ p + 7
+    np.subtract(s, p, out=s, where=s >= p)
+    return (s & _MAX_U32).min(axis=1)
+
+
 def minhash_signature_md5(text: str, num_perm: int = 32,
                           shingle_width: int = 5, seed: int = 42) -> list[int]:
     """SQL-reproducible MinHash signature: md5-prefix shingle hashes
     (big-endian hex → UBIGINT, DuckDB-matchable) and EXACT modular
     permutations sig_i = min over shingles of ((a_i*h + b_i) mod 2^61-1)
-    mod 2^32 — no numpy wraparound, so the arithmetic can be replayed in
-    HUGEINT SQL with the (a, b) constants inlined. Empty text → all
-    0xFFFFFFFF. Slower than the crc32 production sketch (python-int
-    bigint math); used by the oracle-gated dedup variant.
+    mod 2^32 — computed by the exact split-multiply kernel
+    (`_perm_min_p61`, bit-identical to python-int bigint math, equivalence
+    property-tested), so the arithmetic can be replayed in HUGEINT SQL
+    with the (a, b) constants inlined. Empty text → all 0xFFFFFFFF.
+    Used by the oracle-gated dedup variant.
     """
     sh = shingles_ascii(text, shingle_width)
     if not sh:
         return [0xFFFFFFFF] * num_perm
     a, b = _hash_family(num_perm, seed)
-    hs = [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16) & _P61
-          for s in sh]
-    out = []
-    for ai, bi in zip(a.tolist(), b.tolist()):
-        out.append(min(((ai * h + bi) % _P61) & 0xFFFFFFFF for h in hs))
-    return out
+    hs = np.array([int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8],
+                                  "big") & _P61 for s in sh], dtype=np.uint64)
+    return _perm_min_p61(hs, a, b).tolist()
 
 
 def minhash_jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:

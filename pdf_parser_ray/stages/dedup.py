@@ -41,6 +41,34 @@ def _add_pair_part(df: pd.DataFrame, col: str = "doc_id",
     df["pair_part"] = [zlib.crc32(str(v).encode()) % num_parts for v in df[col]]
     return df
 
+
+def _distinct_edges(edges, *, id_col: str = "doc_id",
+                    small_limit: int = 200_000):
+    """Exact distinct over (id_col, dup_of) edge rows, size-gated.
+
+    Below ``small_limit`` pre-distinct rows the edges coalesce into ONE
+    block (``repartition(1)`` is a split/merge, not a key exchange) and
+    dedup locally — Ray's sort-based groupby carries ~2 s of fixed
+    planner/barrier overhead regardless of row count (BENCH/TUNING.md),
+    which dominated every near-dup query's candidate-distinct pass.
+    Above the gate, the scale path is unchanged: coarse pair-hash
+    partition + per-partition vectorized drop_duplicates (a pair always
+    lands in one partition, keyed by ``id_col``). Returns a materialized
+    Dataset (every caller feeds multiple consumers)."""
+    edges = edges.materialize()
+    if edges.count() == 0:
+        return edges
+    if edges.count() <= small_limit:
+        return edges.repartition(1).map_batches(
+            lambda g: g.drop_duplicates([id_col, "dup_of"]),
+            batch_format="pandas", batch_size=None).materialize()
+    return edges.map_batches(
+        _add_pair_part, batch_format="pandas", fn_kwargs={"col": id_col},
+    ).groupby("pair_part").map_groups(
+        lambda g: g.drop_duplicates([id_col, "dup_of"]).drop(columns=["pair_part"]),
+        batch_format="pandas").materialize()
+
+
 @functools.lru_cache(maxsize=8)
 def _cached_minhasher(num_perm: int, shingle_width: int = 5) -> MinHasher:
     """Per-worker warm MinHasher for task-mode map_batches (same
@@ -334,13 +362,9 @@ def _lsh_candidate_pairs(sketched, *, num_perm: int, num_bands: int,
     parts = bands.map_batches(add_part, batch_format="pyarrow")
     cands = parts.groupby("band_part").map_groups(_bucket_candidates,
                                                   batch_format="pandas")
-    # distinct (doc_id, dup_of): same pair may surface from several bands.
-    # Coarse-partition by hash(doc_id), drop_duplicates within each
-    # partition (a pair always lands in one partition).
-    return cands.map_batches(_add_pair_part, batch_format="pandas").groupby(
-        "pair_part").map_groups(
-        lambda g: g.drop_duplicates(["doc_id", "dup_of"]).drop(columns=["pair_part"]),
-        batch_format="pandas").materialize(), id_type
+    # distinct (doc_id, dup_of): same pair may surface from several bands
+    # (size-gated coalesce vs coarse-partition — _distinct_edges)
+    return _distinct_edges(cands), id_type
 
 
 def minhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
@@ -577,10 +601,7 @@ def simhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
     parts = bands.map_batches(add_part, batch_format="pyarrow")
     edges = parts.groupby("band_part").map_groups(partition_edges, batch_format="pandas")
     # vectorized distinct (see minhash_dedup_edges)
-    return edges.map_batches(_add_pair_part, batch_format="pandas").groupby(
-        "pair_part").map_groups(
-        lambda g: g.drop_duplicates(["doc_id", "dup_of"]).drop(columns=["pair_part"]),
-        batch_format="pandas")
+    return _distinct_edges(edges)
 
 
 # ---------------------------------------------------------------------------
@@ -660,11 +681,7 @@ def embedding_neardup_edges(ds, *, vec_col: str = "embedding", id_col: str = "ve
         add_parts, batch_format="pandas")
     cands = bands.groupby("band_part").map_groups(partition_candidates,
                                                   batch_format="pandas")
-    cands = cands.map_batches(_add_pair_part, batch_format="pandas",
-                              fn_kwargs={"col": id_col}).groupby(
-        "pair_part").map_groups(
-        lambda g: g.drop_duplicates([id_col, "dup_of"]).drop(columns=["pair_part"]),
-        batch_format="pandas").materialize()
+    cands = _distinct_edges(cands, id_col=id_col)
 
     if cands.count() == 0:
         return cands
