@@ -319,3 +319,37 @@ class TestVerifyFallbackPaths:
 
         assert pairs(a) == pairs(b)
         assert len(pairs(a)) > 0  # planted dups found
+
+
+class TestDistinctEdges:
+    """_distinct_edges: the size-gated coalesce fast path and the
+    coarse-partition scale path must produce identical distinct sets."""
+
+    def _edges(self):
+        import ray.data
+
+        rows = [{"doc_id": d, "dup_of": a}
+                for d, a in [(2, 1), (3, 1), (2, 1), (5, 4), (3, 1), (6, 4)]]
+        return ray.data.from_items(rows)
+
+    def test_paths_agree(self, ray_session):
+        from pdf_parser_ray.stages.dedup import _distinct_edges
+
+        key = lambda ds: sorted(
+            map(tuple, ds.to_pandas()[["doc_id", "dup_of"]].to_numpy()))
+        fast = _distinct_edges(self._edges())                     # coalesce path
+        slow = _distinct_edges(self._edges(), small_limit=0)      # partition path
+        want = [(2, 1), (3, 1), (5, 4), (6, 4)]
+        assert key(fast) == want
+        assert key(slow) == want
+
+    def test_empty(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.dedup import _distinct_edges
+
+        empty = ray.data.from_pandas(
+            pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "dup_of": pd.Series(dtype="int64")}))
+        out = _distinct_edges(empty)
+        assert out.count() == 0

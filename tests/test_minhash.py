@@ -75,3 +75,57 @@ class TestJaccard:
         assert char_ngrams("abcd", 3) == {"abc", "bcd"}
         assert char_ngrams("ab", 3) == {"ab"}
         assert char_ngrams("", 3) == set()
+
+
+class TestPermMinP61:
+    """The vectorized exact mod-(2^61-1) permutation kernel must be
+    bit-identical to python-int bigint arithmetic — the DuckDB HUGEINT
+    oracle replays that arithmetic literally."""
+
+    def _ref(self, hs, a, b):
+        p = (1 << 61) - 1
+        return [min(((ai * h + bi) % p) & 0xFFFFFFFF for h in hs.tolist())
+                for ai, bi in zip(a.tolist(), b.tolist())]
+
+    def test_edge_values(self):
+        from pdf_parser_ray.functions.minhash import _perm_min_p61
+
+        p = (1 << 61) - 1
+        hs = np.array([0, 1, p - 1, p, 2**31 - 1, 2**31, 2**60, 2**61 - 2],
+                      dtype=np.uint64)
+        a = np.array([1, p - 1, 2**31, 2**60 + 12345, 7], dtype=np.uint64)
+        b = np.array([0, p - 1, 2**31 - 1, 2**60, 13], dtype=np.uint64)
+        assert _perm_min_p61(hs, a, b).tolist() == self._ref(hs, a, b)
+
+    def test_random_values(self):
+        from pdf_parser_ray.functions.minhash import _perm_min_p61
+
+        p = (1 << 61) - 1
+        rng = np.random.default_rng(123)
+        hs = rng.integers(0, p, 300, dtype=np.uint64)
+        a = rng.integers(1, p, 64, dtype=np.uint64)
+        b = rng.integers(0, p, 64, dtype=np.uint64)
+        assert _perm_min_p61(hs, a, b).tolist() == self._ref(hs, a, b)
+
+    def test_signature_matches_python_reference(self):
+        """End-to-end: minhash_signature_md5 == the pre-vectorization
+        python-int implementation on real texts."""
+        import hashlib
+
+        from pdf_parser_ray.functions.minhash import (
+            _P61, _hash_family, minhash_signature_md5, shingles_ascii)
+
+        def ref_sig(text, num_perm=32, width=5, seed=42):
+            sh = shingles_ascii(text, width)
+            if not sh:
+                return [0xFFFFFFFF] * num_perm
+            a, b = _hash_family(num_perm, seed)
+            hs = [int(hashlib.md5(s.encode()).hexdigest()[:16], 16) & _P61
+                  for s in sh]
+            return [min(((ai * h + bi) % _P61) & 0xFFFFFFFF for h in hs)
+                    for ai, bi in zip(a.tolist(), b.tolist())]
+
+        texts = ["", "one", "one two three four five six",
+                 " ".join(f"w{i % 37}" for i in range(250))]
+        for t in texts:
+            assert minhash_signature_md5(t) == ref_sig(t)
