@@ -1039,6 +1039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": rel.events_sessions,
         "events_sessions_stream": _q_events_sessions_stream,
         "events_asof": rel.events_asof,
+        "events_range_join": rel.events_range_join,
         "events_sliding_window": rel.events_sliding_window,
         "hash_sample": rel.hash_sample,
     }
@@ -1310,6 +1311,15 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS last_mark_ts_us "
             "FROM events"
+        ),
+        "events_range_join": (
+            "SELECT p.event_id, p.user_id, "
+            "CAST(count(e.event_id) AS BIGINT) AS n_prior_events "
+            "FROM events p LEFT JOIN events e ON e.user_id = p.user_id "
+            "AND epoch_us(e.ts) >= epoch_us(p.ts) - 3600000000 "
+            "AND epoch_us(e.ts) < epoch_us(p.ts) "
+            "WHERE p.event_type = 'purchase' "
+            "GROUP BY p.event_id, p.user_id"
         ),
         # the incremental actor-state sessionizer must land on the exact
         # same per-user numbers as the batch kernel's oracle

@@ -795,6 +795,51 @@ def events_asof(sf_dir: str, mark_type: str = "purchase", num_parts: int = 64):
         "asof_part").map_groups(kernel, batch_format="pandas")
 
 
+def events_range_join(sf_dir: str, mark_type: str = "purchase",
+                      window_us: int = 3_600_000_000, num_parts: int = 64):
+    """RANGE (interval) JOIN of the event stream against itself: for every
+    ``mark_type`` event, the number of the same user's events (any type)
+    with ts in the half-open window [ts − window, ts) — "activity in the
+    hour leading up to each purchase". The second custom-operator family
+    Ray Data has no primitive for (equality key + range predicate).
+
+    Composition (same partitioning contract as events_asof): coarse
+    crc32(user) partition → ONE vectorized kernel per partition. Inside a
+    partition the probe and build sides are the SAME sorted array — each
+    user's rows are contiguous, so both window endpoints resolve with two
+    np.searchsorted calls over a composite (user_code, rel_ts) int64 key:
+    code·SPAN + rel with SPAN > rel_max + window guarantees a probe's
+    lower bound can never reach into the previous user's band. No
+    per-user Python loop, no second exchange, O(n log n) per partition.
+    """
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "rj_part", _bucket_array(batch.column("user_id"), num_parts))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts_us = ts_int_us(g["ts"])
+        codes = pd.factorize(g["user_id"].to_numpy())[0].astype(np.int64)
+        rel = ts_us - ts_us.min()
+        span = np.int64(int(rel.max()) + window_us + 2)
+        comp = codes * span + rel  # codes ≤ partition users, rel < span: no overflow
+        is_mark = g["event_type"].to_numpy() == mark_type
+        probe = comp[is_mark]
+        lo = np.searchsorted(comp, probe - window_us, side="left")
+        hi = np.searchsorted(comp, probe, side="left")  # strict: e.ts < p.ts
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[is_mark],
+            "user_id": g["user_id"].to_numpy()[is_mark],
+            "n_prior_events": (hi - lo).astype(np.int64),
+        })
+
+    return ds.map_batches(add_part, batch_format="pyarrow").groupby(
+        "rj_part").map_groups(kernel, batch_format="pandas")
+
+
 def hash_sample(sf_dir: str, pct: int = 10):
     """Deterministic hash sampling (§2.6 sampling operator): keep rows whose
     md5(doc_id) bucket mod 100 < pct — reproducible across runs/engines

@@ -42,7 +42,7 @@ def _names():
         # centroid literals derived at the sf0.01 gate scale)
         "fingerprint_set", "neardup_clusters",
         "ngram_jaccard", "events_asof", "events_sessions_stream",
-        "corpus_prep_neardup",
+        "corpus_prep_neardup", "events_range_join",
     ]
 
 

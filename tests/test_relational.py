@@ -96,3 +96,48 @@ class TestReviewRegressions:
             str(tmp_path / "lineitem.parquet"))
         out = customer_order_revenue(str(tmp_path)).to_pandas()
         assert len(out) == 0
+
+
+class TestEventsRangeJoin:
+    """Hand-built edge cases for the composite-key range join: window
+    boundary semantics, same-ts ties, and user-band isolation when a
+    probe's lower bound underflows its own user's time range."""
+
+    def _write(self, tmp_path, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        us = pa.timestamp("us")
+        pq.write_table(pa.table({
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[2] for r in rows], type=us),
+            "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+        }), str(tmp_path / "events.parquet"))
+
+    def test_boundaries_ties_and_user_isolation(self, ray_session, tmp_path):
+        from pdf_parser_ray.pipelines.relational import events_range_join
+
+        H = 3_600_000_000  # 1h in µs
+        base = 1_700_000_000_000_000
+        rows = [
+            # user 1: purchase at base+2H; events exactly at the window
+            # edges — base+H is INCLUDED (>= p.ts - 1h), base+2H (same ts)
+            # is EXCLUDED (< p.ts strict), base+H-1 is OUTSIDE
+            (10, 1, base + H - 1, "view"),
+            (11, 1, base + H, "view"),
+            (12, 1, base + H + 5, "view"),
+            (13, 1, base + 2 * H, "purchase"),
+            (14, 1, base + 2 * H, "view"),        # same-ts tie: excluded
+            # user 2: purchase whose window starts BEFORE any of user 2's
+            # events and before user 1's band ends — must not leak user 1
+            (20, 2, base + 10, "purchase"),
+            (21, 2, base + 20, "purchase"),       # 1 prior (the purchase at +10)
+            # user 3: no purchase → contributes no output rows
+            (30, 3, base, "view"),
+        ]
+        self._write(tmp_path, rows)
+        out = events_range_join(str(tmp_path)).to_pandas()
+        got = dict(zip(out["event_id"], out["n_prior_events"]))
+        assert got == {13: 2, 20: 0, 21: 1}
+        assert set(out.columns) == {"event_id", "user_id", "n_prior_events"}
