@@ -703,6 +703,87 @@ FROM ranked WHERE rank <= {k}
     return _KNN_IVF_SQL_CACHE[sf_dir]
 
 
+def _q_knn_lsh(sf_dir: str):
+    """Hyperplane-LSH-bucketed ANN (the non-IVF scale path): candidates
+    share >= 1 sign-bit band code with the query; exact cosine ranking
+    among candidates. ORACLE-GATED: the plane bank is deterministic, so
+    the band assignment + ranking replay in SQL with the planes inlined."""
+    import ray.data
+    from pdf_parser_ray.stages.similarity import lsh_topk
+
+    ids, vecs = _knn_queries(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out = lsh_topk(ds, ids, vecs, k=10)
+    return out.map_batches(
+        lambda b: pa.table({
+            "query_id": pc.cast(b.column("query_id"), pa.int64()),
+            "neighbor_id": pc.cast(b.column("neighbor_id"), pa.int64()),
+            "rank": pc.cast(b.column("rank"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+_KNN_LSH_SQL_CACHE: dict[tuple, str] = {}
+
+
+def _knn_lsh_sql(num_bands: int = 4, planes_per_band: int = 8, seed: int = 7,
+                 dim: int = 64, k: int = 10) -> str:
+    """DuckDB replay of the LSH query: the deterministic hyperplane bank
+    (lsh_planes, seed 7) is inlined as DOUBLE[] literals; band codes are
+    sign-bit sums over list_dot_product (FLOAT[] embeddings promote to
+    DOUBLE — same float64 arithmetic as the numpy kernel), candidates are
+    band-code equijoins, ranking is exact cosine among candidates."""
+    from pdf_parser_ray.stages.similarity import lsh_planes
+
+    key = (num_bands, planes_per_band, seed, dim, k)
+    if key in _KNN_LSH_SQL_CACHE:
+        return _KNN_LSH_SQL_CACHE[key]
+    planes = lsh_planes(dim, num_bands, planes_per_band, seed)
+    rows = []
+    for b in range(num_bands):
+        for j in range(planes_per_band):
+            vec = ", ".join(repr(float(x)) for x in planes[b, j])
+            rows.append(f"({b}, {j}, [{vec}]::DOUBLE[])")
+    plane_values = ", ".join(rows)
+    _KNN_LSH_SQL_CACHE[key] = f"""
+WITH planes(band, j, pvec) AS (VALUES {plane_values}),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)
+),
+ecode AS (
+  SELECT e.vec_id, p.band,
+    SUM(CASE WHEN list_dot_product(e.embedding, p.pvec) >= 0
+        THEN (1::BIGINT << p.j) ELSE 0 END) AS code
+  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id, p.band
+),
+qcode AS (
+  SELECT q.query_id, p.band,
+    SUM(CASE WHEN list_dot_product(q.qvec, p.pvec) >= 0
+        THEN (1::BIGINT << p.j) ELSE 0 END) AS code
+  FROM q CROSS JOIN planes p GROUP BY q.query_id, p.band
+),
+cand AS (
+  SELECT DISTINCT qc.query_id, ec.vec_id
+  FROM qcode qc JOIN ecode ec ON ec.band = qc.band AND ec.code = qc.code
+),
+ranked AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id,
+    row_number() OVER (PARTITION BY c.query_id
+      ORDER BY list_cosine_similarity(q.qvec, e.embedding) DESC, c.vec_id ASC) AS rank
+  FROM cand c JOIN q ON q.query_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+    return _KNN_LSH_SQL_CACHE[key]
+
+
 def _q_media_features(sf_dir: str):
     import ray.data
     from pdf_parser_ray.stages.media import ImageDecode, ImageFeatures, synth_media_table
@@ -1020,6 +1101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_ivf": _q_knn_ivf,
+        "knn_lsh": _q_knn_lsh,
         # multimodal plumbing (stub decode; rows-only)
         "media_features": _q_media_features,
         "media_features_png": _q_media_features_png,
@@ -1339,4 +1421,5 @@ def oracle_sql() -> dict[str, str]:
         out["knn_ivf"] = _knn_ivf_sql()
     except (FileNotFoundError, OSError):
         pass
+    out["knn_lsh"] = _knn_lsh_sql()
     return out

@@ -12,6 +12,12 @@
 
 Cosine is computed in float64 with unit-normalized rows; ties broken by
 ascending id (pinned for oracle comparison).
+
+Actor pools use AUTOSCALING concurrency (min, max) = (1, 4): a fixed-size
+pool can deadlock a small cluster — with num_cpus=4 and a single-block
+input, 4 idle pool actors pin every CPU and the downstream sort never
+gets a slot (observed, not hypothetical). Autoscaling spawns actors only
+while input blocks are pending and releases the CPUs for the reduce.
 """
 
 from __future__ import annotations
@@ -60,7 +66,7 @@ class _BatchTopK:
 
 def brute_force_topk(ds, query_ids: list, query_vectors: np.ndarray, k: int = 10,
                      *, vec_col: str = "embedding", id_col: str = "vec_id",
-                     concurrency: int = 4):
+                     concurrency=(1, 4)):
     """Exact cosine top-k of each query against the whole dataset.
 
     Returns a Dataset with columns (query_id, neighbor_id, rank, cosine).
@@ -104,7 +110,7 @@ def kmeans_centroids(sample: np.ndarray, n_centroids: int, iters: int = 5,
 
 def ivf_topk(ds, query_ids: list, query_vectors: np.ndarray, centroids: np.ndarray,
              k: int = 10, nprobe: int = 2, *, vec_col: str = "embedding",
-             id_col: str = "vec_id", concurrency: int = 4):
+             id_col: str = "vec_id", concurrency=(1, 4)):
     """IVF-bucketed approximate top-k: compare each query only against
     vectors whose nearest centroid is among the query's nprobe centroids."""
     cent_unit = _unit(np.asarray(centroids))
@@ -147,6 +153,85 @@ def ivf_topk(ds, query_ids: list, query_vectors: np.ndarray, centroids: np.ndarr
             return pd.DataFrame({"query_id": out_q, "neighbor_id": out_id, "cosine": out_sim})
 
     partials = ds.map_batches(ListTopK, batch_format="pandas", batch_size=4096,
+                              concurrency=concurrency)
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g
+
+    return partials.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+
+
+def lsh_planes(dim: int, num_bands: int = 4, planes_per_band: int = 8,
+               seed: int = 7) -> np.ndarray:
+    """Deterministic hyperplane bank (num_bands, planes_per_band, dim) for
+    sign-bit LSH band codes (Charikar 2002 random hyperplanes)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_bands, planes_per_band, dim))
+
+
+def _band_codes(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, dim) raw vectors → (n, num_bands) int codes: bit j of band b is
+    sign(dot(planes[b, j], vec)) >= 0. Raw (un-normalized) dots so the
+    DuckDB oracle can replay with list_dot_product directly."""
+    nb, ppb, _ = planes.shape
+    dots = np.einsum("nd,bpd->nbp", mat.astype(np.float64), planes)
+    bits = (dots >= 0).astype(np.int64)
+    weights = (1 << np.arange(ppb, dtype=np.int64))
+    return (bits * weights).sum(axis=2)
+
+
+def lsh_topk(ds, query_ids: list, query_vectors: np.ndarray, k: int = 10,
+             *, num_bands: int = 4, planes_per_band: int = 8, seed: int = 7,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             concurrency=(1, 4)):
+    """LSH-bucketed approximate top-k (the non-IVF scale path): a vector is
+    scored against a query ONLY if they share at least one hyperplane
+    band code, so per-batch work is candidates × dim instead of
+    corpus × dim. Same partial-top-k combiner + per-query reduce shape as
+    brute_force_topk: the shuffle moves ≤ k rows per (query, batch).
+    Approximate — recall is the band-collision probability (tested ≥ 0.6
+    vs brute force at the default 4×8 configuration); exactness of the
+    ranking among candidates is preserved (cosine desc, id asc).
+    """
+    q_raw = np.asarray(query_vectors, dtype=np.float64)
+    planes = lsh_planes(q_raw.shape[1], num_bands, planes_per_band, seed)
+    bundle_ref = ray.put({
+        "q_ids": list(query_ids), "q_unit": _unit(q_raw),
+        "q_codes": _band_codes(q_raw, planes), "planes": planes})
+
+    class BandTopK:
+        def __init__(self):
+            b = ray.get(bundle_ref)  # broadcast: once per actor/worker
+            self.q_ids, self.q_unit = b["q_ids"], b["q_unit"]
+            self.q_codes, self.planes = b["q_codes"], b["planes"]
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            raw = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+            ids = batch[id_col].to_numpy()
+            codes = _band_codes(raw, self.planes)           # (n, B)
+            # (n, n_q): share >= 1 band code
+            cand = (codes[:, None, :] == self.q_codes[None, :, :]).any(axis=2)
+            mat = _unit(raw)
+            out_q, out_id, out_sim = [], [], []
+            for qi in range(self.q_codes.shape[0]):
+                rows = np.flatnonzero(cand[:, qi])
+                if not len(rows):
+                    continue
+                sims = self.q_unit[qi] @ mat[rows].T
+                kk = min(k, len(rows))
+                sel = np.argpartition(-sims, kk - 1)[:kk]
+                order = np.lexsort((ids[rows][sel], -sims[sel]))
+                sel = sel[order]
+                out_q.extend([self.q_ids[qi]] * len(sel))
+                out_id.extend(ids[rows][sel].tolist())
+                out_sim.extend(sims[sel].tolist())
+            return pd.DataFrame({"query_id": out_q, "neighbor_id": out_id,
+                                 "cosine": out_sim})
+
+    partials = ds.map_batches(BandTopK, batch_format="pandas", batch_size=4096,
                               concurrency=concurrency)
 
     def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:

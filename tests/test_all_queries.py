@@ -43,6 +43,9 @@ def _names():
         "fingerprint_set", "neardup_clusters",
         "ngram_jaccard", "events_asof", "events_sessions_stream",
         "corpus_prep_neardup", "events_range_join",
+        # knn_lsh's oracle inlines the FIXED deterministic plane bank
+        # (unlike knn_ivf's sf0.01-derived centroids), so it gates here too
+        "knn_lsh",
     ]
 
 

@@ -353,3 +353,59 @@ class TestDistinctEdges:
                           "dup_of": pd.Series(dtype="int64")}))
         out = _distinct_edges(empty)
         assert out.count() == 0
+
+
+class TestLshTopK:
+    @pytest.fixture(scope="class")
+    def vectors(self):
+        rng = np.random.default_rng(11)
+        return rng.standard_normal((200, 16))
+
+    def test_self_match_and_candidate_exactness(self, ray_session, vectors):
+        """A query always shares every band with itself → rank-1 self match;
+        ranking among candidates is exact cosine (self = 1.0 at rank 1)."""
+        import ray.data
+
+        from pdf_parser_ray.stages.similarity import lsh_topk
+
+        ds = ray.data.from_items(
+            [{"vec_id": i, "embedding": vectors[i].tolist()}
+             for i in range(len(vectors))])
+        out = lsh_topk(ds, [7], vectors[7:8], k=3).to_pandas()
+        first = out.sort_values("rank").iloc[0]
+        assert first["neighbor_id"] == 7 and first["rank"] == 1
+
+    def test_lsh_recall_vs_brute_force(self, ray_session):
+        """Quantitative gate for the LSH-bucketed path on PLANTED
+        high-cosine neighbors (the regime sign-LSH is for — a neighbor at
+        angle θ shares an 8-bit band w.p. (1−θ/π)^8, so uniformly random
+        directions are its adversarial case and recall there is
+        structurally low): top-10 recall vs exact brute force ≥ 0.8 when
+        each query's true neighbors sit at cosine ≈ 0.97."""
+        import ray.data
+
+        from pdf_parser_ray.stages.similarity import brute_force_topk, lsh_topk
+
+        rng = np.random.default_rng(23)
+        rows, bases = [], []
+        vid = 0
+        for c in range(20):
+            base = rng.standard_normal(16)
+            base /= np.linalg.norm(base)
+            bases.append((vid, base))
+            for _ in range(10):  # cluster of 10 incl. near-copies
+                noisy = base + 0.06 * rng.standard_normal(16)
+                rows.append({"vec_id": vid, "embedding": noisy.tolist()})
+                vid += 1
+        ds = ray.data.from_items(rows)
+        q_ids = [b[0] for b in bases[:5]]
+        q = np.stack([b[1] for b in bases[:5]])
+        exact = brute_force_topk(ds, q_ids, q, k=10, concurrency=2).to_pandas()
+        approx = lsh_topk(ds, q_ids, q, k=10, num_bands=4,
+                          planes_per_band=8).to_pandas()
+        recalls = []
+        for qi in q_ids:
+            e = set(exact[exact["query_id"] == qi]["neighbor_id"])
+            a = set(approx[approx["query_id"] == qi]["neighbor_id"])
+            recalls.append(len(e & a) / len(e))
+        assert sum(recalls) / len(recalls) >= 0.8, recalls
