@@ -334,6 +334,9 @@ def _bloom_filtered_pool(source_ds, cands, *, id_col: str, value_col: str,
     return source_ds.map_batches(pool_filter, batch_format="pandas").materialize()
 
 
+_COALESCE_BAND_LIMIT = 2_000_000  # slim (band_key, id) rows ≈ 30 B each → ~60 MB
+
+
 def _lsh_candidate_pairs(sketched, *, num_perm: int, num_bands: int,
                          id_col: str):
     """Banded-LSH candidate generation over pinned slim sketches: SLIM band
@@ -342,7 +345,15 @@ def _lsh_candidate_pairs(sketched, *, num_perm: int, num_bands: int,
     map_groups callback costs milliseconds of Python per tiny group,
     measured 8 s vs 0.5 s at sf0.1) → bucket min-id anchor pairs →
     distinct. Returns (materialized distinct pairs, id arrow type); the
-    pairs are tiny and feed several consumers (joins, bloom prefilters)."""
+    pairs are tiny and feed several consumers (joins, bloom prefilters).
+
+    Size gate (the sketch is pinned, so the band-row count is FREE:
+    count × num_bands): below ``_COALESCE_BAND_LIMIT`` slim rows the bands
+    coalesce into one block and the SAME vectorized kernel runs once,
+    deduping in place — zero sort shuffles (each Ray sort costs ~2 s of
+    fixed planner/barrier overhead; two of them dominated every near-dup
+    query at bench scale). Above the gate: unchanged coarse-partition
+    exchange + distinct."""
     from ..pipelines.relational import _arrow_type
 
     id_type = _arrow_type(dict(zip(sketched.schema().names,
@@ -352,6 +363,14 @@ def _lsh_candidate_pairs(sketched, *, num_perm: int, num_bands: int,
         fn_kwargs={"num_perm": num_perm, "num_bands": num_bands, "id_col": id_col},
         batch_format="pyarrow",
     )
+
+    if sketched.count() * num_bands <= _COALESCE_BAND_LIMIT:
+        def whole(g: pd.DataFrame) -> pd.DataFrame:
+            return _bucket_candidates(g).drop_duplicates(["doc_id", "dup_of"])
+
+        cands = bands.repartition(1).map_batches(
+            whole, batch_format="pandas", batch_size=None).materialize()
+        return cands, id_type
 
     def add_part(batch: pa.Table) -> pa.Table:
         import zlib
