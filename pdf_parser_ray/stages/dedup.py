@@ -615,8 +615,15 @@ def simhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return batch.append_column("simhash", pa.array(sigs, type=pa.uint64()))
 
     sketched = ds.map_batches(sketch_batch, batch_format="pyarrow")
+    # slim band rows (band_key, id, sig ≈ 50 B) materialized once: the pin
+    # is sketch-scale (never the text payload) and makes the row count
+    # free for the same zero-sort coalesce gate as _lsh_candidate_pairs
     bands = sketched.map_batches(simhash_band_explode, batch_format="pyarrow",
-                                 fn_kwargs={"id_col": id_col})
+                                 fn_kwargs={"id_col": id_col}).materialize()
+    if bands.count() <= _COALESCE_BAND_LIMIT:
+        return bands.repartition(1).map_batches(
+            lambda g: partition_edges(g).drop_duplicates(["doc_id", "dup_of"]),
+            batch_format="pandas", batch_size=None).materialize()
     parts = bands.map_batches(add_part, batch_format="pyarrow")
     edges = parts.groupby("band_part").map_groups(partition_edges, batch_format="pandas")
     # vectorized distinct (see minhash_dedup_edges)
@@ -696,11 +703,18 @@ def embedding_neardup_edges(ds, *, vec_col: str = "embedding", id_col: str = "ve
                              "dup_of": pd.Series(ids[anchor_idx[mask]],
                                                  dtype=g[id_col].dtype)})
 
-    bands = ds.map_batches(add_buckets, batch_format="pandas").map_batches(
-        add_parts, batch_format="pandas")
-    cands = bands.groupby("band_part").map_groups(partition_candidates,
-                                                  batch_format="pandas")
-    cands = _distinct_edges(cands, id_col=id_col)
+    # slim (id, band_key) rows materialized once (≈ 50 B/row, never the
+    # KB-scale vector) → free row count for the zero-sort coalesce gate
+    bands = ds.map_batches(add_buckets, batch_format="pandas").materialize()
+    if bands.count() <= _COALESCE_BAND_LIMIT:
+        cands = bands.repartition(1).map_batches(
+            lambda g: partition_candidates(g).drop_duplicates([id_col, "dup_of"]),
+            batch_format="pandas", batch_size=None).materialize()
+    else:
+        parted = bands.map_batches(add_parts, batch_format="pandas")
+        cands = parted.groupby("band_part").map_groups(partition_candidates,
+                                                       batch_format="pandas")
+        cands = _distinct_edges(cands, id_col=id_col)
 
     if cands.count() == 0:
         return cands
