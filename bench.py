@@ -174,7 +174,8 @@ def run_query_suite() -> dict:
     names = ["dedup_exact", "minhash_dedup", "knn_bruteforce",
              "pricing_summary", "events_hourly", "token_counts",
              "customer_order_revenue", "corpus_prep",
-             "ngram_jaccard", "events_asof"]
+             "ngram_jaccard", "events_asof",
+             "events_range_join", "knn_lsh"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:
