@@ -31,6 +31,47 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _table_nrows(sf_dir: str, table: str) -> int:
+    """Row count from the parquet FOOTER only (no data read) — the free
+    size signal for the coalesce gates below."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+
+
+_COALESCE_ROW_LIMIT = 2_000_000
+
+
+def coarse_partition_apply(ds, kernel, *, key_col: str, part_col: str,
+                           num_parts: int, nrows: int | None = None,
+                           small_limit: int = _COALESCE_ROW_LIMIT):
+    """Coarse key-hash partition + ONE vectorized kernel per partition —
+    the repo's standard per-key-stage shape (a per-key map_groups costs
+    ~ms of Python per key; see BENCH/TUNING.md).
+
+    Every kernel passed here must be PARTITION-SHAPE-INDEPENDENT: it
+    sorts and groups by the real key internally, so its output is the
+    same whether it sees one partition or the whole set. That makes the
+    size gate sound: below ``small_limit`` input rows the set coalesces
+    into one block (``repartition`` is a split/merge, not a key exchange)
+    and the kernel runs once — no sort shuffle (~2 s of fixed
+    planner/barrier cost each at any row count). ``nrows`` comes free
+    from parquet footer metadata (``_table_nrows``); None ⇒ unknown ⇒
+    always the shuffle path. Above the gate the exchange is unchanged."""
+    # strict 0 < nrows: an empty table coalesces to an empty batch some
+    # kernels can't type; the shuffle path simply emits no groups
+    if nrows is not None and 0 < nrows <= small_limit:
+        return ds.repartition(1).map_batches(kernel, batch_format="pandas",
+                                             batch_size=None)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            part_col, _bucket_array(batch.column(key_col), num_parts))
+
+    return ds.map_batches(add_part, batch_format="pyarrow").groupby(
+        part_col).map_groups(kernel, batch_format="pandas")
+
+
 def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Per-row deterministic money→int64 cents."""
     return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0)),
@@ -307,10 +348,6 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30, num_parts: int = 64):
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "sess_part", _bucket_array(batch.column("user_id"), num_parts))
-
     def sessions_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts"], kind="mergesort")
         ts = ts_int_us(g["ts"])
@@ -324,8 +361,9 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30, num_parts: int = 64):
         out["n_sessions"] = out["n_sessions"].astype("int64")
         return out
 
-    return ds.map_batches(add_part, batch_format="pyarrow").groupby(
-        "sess_part").map_groups(sessions_part, batch_format="pandas")
+    return coarse_partition_apply(ds, sessions_part, key_col="user_id",
+                                  part_col="sess_part", num_parts=num_parts,
+                                  nrows=_table_nrows(sf_dir, "events"))
 
 
 def _arrow_type(t):
@@ -711,10 +749,6 @@ def events_running_total(sf_dir: str, max_users: int = 20, num_parts: int = 16):
         lambda b: b.filter(pc.less(b.column("user_id"), max_users)),
         batch_format="pyarrow")
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "rt_part", _bucket_array(batch.column("user_id"), num_parts))
-
     def running_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"],
                           kind="mergesort").reset_index(drop=True)
@@ -728,8 +762,10 @@ def events_running_total(sf_dir: str, max_users: int = 20, num_parts: int = 16):
             "running_value_milli": milli.groupby(g["user_id"].to_numpy()).cumsum(),
         })
 
-    return ds.map_batches(add_part, batch_format="pyarrow").groupby(
-        "rt_part").map_groups(running_part, batch_format="pandas")
+    # gate on the PRE-filter footer count (conservative upper bound)
+    return coarse_partition_apply(ds, running_part, key_col="user_id",
+                                  part_col="rt_part", num_parts=num_parts,
+                                  nrows=_table_nrows(sf_dir, "events"))
 
 
 def events_sliding_window(sf_dir: str):
@@ -774,10 +810,6 @@ def events_asof(sf_dir: str, mark_type: str = "purchase", num_parts: int = 64):
     ds = _read(sf_dir, "events",
                columns=["event_id", "user_id", "ts", "event_type"])
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "asof_part", _bucket_array(batch.column("user_id"), num_parts))
-
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         ts_us = ts_int_us(g["ts"])
@@ -791,8 +823,9 @@ def events_asof(sf_dir: str, mark_type: str = "purchase", num_parts: int = 64):
             "last_mark_ts_us": filled.round().astype("Int64").to_numpy(),
         })
 
-    return ds.map_batches(add_part, batch_format="pyarrow").groupby(
-        "asof_part").map_groups(kernel, batch_format="pandas")
+    return coarse_partition_apply(ds, kernel, key_col="user_id",
+                                  part_col="asof_part", num_parts=num_parts,
+                                  nrows=_table_nrows(sf_dir, "events"))
 
 
 def events_range_join(sf_dir: str, mark_type: str = "purchase",
@@ -815,10 +848,6 @@ def events_range_join(sf_dir: str, mark_type: str = "purchase",
     ds = _read(sf_dir, "events",
                columns=["event_id", "user_id", "ts", "event_type"])
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "rj_part", _bucket_array(batch.column("user_id"), num_parts))
-
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         ts_us = ts_int_us(g["ts"])
@@ -836,8 +865,9 @@ def events_range_join(sf_dir: str, mark_type: str = "purchase",
             "n_prior_events": (hi - lo).astype(np.int64),
         })
 
-    return ds.map_batches(add_part, batch_format="pyarrow").groupby(
-        "rj_part").map_groups(kernel, batch_format="pandas")
+    return coarse_partition_apply(ds, kernel, key_col="user_id",
+                                  part_col="rj_part", num_parts=num_parts,
+                                  nrows=_table_nrows(sf_dir, "events"))
 
 
 def hash_sample(sf_dir: str, pct: int = 10):
@@ -873,10 +903,6 @@ def event_type_distinct(sf_dir: str, num_parts: int = 64):
         out = batch.drop_duplicates().copy()
         return out
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "et_part", _bucket_array(batch.column("user_id"), num_parts))
-
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["user_id", "event_type"])
         out = g.groupby("user_id", as_index=False).agg(
@@ -885,5 +911,6 @@ def event_type_distinct(sf_dir: str, num_parts: int = 64):
         return out
 
     deduped = ds.map_batches(partial, batch_format="pandas")
-    return deduped.map_batches(add_part, batch_format="pyarrow").groupby(
-        "et_part").map_groups(per_partition, batch_format="pandas")
+    return coarse_partition_apply(deduped, per_partition, key_col="user_id",
+                                  part_col="et_part", num_parts=num_parts,
+                                  nrows=_table_nrows(sf_dir, "events"))
