@@ -39,6 +39,14 @@ def _documents(sf_dir: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _documents_nrows(sf_dir: str) -> int:
+    """Parquet-footer row count (free) — upper-bound size signal for the
+    zero-sort coalesce gates in the dedup stages."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+
 # ---------------------------------------------------------------------------
 # entry — flagship pipeline smoke
 # ---------------------------------------------------------------------------
@@ -292,7 +300,8 @@ def _q_dedup_exact(sf_dir: str):
     from pdf_parser_ray.stages.dedup import exact_dedup_ids
 
     ds = _documents(sf_dir, columns=["doc_id", "text"])
-    out = exact_dedup_ids(ds, text_col="text", id_col="doc_id")
+    out = exact_dedup_ids(ds, text_col="text", id_col="doc_id",
+                          nrows=_documents_nrows(sf_dir))
     return out.map_batches(
         lambda b: pa.table({"doc_id": b.column("doc_id"),
                             "content_hash": b.column("content_hash")}),
@@ -307,7 +316,8 @@ def _q_dedup_semi(sf_dir: str):
     from pdf_parser_ray.stages.dedup import exact_dedup_semi
 
     ds = _documents(sf_dir, columns=["doc_id", "text"])
-    out = exact_dedup_semi(ds, text_col="text", id_col="doc_id")
+    out = exact_dedup_semi(ds, text_col="text", id_col="doc_id",
+                           nrows=_documents_nrows(sf_dir))
     return out.map_batches(
         lambda b: pa.table({"doc_id": pc.cast(b.column("doc_id"), pa.int64())
                             if pa.types.is_floating(b.column("doc_id").type)
@@ -982,7 +992,8 @@ def _q_corpus_prep(sf_dir: str):
     # ids-only dedup shuffle; n_tokens rides along as a narrow keep_col
     # (identical text ⇒ identical n_tokens, so the survivor's value is exact)
     deduped = exact_dedup_ids(filtered, text_col="text", id_col="doc_id",
-                              keep_cols=("n_tokens",))
+                              keep_cols=("n_tokens",),
+                              nrows=_documents_nrows(sf_dir))
     return deduped.map_batches(
         lambda b: pa.table({"doc_id": b.column("doc_id"),
                             "n_tokens": pc.cast(b.column("n_tokens"), pa.int64())}),
@@ -1003,7 +1014,8 @@ def _q_corpus_prep_neardup(sf_dir: str):
 
     ds = _documents(sf_dir, columns=["doc_id", "text"])
     filtered = ds.map_batches(_quality_filter_batch, batch_format="pandas")
-    exact_survivors = exact_dedup_ids(filtered, keep_cols=("n_tokens",))
+    exact_survivors = exact_dedup_ids(filtered, keep_cols=("n_tokens",),
+                                      nrows=_documents_nrows(sf_dir))
     # recover text for the near-dup pass (narrow semi-join on id);
     # materialized: it feeds the minhash sketch AND the final anti-join,
     # and lazy re-execution would re-run read+filter+semi-join per consumer

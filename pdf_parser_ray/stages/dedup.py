@@ -147,7 +147,8 @@ def _slim_hash_parts(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
 
 def exact_dedup_ids(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                    keep_cols: tuple = (), num_parts: int = 64):
+                    keep_cols: tuple = (), num_parts: int = 64,
+                    nrows: int | None = None):
     """Survivor (min-id) rows of each identical-content group, shuffling
     ONLY (id, content_hash, *keep_cols) — never the payload.
 
@@ -155,6 +156,11 @@ def exact_dedup_ids(ds, *, text_col: str = "text", id_col: str = "doc_id",
     vectorized sort + drop_duplicates within each partition (a per-hash
     map_groups would cost milliseconds of Python per tiny group).
     Output columns: (id_col, content_hash, *keep_cols).
+
+    ``nrows`` (an upper bound is fine — e.g. the parquet footer count of a
+    pre-filter table) gates the zero-sort coalesce path: the shuffled rows
+    are SLIM (~100 B), so below the limit they coalesce into one block and
+    the same kernel runs once with no sort exchange (~2 s fixed cost).
     """
     parts = _slim_hash_parts(ds, text_col=text_col, id_col=id_col,
                              keep_cols=keep_cols, num_parts=num_parts)
@@ -163,11 +169,14 @@ def exact_dedup_ids(ds, *, text_col: str = "text", id_col: str = "doc_id",
         g = g.sort_values(["content_hash", id_col], kind="mergesort")
         return g.drop_duplicates("content_hash", keep="first").drop(columns=["dedup_part"])
 
+    if nrows is not None and 0 < nrows <= _COALESCE_BAND_LIMIT:
+        return parts.repartition(1).map_batches(
+            keep_min, batch_format="pandas", batch_size=None)
     return parts.groupby("dedup_part").map_groups(keep_min, batch_format="pandas")
 
 
 def exact_dedup_semi(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                     num_parts: int = 64):
+                     num_parts: int = 64, nrows: int | None = None):
     """Full-row exact dedup for WIDE payloads: pick survivor ids with the
     ids-only shuffle, then semi-join the original dataset on id to recover
     full rows. The payload crosses the wire exactly once, through a bucket
@@ -179,7 +188,7 @@ def exact_dedup_semi(ds, *, text_col: str = "text", id_col: str = "doc_id",
     from ..pipelines.relational import semi_anti_join
 
     survivors = exact_dedup_ids(ds, text_col=text_col, id_col=id_col,
-                                num_parts=num_parts)
+                                num_parts=num_parts, nrows=nrows)
     survivor_ids = survivors.map_batches(
         lambda b: b.select([id_col]), batch_format="pyarrow")
     return semi_anti_join(ds, survivor_ids, left_key=id_col, anti=False)
