@@ -32,11 +32,13 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
 
 
 def _table_nrows(sf_dir: str, table: str) -> int:
-    """Row count from the parquet FOOTER only (no data read) — the free
-    size signal for the coalesce gates below."""
-    import pyarrow.parquet as pq
+    """Row count from parquet FOOTERS only (no data read) — the free size
+    signal for the coalesce gates below. Handles both a single file and a
+    sharded directory at ``<sf_dir>/<table>.parquet``."""
+    import pyarrow.dataset as pads
 
-    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+    return pads.dataset(f"{sf_dir}/{table}.parquet",
+                        format="parquet").count_rows()
 
 
 _COALESCE_ROW_LIMIT = 2_000_000
