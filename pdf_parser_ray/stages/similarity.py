@@ -64,6 +64,36 @@ class _BatchTopK:
         return pd.DataFrame({"query_id": out_q, "neighbor_id": out_id, "cosine": out_sim})
 
 
+
+def _reduce_topk(partials, k: int):
+    """Global per-query top-k over the partial rows. The partials are
+    bounded by construction (≤ k rows per (query, batch)), so they are
+    materialized (pin is partial-scale, never the corpus) and, below the
+    coalesce gate, reduced in ONE kernel on one block — no sort shuffle
+    (~2 s fixed barrier cost). Above the gate (massive block counts), the
+    per-query groupby exchange is unchanged."""
+    partials = partials.materialize()
+
+    def reduce_all(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "cosine", "neighbor_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        out = df.groupby("query_id", sort=False).head(k).copy()
+        out["rank"] = (out.groupby("query_id").cumcount() + 1).astype("int64")
+        return out
+
+    if 0 < partials.count() <= 2_000_000:
+        return partials.repartition(1).map_batches(
+            reduce_all, batch_format="pandas", batch_size=None)
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g
+
+    return partials.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+
+
 def brute_force_topk(ds, query_ids: list, query_vectors: np.ndarray, k: int = 10,
                      *, vec_col: str = "embedding", id_col: str = "vec_id",
                      concurrency=(1, 4)):
@@ -80,13 +110,7 @@ def brute_force_topk(ds, query_ids: list, query_vectors: np.ndarray, k: int = 10
         batch_format="pandas", batch_size=4096, concurrency=concurrency,
     )
 
-    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
-        return g
-
-    return partials.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+    return _reduce_topk(partials, k)
 
 
 def kmeans_centroids(sample: np.ndarray, n_centroids: int, iters: int = 5,
@@ -155,13 +179,7 @@ def ivf_topk(ds, query_ids: list, query_vectors: np.ndarray, centroids: np.ndarr
     partials = ds.map_batches(ListTopK, batch_format="pandas", batch_size=4096,
                               concurrency=concurrency)
 
-    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
-        return g
-
-    return partials.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+    return _reduce_topk(partials, k)
 
 
 def lsh_planes(dim: int, num_bands: int = 4, planes_per_band: int = 8,
@@ -234,10 +252,4 @@ def lsh_topk(ds, query_ids: list, query_vectors: np.ndarray, k: int = 10,
     partials = ds.map_batches(BandTopK, batch_format="pandas", batch_size=4096,
                               concurrency=concurrency)
 
-    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
-        return g
-
-    return partials.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+    return _reduce_topk(partials, k)
