@@ -41,10 +41,11 @@ def _documents(sf_dir: str, columns=None):
 
 def _documents_nrows(sf_dir: str) -> int:
     """Parquet-footer row count (free) — upper-bound size signal for the
-    zero-sort coalesce gates in the dedup stages."""
-    import pyarrow.parquet as pq
+    zero-sort coalesce gates in the dedup stages. Delegates to
+    relational._table_nrows (footer-only; handles sharded directories)."""
+    from pdf_parser_ray.pipelines.relational import _table_nrows
 
-    return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return _table_nrows(sf_dir, "documents")
 
 
 # ---------------------------------------------------------------------------
@@ -509,7 +510,7 @@ def _q_simhash_dedup(sf_dir: str):
     from pdf_parser_ray.stages.dedup import simhash_dedup_edges
 
     ds = _documents(sf_dir, columns=["doc_id", "text"])
-    return simhash_dedup_edges(ds)
+    return simhash_dedup_edges(ds, nrows=_documents_nrows(sf_dir))
 
 
 def _q_embedding_neardup(sf_dir: str):
@@ -521,7 +522,11 @@ def _q_embedding_neardup(sf_dir: str):
     # This corpus has no pairs above cosine 0.5 (random vectors) — the
     # near-dup threshold is lowered so the operator demonstrably links the
     # closest pairs; an empty result is still returned with a typed schema.
-    out = embedding_neardup_edges(ds, id_col="vec_id", threshold=0.30, num_planes=4)
+    from pdf_parser_ray.pipelines.relational import _table_nrows
+
+    out = embedding_neardup_edges(ds, id_col="vec_id", threshold=0.30,
+                                  num_planes=4,
+                                  nrows=_table_nrows(sf_dir, "embeddings"))
     df = out.to_pandas()
     if df.empty:
         df = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),

@@ -11,6 +11,13 @@ from __future__ import annotations
 MAX_FILE_SIZE = 50 * 1024 * 1024  # 50 MB per document payload
 MIN_FILE_SIZE = 100  # bytes
 
+# Shared zero-sort coalesce gate (BENCH/TUNING.md): below this many SLIM
+# rows a repartition(1) + one vectorized kernel replaces a sort-based
+# groupby exchange (~2 s fixed planner/barrier cost per sort at any row
+# count). One constant so retuning (e.g. after a Ray upgrade changes the
+# sort fixed cost) happens in one place.
+COALESCE_ROW_LIMIT = 2_000_000
+
 # Field → list of regex patterns, tried in order, first match wins,
 # compiled with re.IGNORECASE (reference classic_extractor.py:54-57).
 REGEX_FIELDS: dict[str, dict[str, object]] = {

@@ -130,7 +130,8 @@ def shingles_ascii(text: str, width: int = 5) -> set[str]:
 _P61 = (1 << 61) - 1
 
 
-def _perm_min_p61(hs: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+def _perm_min_p61(hs: np.ndarray, a: np.ndarray, b: np.ndarray,
+                  _chunk: int = 65536) -> np.ndarray:
     """min over shingles of ((a_i*h + b_i) mod 2^61-1) & 0xFFFFFFFF, exact.
 
     Vectorized 61-bit modmul via 31/30-bit split so every intermediate
@@ -138,24 +139,35 @@ def _perm_min_p61(hs: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     arithmetic, hence still replayable in DuckDB HUGEINT SQL:
       a*h = a1*h1*2^62 + (a1*h0 + a0*h1)*2^31 + a0*h0,  2^61 ≡ 1 (mod p)
     Shapes: a, b (P,); hs (H,) with every value < 2^61. Returns (P,).
+
+    The shingle axis is processed in ``_chunk`` slices with a running min
+    so peak memory is O(P × _chunk) (~16 MB per temporary at 32 perms),
+    not O(P × H) — a 1 MB document has ~200k shingles and the one-shot
+    broadcast held several (P, H) uint64 temporaries at once.
     """
     p = _MERSENNE
     one, c30, c31, c61 = (np.uint64(1), np.uint64(30), np.uint64(31),
                           np.uint64(61))
     m30, m31 = np.uint64(0x3FFFFFFF), np.uint64(0x7FFFFFFF)
-    A, H = a[:, None], hs[None, :]
+    A = a[:, None]
     a1, a0 = A >> c31, A & m31          # a1 < 2^30, a0 < 2^31
-    h1, h0 = H >> c31, H & m31
-    hi2 = (a1 * h1) << one              # a1*h1 < 2^60 < p; ×2 ≡ ×2^62 (mod p)
-    mid = a1 * h0 + a0 * h1             # < 2^62
-    mid = (mid >> c61) + (mid & p)      # ≤ p + 1
-    np.subtract(mid, p, out=mid, where=mid >= p)
-    # mid*2^31 mod p: mid = m1*2^30 + m0 → m1*2^61 + m0*2^31 ≡ m1 + m0*2^31
-    midr = (mid >> c30) + ((mid & m30) << c31)      # < 2^31 + 2^61
-    s = hi2 + midr + a0 * h0 + b[:, None]           # < 2^63 + 2^62-ish < 2^64
-    s = (s >> c61) + (s & p)                        # ≤ p + 7
-    np.subtract(s, p, out=s, where=s >= p)
-    return (s & _MAX_U32).min(axis=1)
+    B = b[:, None]
+    best: np.ndarray | None = None
+    for start in range(0, len(hs), _chunk):
+        H = hs[None, start:start + _chunk]
+        h1, h0 = H >> c31, H & m31
+        hi2 = (a1 * h1) << one          # a1*h1 < 2^60 < p; ×2 ≡ ×2^62 (mod p)
+        mid = a1 * h0 + a0 * h1         # < 2^62
+        mid = (mid >> c61) + (mid & p)  # ≤ p + 1
+        np.subtract(mid, p, out=mid, where=mid >= p)
+        # mid*2^31 mod p: mid = m1*2^30 + m0 → m1*2^61 + m0*2^31 ≡ m1 + m0*2^31
+        midr = (mid >> c30) + ((mid & m30) << c31)  # < 2^31 + 2^61
+        s = hi2 + midr + a0 * h0 + B                # < 2^63 + 2^62-ish < 2^64
+        s = (s >> c61) + (s & p)                    # ≤ p + 7
+        np.subtract(s, p, out=s, where=s >= p)
+        vals = (s & _MAX_U32).min(axis=1)
+        best = vals if best is None else np.minimum(best, vals)
+    return best
 
 
 def minhash_signature_md5(text: str, num_perm: int = 32,

@@ -41,7 +41,7 @@ def _table_nrows(sf_dir: str, table: str) -> int:
                         format="parquet").count_rows()
 
 
-_COALESCE_ROW_LIMIT = 2_000_000
+from ..config import COALESCE_ROW_LIMIT as _COALESCE_ROW_LIMIT  # shared gate
 
 
 def coarse_partition_apply(ds, kernel, *, key_col: str, part_col: str,
@@ -855,16 +855,29 @@ def events_range_join(sf_dir: str, mark_type: str = "purchase",
         ts_us = ts_int_us(g["ts"])
         codes = pd.factorize(g["user_id"].to_numpy())[0].astype(np.int64)
         rel = ts_us - ts_us.min()
-        span = np.int64(int(rel.max()) + window_us + 2)
-        comp = codes * span + rel  # codes ≤ partition users, rel < span: no overflow
+        span = int(rel.max()) + window_us + 2
         is_mark = g["event_type"].to_numpy() == mark_type
-        probe = comp[is_mark]
-        lo = np.searchsorted(comp, probe - window_us, side="left")
-        hi = np.searchsorted(comp, probe, side="left")  # strict: e.ts < p.ts
+        # codes*span must stay < 2^63 — with many users over a wide time
+        # range it wouldn't (e.g. 400k users × a 1-year span ≈ 1.3e19; a
+        # silent int64 wrap would unsort `comp` and searchsorted would
+        # return garbage). Process user-code slices so each slice's
+        # rebased composite key provably fits; windows never cross users,
+        # so slices are independent and the concatenated result is exact.
+        codes_per_slice = max(1, (np.iinfo(np.int64).max - span) // span)
+        counts = []
+        for base in range(0, int(codes[-1]) + 1, int(codes_per_slice)):
+            sl = (codes >= base) & (codes < base + codes_per_slice)
+            comp = (codes[sl] - base) * np.int64(span) + rel[sl]
+            probe = comp[is_mark[sl]]
+            lo = np.searchsorted(comp, probe - window_us, side="left")
+            hi = np.searchsorted(comp, probe, side="left")  # strict: < p.ts
+            counts.append(hi - lo)
+        n_prior = (np.concatenate(counts) if counts
+                   else np.zeros(0, dtype=np.int64))
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy()[is_mark],
             "user_id": g["user_id"].to_numpy()[is_mark],
-            "n_prior_events": (hi - lo).astype(np.int64),
+            "n_prior_events": n_prior.astype(np.int64),
         })
 
     return coarse_partition_apply(ds, kernel, key_col="user_id",

@@ -27,6 +27,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..config import COALESCE_ROW_LIMIT as _COALESCE_BAND_LIMIT
 from ..functions.minhash import MinHasher, SimHasher, char_ngrams, jaccard
 
 
@@ -343,9 +344,6 @@ def _bloom_filtered_pool(source_ds, cands, *, id_col: str, value_col: str,
     return source_ds.map_batches(pool_filter, batch_format="pandas").materialize()
 
 
-_COALESCE_BAND_LIMIT = 2_000_000  # slim (band_key, id) rows ≈ 30 B each → ~60 MB
-
-
 def _lsh_candidate_pairs(sketched, *, num_perm: int, num_bands: int,
                          id_col: str):
     """Banded-LSH candidate generation over pinned slim sketches: SLIM band
@@ -588,7 +586,7 @@ def simhash_band_explode(batch: pa.Table, *, id_col: str = "doc_id") -> pa.Table
 
 
 def simhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                        max_hamming: int = 3):
+                        max_hamming: int = 3, nrows: int | None = None):
     """(doc_id, dup_of) edges where hamming(simhash) ≤ max_hamming, found via
     4-band 16-bit LSH (any duplicate within distance 3 shares ≥1 band)."""
 
@@ -624,12 +622,18 @@ def simhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return batch.append_column("simhash", pa.array(sigs, type=pa.uint64()))
 
     sketched = ds.map_batches(sketch_batch, batch_format="pyarrow")
-    # slim band rows (band_key, id, sig ≈ 50 B) materialized once: the pin
-    # is sketch-scale (never the text payload) and makes the row count
-    # free for the same zero-sort coalesce gate as _lsh_candidate_pairs
     bands = sketched.map_batches(simhash_band_explode, batch_format="pyarrow",
-                                 fn_kwargs={"id_col": id_col}).materialize()
-    if bands.count() <= _COALESCE_BAND_LIMIT:
+                                 fn_kwargs={"id_col": id_col})
+    # zero-sort coalesce gate (see _lsh_candidate_pairs). With ``nrows``
+    # (e.g. a parquet footer count — an upper bound is fine) the decision
+    # is free; without it the SLIM band rows (band_key, id, sig ≈ 50 B —
+    # never the payload) are materialized once to learn the count, which
+    # is a sketch-scale pin the known-size scale path never pays.
+    n_band_rows = nrows * 4 if nrows is not None else None
+    if n_band_rows is None:
+        bands = bands.materialize()
+        n_band_rows = bands.count()
+    if 0 < n_band_rows <= _COALESCE_BAND_LIMIT:
         return bands.repartition(1).map_batches(
             lambda g: partition_edges(g).drop_duplicates(["doc_id", "dup_of"]),
             batch_format="pandas", batch_size=None).materialize()
@@ -656,7 +660,8 @@ def ngram_jaccard_pairs(texts_a: list[str], texts_b: list[str], n: int = 5) -> l
 def embedding_neardup_edges(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
                             threshold: float = 0.95, num_planes: int = 8,
                             num_bands: int = 4, seed: int = 42,
-                            broadcast_limit: int = 200_000):
+                            broadcast_limit: int = 200_000,
+                            nrows: int | None = None):
     """Near-duplicate edges by cosine ≥ threshold, bucketed by BANDED
     random-hyperplane LSH: ``num_bands`` independent banks of
     ``num_planes`` hyperplanes each; vectors sharing ANY band's full sign
@@ -712,10 +717,16 @@ def embedding_neardup_edges(ds, *, vec_col: str = "embedding", id_col: str = "ve
                              "dup_of": pd.Series(ids[anchor_idx[mask]],
                                                  dtype=g[id_col].dtype)})
 
-    # slim (id, band_key) rows materialized once (≈ 50 B/row, never the
-    # KB-scale vector) → free row count for the zero-sort coalesce gate
-    bands = ds.map_batches(add_buckets, batch_format="pandas").materialize()
-    if bands.count() <= _COALESCE_BAND_LIMIT:
+    # zero-sort coalesce gate over the SLIM (id, band_key) rows (≈ 50
+    # B/row, never the KB-scale vector). With ``nrows`` (footer count;
+    # upper bound fine) the decision is free; otherwise materialize the
+    # slim bands once to learn it — the known-size scale path skips that
+    bands = ds.map_batches(add_buckets, batch_format="pandas")
+    n_band_rows = nrows * num_bands if nrows is not None else None
+    if n_band_rows is None:
+        bands = bands.materialize()
+        n_band_rows = bands.count()
+    if 0 < n_band_rows <= _COALESCE_BAND_LIMIT:
         cands = bands.repartition(1).map_batches(
             lambda g: partition_candidates(g).drop_duplicates([id_col, "dup_of"]),
             batch_format="pandas", batch_size=None).materialize()

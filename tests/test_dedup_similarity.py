@@ -409,3 +409,21 @@ class TestLshTopK:
             a = set(approx[approx["query_id"] == qi]["neighbor_id"])
             recalls.append(len(e & a) / len(e))
         assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+class TestTopKBoundaryTies:
+    def test_tied_cosines_keep_lowest_ids(self, ray_session):
+        """30 identical vectors tie at cosine 1.0; the batch kernel must
+        keep the LOWEST ids across the k-boundary (oracle order: cosine
+        DESC, id ASC) — an argpartition split would pick arbitrary ids."""
+        import ray.data
+
+        from pdf_parser_ray.stages.similarity import brute_force_topk, lsh_topk
+
+        vec = np.ones(8)
+        ds = ray.data.from_items(
+            [{"vec_id": i, "embedding": vec.tolist()} for i in range(30)])
+        for fn in (lambda: brute_force_topk(ds, [0], vec[None, :], k=10),
+                   lambda: lsh_topk(ds, [0], vec[None, :], k=10)):
+            out = fn().to_pandas().sort_values("rank")
+            assert out["neighbor_id"].tolist() == list(range(10))

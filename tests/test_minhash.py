@@ -129,3 +129,17 @@ class TestPermMinP61:
                  " ".join(f"w{i % 37}" for i in range(250))]
         for t in texts:
             assert minhash_signature_md5(t) == ref_sig(t)
+
+    def test_chunked_equals_one_shot(self):
+        """The memory-bounding shingle-axis chunking must not change any
+        value (running min across slices == global min)."""
+        from pdf_parser_ray.functions.minhash import _perm_min_p61
+
+        p = (1 << 61) - 1
+        rng = np.random.default_rng(5)
+        hs = rng.integers(0, p, 1000, dtype=np.uint64)
+        a = rng.integers(1, p, 16, dtype=np.uint64)
+        b = rng.integers(0, p, 16, dtype=np.uint64)
+        full = _perm_min_p61(hs, a, b)
+        assert (_perm_min_p61(hs, a, b, _chunk=7) == full).all()
+        assert (_perm_min_p61(hs, a, b, _chunk=999) == full).all()

@@ -141,3 +141,25 @@ class TestEventsRangeJoin:
         got = dict(zip(out["event_id"], out["n_prior_events"]))
         assert got == {13: 2, 20: 0, 21: 1}
         assert set(out.columns) == {"event_id", "user_id", "n_prior_events"}
+
+    def test_wide_span_many_users_no_overflow(self, ray_session, tmp_path):
+        """A timestamp span wide enough that codes*span would overflow
+        int64 forces the user-slice path; counts must stay exact (the
+        pre-fix kernel silently wrapped and returned garbage)."""
+        from pdf_parser_ray.pipelines.relational import events_range_join
+
+        H = 3_600_000_000
+        WIDE = 2_400_000_000_000_000_000  # 2.4e18 µs — span ≈ 0.26×2^63
+        rows = []
+        eid = 0
+        for u in range(1, 5):  # 4 users → ≥2 slices at this span
+            rows += [(eid, u, 100, "view"), (eid + 1, u, 150, "purchase"),
+                     (eid + 2, u, WIDE, "purchase")]
+            eid += 3
+        self._write(tmp_path, rows)
+        out = events_range_join(str(tmp_path)).to_pandas()
+        # per user: purchase@150 has 1 prior (view@100); purchase@WIDE has 0
+        got = out.set_index("event_id")["n_prior_events"].to_dict()
+        for u in range(4):
+            assert got[3 * u + 1] == 1
+            assert got[3 * u + 2] == 0
