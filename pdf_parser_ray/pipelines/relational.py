@@ -844,8 +844,10 @@ def events_range_join(sf_dir: str, mark_type: str = "purchase",
     user's rows are contiguous, so both window endpoints resolve with two
     np.searchsorted calls over a composite (user_code, rel_ts) int64 key:
     code·SPAN + rel with SPAN > rel_max + window guarantees a probe's
-    lower bound can never reach into the previous user's band. No
-    per-user Python loop, no second exchange, O(n log n) per partition.
+    lower bound can never reach into the previous user's band; user-code
+    slices rebase the key whenever code·SPAN would exceed int64 (slices
+    are independent — windows never cross users). No per-user Python
+    loop, no second exchange, O(n log n) per partition.
     """
     ds = _read(sf_dir, "events",
                columns=["event_id", "user_id", "ts", "event_type"])
