@@ -858,6 +858,36 @@ def _q_frame_sample(sf_dir: str):
     )
 
 
+def _q_audio_features(sf_dir: str):
+    """REAL audio decode: deterministic RIFF/PCM WAV payloads decoded by the
+    from-scratch stdlib-struct codec (functions/wav.py) inside the AudioDecode
+    actor pool, then featurized (duration/rms/zcr/peak/clip). Rows-only (PCM
+    container parsing is legitimately non-SQL); correctness is pytest-gated by
+    round-trip and known-signal tests (tests/test_wav.py). Garbage payloads
+    (every 8th synth row) fail soft into decode_error + null features."""
+    import ray.data
+    from pdf_parser_ray.stages.media import (AudioDecode, AudioFeatures,
+                                             synth_wav_table)
+
+    ds = ray.data.from_arrow(synth_wav_table(n=64))
+    ds = ds.map_batches(
+        AudioDecode, fn_constructor_kwargs={"decoder": "wav"},
+        batch_format="pyarrow", batch_size=16, concurrency=2)
+    ds = ds.map_batches(AudioFeatures, batch_format="pyarrow",
+                        batch_size=16, concurrency=2)
+    return ds.map_batches(
+        lambda b: pa.table({
+            "media_ref": b.column("media_ref"),
+            "decoded": pc.is_valid(b.column("rms")),
+            "duration_s": b.column("duration_s"),
+            "rms": b.column("rms"),
+            "zcr": b.column("zcr"),
+            "clip_ratio": b.column("clip_ratio"),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def _q_ai_extract(sf_dir: str):
     """AI-mode parity pipeline (offline stub model): discover labels per doc
     → extract → JSON persist form. Non-SQL (model-driven) → rows-only."""
@@ -1119,10 +1149,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_ivf": _q_knn_ivf,
         "knn_lsh": _q_knn_lsh,
-        # multimodal plumbing (stub decode; rows-only)
+        # multimodal (real png/wav decode + stub backends; rows-only)
         "media_features": _q_media_features,
         "media_features_png": _q_media_features_png,
         "frame_sample": _q_frame_sample,
+        "audio_features": _q_audio_features,
         # relational / wide ops (SQL-oracled)
         "pricing_summary": rel.pricing_summary,
         "customer_order_revenue": rel.customer_order_revenue,

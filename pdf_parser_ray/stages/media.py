@@ -1,10 +1,15 @@
 """Multimodal stages: opaque binary media columns with typed metadata.
 
 The Ray-side plumbing is REAL (schemas, actor-pool signatures, batch sizing,
-output tensor layout); the image/audio codecs are NOT available in this
-container, so the decode kernel is stubbed (FIXTURES-style deterministic
-fake) behind ``decoder="fake"`` and raises ``NotImplementedError`` for
-``decoder="pillow"``-class real backends. Swap the kernel, keep the stage.
+output tensor layout). Decode backends:
+  - image ``decoder="png"``: REAL baseline-PNG decode via the from-scratch
+    stdlib-zlib codec (functions/png.py);
+  - audio ``decoder="wav"``: REAL RIFF/PCM WAV decode via the from-scratch
+    stdlib-struct codec (functions/wav.py);
+  - ``decoder="fake"``: deterministic sha256-seeded stand-in for tests;
+  - ``decoder="pillow"`` / ``"ffmpeg"``-class compressed codecs: those
+    libraries are not installed here — honestly ``NotImplementedError``.
+    Swap the kernel, keep the stage.
 
 Batch sizing: media rows are large — callers should pass small
 ``batch_size`` (8-32) so batch × concurrency fits the worker heap.
@@ -140,6 +145,99 @@ class ImageFeatures:
             "features", pa.array(feats, type=pa.list_(pa.float32())))
 
 
+class AudioDecode:
+    """Actor-pool stage: encoded audio payload → PCM samples + rate.
+
+    Backends:
+      - ``"wav"``: REAL decode of RIFF/PCM WAV via the from-scratch
+        stdlib-struct codec (functions/wav.py). Undecodable payloads yield
+        null samples plus a ``decode_error`` string (per-row fail-soft).
+      - ``"fake"``: deterministic sha256-seeded int16 mono second.
+      - anything else (``"ffmpeg"``-class compressed codecs): honestly
+        NotImplementedError — those libraries are not installed here.
+
+    Output columns: ``samples`` (binary int16 interleaved), ``n_samples``,
+    ``n_channels``, ``sample_rate`` (+ ``decode_error`` for "wav").
+    """
+
+    def __init__(self, decoder: str = "fake"):
+        if decoder not in ("fake", "wav"):
+            raise NotImplementedError(
+                f"decoder={decoder!r}: compressed audio codecs are not "
+                "installed; use the from-scratch 'wav' backend or 'fake'")
+        self.decoder = decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.wav import decode_wav
+
+        blobs, counts, chans, rates, errors = [], [], [], [], []
+        for payload in batch.column("payload").to_pylist():
+            if self.decoder == "wav":
+                try:
+                    arr, rate = decode_wav(payload or b"")
+                    blobs.append(arr.tobytes())
+                    counts.append(arr.shape[0])
+                    chans.append(arr.shape[1])
+                    rates.append(rate)
+                    errors.append(None)
+                except Exception as e:  # fail-soft per row, like ImageDecode
+                    blobs.append(None)
+                    counts.append(None)
+                    chans.append(None)
+                    rates.append(None)
+                    errors.append(f"{type(e).__name__}: {e}")
+            else:
+                seed = int.from_bytes(
+                    hashlib.sha256(payload or b"").digest()[:8], "little")
+                rng = np.random.default_rng(seed)
+                arr = rng.integers(-2**15, 2**15, size=(16_000, 1),
+                                   dtype=np.int16)
+                blobs.append(arr.tobytes())
+                counts.append(16_000)
+                chans.append(1)
+                rates.append(16_000)
+                errors.append(None)
+        batch = batch.append_column("samples", pa.array(blobs, type=pa.binary()))
+        batch = batch.append_column("n_samples", pa.array(counts, type=pa.int64()))
+        batch = batch.append_column("n_channels", pa.array(chans, type=pa.int32()))
+        batch = batch.append_column("sample_rate", pa.array(rates, type=pa.int32()))
+        if self.decoder == "wav":
+            batch = batch.append_column(
+                "decode_error", pa.array(errors, type=pa.string()))
+        return batch
+
+
+class AudioFeatures:
+    """Actor-pool stage: PCM samples → quality/statistics features, the
+    audio analogue of the text quality scorer: duration_s, rms (loudness),
+    zero-crossing rate (noisiness proxy), peak amplitude, clipping ratio.
+    All vectorized numpy over the channel-mean signal; null sample rows
+    (upstream decode_error) ride through as null features."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dur, rms, zcr, peak, clip = [], [], [], [], []
+        for blob, ch, rate in zip(batch.column("samples").to_pylist(),
+                                  batch.column("n_channels").to_pylist(),
+                                  batch.column("sample_rate").to_pylist()):
+            if blob is None or not ch or not rate:
+                dur.append(None); rms.append(None); zcr.append(None)
+                peak.append(None); clip.append(None)
+                continue
+            arr = np.frombuffer(blob, dtype="<i2").reshape(-1, ch)
+            x = arr.mean(axis=1).astype(np.float64) / 32768.0
+            n = len(x)
+            dur.append(n / rate)
+            rms.append(float(np.sqrt(np.mean(x * x))) if n else 0.0)
+            zcr.append(float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                       if n > 1 else 0.0)
+            peak.append(float(np.abs(x).max()) if n else 0.0)
+            clip.append(float(np.mean(np.abs(arr) >= 32767)) if n else 0.0)
+        for name, vals in (("duration_s", dur), ("rms", rms), ("zcr", zcr),
+                           ("peak", peak), ("clip_ratio", clip)):
+            batch = batch.append_column(name, pa.array(vals, type=pa.float64()))
+        return batch.drop_columns(["samples"])
+
+
 class FrameSample:
     """Actor-pool stage: 'video' payload → every-nth-frame fake sampling.
 
@@ -180,6 +278,41 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         "duration_ms": [int(rng.integers(0, 10_000)) for _ in range(n)],
     }
     return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+
+def synth_wav_table(n: int = 32, seed: int = 42) -> pa.Table:
+    """Deterministic table of REAL encoded PCM WAVs (via the from-scratch
+    codec's encoder): sine tones + noise at varying rates/lengths/channel
+    counts, plus every 8th row deliberately undecodable garbage so the
+    fail-soft path is exercised."""
+    from ..functions.wav import encode_wav
+
+    rng = np.random.default_rng(seed)
+    refs, payloads, durs = [], [], []
+    for i in range(n):
+        rate = (8_000, 16_000, 44_100)[i % 3]
+        secs = float(rng.uniform(0.05, 0.5))
+        t = np.arange(int(rate * secs)) / rate
+        ch = 1 + (i % 2)
+        freq = float(rng.uniform(100, 2000))
+        amp = float(rng.uniform(0.1, 0.9))
+        wave = amp * np.sin(2 * np.pi * freq * t) \
+            + 0.05 * rng.standard_normal(len(t))
+        pcm = np.clip(wave * 32767, -32768, 32767).astype(np.int16)
+        pcm = np.stack([pcm] * ch, axis=1)
+        payload = (rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
+                   if i % 8 == 7 else encode_wav(pcm, rate))
+        refs.append(f"wav://synth/{i}")
+        payloads.append(payload)
+        durs.append(int(secs * 1000))
+    return pa.table({
+        "media_ref": pa.array(refs, type=pa.string()),
+        "media_type": pa.array(["audio"] * n, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": pa.array([0] * n, type=pa.int32()),
+        "height": pa.array([0] * n, type=pa.int32()),
+        "duration_ms": pa.array(durs, type=pa.int32()),
+    })
 
 
 def synth_png_table(n: int = 32, seed: int = 42) -> pa.Table:
