@@ -858,6 +858,34 @@ def _q_frame_sample(sf_dir: str):
     )
 
 
+def _q_frame_sample_gif(sf_dir: str):
+    """REAL video-frame sampling: deterministic animated-GIF payloads decoded
+    by the from-scratch LZW codec (functions/gif.py) inside the FrameSample
+    actor pool; one row per every_ms-tick frame with its true timestamp and
+    decoded pixel dimensions. Rows-only (LZW + frame compositing is
+    legitimately non-SQL); correctness is pytest-gated by round-trip,
+    compositing, and known-frame tests (tests/test_gif.py). Garbage payloads
+    (every 8th synth row) fail soft into decode_error rows."""
+    import ray.data
+    from pdf_parser_ray.stages.media import FrameSample, synth_gif_table
+
+    ds = ray.data.from_arrow(synth_gif_table(n=48))
+    ds = ds.map_batches(
+        FrameSample, fn_constructor_kwargs={"decoder": "gif", "every_ms": 100},
+        batch_format="pyarrow", batch_size=8, concurrency=2)
+    return ds.map_batches(
+        lambda b: pa.table({
+            "media_ref": b.column("media_ref"),
+            "frame_index": b.column("frame_index"),
+            "frame_ts_ms": b.column("frame_ts_ms"),
+            "frame_h": b.column("frame_h"),
+            "frame_w": b.column("frame_w"),
+            "decoded": pc.is_valid(b.column("frame_index")),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def _q_audio_features(sf_dir: str):
     """REAL audio decode: deterministic RIFF/PCM WAV payloads decoded by the
     from-scratch stdlib-struct codec (functions/wav.py) inside the AudioDecode
@@ -1154,6 +1182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_png": _q_media_features_png,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
+        "frame_sample_gif": _q_frame_sample_gif,
         # relational / wide ops (SQL-oracled)
         "pricing_summary": rel.pricing_summary,
         "customer_order_revenue": rel.customer_order_revenue,

@@ -239,30 +239,82 @@ class AudioFeatures:
 
 
 class FrameSample:
-    """Actor-pool stage: 'video' payload → every-nth-frame fake sampling.
+    """Actor-pool stage: 'video' payload → every-nth-frame sampling.
 
     Emits one row per sampled frame (flat_map-shaped: output rows ≥ input
     rows), preserving (media_ref, frame_index) identity.
+
+    Backends:
+      - ``"gif"``: REAL decode of animated GIF87a/89a via the from-scratch
+        LZW codec (functions/gif.py); frames are composited, then sampled
+        at every_ms boundaries against the stream's own frame timestamps.
+        Undecodable payloads yield one null row plus ``decode_error``.
+      - ``"fake"``: deterministic sha256 frame stand-ins sized by
+        ``duration_ms`` (schema/determinism tests).
+      - anything else (``"ffmpeg"``-class compressed video): honestly
+        NotImplementedError — those libraries are not installed here.
     """
 
-    def __init__(self, every_ms: int = 1000):
+    def __init__(self, every_ms: int = 1000, decoder: str = "fake"):
+        if decoder not in ("fake", "gif"):
+            raise NotImplementedError(
+                f"decoder={decoder!r}: compressed video codecs are not "
+                "installed; use the from-scratch 'gif' backend or 'fake'")
         self.every_ms = every_ms
+        self.decoder = decoder
+
+    def _sample_gif(self, payload: bytes):
+        """Decode one GIF and pick the frame on screen at each every_ms tick."""
+        from ..functions.gif import decode_gif
+
+        frames, delays = decode_gif(payload or b"")
+        starts = np.concatenate([[0], np.cumsum(delays)[:-1]])
+        total = int(starts[-1]) + int(delays[-1]) if delays else 0
+        ticks = np.arange(0, max(total, 1), self.every_ms)
+        picked = np.unique(np.searchsorted(starts, ticks, side="right") - 1)
+        return [(int(i), int(starts[i]), frames[i]) for i in picked]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs, idxs, payloads = [], [], []
+        ts, hs, ws, errors = [], [], [], []
         for ref, payload, dur in zip(batch.column("media_ref").to_pylist(),
                                      batch.column("payload").to_pylist(),
                                      batch.column("duration_ms").to_pylist()):
+            if self.decoder == "gif":
+                try:
+                    for i, start, frame in self._sample_gif(payload):
+                        refs.append(ref)
+                        idxs.append(i)
+                        payloads.append(frame.tobytes())
+                        ts.append(start)
+                        hs.append(frame.shape[0])
+                        ws.append(frame.shape[1])
+                        errors.append(None)
+                except Exception as e:  # fail-soft per row, like AudioDecode
+                    refs.append(ref)
+                    idxs.append(None)
+                    payloads.append(None)
+                    ts.append(None)
+                    hs.append(None)
+                    ws.append(None)
+                    errors.append(f"{type(e).__name__}: {e}")
+                continue
             n_frames = max(1, (dur or 0) // self.every_ms)
             for f in range(n_frames):
                 refs.append(ref)
                 idxs.append(f)
                 payloads.append(hashlib.sha256((payload or b"") + f.to_bytes(4, "little")).digest())
-        return pa.table({
+        out = {
             "media_ref": pa.array(refs, type=pa.string()),
             "frame_index": pa.array(idxs, type=pa.int32()),
             "frame_payload": pa.array(payloads, type=pa.binary()),
-        })
+        }
+        if self.decoder == "gif":
+            out["frame_ts_ms"] = pa.array(ts, type=pa.int32())
+            out["frame_h"] = pa.array(hs, type=pa.int32())
+            out["frame_w"] = pa.array(ws, type=pa.int32())
+            out["decode_error"] = pa.array(errors, type=pa.string())
+        return pa.table(out)
 
 
 def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
@@ -308,6 +360,41 @@ def synth_wav_table(n: int = 32, seed: int = 42) -> pa.Table:
     return pa.table({
         "media_ref": pa.array(refs, type=pa.string()),
         "media_type": pa.array(["audio"] * n, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": pa.array([0] * n, type=pa.int32()),
+        "height": pa.array([0] * n, type=pa.int32()),
+        "duration_ms": pa.array(durs, type=pa.int32()),
+    })
+
+
+def synth_gif_table(n: int = 32, seed: int = 42) -> pa.Table:
+    """Deterministic table of REAL encoded animated GIFs (via the
+    from-scratch codec's encoder): small-palette multi-frame animations at
+    varying sizes/frame counts/delays (multiples of 10 ms — GIF delay
+    resolution is centiseconds), every 4th one interlaced, plus every 8th
+    row deliberately undecodable garbage so the fail-soft path is
+    exercised."""
+    from ..functions.gif import encode_gif
+
+    rng = np.random.default_rng(seed)
+    refs, payloads, durs = [], [], []
+    for i in range(n):
+        h = int(rng.integers(6, 24))
+        w = int(rng.integers(6, 24))
+        n_frames = int(rng.integers(2, 7))
+        palette = rng.integers(0, 256, size=(int(rng.integers(2, 9)), 3),
+                               dtype=np.uint8)
+        idx = rng.integers(0, len(palette), size=(n_frames, h, w))
+        delays = (rng.integers(2, 30, size=n_frames) * 10).tolist()
+        payload = (rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
+                   if i % 8 == 7 else
+                   encode_gif(palette[idx], delays, interlace=(i % 4 == 3)))
+        refs.append(f"gif://synth/{i}")
+        payloads.append(payload)
+        durs.append(int(sum(delays)))
+    return pa.table({
+        "media_ref": pa.array(refs, type=pa.string()),
+        "media_type": pa.array(["video"] * n, type=pa.string()),
         "payload": pa.array(payloads, type=pa.binary()),
         "width": pa.array([0] * n, type=pa.int32()),
         "height": pa.array([0] * n, type=pa.int32()),
