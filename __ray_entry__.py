@@ -295,6 +295,57 @@ def _q_hash_docs(sf_dir: str):
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
+def _q_dup_spans(sf_dir: str):
+    """Exact-substring duplicate spans (Lee et al. 2022 family): maximal
+    per-doc token intervals covered by 8-token windows whose exact text
+    occurs ≥2 times corpus-wide (stages/dedup.py:duplicate_spans). Window
+    hash is DuckDB-reproducible md5, so the whole operator — counting,
+    membership, island merge — is replayed by the SQL oracle."""
+    from pdf_parser_ray.stages.dedup import duplicate_spans
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return duplicate_spans(ds, width=8, min_count=2)
+
+
+def _dup_spans_sql(width: int = 8, min_count: int = 2) -> str:
+    """DuckDB replay of duplicate_spans: tokenize (ASCII \\s+, no case
+    fold), hash every width-token window via the md5-uint64 prefix, keep
+    hashes with global count ≥ min_count, merge marked positions into
+    islands (gap > width breaks), emit (start, end, tokens, windows)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> x <> '') AS t
+  FROM documents
+),
+win AS (
+  SELECT doc_id, unnest(ps) AS pos, unnest(hs) AS h FROM (
+    SELECT doc_id,
+      [i - 1 for i in range(1, len(t) - {width - 2})] AS ps,
+      [CAST('0x' || substr(md5(array_to_string(t[i : i + {width - 1}], ' ')), 1, 16) AS UBIGINT)
+       for i in range(1, len(t) - {width - 2})] AS hs
+    FROM toks
+  )
+),
+dup AS (SELECT h FROM win GROUP BY h HAVING count(*) >= {min_count}),
+marked AS (SELECT doc_id, pos FROM win WHERE h IN (SELECT h FROM dup)),
+isl AS (
+  SELECT doc_id, pos,
+    SUM(CASE WHEN prev IS NULL OR pos - prev > {width} THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM marked)
+)
+SELECT doc_id,
+  CAST(min(pos) AS BIGINT) AS span_start,
+  CAST(max(pos) + {width - 1} AS BIGINT) AS span_end,
+  CAST(max(pos) + {width} - min(pos) AS BIGINT) AS span_tokens,
+  CAST(count(*) AS BIGINT) AS n_dup_windows
+FROM isl GROUP BY doc_id, island
+"""
+
+
 def _q_dedup_exact(sf_dir: str):
     """Exact dedup via the ids-only shuffle path — the text payload never
     enters the exchange (stages/dedup.py:exact_dedup_ids)."""
@@ -1159,6 +1210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup
         "dedup_exact": _q_dedup_exact,
         "dedup_semi": _q_dedup_semi,
+        "dup_spans": _q_dup_spans,
         "customers_with_orders": _q_customers_with_orders,
         "distinct_flags": _q_distinct_flags,
         "events_props": _q_events_props,
@@ -1280,6 +1332,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_md5": _minhash_md5_sql(),
         "neardup_clusters": _neardup_clusters_sql(),
         "fingerprint_set": _fingerprint_set_sql(),
+        "dup_spans": _dup_spans_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "corpus_prep_neardup": _corpus_prep_neardup_sql(),
         "token_counts": (

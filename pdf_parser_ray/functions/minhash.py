@@ -241,3 +241,25 @@ class SimHasher:
 
 def hamming_distance(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def token_window_hashes(text: str, width: int) -> np.ndarray:
+    """uint64 hash of every ``width``-token window of ``text``, in token
+    order — the unit of exact-substring duplicate-span detection
+    (stages/dedup.py:duplicate_spans).
+
+    Tokenization is ASCII-``\\s+`` split (no case folding: spans are EXACT
+    substrings); window hash = first 8 bytes of the md5 of the
+    space-joined window, big-endian hex prefix — DuckDB-reproducible as
+    ``CAST('0x' || substr(md5(array_to_string(win, ' ')), 1, 16) AS
+    UBIGINT)``, which is what makes the whole span pipeline
+    oracle-checkable. Texts with fewer than ``width`` tokens yield no
+    windows."""
+    toks = [t for t in _ASCII_WS.split(text or "") if t]
+    n = len(toks) - width + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    return np.fromiter(
+        (int(hashlib.md5(" ".join(toks[i:i + width]).encode("utf-8"))
+             .hexdigest()[:16], 16) for i in range(n)),
+        dtype=np.uint64, count=n)

@@ -940,3 +940,201 @@ def exact_dedup_salted(ds, *, text_col: str = "text", id_col: str = "doc_id",
         "sd_part").map_groups(keep_min(["content_hash"]), batch_format="pandas")
     return phase2.map_batches(lambda b: b.drop_columns(["dedup_salt"]),
                               batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate spans (token-window granularity)
+# ---------------------------------------------------------------------------
+
+
+def _window_partial_counts(batch: pa.Table, *, text_col: str, width: int) -> pa.Table:
+    """Per-batch combiner for pass A: distinct window hashes + local counts.
+
+    The exchange downstream carries one (hash, count) pair per distinct
+    window per batch — never a row per occurrence, never any text."""
+    from ..functions.minhash import token_window_hashes
+
+    parts = [token_window_hashes(t, width)
+             for t in batch.column(text_col).to_pylist()]
+    allh = np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint64)
+    vals, counts = np.unique(allh, return_counts=True)
+    return pa.table({"h": pa.array(vals, type=pa.uint64()),
+                     "cnt": pa.array(counts, type=pa.int64())})
+
+
+def _dup_hash_set(ds, *, text_col: str, width: int, min_count: int):
+    """Pass A: global window-hash counts → materialized slim Dataset of
+    hashes occurring ≥ min_count times corpus-wide. Size-gated zero-sort
+    coalesce below COALESCE_ROW_LIMIT partial rows, coarse-partition
+    exchange above (house pattern — see coarse_partition_apply)."""
+    import zlib
+
+    partials = ds.map_batches(
+        _window_partial_counts, fn_kwargs={"text_col": text_col, "width": width},
+        batch_format="pyarrow").materialize()  # slim (h, cnt) only
+
+    def count_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("h", as_index=False)["cnt"].sum()
+        return agg.loc[agg["cnt"] >= min_count, ["h", "cnt"]]
+
+    n = partials.count()
+    if 0 < n <= _COALESCE_BAND_LIMIT:
+        return partials.repartition(1).map_batches(
+            count_kernel, batch_format="pandas", batch_size=None).materialize()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "h_part", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    return partials.map_batches(add_part, batch_format="pyarrow").groupby(
+        "h_part").map_groups(count_kernel, batch_format="pandas").materialize()
+
+
+def _mark_spans(hs: np.ndarray, dup_sorted: np.ndarray, width: int):
+    """Positions whose window hash is duplicated → merged maximal token
+    intervals. Windows are equal-width, so two marked positions merge iff
+    their gap is ≤ width (interval overlap-or-adjacency)."""
+    if len(hs) == 0 or len(dup_sorted) == 0:
+        return []
+    idx = np.searchsorted(dup_sorted, hs)
+    hit = np.flatnonzero((idx < len(dup_sorted)) & (dup_sorted[np.minimum(idx, len(dup_sorted) - 1)] == hs))
+    if len(hit) == 0:
+        return []
+    breaks = np.flatnonzero(np.diff(hit) > width)
+    starts = np.concatenate([[0], breaks + 1])
+    ends = np.concatenate([breaks, [len(hit) - 1]])
+    return [(int(hit[s]), int(hit[e]) + width - 1, int(e - s + 1))
+            for s, e in zip(starts, ends)]
+
+
+def duplicate_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    width: int = 8, min_count: int = 2,
+                    broadcast_limit: int = 2_000_000):
+    """Exact-substring duplicate-span detection: every ``width``-token
+    window whose exact text occurs ≥ ``min_count`` times corpus-wide marks
+    its token interval; overlapping/adjacent marked intervals merge into
+    maximal per-doc spans (the span-granular exact dedup of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better" —
+    public algorithm family, re-expressed over window hashes instead of a
+    suffix array so it fits a two-pass Ray Data shape).
+
+    Scale design: pass A ships only per-batch-combined (uint64 hash,
+    count) pairs — no positions, no text; pass B re-derives window hashes
+    locally (recompute beats shipping one row per token position through
+    a shuffle) and checks membership against the duplicated-hash set,
+    broadcast once via ray.put as a sorted array when ≤ broadcast_limit.
+    Above the limit, batches semi-join the pinned dup set per
+    hash-partition slice instead (no driver materialization).
+
+    Returns one row per maximal span: (id_col, span_start, span_end,
+    span_tokens, n_dup_windows) — token indices, 0-based inclusive.
+    Window hash is DuckDB-reproducible md5 (functions/minhash.py:
+    token_window_hashes), so the whole operator is SQL-oracle-checkable.
+    """
+    import ray as _ray
+
+    from ..functions.minhash import token_window_hashes
+
+    dup_ds = _dup_hash_set(ds, text_col=text_col, width=width,
+                           min_count=min_count)
+    n_dup = dup_ds.count()
+
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    out_schema = pa.schema([
+        (id_col, id_type), ("span_start", pa.int64()), ("span_end", pa.int64()),
+        ("span_tokens", pa.int64()), ("n_dup_windows", pa.int64()),
+    ])
+
+    if n_dup <= broadcast_limit:
+        arrs = [b.column("h").to_numpy(zero_copy_only=False)
+                for b in dup_ds.select_columns(["h"]).iter_batches(
+                    batch_format="pyarrow")]
+        dup_sorted = np.sort(np.concatenate(arrs)) if arrs else np.zeros(
+            0, dtype=np.uint64)
+        dup_ref = _ray.put(dup_sorted)
+
+        def mark(batch: pa.Table) -> pa.Table:
+            dup: np.ndarray = _ray.get(dup_ref)  # plasma zero-copy after first
+            ids, ss, ee, tt, nn = [], [], [], [], []
+            for i, t in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+                for s, e, n_w in _mark_spans(
+                        token_window_hashes(t or "", width), dup, width):
+                    ids.append(i); ss.append(s); ee.append(e)
+                    tt.append(e - s + 1); nn.append(n_w)
+            return pa.table({id_col: pa.array(ids, type=id_type),
+                             "span_start": pa.array(ss, type=pa.int64()),
+                             "span_end": pa.array(ee, type=pa.int64()),
+                             "span_tokens": pa.array(tt, type=pa.int64()),
+                             "n_dup_windows": pa.array(nn, type=pa.int64())},
+                            schema=out_schema)
+
+        return ds.map_batches(mark, batch_format="pyarrow")
+
+    # Above the broadcast gate: the dup set stays distributed/pinned; each
+    # batch semi-joins the slices of the dup set covering its own hash
+    # range. Exchange ships (id, pos, h) only for windows that SURVIVE a
+    # per-batch probe against a per-partition dup slice.
+    def add_hpart_rows(batch: pa.Table) -> pa.Table:
+        ids, poss, hss = [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            hs = token_window_hashes(t or "", width)
+            ids.extend([i] * len(hs))
+            poss.extend(range(len(hs)))
+            hss.append(hs)
+        h = (np.concatenate(hss) if hss else np.zeros(0, dtype=np.uint64))
+        return pa.table({id_col: pa.array(ids, type=id_type),
+                         "pos": pa.array(poss, type=pa.int64()),
+                         "h": pa.array(h, type=pa.uint64()),
+                         "h_part": pa.array((h % np.uint64(64)).astype(np.int64))})
+
+    def add_hpart_dups(batch: pa.Table) -> pa.Table:
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        return pa.table({id_col: pa.nulls(len(h), type=id_type),
+                         "pos": pa.nulls(len(h), type=pa.int64()),
+                         "h": batch.column("h"),
+                         "h_part": pa.array((h % np.uint64(64)).astype(np.int64))})
+
+    positions = ds.map_batches(add_hpart_rows, batch_format="pyarrow")
+    dups = dup_ds.select_columns(["h"]).map_batches(add_hpart_dups,
+                                                    batch_format="pyarrow")
+
+    id_is_int = pa.types.is_integer(id_type)
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        dup_h = g.loc[g["pos"].isna(), "h"].unique()
+        rows = g.loc[g["pos"].notna() & g["h"].isin(dup_h),
+                     [id_col, "pos"]].copy()
+        # the union's typed nulls dilute int64 → float64 in pandas blocks;
+        # restore exact dtypes (same fix as hash_join — BENCH/TUNING.md)
+        rows["pos"] = rows["pos"].astype("int64")
+        if id_is_int:
+            rows[id_col] = rows[id_col].astype("int64")
+        return rows
+
+    marked = positions.union(dups).groupby("h_part").map_groups(
+        semi, batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = {k: [] for k in (id_col, "span_start", "span_end",
+                               "span_tokens", "n_dup_windows")}
+        for i, sub in g.groupby(id_col, sort=True):
+            pos = np.sort(sub["pos"].to_numpy(dtype=np.int64))
+            breaks = np.flatnonzero(np.diff(pos) > width)
+            starts = np.concatenate([[0], breaks + 1])
+            ends = np.concatenate([breaks, [len(pos) - 1]])
+            for s, e in zip(starts, ends):
+                out[id_col].append(i)
+                out["span_start"].append(int(pos[s]))
+                out["span_end"].append(int(pos[e]) + width - 1)
+                out["span_tokens"].append(int(pos[e]) + width - int(pos[s]))
+                out["n_dup_windows"].append(int(e - s + 1))
+        return pd.DataFrame(out)
+
+    from ..pipelines.relational import coarse_partition_apply
+
+    return coarse_partition_apply(marked, fold, key_col=id_col,
+                                  part_col="id_part", num_parts=64,
+                                  nrows=None)

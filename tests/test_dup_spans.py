@@ -1,0 +1,145 @@
+"""Exact-substring duplicate-span detection (stages/dedup.py:duplicate_spans):
+brute-force equivalence on both execution paths, island-merge semantics,
+edge cases, and the md5 window-hash helper."""
+
+import collections
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pdf_parser_ray.functions.minhash import token_window_hashes
+from pdf_parser_ray.stages.dedup import _mark_spans, duplicate_spans
+
+
+def brute_spans(docs, width, min_count=2):
+    """Reference implementation: literal window-string counting + merge."""
+    cnt = collections.Counter()
+    toks_all = [d.split() for d in docs]
+    for toks in toks_all:
+        for i in range(len(toks) - width + 1):
+            cnt[" ".join(toks[i:i + width])] += 1
+    spans = []
+    for did, toks in enumerate(toks_all):
+        pos = [i for i in range(len(toks) - width + 1)
+               if cnt[" ".join(toks[i:i + width])] >= min_count]
+        if not pos:
+            continue
+        start, prev, nw = pos[0], pos[0], 1
+        for p in pos[1:]:
+            if p - prev > width:
+                spans.append((did, start, prev + width - 1,
+                              prev + width - start, nw))
+                start, nw = p, 0
+            prev = p
+            nw += 1
+        spans.append((did, start, prev + width - 1, prev + width - start, nw))
+    return sorted(spans)
+
+
+def _corpus(seed=0, n=40, width=3):
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [" ".join(rng.choice(vocab, size=int(rng.integers(0, 25))))
+            for _ in range(n)]
+    phrase = "alpha beta gamma delta epsilon"
+    docs[3] += " " + phrase
+    docs[17] = phrase + " " + docs[17]
+    docs[25] = "x y z q r x y z q r"  # within-doc repeat counts too
+    return docs
+
+
+class TestWindowHashes:
+    def test_md5_prefix_semantics(self):
+        h = token_window_hashes("a b  c d", 2)
+        assert len(h) == 3
+        assert h[0] == int(hashlib.md5(b"a b").hexdigest()[:16], 16)
+        assert h[2] == int(hashlib.md5(b"c d").hexdigest()[:16], 16)
+
+    def test_short_and_empty(self):
+        assert len(token_window_hashes("a b", 3)) == 0
+        assert len(token_window_hashes("", 2)) == 0
+        assert len(token_window_hashes(None, 2)) == 0
+
+    def test_case_sensitive(self):
+        assert token_window_hashes("A b", 2)[0] != token_window_hashes("a b", 2)[0]
+
+
+class TestMarkSpans:
+    def test_merge_overlapping_and_adjacent(self):
+        dup = np.array([5, 7], dtype=np.uint64)
+        hs = np.array([5, 1, 2, 7, 3], dtype=np.uint64)  # hits at pos 0, 3
+        # width 3: intervals [0,2] and [3,5] touch (gap 3 ≤ width) → merge
+        assert _mark_spans(hs, np.sort(dup), 3) == [(0, 5, 2)]
+
+    def test_split_on_large_gap(self):
+        dup = np.array([9], dtype=np.uint64)
+        hs = np.array([9, 1, 2, 3, 4, 9], dtype=np.uint64)  # pos 0 and 5
+        # width 3: gap 5 > 3 → two spans
+        assert _mark_spans(hs, dup, 3) == [(0, 2, 1), (5, 7, 1)]
+
+    def test_no_hits(self):
+        assert _mark_spans(np.array([1], dtype=np.uint64),
+                           np.array([2], dtype=np.uint64), 3) == []
+        assert _mark_spans(np.zeros(0, dtype=np.uint64),
+                           np.array([2], dtype=np.uint64), 3) == []
+
+
+def _run(docs, width, ray_session, **kw):
+    import ray.data
+
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                    "text": pa.array(docs)})
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    result = duplicate_spans(ds, width=width, **kw)
+    cols = ["doc_id", "span_start", "span_end", "span_tokens", "n_dup_windows"]
+    assert result.schema().names == cols  # schema survives even when empty
+    out = result.to_pandas()
+    if len(out) == 0:
+        # Ray's to_pandas drops columns on an all-empty dataset (generic
+        # Ray Data behavior, verified independent of this operator)
+        return []
+    assert all(str(out[c].dtype) == "int64" for c in cols)
+    return sorted(map(tuple, out[cols].itertuples(index=False)))
+
+
+class TestDuplicateSpans:
+    def test_matches_bruteforce_broadcast_path(self, ray_session):
+        docs = _corpus()
+        assert _run(docs, 3, ray_session) == brute_spans(docs, 3)
+
+    def test_matches_bruteforce_semijoin_path(self, ray_session):
+        """broadcast_limit=0 forces the distributed semi-join fallback."""
+        docs = _corpus(seed=1)
+        assert _run(docs, 3, ray_session, broadcast_limit=0) == brute_spans(docs, 3)
+
+    def test_within_doc_repeat_detected(self, ray_session):
+        docs = ["p q r s p q r s", "completely different words here"]
+        got = _run(docs, 4, ray_session)
+        # windows 0 (p q r s) and 4 (p q r s) duplicate; gap 4 ≤ width → merged
+        assert got == [(0, 0, 7, 8, 2)]
+
+    def test_no_duplicates_empty_result(self, ray_session):
+        docs = ["a b c d e", "f g h i j"]
+        assert _run(docs, 3, ray_session) == []
+
+    def test_all_docs_too_short(self, ray_session):
+        docs = ["a b", "a b", ""]
+        assert _run(docs, 5, ray_session) == []
+
+    def test_min_count_threshold(self, ray_session):
+        docs = ["s t u v", "s t u v", "s t u v"]
+        got3 = _run(docs, 4, ray_session, min_count=3)
+        got4 = _run(docs, 4, ray_session, min_count=4)
+        assert got3 == [(0, 0, 3, 4, 1), (1, 0, 3, 4, 1), (2, 0, 3, 4, 1)]
+        assert got4 == []
+
+    def test_string_ids(self, ray_session):
+        import ray.data
+
+        tbl = pa.table({"doc_id": ["d1", "d2"],
+                        "text": ["m n o p", "m n o p"]})
+        out = duplicate_spans(ray.data.from_arrow(tbl), width=4).to_pandas()
+        assert sorted(out["doc_id"]) == ["d1", "d2"]
+        assert (out["span_start"] == 0).all()
