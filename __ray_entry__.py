@@ -346,6 +346,65 @@ FROM isl GROUP BY doc_id, island
 """
 
 
+def _q_strip_dup_spans(sf_dir: str):
+    """Corpus rewrite removing every token covered by a duplicated 8-token
+    window (stages/dedup.py:strip_duplicate_spans — the consumption side of
+    dup_spans). Fully SQL-replayed: the oracle recomputes coverage and
+    rebuilds the space-joined surviving text per document."""
+    from pdf_parser_ray.stages.dedup import strip_duplicate_spans
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return strip_duplicate_spans(ds, width=8, min_count=2)
+
+
+def _strip_dup_spans_sql(width: int = 8, min_count: int = 2) -> str:
+    """DuckDB replay of strip_duplicate_spans: duplicated-window positions
+    (as in _dup_spans_sql) expand to covered token indices; surviving
+    tokens re-join with single spaces in position order."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> x <> '') AS t
+  FROM documents
+),
+win AS (
+  SELECT doc_id, unnest(ps) AS pos, unnest(hs) AS h FROM (
+    SELECT doc_id,
+      [i - 1 for i in range(1, len(t) - {width - 2})] AS ps,
+      [CAST('0x' || substr(md5(array_to_string(t[i : i + {width - 1}], ' ')), 1, 16) AS UBIGINT)
+       for i in range(1, len(t) - {width - 2})] AS hs
+    FROM toks
+  )
+),
+dup AS (SELECT h FROM win GROUP BY h HAVING count(*) >= {min_count}),
+marked AS (SELECT doc_id, pos FROM win WHERE h IN (SELECT h FROM dup)),
+cover AS (
+  SELECT DISTINCT m.doc_id, m.pos + o.o AS cpos
+  FROM marked m CROSS JOIN (SELECT unnest(range(0, {width})) AS o) o
+),
+tokpos AS (
+  SELECT doc_id, unnest([i - 1 for i in range(1, len(t) + 1)]) AS pos,
+         unnest(t) AS tok
+  FROM toks
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tokpos tp LEFT JOIN cover c
+    ON tp.doc_id = c.doc_id AND tp.pos = c.cpos
+  WHERE c.cpos IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct, count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+  coalesce(a.ct, '') AS clean_text,
+  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+  CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_removed
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _q_dedup_exact(sf_dir: str):
     """Exact dedup via the ids-only shuffle path — the text payload never
     enters the exchange (stages/dedup.py:exact_dedup_ids)."""
@@ -1211,6 +1270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_semi": _q_dedup_semi,
         "dup_spans": _q_dup_spans,
+        "strip_dup_spans": _q_strip_dup_spans,
         "customers_with_orders": _q_customers_with_orders,
         "distinct_flags": _q_distinct_flags,
         "events_props": _q_events_props,
@@ -1333,6 +1393,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": _neardup_clusters_sql(),
         "fingerprint_set": _fingerprint_set_sql(),
         "dup_spans": _dup_spans_sql(),
+        "strip_dup_spans": _strip_dup_spans_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "corpus_prep_neardup": _corpus_prep_neardup_sql(),
         "token_counts": (

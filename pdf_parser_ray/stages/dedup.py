@@ -1138,3 +1138,64 @@ def duplicate_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
     return coarse_partition_apply(marked, fold, key_col=id_col,
                                   part_col="id_part", num_parts=64,
                                   nrows=None)
+
+
+def strip_duplicate_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                          width: int = 8, min_count: int = 2,
+                          broadcast_limit: int = 2_000_000):
+    """Corpus rewrite that REMOVES every token covered by a duplicated
+    window (the consumption side of ``duplicate_spans`` — Lee et al.
+    2022's span-granular dedup applied to the text itself).
+
+    Deliberately aggressive: ALL occurrences of duplicated material are
+    stripped, not all-but-one. Keeping one survivor occurrence requires a
+    global (doc, position) order tie-break — another corpus-wide exchange
+    for a policy the paper itself treats as a free choice; the all-strip
+    contract is order-free, one broadcast cheaper, and exactly
+    SQL-replayable. Rebuilt text joins surviving tokens with single
+    spaces (original whitespace runs are not preserved — tokens are the
+    unit of this operator).
+
+    Returns one row per input doc: (id_col, clean_text, n_tokens_kept,
+    n_tokens_removed)."""
+    import ray as _ray
+
+    from ..functions.minhash import _ASCII_WS, token_window_hashes
+
+    dup_ds = _dup_hash_set(ds, text_col=text_col, width=width,
+                           min_count=min_count)
+    if dup_ds.count() > broadcast_limit:
+        raise NotImplementedError(
+            "strip_duplicate_spans above the broadcast gate: route through "
+            "duplicate_spans' semi-join path and rebuild text from its span "
+            "rows (kept per-doc) instead")
+    arrs = [b.column("h").to_numpy(zero_copy_only=False)
+            for b in dup_ds.select_columns(["h"]).iter_batches(
+                batch_format="pyarrow")]
+    dup_sorted = np.sort(np.concatenate(arrs)) if arrs else np.zeros(
+        0, dtype=np.uint64)
+    dup_ref = _ray.put(dup_sorted)
+
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+
+    def strip(batch: pa.Table) -> pa.Table:
+        dup: np.ndarray = _ray.get(dup_ref)
+        ids, texts, kept_n, removed_n = [], [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            toks = [tok for tok in _ASCII_WS.split(t or "") if tok]
+            hs = token_window_hashes(t or "", width)
+            cover = np.zeros(len(toks), dtype=bool)
+            for s, e, _nw in _mark_spans(hs, dup, width):
+                cover[s:e + 1] = True
+            kept = [tok for tok, c in zip(toks, cover) if not c]
+            ids.append(i)
+            texts.append(" ".join(kept))
+            kept_n.append(len(kept))
+            removed_n.append(len(toks) - len(kept))
+        return pa.table({id_col: pa.array(ids, type=id_type),
+                         "clean_text": pa.array(texts, type=pa.string()),
+                         "n_tokens_kept": pa.array(kept_n, type=pa.int64()),
+                         "n_tokens_removed": pa.array(removed_n, type=pa.int64())})
+
+    return ds.map_batches(strip, batch_format="pyarrow")

@@ -143,3 +143,67 @@ class TestDuplicateSpans:
         out = duplicate_spans(ray.data.from_arrow(tbl), width=4).to_pandas()
         assert sorted(out["doc_id"]) == ["d1", "d2"]
         assert (out["span_start"] == 0).all()
+
+
+def brute_strip(docs, width, min_count=2):
+    spans = brute_spans(docs, width, min_count)
+    out = []
+    for did, d in enumerate(docs):
+        toks = d.split()
+        cover = [False] * len(toks)
+        for sd, s, e, _t, _n in spans:
+            if sd == did:
+                for i in range(s, e + 1):
+                    cover[i] = True
+        kept = [t for t, c in zip(toks, cover) if not c]
+        out.append((did, " ".join(kept), len(kept), len(toks) - len(kept)))
+    return out
+
+
+class TestStripDuplicateSpans:
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.dedup import strip_duplicate_spans
+
+        docs = _corpus(seed=2)
+        tbl = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                        "text": pa.array(docs)})
+        out = strip_duplicate_spans(
+            ray.data.from_arrow(tbl).repartition(4), width=3).to_pandas()
+        got = sorted(map(tuple, out[["doc_id", "clean_text", "n_tokens_kept",
+                                     "n_tokens_removed"]].itertuples(index=False)))
+        assert got == brute_strip(docs, 3)
+
+    def test_no_dups_identity_modulo_whitespace(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.dedup import strip_duplicate_spans
+
+        tbl = pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                        "text": ["a  b\tc\nd e"]})
+        out = strip_duplicate_spans(ray.data.from_arrow(tbl), width=3).to_pandas()
+        assert out["clean_text"].tolist() == ["a b c d e"]
+        assert out["n_tokens_removed"].tolist() == [0]
+
+    def test_full_doc_stripped(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.dedup import strip_duplicate_spans
+
+        tbl = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                        "text": ["same exact phrase here", "same exact phrase here"]})
+        out = strip_duplicate_spans(ray.data.from_arrow(tbl), width=4).to_pandas()
+        assert out["clean_text"].tolist() == ["", ""]
+        assert out["n_tokens_removed"].tolist() == [4, 4]
+
+    def test_above_gate_not_implemented(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.dedup import strip_duplicate_spans
+
+        tbl = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                        "text": ["u v w x", "u v w x"]})
+        with pytest.raises(NotImplementedError):
+            strip_duplicate_spans(ray.data.from_arrow(tbl), width=4,
+                                  broadcast_limit=0)
