@@ -405,6 +405,56 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 
+_BM25_TERMS = ["dup", "vector", "hash"]  # rare / mid / common document freq
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _q_bm25(sf_dir: str):
+    """Distributed BM25 relevance scoring against a fixed term list
+    (stages/textstage.py:bm25_score) — shuffle-free: one slim partial row
+    per batch folds into (N, avgdl, idf) on the driver, then a vectorized
+    scoring pass. The SQL oracle recomputes df/idf from the data and the
+    score as the same left-to-right float sum."""
+    from pdf_parser_ray.stages.textstage import bm25_score
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return bm25_score(ds, terms=_BM25_TERMS, k1=_BM25_K1, b=_BM25_B)
+
+
+def _bm25_sql(terms: list[str], k1: float, b: float) -> str:
+    """DuckDB replay of bm25_score: idf from corpus stats, per-term
+    contributions added in the SAME fixed order as the Ray kernel (float
+    addition is not associative; literal a+b+c is left-to-right in both)."""
+    contribs = " + ".join(
+        f"((SELECT i FROM idf_{j}) * len(list_filter(t, x -> x = '{term}'))"
+        f" / (len(list_filter(t, x -> x = '{term}'))"
+        f" + {k1} * (1.0 - {b} + {b} * len(t) / (SELECT avgdl FROM stats))))"
+        for j, term in enumerate(terms))
+    idf_ctes = ",\n".join(
+        f"""idf_{j} AS (
+  SELECT ln((s.n - coalesce(d.df, 0) + 0.5) / (coalesce(d.df, 0) + 0.5) + 1.0) AS i
+  FROM stats s LEFT JOIN (
+    SELECT count(*) AS df FROM toks WHERE list_contains(t, '{term}')) d ON TRUE
+)""" for j, term in enumerate(terms))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS t
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n, sum(len(t)) AS sum_dl,
+         sum(len(t)) / count(*) AS avgdl
+  FROM toks
+),
+{idf_ctes}
+SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+  CAST(floor(abs({contribs}) * 1000 + 0.5)
+       * (CASE WHEN ({contribs}) < 0 THEN -1 ELSE 1 END) AS BIGINT) AS score_milli
+FROM toks
+"""
+
+
 def _q_dedup_exact(sf_dir: str):
     """Exact dedup via the ids-only shuffle path — the text payload never
     enters the exchange (stages/dedup.py:exact_dedup_ids)."""
@@ -1271,6 +1321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_semi": _q_dedup_semi,
         "dup_spans": _q_dup_spans,
         "strip_dup_spans": _q_strip_dup_spans,
+        "bm25": _q_bm25,
         "customers_with_orders": _q_customers_with_orders,
         "distinct_flags": _q_distinct_flags,
         "events_props": _q_events_props,
@@ -1394,6 +1445,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_set": _fingerprint_set_sql(),
         "dup_spans": _dup_spans_sql(),
         "strip_dup_spans": _strip_dup_spans_sql(),
+        "bm25": _bm25_sql(_BM25_TERMS, _BM25_K1, _BM25_B),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "corpus_prep_neardup": _corpus_prep_neardup_sql(),
         "token_counts": (

@@ -1,0 +1,74 @@
+"""Distributed BM25 scoring (stages/textstage.py:bm25_score): hand-computed
+reference values, idf monotonicity, and edge cases."""
+
+import math
+
+import pyarrow as pa
+import pytest
+
+
+def _score(docs, terms, ray_session, k1=1.2, b=0.75, ids=None):
+    import ray.data
+
+    from pdf_parser_ray.stages.textstage import bm25_score
+
+    tbl = pa.table({"doc_id": pa.array(ids or list(range(len(docs))),
+                                       type=pa.int64()),
+                    "text": pa.array(docs)})
+    out = bm25_score(ray.data.from_arrow(tbl).repartition(3),
+                     terms=terms, k1=k1, b=b).to_pandas()
+    return out.set_index("doc_id").sort_index()
+
+
+def brute_bm25(docs, terms, k1=1.2, b=0.75):
+    toks_all = [d.lower().split() for d in docs]
+    n = len(docs)
+    avgdl = sum(map(len, toks_all)) / n
+    out = []
+    for toks in toks_all:
+        dl = len(toks)
+        s = 0.0
+        for t in terms:
+            df = sum(1 for tk in toks_all if t in tk)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            tf = toks.count(t)
+            s += idf * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        out.append(int(math.copysign(math.floor(abs(s) * 1000 + 0.5), s)))
+    return out
+
+
+DOCS = [
+    "hash join beats sort merge join",
+    "vector scan over the hash index",
+    "nothing relevant in this one at all",
+    "hash hash hash hash",
+]
+
+
+class TestBm25:
+    def test_matches_bruteforce(self, ray_session):
+        got = _score(DOCS, ["hash", "vector"], ray_session)
+        assert got["score_milli"].tolist() == brute_bm25(DOCS, ["hash", "vector"])
+        assert got["dl"].tolist() == [6, 6, 7, 4]
+
+    def test_zero_when_no_terms_present(self, ray_session):
+        got = _score(DOCS, ["hash", "vector"], ray_session)
+        assert got.loc[2, "score_milli"] == 0
+
+    def test_tf_saturation(self, ray_session):
+        """BM25 saturates: 4x repetition scores < 4x a single occurrence."""
+        got = _score(DOCS, ["hash"], ray_session)
+        single, spam = got.loc[0, "score_milli"], got.loc[3, "score_milli"]
+        assert spam > single          # more tf still scores higher...
+        assert spam < 4 * single      # ...but sub-linearly
+
+    def test_rare_term_outweighs_common(self, ray_session):
+        docs = ["rare common", "common x", "common y", "common z"]
+        got = _score(docs, ["rare", "common"], ray_session)
+        # doc 0 has both; its rare-term contribution dominates:
+        # strip the common contribution by comparing to a common-only doc
+        assert got.loc[0, "score_milli"] > 2 * got.loc[1, "score_milli"]
+
+    def test_case_folded(self, ray_session):
+        got = _score(["HASH Join", "hash join"], ["hash"], ray_session)
+        assert got.loc[0, "score_milli"] == got.loc[1, "score_milli"] > 0
