@@ -1364,6 +1364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": rel.events_range_join,
         "events_sliding_window": rel.events_sliding_window,
         "hash_sample": rel.hash_sample,
+        "stratified_sample": rel.stratified_sample,
     }
 
 
@@ -1621,6 +1622,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM documents "
             "WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
             "AS UBIGINT) % 100 < 10"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM ("
+            "SELECT doc_id, lang, row_number() OVER ("
+            "PARTITION BY lang ORDER BY "
+            "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT), "
+            "doc_id) AS rn FROM documents) WHERE rn <= 20"
         ),
         "events_sessions": (
             "SELECT user_id, count(*) AS n_events, "

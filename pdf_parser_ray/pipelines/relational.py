@@ -931,3 +931,37 @@ def event_type_distinct(sf_dir: str, num_parts: int = 64):
     return coarse_partition_apply(deduped, per_partition, key_col="user_id",
                                   part_col="et_part", num_parts=num_parts,
                                   nrows=_table_nrows(sf_dir, "events"))
+
+
+def stratified_sample(sf_dir: str, *, key: str = "lang", k: int = 20):
+    """Deterministic stratified sampling (§2.6 sampling family): the k rows
+    with the smallest (md5-rank, doc_id) per ``key`` group — reproducible
+    across runs and engines, unlike random sampling.
+
+    Two-level shape (same as ``topk``): a per-batch combiner keeps ≤ k rows
+    per key per batch, so at most n_blocks × n_keys × k slim rows reach the
+    single bounded merge task — the merge re-runs the SAME kernel, which is
+    partition-shape-independent (sorts by the real key internally). No key
+    exchange at any size.
+    """
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", key])
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        # md5 per row for DuckDB-oracle parity (same idiom as hash_sample)
+        _md5 = hashlib.md5
+        ranks = [int.from_bytes(_md5(str(i).encode()).digest()[:8], "big")
+                 for i in batch.column("doc_id").to_pylist()]
+        return batch.append_column("smp_rank", pa.array(ranks, type=pa.uint64()))
+
+    def keep_k(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, "smp_rank", "doc_id"], kind="mergesort")
+        return df.groupby(key, sort=False).head(k)
+
+    local = ds.map_batches(add_rank, batch_format="pyarrow").map_batches(
+        keep_k, batch_format="pandas")
+    merged = local.repartition(1).map_batches(keep_k, batch_format="pandas",
+                                              batch_size=None)
+    return merged.map_batches(
+        lambda b: b.select(["doc_id", key]), batch_format="pyarrow")

@@ -163,3 +163,35 @@ class TestEventsRangeJoin:
         for u in range(4):
             assert got[3 * u + 1] == 1
             assert got[3 * u + 2] == 0
+
+
+class TestStratifiedSample:
+    def test_k_per_group_deterministic(self, ray_session):
+        from pdf_parser_ray.pipelines.relational import stratified_sample
+
+        a = stratified_sample(SF_DIR, k=5).to_pandas()
+        b = stratified_sample(SF_DIR, k=5).to_pandas()
+        counts = a.groupby("lang")["doc_id"].count()
+        assert (counts <= 5).all() and counts.sum() == len(a)
+        sa = a.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+        sb = b.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+        assert sa.equals(sb)
+
+    def test_matches_global_rank(self, ray_session):
+        """Two-level combine must equal the single-pass global rank."""
+        import hashlib
+
+        import duckdb
+
+        from pdf_parser_ray.pipelines.relational import stratified_sample
+
+        got = stratified_sample(SF_DIR, k=3).to_pandas()
+        docs = duckdb.connect().execute(
+            f"SELECT doc_id, lang FROM read_parquet('{SF_DIR}/documents.parquet')"
+        ).df()
+        docs["rank"] = [int(hashlib.md5(str(i).encode()).hexdigest()[:16], 16)
+                        for i in docs["doc_id"]]
+        want = (docs.sort_values(["lang", "rank", "doc_id"])
+                .groupby("lang").head(3)[["doc_id", "lang"]])
+        assert (sorted(map(tuple, got.itertuples(index=False)))
+                == sorted(map(tuple, want.itertuples(index=False))))
