@@ -816,6 +816,103 @@ def _q_knn_ivf(sf_dir: str):
     )
 
 
+def _q_knn_pq(sf_dir: str):
+    """Product-quantization ANN (the memory-bound scale path: 64-dim
+    float32 → 8 one-byte codes per vector). Codebooks are trained with the
+    deterministic driver-side L2 k-means (stages/similarity.pq_train,
+    seeded per subspace, first-2000 sample); scoring is the asymmetric
+    LUT. ORACLE-GATED: the oracle retrains the same codebooks, inlines
+    them as literals, and replays encode + ADC ranking in SQL."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from pdf_parser_ray.stages.similarity import pq_topk, pq_train
+
+    ids, vecs = _knn_queries(sf_dir)
+    sample = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in sample.column("embedding").to_pylist()[:2000]])
+    codebooks = pq_train(mat, m=8, n_codes=16)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out = pq_topk(ds, ids, vecs, codebooks, k=10)
+    return out.map_batches(
+        lambda b: pa.table({
+            "query_id": pc.cast(b.column("query_id"), pa.int64()),
+            "neighbor_id": pc.cast(b.column("neighbor_id"), pa.int64()),
+            "rank": pc.cast(b.column("rank"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+_KNN_PQ_SQL_CACHE: dict[str, str] = {}
+
+
+def _knn_pq_sql(sf_dir: str = "/root/testdata/sf0.01", m: int = 8,
+                n_codes: int = 16, k: int = 10) -> str:
+    """DuckDB replay of the PQ query: the SAME deterministic per-subspace
+    L2 k-means (pq_train, seed 11+j, first-2000 sample) is recomputed here
+    and inlined as codebook literals; unit-normalize, per-subspace encode
+    (arg-min list_distance, lowest-code ties), ADC scoring (sum of
+    subspace inner products) and ranking are then pure SQL."""
+    import pyarrow.parquet as pq
+    from pdf_parser_ray.stages.similarity import pq_train
+
+    if sf_dir in _KNN_PQ_SQL_CACHE:
+        return _KNN_PQ_SQL_CACHE[sf_dir]
+    sample = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in sample.column("embedding").to_pylist()[:2000]])
+    cb = pq_train(mat, m=m, n_codes=n_codes)
+    sub = cb.shape[2]
+    cb_values = ", ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            j, c, ", ".join(repr(float(x)) for x in cb[j, c]))
+        for j in range(m) for c in range(n_codes))
+    _KNN_PQ_SQL_CACHE[sf_dir] = f"""
+WITH cb(j, code, cvec) AS (VALUES {cb_values}),
+q AS (
+  SELECT vec_id AS query_id,
+    list_transform(embedding,
+      x -> x / sqrt(list_inner_product(embedding, embedding))) AS qvec
+  FROM embeddings
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)
+),
+e AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> x / sqrt(list_inner_product(embedding, embedding))) AS v
+  FROM embeddings
+),
+enc_rn AS (
+  SELECT e.vec_id, c.j, c.code,
+    row_number() OVER (PARTITION BY e.vec_id, c.j
+      ORDER BY list_distance(list_slice(e.v, c.j * {sub} + 1, c.j * {sub} + {sub}),
+                             c.cvec) ASC, c.code ASC) AS rn
+  FROM e CROSS JOIN cb c
+),
+enc AS (SELECT vec_id, j, code FROM enc_rn WHERE rn = 1),
+scores AS (
+  SELECT q.query_id, en.vec_id AS neighbor_id,
+    sum(list_inner_product(
+      list_slice(q.qvec, en.j * {sub} + 1, en.j * {sub} + {sub}), c.cvec)) AS score
+  FROM q CROSS JOIN enc en JOIN cb c ON c.j = en.j AND c.code = en.code
+  GROUP BY q.query_id, en.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scores
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+    return _KNN_PQ_SQL_CACHE[sf_dir]
+
+
 _KNN_IVF_SQL_CACHE: dict[str, str] = {}
 
 
@@ -1340,6 +1437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_ivf": _q_knn_ivf,
         "knn_lsh": _q_knn_lsh,
+        "knn_pq": _q_knn_pq,
         # multimodal (real png/wav decode + stub backends; rows-only)
         "media_features": _q_media_features,
         "media_features_png": _q_media_features_png,
@@ -1670,6 +1768,7 @@ def oracle_sql() -> dict[str, str]:
     # fallback) instead of breaking every other oracle lookup
     try:
         out["knn_ivf"] = _knn_ivf_sql()
+        out["knn_pq"] = _knn_pq_sql()
     except (FileNotFoundError, OSError):
         pass
     out["knn_lsh"] = _knn_lsh_sql()

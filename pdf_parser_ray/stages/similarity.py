@@ -257,3 +257,92 @@ def lsh_topk(ds, query_ids: list, query_vectors: np.ndarray, k: int = 10,
                               concurrency=concurrency)
 
     return _reduce_topk(partials, k)
+
+
+def _kmeans_l2(x: np.ndarray, n: int, iters: int, seed: int) -> np.ndarray:
+    """Tiny deterministic L2 k-means for PQ codebooks (driver-side sample)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(x), size=min(n, len(x)), replace=False)
+    cent = x[np.sort(idx)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = np.argmin(d, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def pq_train(sample: np.ndarray, *, m: int = 8, n_codes: int = 16,
+             iters: int = 5, seed: int = 11) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011, public): split the
+    unit-normalized vector into ``m`` contiguous subspaces and L2-k-means
+    each on a driver-side sample → (m, n_codes, dim/m). Deterministic
+    (seeded per subspace) so the SQL oracle can retrain + inline them."""
+    sample = _unit(np.asarray(sample))
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return np.stack([
+        _kmeans_l2(sample[:, j * sub:(j + 1) * sub], n_codes, iters, seed + j)
+        for j in range(m)
+    ])
+
+
+def pq_topk(ds, query_ids: list, query_vectors: np.ndarray,
+            codebooks: np.ndarray, k: int = 10, *,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            concurrency=(1, 4)):
+    """Product-quantization approximate top-k (the memory-bound scale path:
+    a 64-dim float32 vector compresses to m=8 one-byte codes).
+
+    Each batch encodes its vectors (nearest codebook entry per subspace,
+    L2, lowest-code ties — matches the oracle's row_number order) and
+    scores every query via the asymmetric-distance LUT
+    (query-subspace · code inner products, computed once per actor), so
+    per-row work is m lookups instead of a dim-wide dot. Same partial
+    top-k combiner + bounded per-query reduce as brute_force_topk; the
+    ``cosine`` output column holds the PQ-APPROXIMATED cosine (query is
+    exact, corpus side quantized)."""
+    codebooks = np.asarray(codebooks, dtype=np.float64)
+    q_unit = _unit(np.asarray(query_vectors))
+    bundle_ref = ray.put({"codebooks": codebooks, "q_ids": list(query_ids),
+                          "q_unit": q_unit})
+
+    m, n_codes, sub = codebooks.shape
+
+    class PQBatchTopK:
+        def __init__(self):
+            b = ray.get(bundle_ref)
+            self.cb = b["codebooks"]
+            self.q_ids = b["q_ids"]
+            q = b["q_unit"]
+            # ADC lookup table: lut[qi, j, code] = <q_sub_j, code_vec>
+            self.lut = np.einsum("qjs,jcs->qjc",
+                                 q.reshape(len(q), m, sub), self.cb)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mat = _unit(np.stack(batch[vec_col].to_numpy()))
+            ids = batch[id_col].to_numpy()
+            x = mat.reshape(len(mat), m, sub)
+            d = ((x[:, :, None, :] - self.cb[None, :, :, :]) ** 2).sum(-1)
+            codes = d.argmin(axis=2)  # (n, m); first-min = lowest code tie
+            j_idx = np.arange(m)
+            out_q, out_id, out_sim = [], [], []
+            kk = min(k, len(mat))
+            for qi in range(len(self.q_ids)):
+                scores = self.lut[qi][j_idx, codes].sum(axis=1)
+                # full lexsort before truncation (boundary ties keep the
+                # lower id — see _BatchTopK)
+                sel = np.lexsort((ids, -scores))[:kk]
+                out_q.extend([self.q_ids[qi]] * len(sel))
+                out_id.extend(ids[sel].tolist())
+                out_sim.extend(scores[sel].tolist())
+            return pd.DataFrame({"query_id": out_q, "neighbor_id": out_id,
+                                 "cosine": out_sim})
+
+    partials = ds.map_batches(PQBatchTopK, batch_format="pandas",
+                              batch_size=4096, concurrency=concurrency)
+    return _reduce_topk(partials, k)

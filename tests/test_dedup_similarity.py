@@ -427,3 +427,63 @@ class TestTopKBoundaryTies:
                    lambda: lsh_topk(ds, [0], vec[None, :], k=10)):
             out = fn().to_pandas().sort_values("rank")
             assert out["neighbor_id"].tolist() == list(range(10))
+
+
+class TestPQ:
+    @pytest.fixture
+    def vectors(self):
+        rng = np.random.default_rng(23)
+        return rng.standard_normal((200, 16))
+
+    def test_codebook_shape_and_determinism(self, vectors):
+        from pdf_parser_ray.stages.similarity import pq_train
+
+        cb1 = pq_train(vectors, m=4, n_codes=8)
+        cb2 = pq_train(vectors, m=4, n_codes=8)
+        assert cb1.shape == (4, 8, 4)
+        assert np.array_equal(cb1, cb2)
+
+    def test_dim_not_divisible_raises(self, vectors):
+        from pdf_parser_ray.stages.similarity import pq_train
+
+        with pytest.raises(ValueError, match="divisible"):
+            pq_train(vectors, m=5)
+
+    def test_self_match_rank1(self, ray_session, vectors):
+        """The query vector itself quantizes to its own codes → its ADC
+        score is maximal among identical-code vectors; with 200 random
+        vectors it is the top-1 with overwhelming margin."""
+        import ray.data
+
+        from pdf_parser_ray.stages.similarity import pq_topk, pq_train
+
+        ds = ray.data.from_items(
+            [{"vec_id": i, "embedding": vectors[i].tolist()}
+             for i in range(len(vectors))])
+        cb = pq_train(vectors, m=4, n_codes=16)
+        out = pq_topk(ds, [7], vectors[7:8], cb, k=3).to_pandas()
+        assert out[out["rank"] == 1].iloc[0]["neighbor_id"] == 7
+
+    def test_pq_recall_vs_brute_force(self, ray_session, vectors):
+        """Quantitative quality gate: top-10 recall vs exact brute force
+        must clear 0.6 at m=4, 16 codes on RANDOM vectors — PQ's worst
+        case (no cluster structure for the codebooks to exploit)."""
+        import ray.data
+
+        from pdf_parser_ray.stages.similarity import (brute_force_topk,
+                                                      pq_topk, pq_train)
+
+        ds = ray.data.from_items(
+            [{"vec_id": i, "embedding": vectors[i].tolist()}
+             for i in range(len(vectors))])
+        q_ids = [0, 1, 2, 3, 4]
+        q = vectors[:5]
+        cb = pq_train(vectors, m=4, n_codes=16)
+        exact = brute_force_topk(ds, q_ids, q, k=10, concurrency=2).to_pandas()
+        approx = pq_topk(ds, q_ids, q, cb, k=10).to_pandas()
+        recalls = []
+        for qi in q_ids:
+            e = set(exact[exact["query_id"] == qi]["neighbor_id"])
+            a = set(approx[approx["query_id"] == qi]["neighbor_id"])
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.6, recalls
