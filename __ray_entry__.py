@@ -405,6 +405,68 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _q_contamination(sf_dir: str):
+    """Train/test contamination check (stages/dedup.py:contamination): the
+    documents table splits deterministically (md5 bucket < 10 → test, the
+    hash_sample rule), and every train doc reports how many of its 8-token
+    windows occur anywhere in the test set. Shuffle-free: the test set's
+    distinct window hashes broadcast once. Fully SQL-replayed."""
+    import hashlib
+
+    from pdf_parser_ray.stages.dedup import contamination
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+
+    def _bucket(batch: pa.Table, *, want_test: bool) -> pa.Table:
+        _md5 = hashlib.md5
+        keep = [(int.from_bytes(_md5(str(i).encode()).digest()[:4], "big")
+                 % 100 < 10) == want_test
+                for i in batch.column("doc_id").to_pylist()]
+        return batch.filter(pa.array(keep))
+
+    test_ds = ds.map_batches(_bucket, fn_kwargs={"want_test": True},
+                             batch_format="pyarrow")
+    train_ds = ds.map_batches(_bucket, fn_kwargs={"want_test": False},
+                              batch_format="pyarrow")
+    return contamination(train_ds, test_ds, width=8)
+
+
+def _contamination_sql(width: int = 8) -> str:
+    """DuckDB replay of the contamination query: same md5-bucket split,
+    same md5 window hashes, distinct test-side set, per-train-doc counts."""
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> x <> '') AS t,
+    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      % 100 < 10 AS is_test
+  FROM documents
+),
+test_h AS (
+  SELECT DISTINCT unnest(
+    [CAST('0x' || substr(md5(array_to_string(t[i : i + {width - 1}], ' ')), 1, 16) AS UBIGINT)
+     for i in range(1, len(t) - {width - 2})]) AS h
+  FROM docs WHERE is_test
+),
+win AS (
+  SELECT doc_id, unnest(
+    [CAST('0x' || substr(md5(array_to_string(t[i : i + {width - 1}], ' ')), 1, 16) AS UBIGINT)
+     for i in range(1, len(t) - {width - 2})]) AS h
+  FROM docs WHERE NOT is_test
+),
+agg AS (
+  SELECT w.doc_id, count(*) AS n_cont
+  FROM win w JOIN test_h USING (h) GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+  CAST(greatest(len(d.t) - {width - 1}, 0) AS BIGINT) AS n_windows,
+  CAST(coalesce(a.n_cont, 0) AS BIGINT) AS n_contaminated,
+  coalesce(a.n_cont, 0) > 0 AS contaminated
+FROM docs d LEFT JOIN agg a USING (doc_id)
+WHERE NOT d.is_test
+"""
+
+
 _BM25_TERMS = ["dup", "vector", "hash"]  # rare / mid / common document freq
 _BM25_K1, _BM25_B = 1.2, 0.75
 
@@ -1419,6 +1481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _q_dup_spans,
         "strip_dup_spans": _q_strip_dup_spans,
         "bm25": _q_bm25,
+        "contamination": _q_contamination,
         "customers_with_orders": _q_customers_with_orders,
         "distinct_flags": _q_distinct_flags,
         "events_props": _q_events_props,
@@ -1545,6 +1608,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _dup_spans_sql(),
         "strip_dup_spans": _strip_dup_spans_sql(),
         "bm25": _bm25_sql(_BM25_TERMS, _BM25_K1, _BM25_B),
+        "contamination": _contamination_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "corpus_prep_neardup": _corpus_prep_neardup_sql(),
         "token_counts": (

@@ -1199,3 +1199,65 @@ def strip_duplicate_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
                          "n_tokens_removed": pa.array(removed_n, type=pa.int64())})
 
     return ds.map_batches(strip, batch_format="pyarrow")
+
+
+def contamination(train_ds, test_ds, *, text_col: str = "text",
+                  id_col: str = "doc_id", width: int = 8,
+                  broadcast_limit: int = 2_000_000):
+    """Train/test contamination (decontamination) check: for every TRAIN
+    document, how many of its ``width``-token windows also occur anywhere
+    in the TEST set — the n-gram-overlap test used to decontaminate
+    benchmark sets from training corpora (public practice, e.g. the
+    GPT-3/C4 appendix methodology).
+
+    The test side reduces to its distinct window-hash set via the same
+    slim (hash, count) partial pass as ``duplicate_spans`` and broadcasts
+    once as a sorted uint64 array (a benchmark/test set is the small side
+    by definition; the loud gate guards the assumption). The train corpus
+    is scanned locally — no shuffle at any size.
+
+    Returns one row per train doc: (id_col, n_windows, n_contaminated,
+    contaminated)."""
+    import ray as _ray
+
+    from ..functions.minhash import token_window_hashes
+
+    test_hashes = _dup_hash_set(test_ds, text_col=text_col, width=width,
+                                min_count=1)
+    if test_hashes.count() > broadcast_limit:
+        raise NotImplementedError(
+            "contamination above the broadcast gate: hash-partition both "
+            "sides and semi-join per slice (as duplicate_spans does) — a "
+            "test set this large usually means the split is inverted")
+    arrs = [b.column("h").to_numpy(zero_copy_only=False)
+            for b in test_hashes.select_columns(["h"]).iter_batches(
+                batch_format="pyarrow")]
+    test_sorted = np.sort(np.concatenate(arrs)) if arrs else np.zeros(
+        0, dtype=np.uint64)
+    test_ref = _ray.put(test_sorted)
+
+    id_type = dict(zip(train_ds.schema().names, train_ds.schema().types))[id_col]
+
+    def mark(batch: pa.Table) -> pa.Table:
+        tset: np.ndarray = _ray.get(test_ref)
+        ids, n_win, n_cont = [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            hs = token_window_hashes(t or "", width)
+            if len(hs) and len(tset):
+                idx = np.searchsorted(tset, hs)
+                hits = int(((idx < len(tset))
+                            & (tset[np.minimum(idx, len(tset) - 1)] == hs)).sum())
+            else:
+                hits = 0
+            ids.append(i)
+            n_win.append(len(hs))
+            n_cont.append(hits)
+        return pa.table({
+            id_col: pa.array(ids, type=id_type),
+            "n_windows": pa.array(n_win, type=pa.int64()),
+            "n_contaminated": pa.array(n_cont, type=pa.int64()),
+            "contaminated": pa.array([c > 0 for c in n_cont], type=pa.bool_()),
+        })
+
+    return train_ds.map_batches(mark, batch_format="pyarrow")

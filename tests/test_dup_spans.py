@@ -207,3 +207,45 @@ class TestStripDuplicateSpans:
         with pytest.raises(NotImplementedError):
             strip_duplicate_spans(ray.data.from_arrow(tbl), width=4,
                                   broadcast_limit=0)
+
+
+class TestContamination:
+    def _ds(self, docs, ids=None):
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(ids or list(range(len(docs))), type=pa.int64()),
+            "text": pa.array(docs)}))
+
+    def test_planted_overlap(self, ray_session):
+        from pdf_parser_ray.stages.dedup import contamination
+
+        test = self._ds(["the secret benchmark answer is forty two exactly"])
+        train = self._ds([
+            "clean document with no overlap whatsoever in it",
+            "leaked: the secret benchmark answer is forty two exactly here",
+            "short",
+        ], ids=[10, 11, 12])
+        out = contamination(train, test, width=4).to_pandas().set_index("doc_id")
+        assert not out.loc[10, "contaminated"]
+        assert out.loc[11, "contaminated"]
+        # test doc has 5 windows of width 4; the leak embeds all of them
+        assert out.loc[11, "n_contaminated"] == 5
+        assert out.loc[12, "n_windows"] == 0
+        assert not out.loc[12, "contaminated"]
+
+    def test_empty_test_set(self, ray_session):
+        from pdf_parser_ray.stages.dedup import contamination
+
+        test = self._ds(["tiny"])  # < width → zero windows
+        train = self._ds(["a b c d e f"])
+        out = contamination(train, test, width=4).to_pandas()
+        assert out["n_contaminated"].tolist() == [0]
+
+    def test_above_gate_raises(self, ray_session):
+        from pdf_parser_ray.stages.dedup import contamination
+
+        test = self._ds(["a b c d e f g h i j"])
+        train = self._ds(["a b c d"])
+        with pytest.raises(NotImplementedError):
+            contamination(train, test, width=4, broadcast_limit=0)
