@@ -467,6 +467,39 @@ WHERE NOT d.is_test
 """
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Sequence packing (concat-and-chunk): global token offsets in doc_id
+    order via a distributed exact prefix sum (stages/textstage.py:
+    pack_sequences — slim per-bucket partials fold on the driver, only
+    (id, count) pairs ever co-locate). Oracle: a window-function running
+    sum replays the offsets exactly."""
+    from pdf_parser_ray.stages.textstage import pack_sequences
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return pack_sequences(ds, seq_len=512)
+
+
+_PACK_SEQ_SQL = """
+WITH t AS (
+  SELECT doc_id, length(regexp_extract_all(text, '\\S+')) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM t
+)
+SELECT doc_id,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(off AS BIGINT) AS token_offset,
+  CAST(off // 512 AS BIGINT) AS first_seq,
+  CAST(CASE WHEN n_tokens > 0 THEN (off + n_tokens - 1) // 512
+            ELSE off // 512 END AS BIGINT) AS last_seq
+FROM o
+"""
+
+
 _BM25_TERMS = ["dup", "vector", "hash"]  # rare / mid / common document freq
 _BM25_K1, _BM25_B = 1.2, 0.75
 
@@ -1482,6 +1515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_dup_spans": _q_strip_dup_spans,
         "bm25": _q_bm25,
         "contamination": _q_contamination,
+        "pack_sequences": _q_pack_sequences,
         "customers_with_orders": _q_customers_with_orders,
         "distinct_flags": _q_distinct_flags,
         "events_props": _q_events_props,
@@ -1609,6 +1643,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_dup_spans": _strip_dup_spans_sql(),
         "bm25": _bm25_sql(_BM25_TERMS, _BM25_K1, _BM25_B),
         "contamination": _contamination_sql(),
+        "pack_sequences": _PACK_SEQ_SQL,
         "ngram_jaccard": _ngram_jaccard_sql(),
         "corpus_prep_neardup": _corpus_prep_neardup_sql(),
         "token_counts": (

@@ -130,3 +130,91 @@ def bm25_score(ds, *, terms: list[str], text_col: str = "text",
                          "score_milli": pa.array(millis, type=pa.int64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def pack_sequences(ds, *, seq_len: int = 512, text_col: str = "text",
+                   id_col: str = "doc_id", bucket_size: int = 1 << 14):
+    """Sequence packing (concat-and-chunk): lay every document's tokens
+    end-to-end in ``id_col`` order and cut fixed ``seq_len`` context
+    windows — the training-data packing step that turns a corpus into
+    equal-length model inputs. Emits per doc: its global token offset and
+    the first/last sequence indices it lands in.
+
+    Distributed exact prefix sum with NO data shuffle: pass A ships one
+    slim (bucket = id // bucket_size, Σ tokens) partial per batch; the
+    driver folds the ≤ n_buckets sums into exclusive bucket offsets
+    (bounded scalar state). Pass B co-locates only the slim
+    (id, n_tokens) pairs per bucket (ids-only exchange, the house
+    pattern), local-cumsums each bucket in id order, and adds its bucket
+    offset. Requires an integer ``id_col`` (the pack order); raises
+    loudly otherwise.
+
+    Output: (id_col, n_tokens, token_offset, first_seq, last_seq) —
+    first_seq = offset // seq_len; last_seq covers the doc's final token
+    (zero-token docs get first_seq = last_seq = offset // seq_len).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions import textstats
+
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    if not pa.types.is_integer(id_type):
+        raise TypeError(f"pack_sequences needs an integer {id_col!r} to "
+                        f"define the pack order, got {id_type}")
+
+    def slim_counts(batch: pa.Table) -> pa.Table:
+        n = textstats.token_count(batch.column(text_col).to_pandas())
+        ids = batch.column(id_col)
+        # ids are non-negative, so trunc-division == floor-division
+        bucket = pc.divide(pc.cast(ids, pa.int64()), bucket_size)
+        return pa.table({
+            id_col: ids,
+            "n_tokens": pa.array(n.to_numpy(), type=pa.int64()),
+            "pack_bucket": bucket,
+        })
+
+    slim = ds.map_batches(slim_counts, batch_format="pyarrow").materialize()
+
+    # driver fold: ≤ n_buckets rows (bounded), never per-doc state
+    bucket_sums: dict[int, int] = {}
+    for part in slim.map_batches(
+            lambda b: b.group_by("pack_bucket").aggregate([("n_tokens", "sum")]),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for bk, s in zip(part.column("pack_bucket").to_pylist(),
+                         part.column("n_tokens_sum").to_pylist()):
+            bucket_sums[int(bk)] = bucket_sums.get(int(bk), 0) + int(s)
+    offsets: dict[int, int] = {}
+    acc = 0
+    for bk in sorted(bucket_sums):
+        offsets[bk] = acc
+        acc += bucket_sums[bk]
+
+    def per_bucket(g):
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        base = offsets.get(int(g["pack_bucket"].iloc[0]), 0)
+        off = base + g["n_tokens"].cumsum().shift(1, fill_value=0).astype("int64")
+        n = g["n_tokens"].astype("int64")
+        first = off // seq_len
+        last = ((off + (n - 1).clip(lower=0)) // seq_len).where(n > 0, first)
+        out = g[[id_col]].copy()
+        out["n_tokens"] = n
+        out["token_offset"] = off
+        out["first_seq"] = first.astype("int64")
+        out["last_seq"] = last.astype("int64")
+        return out
+
+    from ..pipelines.relational import coarse_partition_apply
+
+    # kernel is NOT partition-shape-independent across buckets (each bucket
+    # needs its own base), so group strictly by pack_bucket — but sort by
+    # real bucket inside, so one coarse partition may carry many buckets:
+    def kernel(g):
+        import pandas as pd_
+        return pd_.concat([per_bucket(sub) for _, sub in
+                           g.groupby("pack_bucket", sort=True)],
+                          ignore_index=True)
+
+    return coarse_partition_apply(slim, kernel, key_col="pack_bucket",
+                                  part_col="pack_part", num_parts=64,
+                                  nrows=slim.count())

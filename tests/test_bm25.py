@@ -72,3 +72,47 @@ class TestBm25:
     def test_case_folded(self, ray_session):
         got = _score(["HASH Join", "hash join"], ["hash"], ray_session)
         assert got.loc[0, "score_milli"] == got.loc[1, "score_milli"] > 0
+
+
+class TestPackSequences:
+    def test_matches_bruteforce_prefix_sum(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from pdf_parser_ray.stages.textstage import pack_sequences
+
+        rng = np.random.default_rng(0)
+        docs, ids = [], []
+        for i in range(200):
+            n = int(rng.integers(0, 40))
+            docs.append(" ".join(f"t{j}" for j in range(n)))
+            ids.append(i * 7)  # sparse ids across buckets
+        tbl = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                        "text": pa.array(docs)})
+        L = 16
+        out = pack_sequences(ray.data.from_arrow(tbl).repartition(7),
+                             seq_len=L, bucket_size=64).to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        off = 0
+        want = {}
+        for ix in np.argsort(ids):
+            n = len(docs[ix].split())
+            first = off // L
+            last = (off + n - 1) // L if n > 0 else first
+            want[ids[ix]] = (n, off, first, last)
+            off += n
+        for _, r in out.iterrows():
+            got = (r["n_tokens"], r["token_offset"], r["first_seq"],
+                   r["last_seq"])
+            assert got == want[r["doc_id"]]
+        assert out["token_offset"].is_monotonic_increasing
+        assert len(out) == 200
+
+    def test_string_ids_rejected(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.textstage import pack_sequences
+
+        tbl = pa.table({"doc_id": ["a"], "text": ["x y"]})
+        with pytest.raises(TypeError, match="integer"):
+            pack_sequences(ray.data.from_arrow(tbl), seq_len=8)
