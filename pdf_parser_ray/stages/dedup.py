@@ -964,10 +964,11 @@ def _window_partial_counts(batch: pa.Table, *, text_col: str, width: int) -> pa.
 
 def _dup_hash_set(ds, *, text_col: str, width: int, min_count: int):
     """Pass A: global window-hash counts → materialized slim Dataset of
-    hashes occurring ≥ min_count times corpus-wide. Size-gated zero-sort
-    coalesce below COALESCE_ROW_LIMIT partial rows, coarse-partition
-    exchange above (house pattern — see coarse_partition_apply)."""
-    import zlib
+    hashes occurring ≥ min_count times corpus-wide. The gate/exchange
+    shape is the shared house pattern (coarse_partition_apply): zero-sort
+    coalesce below COALESCE_ROW_LIMIT partial rows, coarse key-hash
+    partitions above."""
+    from ..pipelines.relational import coarse_partition_apply
 
     partials = ds.map_batches(
         _window_partial_counts, fn_kwargs={"text_col": text_col, "width": width},
@@ -977,18 +978,24 @@ def _dup_hash_set(ds, *, text_col: str, width: int, min_count: int):
         agg = g.groupby("h", as_index=False)["cnt"].sum()
         return agg.loc[agg["cnt"] >= min_count, ["h", "cnt"]]
 
-    n = partials.count()
-    if 0 < n <= _COALESCE_BAND_LIMIT:
-        return partials.repartition(1).map_batches(
-            count_kernel, batch_format="pandas", batch_size=None).materialize()
+    return coarse_partition_apply(partials, count_kernel, key_col="h",
+                                  part_col="h_part", num_parts=64,
+                                  nrows=partials.count()).materialize()
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        h = batch.column("h").to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "h_part", pa.array((h % np.uint64(64)).astype(np.int64)))
 
-    return partials.map_batches(add_part, batch_format="pyarrow").groupby(
-        "h_part").map_groups(count_kernel, batch_format="pandas").materialize()
+def _broadcast_sorted_hashes(dup_ds):
+    """Collect a slim hash Dataset's ``h`` column to the driver as a sorted
+    uint64 array and pin it once via ray.put — the shared broadcast step of
+    duplicate_spans / strip_duplicate_spans / contamination. Callers gate
+    the collect size before calling."""
+    import ray as _ray
+
+    arrs = [b.column("h").to_numpy(zero_copy_only=False)
+            for b in dup_ds.select_columns(["h"]).iter_batches(
+                batch_format="pyarrow")]
+    dup_sorted = (np.sort(np.concatenate(arrs)) if arrs
+                  else np.zeros(0, dtype=np.uint64))
+    return dup_sorted, _ray.put(dup_sorted)
 
 
 def _mark_spans(hs: np.ndarray, dup_sorted: np.ndarray, width: int):
@@ -1047,12 +1054,7 @@ def duplicate_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
     ])
 
     if n_dup <= broadcast_limit:
-        arrs = [b.column("h").to_numpy(zero_copy_only=False)
-                for b in dup_ds.select_columns(["h"]).iter_batches(
-                    batch_format="pyarrow")]
-        dup_sorted = np.sort(np.concatenate(arrs)) if arrs else np.zeros(
-            0, dtype=np.uint64)
-        dup_ref = _ray.put(dup_sorted)
+        _, dup_ref = _broadcast_sorted_hashes(dup_ds)
 
         def mark(batch: pa.Table) -> pa.Table:
             dup: np.ndarray = _ray.get(dup_ref)  # plasma zero-copy after first
@@ -1072,18 +1074,28 @@ def duplicate_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
         return ds.map_batches(mark, batch_format="pyarrow")
 
-    # Above the broadcast gate: the dup set stays distributed/pinned; each
-    # batch semi-joins the slices of the dup set covering its own hash
-    # range. Exchange ships (id, pos, h) only for windows that SURVIVE a
-    # per-batch probe against a per-partition dup slice.
+    # Above the broadcast gate: the dup set itself stays distributed, but a
+    # FIXED-SIZE Bloom filter over it broadcasts cheaply (bit-array size is
+    # set by (capacity, fp_rate), not by shipping the hashes), so each batch
+    # probes BEFORE the exchange and ships only (id, pos, h) rows whose
+    # window might be duplicated. Bloom false positives survive to the
+    # exact per-partition semi-join below — exactness preserved; the same
+    # prefilter-then-verify shape as the minhash verify pool.
+    from ..functions.bloom import build_bloom_distributed
+
+    bloom = build_bloom_distributed(dup_ds, "h", capacity=2 * max(n_dup, 1))
+    bloom_ref = _ray.put(bloom)
+
     def add_hpart_rows(batch: pa.Table) -> pa.Table:
+        bf = _ray.get(bloom_ref)
         ids, poss, hss = [], [], []
         for i, t in zip(batch.column(id_col).to_pylist(),
                         batch.column(text_col).to_pylist()):
             hs = token_window_hashes(t or "", width)
-            ids.extend([i] * len(hs))
-            poss.extend(range(len(hs)))
-            hss.append(hs)
+            keep = np.flatnonzero(bf.contains_many(hs)) if len(hs) else []
+            ids.extend([i] * len(keep))
+            poss.extend(int(p) for p in keep)
+            hss.append(hs[keep])
         h = (np.concatenate(hss) if hss else np.zeros(0, dtype=np.uint64))
         return pa.table({id_col: pa.array(ids, type=id_type),
                          "pos": pa.array(poss, type=pa.int64()),
@@ -1169,12 +1181,7 @@ def strip_duplicate_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
             "strip_duplicate_spans above the broadcast gate: route through "
             "duplicate_spans' semi-join path and rebuild text from its span "
             "rows (kept per-doc) instead")
-    arrs = [b.column("h").to_numpy(zero_copy_only=False)
-            for b in dup_ds.select_columns(["h"]).iter_batches(
-                batch_format="pyarrow")]
-    dup_sorted = np.sort(np.concatenate(arrs)) if arrs else np.zeros(
-        0, dtype=np.uint64)
-    dup_ref = _ray.put(dup_sorted)
+    _, dup_ref = _broadcast_sorted_hashes(dup_ds)
 
     id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
 
@@ -1229,12 +1236,7 @@ def contamination(train_ds, test_ds, *, text_col: str = "text",
             "contamination above the broadcast gate: hash-partition both "
             "sides and semi-join per slice (as duplicate_spans does) — a "
             "test set this large usually means the split is inverted")
-    arrs = [b.column("h").to_numpy(zero_copy_only=False)
-            for b in test_hashes.select_columns(["h"]).iter_batches(
-                batch_format="pyarrow")]
-    test_sorted = np.sort(np.concatenate(arrs)) if arrs else np.zeros(
-        0, dtype=np.uint64)
-    test_ref = _ray.put(test_sorted)
+    _, test_ref = _broadcast_sorted_hashes(test_hashes)
 
     id_type = dict(zip(train_ds.schema().names, train_ds.schema().types))[id_col]
 

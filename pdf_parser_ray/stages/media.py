@@ -231,7 +231,10 @@ class AudioFeatures:
             zcr.append(float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
                        if n > 1 else 0.0)
             peak.append(float(np.abs(x).max()) if n else 0.0)
-            clip.append(float(np.mean(np.abs(arr) >= 32767)) if n else 0.0)
+            # np.abs(int16 -32768) wraps back to -32768 — test both rails
+            # directly so negative-rail clipping counts too
+            clip.append(float(np.mean((arr >= 32767) | (arr <= -32768)))
+                        if n else 0.0)
         for name, vals in (("duration_s", dur), ("rms", rms), ("zcr", zcr),
                            ("peak", peak), ("clip_ratio", clip)):
             batch = batch.append_column(name, pa.array(vals, type=pa.float64()))

@@ -49,6 +49,8 @@ class _BatchTopK:
         self.id_col = id_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):  # np.stack needs >= 1 array
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
         mat = _unit(np.stack(batch[self.vec_col].to_numpy()))
         ids = batch[self.id_col].to_numpy()
         sims = self.q_unit @ mat.T  # (n_queries, batch)
@@ -160,6 +162,8 @@ def ivf_topk(ds, query_ids: list, query_vectors: np.ndarray, centroids: np.ndarr
             self.q_unit = b["q_unit"]
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):  # np.stack needs >= 1 array
+                return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
             mat = _unit(np.stack(batch[vec_col].to_numpy()))
             ids = batch[id_col].to_numpy()
             assign = np.argmax(mat @ self.cent.T, axis=1)
@@ -232,6 +236,9 @@ def lsh_topk(ds, query_ids: list, query_vectors: np.ndarray, k: int = 10,
             self.q_codes, self.planes = b["q_codes"], b["planes"]
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):  # np.stack needs >= 1 array
+                return pd.DataFrame({"query_id": [], "neighbor_id": [],
+                                     "cosine": []})
             raw = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
             ids = batch[id_col].to_numpy()
             codes = _band_codes(raw, self.planes)           # (n, B)
@@ -324,6 +331,8 @@ def pq_topk(ds, query_ids: list, query_vectors: np.ndarray,
                                  q.reshape(len(q), m, sub), self.cb)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):  # np.stack needs >= 1 array
+                return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
             mat = _unit(np.stack(batch[vec_col].to_numpy()))
             ids = batch[id_col].to_numpy()
             x = mat.reshape(len(mat), m, sub)

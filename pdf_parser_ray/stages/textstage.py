@@ -105,7 +105,10 @@ def bm25_score(ds, *, terms: list[str], text_col: str = "text",
         for row in part.column("df").to_pylist():
             df_total += np.asarray(row, dtype=np.int64)
 
-    avgdl = sum_dl_total / n_total if n_total else 1.0
+    # all-empty corpus: avgdl=1 keeps the denominator finite instead of
+    # raising ZeroDivisionError; tf is 0 everywhere so every score is 0.0
+    # (degenerate case — the SQL oracle only sees non-empty corpora)
+    avgdl = (sum_dl_total / n_total) if sum_dl_total else 1.0
     idf = [math.log((n_total - int(d) + 0.5) / (int(d) + 0.5) + 1.0)
            for d in df_total]
 

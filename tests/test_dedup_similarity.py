@@ -487,3 +487,19 @@ class TestPQ:
             a = set(approx[approx["query_id"] == qi]["neighbor_id"])
             recalls.append(len(e & a) / len(e))
         assert np.mean(recalls) >= 0.6, recalls
+
+
+class TestEmptyBatchGuards:
+    def test_ann_kernels_tolerate_empty_blocks(self, ray_session):
+        """An upstream filter can hand a kernel a zero-row block; np.stack
+        would raise 'need at least one array'."""
+        import pandas as pd
+        import ray as ray_mod
+
+        from pdf_parser_ray.stages.similarity import _BatchTopK
+
+        qref = ray_mod.put({"ids": [0], "vectors": np.ones((1, 4))})
+        k = _BatchTopK(qref, k=3, vec_col="embedding", id_col="vec_id")
+        out = k(pd.DataFrame({"vec_id": [], "embedding": []}))
+        assert len(out) == 0
+        assert list(out.columns) == ["query_id", "neighbor_id", "cosine"]

@@ -123,15 +123,21 @@ class TestAudioStages:
 
         silent = np.zeros(1000, dtype=np.int16)
         clipped = np.full(1000, 32767, dtype=np.int16)
+        neg_rail = np.full(1000, -32768, dtype=np.int16)
+        square = np.tile(np.array([32767, -32768], dtype=np.int16), 500)
         tbl = pa.table({
-            "media_ref": ["s", "c"],
-            "payload": [encode_wav(silent, 8_000), encode_wav(clipped, 8_000)],
+            "media_ref": ["s", "c", "n", "q"],
+            "payload": [encode_wav(silent, 8_000), encode_wav(clipped, 8_000),
+                        encode_wav(neg_rail, 8_000), encode_wav(square, 8_000)],
         })
         out = AudioFeatures()(AudioDecode(decoder="wav")(tbl))
         rms = out.column("rms").to_pylist()
         clip = out.column("clip_ratio").to_pylist()
         assert rms[0] == 0.0 and clip[0] == 0.0
         assert clip[1] == 1.0
+        # int16 abs overflow regression: negative-rail clipping must count
+        assert clip[2] == 1.0
+        assert clip[3] == 1.0
 
     def test_null_rows_ride_through(self):
         t = synth_wav_table(8)
