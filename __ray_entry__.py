@@ -500,6 +500,32 @@ FROM o
 """
 
 
+def _q_top_terms(sf_dir: str):
+    """Corpus-wide term-frequency top-50 (stages/textstage.py:top_terms):
+    per-batch Counter combiner → shared coarse-partition group-sum →
+    bounded two-level topk. Ties at the boundary break by token asc in
+    both engines."""
+    from pdf_parser_ray.stages.textstage import top_terms
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    out = top_terms(ds, k=50)
+    return out.map_batches(
+        lambda b: pa.table({"term": b.column("term"),
+                            "n": pc.cast(b.column("n"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+_TOP_TERMS_SQL = """
+SELECT term, CAST(n AS BIGINT) AS n FROM (
+  SELECT tok AS term, count(*) AS n FROM (
+    SELECT unnest(list_filter(
+      string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '')) AS tok
+    FROM documents)
+  GROUP BY tok)
+ORDER BY n DESC, term ASC LIMIT 50
+"""
+
+
 _BM25_TERMS = ["dup", "vector", "hash"]  # rare / mid / common document freq
 _BM25_K1, _BM25_B = 1.2, 0.75
 
@@ -1516,6 +1542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25": _q_bm25,
         "contamination": _q_contamination,
         "pack_sequences": _q_pack_sequences,
+        "top_terms": _q_top_terms,
         "customers_with_orders": _q_customers_with_orders,
         "distinct_flags": _q_distinct_flags,
         "events_props": _q_events_props,
@@ -1644,6 +1671,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25": _bm25_sql(_BM25_TERMS, _BM25_K1, _BM25_B),
         "contamination": _contamination_sql(),
         "pack_sequences": _PACK_SEQ_SQL,
+        "top_terms": _TOP_TERMS_SQL,
         "ngram_jaccard": _ngram_jaccard_sql(),
         "corpus_prep_neardup": _corpus_prep_neardup_sql(),
         "token_counts": (

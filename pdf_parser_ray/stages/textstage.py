@@ -221,3 +221,30 @@ def pack_sequences(ds, *, seq_len: int = 512, text_col: str = "text",
     return coarse_partition_apply(slim, kernel, key_col="pack_bucket",
                                   part_col="pack_part", num_parts=64,
                                   nrows=slim.count())
+
+
+def top_terms(ds, *, k: int = 50, text_col: str = "text"):
+    """Corpus-wide term-frequency top-k (vocabulary analysis): the k most
+    frequent lowercased whitespace tokens, ties broken by token ascending.
+
+    Shape: per-batch Counter combiner (one (token, count) row per distinct
+    token per batch — the exchange never carries token occurrences), then
+    the shared coarse-partition group-sum and the bounded two-level topk
+    (pipelines/relational.py) — no full sort at any size."""
+    import collections
+
+    import pyarrow as pa
+
+    from ..functions.minhash import _ASCII_WS
+    from ..pipelines.relational import partitioned_group_sum, topk
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cnt: collections.Counter = collections.Counter()
+        for t in batch.column(text_col).to_pylist():
+            cnt.update(x for x in _ASCII_WS.split((t or "").lower()) if x)
+        return pa.table({"term": pa.array(list(cnt.keys()), type=pa.string()),
+                         "n": pa.array(list(cnt.values()), type=pa.int64())})
+
+    counts = ds.map_batches(partials, batch_format="pyarrow")
+    summed = partitioned_group_sum(counts, key="term", sum_cols={"n": "n"})
+    return topk(summed, by=["n", "term"], descending=[True, False], k=k)

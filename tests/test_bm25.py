@@ -116,3 +116,19 @@ class TestPackSequences:
         tbl = pa.table({"doc_id": ["a"], "text": ["x y"]})
         with pytest.raises(TypeError, match="integer"):
             pack_sequences(ray.data.from_arrow(tbl), seq_len=8)
+
+
+class TestTopTerms:
+    def test_counts_and_tie_break(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.textstage import top_terms
+
+        docs = ["b a a", "c b A", "d"]  # a:3 (case-folded), b:2, c:1, d:1
+        tbl = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                        "text": pa.array(docs)})
+        out = top_terms(ray.data.from_arrow(tbl).repartition(2),
+                        k=3).to_pandas()
+        got = sorted(map(tuple, out[["term", "n"]].itertuples(index=False)))
+        # k=3 boundary tie between c and d (both 1) → token asc keeps 'c'
+        assert got == [("a", 3), ("b", 2), ("c", 1)]
