@@ -46,6 +46,10 @@ def _names():
         # knn_lsh's oracle inlines the FIXED deterministic plane bank
         # (unlike knn_ivf's sf0.01-derived centroids), so it gates here too
         "knn_lsh",
+        # round-3 curation ops (knn_pq is excluded like knn_ivf: its oracle
+        # inlines codebooks trained at the sf0.01 gate scale)
+        "dup_spans", "strip_dup_spans", "bm25", "contamination",
+        "stratified_sample", "pack_sequences", "top_terms",
     ]
 
 
