@@ -526,6 +526,89 @@ ORDER BY n DESC, term ASC LIMIT 50
 """
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals (stages/textstage.py:
+    repetition_stats) — integer per-mille ratios + keep flag; stateless
+    one-pass map, no shuffle."""
+    from pdf_parser_ray.stages.textstage import repetition_stats
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return repetition_stats(ds)
+
+
+# DuckDB replay of repetition_stats: same lowercased ASCII-whitespace
+# tokenization, bigrams via the 1-based positional list comprehension,
+# integer `//` per-mille ratios, LEFT JOIN so <2-token docs keep zeros.
+_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text), '[ \t\n\r\f]+'), x -> x <> '') AS t
+  FROM documents),
+base AS (
+  SELECT doc_id, t, len(t) AS n,
+         CASE WHEN len(t) >= 2
+              THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+              ELSE [] END AS bg
+  FROM toks),
+occ AS (SELECT doc_id, unnest(bg) AS g FROM base),
+pb AS (SELECT doc_id, g, count(*) AS cnt FROM occ GROUP BY doc_id, g),
+st AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bg,
+              CAST(count(*) AS BIGINT) AS n_d,
+              CAST(max(cnt) AS BIGINT) AS top
+       FROM pb GROUP BY doc_id)
+SELECT b.doc_id,
+  CAST(b.n AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN b.n > 0 THEN 1000 * len(list_distinct(b.t)) // b.n
+            ELSE 0 END AS BIGINT) AS distinct_token_milli,
+  CAST(COALESCE(1000 * (st.n_bg - st.n_d) // st.n_bg, 0) AS BIGINT)
+    AS dup_bigram_milli,
+  CAST(COALESCE(1000 * st.top // st.n_bg, 0) AS BIGINT) AS top_bigram_milli,
+  (COALESCE(1000 * (st.n_bg - st.n_d) // st.n_bg, 0) <= 50
+   AND CASE WHEN b.n > 0 THEN 1000 * len(list_distinct(b.t)) // b.n
+            ELSE 0 END >= 400
+   AND COALESCE(1000 * st.top // st.n_bg, 0) <= 60) AS repetition_keep
+FROM base b LEFT JOIN st USING (doc_id)
+"""
+
+
+def _q_bigram_commonness(sf_dir: str):
+    """Corpus-level bigram commonness scoring (stages/textstage.py:
+    bigram_commonness): global bigram counts via Counter-combiner +
+    coarse group-sum, then a broadcast (or join, above the gate)
+    per-doc lookup — CCNet-style corpus-statistics scoring kept
+    integer-exact."""
+    from pdf_parser_ray.stages.textstage import bigram_commonness
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return bigram_commonness(ds)
+
+
+_BIGRAM_COMMONNESS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text), '[ \t\n\r\f]+'), x -> x <> '') AS t
+  FROM documents),
+base AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+              ELSE [] END AS bg
+  FROM toks),
+occ AS (SELECT doc_id, unnest(bg) AS g FROM base),
+gc AS (SELECT g, count(*) AS c FROM occ GROUP BY g),
+sc AS (SELECT occ.doc_id, CAST(sum(gc.c) AS BIGINT) AS sum_count,
+              CAST(count(*) AS BIGINT) AS n_bg
+       FROM occ JOIN gc USING (g) GROUP BY occ.doc_id)
+SELECT b.doc_id,
+  CAST(COALESCE(sc.n_bg, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(sc.sum_count, 0) AS BIGINT) AS sum_count,
+  CAST(CASE WHEN COALESCE(sc.n_bg, 0) > 0
+            THEN 1000 * sc.sum_count // sc.n_bg
+            ELSE 0 END AS BIGINT) AS mean_count_milli
+FROM base b LEFT JOIN sc USING (doc_id)
+"""
+
+
 _BM25_TERMS = ["dup", "vector", "hash"]  # rare / mid / common document freq
 _BM25_K1, _BM25_B = 1.2, 0.75
 
@@ -1543,6 +1626,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": _q_contamination,
         "pack_sequences": _q_pack_sequences,
         "top_terms": _q_top_terms,
+        "repetition_stats": _q_repetition_stats,
+        "bigram_commonness": _q_bigram_commonness,
         "customers_with_orders": _q_customers_with_orders,
         "distinct_flags": _q_distinct_flags,
         "events_props": _q_events_props,
@@ -1672,6 +1757,8 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _contamination_sql(),
         "pack_sequences": _PACK_SEQ_SQL,
         "top_terms": _TOP_TERMS_SQL,
+        "repetition_stats": _REPETITION_SQL,
+        "bigram_commonness": _BIGRAM_COMMONNESS_SQL,
         "ngram_jaccard": _ngram_jaccard_sql(),
         "corpus_prep_neardup": _corpus_prep_neardup_sql(),
         "token_counts": (

@@ -223,6 +223,189 @@ def pack_sequences(ds, *, seq_len: int = 512, text_col: str = "text",
                                   nrows=slim.count())
 
 
+def repetition_stats(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                     max_dup_bigram_milli: int = 50,
+                     min_distinct_token_milli: int = 400,
+                     max_top_bigram_milli: int = 60):
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021, "Scaling Language Models" §A1.1 repetition filters — public
+    method), as exact integers so a DuckDB oracle replays them bit-for-bit:
+
+      n_tokens              lowercased ASCII-whitespace token count
+      distinct_token_milli  1000·distinct/total tokens (type-token ratio)
+      dup_bigram_milli      1000·(duplicate bigram occurrences)/bigrams
+      top_bigram_milli      1000·(most frequent bigram count)/bigrams
+      repetition_keep       all three thresholds pass
+
+    Docs with < 2 tokens have no bigrams: both bigram ratios are 0 (and
+    so never trip the bigram thresholds). Embarrassingly parallel — one
+    stateless ``map_batches`` pass, no shuffle at any scale; the per-doc
+    Counter is the hot loop but each doc is touched exactly once.
+    """
+    import collections
+
+    import pyarrow as pa
+
+    from ..functions.minhash import _ASCII_WS
+
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        n_tok, ttr, dup_bg, top_bg, keep = [], [], [], [], []
+        for t in batch.column(text_col).to_pylist():
+            toks = [x for x in _ASCII_WS.split((t or "").lower()) if x]
+            n = len(toks)
+            n_tok.append(n)
+            ttr.append(1000 * len(set(toks)) // n if n else 0)
+            if n >= 2:
+                cnt = collections.Counter(zip(toks, toks[1:]))
+                n_bg = n - 1
+                dup_bg.append(1000 * (n_bg - len(cnt)) // n_bg)
+                top_bg.append(1000 * max(cnt.values()) // n_bg)
+            else:
+                dup_bg.append(0)
+                top_bg.append(0)
+            keep.append(dup_bg[-1] <= max_dup_bigram_milli
+                        and ttr[-1] >= min_distinct_token_milli
+                        and top_bg[-1] <= max_top_bigram_milli)
+        return pa.table({
+            id_col: batch.column(id_col).cast(id_type),
+            "n_tokens": pa.array(n_tok, type=pa.int64()),
+            "distinct_token_milli": pa.array(ttr, type=pa.int64()),
+            "dup_bigram_milli": pa.array(dup_bg, type=pa.int64()),
+            "top_bigram_milli": pa.array(top_bg, type=pa.int64()),
+            "repetition_keep": pa.array(keep, type=pa.bool_()),
+        })
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def bigram_commonness(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                      broadcast_limit: int = 500_000):
+    """Corpus-level bigram "language model" commonness score — the
+    CCNet-style idea (score each doc against corpus statistics) kept
+    integer-exact: every doc's bigram occurrences are looked up in the
+    GLOBAL corpus bigram-count table (self-inclusive) and averaged.
+
+    Output per doc: (id_col, n_bigrams, sum_count, mean_count_milli)
+    with mean_count_milli = 1000·Σcount // n_bigrams (0 when no bigrams).
+    Rare/garbled text scores low; formulaic text scores high.
+
+    Shape: phase A builds global counts via per-batch Counter combiner →
+    coarse-partition group-sum (the exchange carries one row per distinct
+    bigram per batch, never occurrences). Phase B below the gate ships
+    the slim count table ONCE via ray.put and scores each batch against
+    it; above the gate it explodes slim (id, bigram) occurrence rows,
+    bucket-hash-joins them against the count table, group-sums per doc,
+    and unions typed zero rows so bigram-less docs stay in the output —
+    each leg is a house helper (hash_join / partitioned_group_sum), so
+    the all-to-all moves only slim string pairs, not documents.
+    """
+    import collections
+
+    import pyarrow as pa
+
+    from ..functions.minhash import _ASCII_WS
+    from ..pipelines.relational import hash_join, partitioned_group_sum
+
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+
+    def _bigrams(t: str) -> list[str]:
+        toks = [x for x in _ASCII_WS.split((t or "").lower()) if x]
+        return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        cnt: collections.Counter = collections.Counter()
+        for t in batch.column(text_col).to_pylist():
+            cnt.update(_bigrams(t))
+        return pa.table({"g": pa.array(list(cnt.keys()), type=pa.string()),
+                         "c": pa.array(list(cnt.values()), type=pa.int64())})
+
+    counts = partitioned_group_sum(
+        ds.map_batches(count_partials, batch_format="pyarrow"),
+        key="g", sum_cols={"c": "c"}).materialize()
+
+    if counts.count() <= broadcast_limit:
+        import ray as _ray
+
+        lookup: dict[str, int] = {}
+        for part in counts.iter_batches(batch_format="pyarrow"):
+            lookup.update(zip(part.column("g").to_pylist(),
+                              part.column("c").to_pylist()))
+        lookup_ref = _ray.put(lookup)
+
+        def score(batch: pa.Table) -> pa.Table:
+            gc: dict[str, int] = _ray.get(lookup_ref)
+            ids, n_bgs, sums, millis = [], [], [], []
+            for i, t in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+                bgs = _bigrams(t)
+                s = sum(gc.get(g, 0) for g in bgs)
+                ids.append(i)
+                n_bgs.append(len(bgs))
+                sums.append(s)
+                millis.append(1000 * s // len(bgs) if bgs else 0)
+            return pa.table({
+                id_col: pa.array(ids, type=id_type),
+                "n_bigrams": pa.array(n_bgs, type=pa.int64()),
+                "sum_count": pa.array(sums, type=pa.int64()),
+                "mean_count_milli": pa.array(millis, type=pa.int64()),
+            })
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # Above the gate: distributed join path. Explode slim occurrences,
+    # join counts, per-doc sum, union typed zeros for bigram-less docs.
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, gs = [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            bgs = _bigrams(t)
+            ids.extend([i] * len(bgs))
+            gs.extend(bgs)
+        return pa.table({id_col: pa.array(ids, type=id_type),
+                         "g": pa.array(gs, type=pa.string())})
+
+    occ = ds.map_batches(explode, batch_format="pyarrow")
+    joined = hash_join(occ, counts, key="g",
+                       left_types={id_col: id_type, "g": pa.string()},
+                       right_types={"g": pa.string(), "c": pa.int64()})
+    def to_partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({id_col: b.column(id_col),
+                         "n_bigrams": pa.array([0] * len(b), type=pa.int64()),
+                         "sum_count": pc.cast(b.column("c"), pa.int64())})
+
+    scored = partitioned_group_sum(
+        joined.map_batches(to_partial, batch_format="pyarrow"),
+        key=id_col, sum_cols={"n_bigrams": "n_bigrams",
+                              "sum_count": "sum_count"})
+
+    def zeros(batch: pa.Table) -> pa.Table:
+        n_bgs = [max(len([x for x in _ASCII_WS.split((t or "").lower()) if x]) - 1, 0)
+                 for t in batch.column(text_col).to_pylist()]
+        return pa.table({id_col: batch.column(id_col).cast(id_type),
+                         "n_bigrams": pa.array(n_bgs, type=pa.int64()),
+                         "sum_count": pa.array([0] * len(n_bgs), type=pa.int64())})
+
+    base = ds.map_batches(zeros, batch_format="pyarrow")
+    merged = partitioned_group_sum(
+        base.union(scored), key=id_col,
+        sum_cols={"n_bigrams": "n_bigrams", "sum_count": "sum_count"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = batch.column("n_bigrams").to_numpy(zero_copy_only=False)
+        s = batch.column("sum_count").to_numpy(zero_copy_only=False)
+        milli = np.where(n > 0, 1000 * s // np.maximum(n, 1), 0)
+        return batch.append_column(
+            "mean_count_milli", pa.array(milli, type=pa.int64()))
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
 def top_terms(ds, *, k: int = 50, text_col: str = "text"):
     """Corpus-wide term-frequency top-k (vocabulary analysis): the k most
     frequent lowercased whitespace tokens, ties broken by token ascending.

@@ -50,6 +50,7 @@ def _names():
         # inlines codebooks trained at the sf0.01 gate scale)
         "dup_spans", "strip_dup_spans", "bm25", "contamination",
         "stratified_sample", "pack_sequences", "top_terms",
+        "repetition_stats", "bigram_commonness",
     ]
 
 
