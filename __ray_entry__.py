@@ -609,6 +609,47 @@ FROM base b LEFT JOIN sc USING (doc_id)
 """
 
 
+def _source_mix_sql() -> str:
+    """Replay of relational.source_mix's default mix: srcN sampled at N·5 %
+    via the house md5-bucket idiom (hash_sample)."""
+    values = ", ".join(f"('src{i}', {i * 5})" for i in range(20))
+    return (
+        f"WITH rates(source, pct) AS (VALUES {values}) "
+        "SELECT d.doc_id, d.source FROM documents d JOIN rates r USING (source) "
+        "WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) "
+        "AS UBIGINT) % 100 < r.pct"
+    )
+
+
+def _q_chunk_documents(sf_dir: str):
+    """Fixed-token-window chunking explode (stages/textstage.py:
+    chunk_documents) — the context-window packing precursor; row-explode
+    map, no shuffle."""
+    from pdf_parser_ray.stages.textstage import chunk_documents
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk_tokens=64)
+
+
+# DuckDB replay: per-doc chunk indices via range(), 1-based inclusive list
+# slicing for the window, single-space re-join. Zero-token docs emit none.
+_CHUNK_DOCS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS t
+  FROM documents),
+base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+c AS (SELECT doc_id, t, n,
+             unnest(range((n + 63) // 64)) AS chunk_idx
+      FROM base)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+  CAST(LEAST(64, n - chunk_idx * 64) AS BIGINT) AS n_chunk_tokens,
+  array_to_string(t[chunk_idx * 64 + 1 : LEAST((chunk_idx + 1) * 64, n)], ' ')
+    AS chunk_text
+FROM c
+"""
+
+
 _BM25_TERMS = ["dup", "vector", "hash"]  # rare / mid / common document freq
 _BM25_K1, _BM25_B = 1.2, 0.75
 
@@ -1628,6 +1669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": _q_top_terms,
         "repetition_stats": _q_repetition_stats,
         "bigram_commonness": _q_bigram_commonness,
+        "chunk_documents": _q_chunk_documents,
         "customers_with_orders": _q_customers_with_orders,
         "distinct_flags": _q_distinct_flags,
         "events_props": _q_events_props,
@@ -1672,6 +1714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": rel.events_sliding_window,
         "hash_sample": rel.hash_sample,
         "stratified_sample": rel.stratified_sample,
+        "source_mix": rel.source_mix,
     }
 
 
@@ -1759,6 +1802,8 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": _TOP_TERMS_SQL,
         "repetition_stats": _REPETITION_SQL,
         "bigram_commonness": _BIGRAM_COMMONNESS_SQL,
+        "chunk_documents": _CHUNK_DOCS_SQL,
+        "source_mix": _source_mix_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "corpus_prep_neardup": _corpus_prep_neardup_sql(),
         "token_counts": (

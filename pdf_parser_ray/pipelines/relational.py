@@ -910,6 +910,38 @@ def hash_sample(sf_dir: str, pct: int = 10):
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
+def source_mix(sf_dir: str, rates: dict[str, int] | None = None,
+               default_pct: int = 0):
+    """Deterministic per-source mixture sampling — the data-mixing
+    primitive of training-data curation (sample each domain/source at its
+    own rate, e.g. upweight books, downsample crawl). Keep a row iff
+    md5(doc_id) % 100 < rates[source]; unknown sources fall back to
+    ``default_pct``. Reproducible across runs/engines, embarrassingly
+    parallel, no shuffle — the rates map is a tiny constant shipped in the
+    task closure (NOT re-sent per batch: Ray pickles the closure once per
+    task, and the map is O(n_sources))."""
+    import hashlib
+
+    if rates is None:
+        # default mix: source "srcN" sampled at N·5 % (src0 dropped
+        # entirely — a zero-rate source is a legitimate mixing decision)
+        rates = {f"src{i}": i * 5 for i in range(20)}
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        # md5 per row for DuckDB-oracle parity (hash_sample idiom)
+        _md5 = hashlib.md5
+        ids = pc.cast(batch.column("doc_id"), pa.string()).to_pylist()
+        srcs = batch.column("source").to_pylist()
+        keep = [int.from_bytes(_md5(i.encode()).digest()[:4], "big") % 100
+                < rates.get(s, default_pct)
+                for i, s in zip(ids, srcs)]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def event_type_distinct(sf_dir: str, num_parts: int = 64):
     """Distinct event types per user (set-op/unique operator exercise):
     per-batch dedup combiner → coarse user-hash partition → vectorized

@@ -406,6 +406,50 @@ def bigram_commonness(ds, *, text_col: str = "text", id_col: str = "doc_id",
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def chunk_documents(ds, *, chunk_tokens: int = 64, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Split every document into fixed-size token windows — the chunking
+    step that turns a corpus into context-window-sized model inputs (the
+    row-EXPLODE shape: output rows ≫ input rows, each batch maps to a
+    fully independent exploded table, so the op stays embarrassingly
+    parallel with no shuffle; Ray's streaming executor re-splits oversized
+    output blocks on its own).
+
+    Tokens are ASCII-whitespace splits of the raw text (case preserved);
+    chunk text is the tokens re-joined with single spaces (original
+    whitespace is NOT preserved — documented contract, exactly
+    SQL-replayable). Zero-token docs emit no rows.
+
+    Output: (id_col, chunk_idx, n_chunk_tokens, chunk_text).
+    """
+    import pyarrow as pa
+
+    from ..functions.minhash import _ASCII_WS
+
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids, idxs, ns, texts = [], [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            toks = [x for x in _ASCII_WS.split(t or "") if x]
+            for j in range(0, len(toks), chunk_tokens):
+                window = toks[j:j + chunk_tokens]
+                ids.append(i)
+                idxs.append(j // chunk_tokens)
+                ns.append(len(window))
+                texts.append(" ".join(window))
+        return pa.table({id_col: pa.array(ids, type=id_type),
+                         "chunk_idx": pa.array(idxs, type=pa.int64()),
+                         "n_chunk_tokens": pa.array(ns, type=pa.int64()),
+                         "chunk_text": pa.array(texts, type=pa.string())})
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def top_terms(ds, *, k: int = 50, text_col: str = "text"):
     """Corpus-wide term-frequency top-k (vocabulary analysis): the k most
     frequent lowercased whitespace tokens, ties broken by token ascending.

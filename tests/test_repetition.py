@@ -91,3 +91,63 @@ class TestBigramCommonness:
         # broadcast_limit=0 forces the explode → hash_join → group-sum path
         self._check(bigram_commonness(
             _ds(self.DOCS), broadcast_limit=0).to_pandas())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestChunkDocuments:
+    def test_explode_shape_and_text(self, ray_session):
+        from pdf_parser_ray.stages.textstage import chunk_documents
+
+        docs = ["a b c d e", "x", ""]  # 5 toks → 2+3 split, 1 tok, none
+        out = chunk_documents(_ds(docs), chunk_tokens=2).to_pandas()
+        out = out.sort_values(["doc_id", "chunk_idx"], ignore_index=True)
+        assert out["doc_id"].tolist() == ["0", "0", "0", "1"]
+        assert out["chunk_idx"].tolist() == [0, 1, 2, 0]
+        assert out["n_chunk_tokens"].tolist() == [2, 2, 1, 1]
+        assert out["chunk_text"].tolist() == ["a b", "c d", "e", "x"]
+
+    def test_whitespace_collapse_contract(self, ray_session):
+        from pdf_parser_ray.stages.textstage import chunk_documents
+
+        out = chunk_documents(_ds(["a\t\tb \n c"]), chunk_tokens=10).to_pandas()
+        assert out["chunk_text"].tolist() == ["a b c"]  # re-joined, case kept
+
+    def test_bad_chunk_size_raises(self, ray_session):
+        from pdf_parser_ray.stages.textstage import chunk_documents
+
+        with pytest.raises(ValueError):
+            chunk_documents(_ds(["a"]), chunk_tokens=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSourceMix:
+    def test_rates_respected(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import source_mix
+
+        tbl = pa.table({
+            "doc_id": pa.array([str(i) for i in range(300)]),
+            "source": pa.array(["keep_all", "drop_all", "half"] * 100),
+            "text": pa.array(["t"] * 300),
+            "lang": pa.array(["en"] * 300),
+            "n_chars": pa.array([1] * 300, type=pa.int64()),
+        })
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        out = source_mix(str(tmp_path),
+                         rates={"keep_all": 100, "drop_all": 0, "half": 50}
+                         ).to_pandas()
+        by_src = out.groupby("source").size()
+        assert by_src.get("keep_all", 0) == 100
+        assert by_src.get("drop_all", 0) == 0
+        assert 20 < by_src.get("half", 0) < 80  # md5 bucket ~50%
+
+    def test_unknown_source_default_drops(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import source_mix
+
+        tbl = pa.table({"doc_id": pa.array(["1", "2"]),
+                        "source": pa.array(["mystery", "mystery"])})
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        assert source_mix(str(tmp_path), rates={}).count() == 0
