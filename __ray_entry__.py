@@ -411,24 +411,27 @@ def _q_contamination(sf_dir: str):
     hash_sample rule), and every train doc reports how many of its 8-token
     windows occur anywhere in the test set. Shuffle-free: the test set's
     distinct window hashes broadcast once. Fully SQL-replayed."""
-    import hashlib
-
     from pdf_parser_ray.stages.dedup import contamination
 
     ds = _documents(sf_dir, columns=["doc_id", "text"])
-
-    def _bucket(batch: pa.Table, *, want_test: bool) -> pa.Table:
-        _md5 = hashlib.md5
-        keep = [(int.from_bytes(_md5(str(i).encode()).digest()[:4], "big")
-                 % 100 < 10) == want_test
-                for i in batch.column("doc_id").to_pylist()]
-        return batch.filter(pa.array(keep))
-
-    test_ds = ds.map_batches(_bucket, fn_kwargs={"want_test": True},
+    test_ds = ds.map_batches(_md5_bucket_split, fn_kwargs={"want_test": True},
                              batch_format="pyarrow")
-    train_ds = ds.map_batches(_bucket, fn_kwargs={"want_test": False},
+    train_ds = ds.map_batches(_md5_bucket_split, fn_kwargs={"want_test": False},
                               batch_format="pyarrow")
     return contamination(train_ds, test_ds, width=8)
+
+
+def _md5_bucket_split(batch: pa.Table, *, want_test: bool,
+                      pct: int = 10) -> pa.Table:
+    """Deterministic train/test split on the hash_sample md5-bucket rule
+    (bucket < pct → test) — shared by contamination and corpus_curate."""
+    import hashlib
+
+    _md5 = hashlib.md5
+    keep = [(int.from_bytes(_md5(str(i).encode()).digest()[:4], "big")
+             % 100 < pct) == want_test
+            for i in batch.column("doc_id").to_pylist()]
+    return batch.filter(pa.array(keep))
 
 
 def _contamination_sql(width: int = 8) -> str:
@@ -619,6 +622,112 @@ def _source_mix_sql() -> str:
         "WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) "
         "AS UBIGINT) % 100 < r.pct"
     )
+
+
+def _q_corpus_curate(sf_dir: str):
+    """The FULL modern curation recipe as one chained Dataset pipeline
+    (the Dolma/FineWeb-style sequence, every stage oracle-replayed):
+
+      md5-bucket train/test split → quality filter → repetition filter
+      (Gopher thresholds) → language-agreement filter (detected == label)
+      → decontamination vs the test split (drop any train doc sharing an
+      8-token window) → exact dedup (ids-only shuffle, min-id survivor).
+
+    Filters run BEFORE the dedup shuffle so the only exchange carries the
+    already-curated slim (hash, id) pairs; decontamination precedes dedup
+    because identical texts are identically contaminated (order-free), and
+    this way the text column never needs recovering post-dedup. Output:
+    surviving (doc_id, n_tokens)."""
+    from pdf_parser_ray.functions import textstats
+    from pdf_parser_ray.stages.dedup import drop_contaminated, exact_dedup_ids
+    from pdf_parser_ray.stages.textstage import repetition_filter
+
+    ds = _documents(sf_dir, columns=["doc_id", "text", "lang"])
+    test_ds = ds.map_batches(_md5_bucket_split, fn_kwargs={"want_test": True},
+                             batch_format="pyarrow")
+    train_ds = ds.map_batches(_md5_bucket_split, fn_kwargs={"want_test": False},
+                              batch_format="pyarrow")
+
+    q = train_ds.map_batches(_quality_filter_batch, batch_format="pandas")
+    r = repetition_filter(q)
+
+    def lang_ok(batch: pd.DataFrame) -> pd.DataFrame:
+        det = textstats.detect_language(batch["text"])
+        return batch[det.to_numpy() == batch["lang"].to_numpy()]
+
+    agreed = r.map_batches(lang_ok, batch_format="pandas")
+    clean = drop_contaminated(agreed, test_ds, width=8)
+    deduped = exact_dedup_ids(clean, text_col="text", id_col="doc_id",
+                              keep_cols=("n_tokens",),
+                              nrows=_documents_nrows(sf_dir))
+    return deduped.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "n_tokens": pc.cast(b.column("n_tokens"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _corpus_curate_sql(width: int = 8) -> str:
+    """One-statement DuckDB replay of the whole curation chain: bucket
+    split, quality, repetition (Gopher thresholds), lang agreement
+    (shared vote SQL over the filtered subset), window-hash
+    decontamination, group-by-text exact dedup."""
+    lang_votes = _lang_vote_sql(from_rel="q")
+    qfilter = (
+        "length(regexp_extract_all(text, '\\S+')) >= 10 "
+        "AND (1000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) "
+        "// GREATEST(length(text), 1) > 500 "
+        "AND (1000 * length(regexp_replace(text, '[^.,;:!?]', '', 'g'))) "
+        "// GREATEST(length(text), 1) < 200")
+    whash = (f"[CAST('0x' || substr(md5(array_to_string(t[i : i + {width - 1}], ' ')), 1, 16) AS UBIGINT) "
+             f"for i in range(1, len(t) - {width - 2})]")
+    return f"""
+WITH train0 AS (
+  SELECT doc_id, text, lang FROM documents
+  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 >= 10),
+testd AS (
+  SELECT text FROM documents
+  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 10),
+q AS (
+  SELECT doc_id, text, lang,
+         length(regexp_extract_all(text, '\\S+')) AS n_tokens
+  FROM train0 WHERE {qfilter}),
+rt AS (SELECT doc_id, list_filter(
+         string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS t
+       FROM q),
+rbase AS (SELECT doc_id, t, len(t) AS n,
+            CASE WHEN len(t) >= 2
+                 THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+                 ELSE [] END AS bg
+          FROM rt),
+rocc AS (SELECT doc_id, unnest(bg) AS g FROM rbase),
+rpb AS (SELECT doc_id, g, count(*) AS cnt FROM rocc GROUP BY doc_id, g),
+rst AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bg,
+               CAST(count(*) AS BIGINT) AS n_d,
+               CAST(max(cnt) AS BIGINT) AS top
+        FROM rpb GROUP BY doc_id),
+rkeep AS (
+  SELECT b.doc_id FROM rbase b LEFT JOIN rst USING (doc_id)
+  WHERE COALESCE(1000 * (rst.n_bg - rst.n_d) // rst.n_bg, 0) <= 50
+    AND CASE WHEN b.n > 0 THEN 1000 * len(list_distinct(b.t)) // b.n
+             ELSE 0 END >= 400
+    AND COALESCE(1000 * rst.top // rst.n_bg, 0) <= 60),
+lv AS ({lang_votes}),
+f AS (SELECT q.* FROM q JOIN rkeep USING (doc_id) JOIN lv USING (doc_id)
+      WHERE lv.lang_detected = q.lang),
+ft AS (SELECT doc_id, text, n_tokens, list_filter(
+         string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> x <> '') AS t
+       FROM f),
+test_h AS (
+  SELECT DISTINCT unnest({whash}) AS h
+  FROM (SELECT list_filter(
+          string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> x <> '') AS t
+        FROM testd)),
+win AS (SELECT doc_id, unnest({whash}) AS h FROM ft),
+cont AS (SELECT DISTINCT w.doc_id FROM win w JOIN test_h USING (h)),
+clean AS (SELECT f.* FROM f ANTI JOIN cont USING (doc_id))
+SELECT min(doc_id) AS doc_id, CAST(min(n_tokens) AS BIGINT) AS n_tokens
+FROM clean GROUP BY text
+"""
 
 
 def _q_chunk_documents(sf_dir: str):
@@ -1670,6 +1779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "bigram_commonness": _q_bigram_commonness,
         "chunk_documents": _q_chunk_documents,
+        "corpus_curate": _q_corpus_curate,
         "customers_with_orders": _q_customers_with_orders,
         "distinct_flags": _q_distinct_flags,
         "events_props": _q_events_props,
@@ -1722,7 +1832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracle SQL
 # ---------------------------------------------------------------------------
 
-def _lang_vote_sql() -> str:
+def _lang_vote_sql(from_rel: str = "documents") -> str:
     padded = "(' ' || text || ' ')"
     votes = {}
     for lang in sorted(LANG_STOPWORDS):
@@ -1744,7 +1854,7 @@ def _lang_vote_sql() -> str:
     case += "END"
     return (
         f"SELECT doc_id, {case} AS lang_detected FROM "
-        f"(SELECT doc_id, {vote_cols} FROM documents)"
+        f"(SELECT doc_id, {vote_cols} FROM {from_rel})"
     )
 
 
@@ -1804,6 +1914,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_commonness": _BIGRAM_COMMONNESS_SQL,
         "chunk_documents": _CHUNK_DOCS_SQL,
         "source_mix": _source_mix_sql(),
+        "corpus_curate": _corpus_curate_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "corpus_prep_neardup": _corpus_prep_neardup_sql(),
         "token_counts": (

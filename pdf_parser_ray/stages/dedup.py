@@ -1246,15 +1246,9 @@ def contamination(train_ds, test_ds, *, text_col: str = "text",
         for i, t in zip(batch.column(id_col).to_pylist(),
                         batch.column(text_col).to_pylist()):
             hs = token_window_hashes(t or "", width)
-            if len(hs) and len(tset):
-                idx = np.searchsorted(tset, hs)
-                hits = int(((idx < len(tset))
-                            & (tset[np.minimum(idx, len(tset) - 1)] == hs)).sum())
-            else:
-                hits = 0
             ids.append(i)
             n_win.append(len(hs))
-            n_cont.append(hits)
+            n_cont.append(_sorted_hits(hs, tset))
         return pa.table({
             id_col: pa.array(ids, type=id_type),
             "n_windows": pa.array(n_win, type=pa.int64()),
@@ -1263,3 +1257,43 @@ def contamination(train_ds, test_ds, *, text_col: str = "text",
         })
 
     return train_ds.map_batches(mark, batch_format="pyarrow")
+
+
+def _sorted_hits(hs: np.ndarray, tset: np.ndarray) -> int:
+    """How many of ``hs`` occur in the SORTED uint64 array ``tset``
+    (searchsorted membership — the shared probe of contamination /
+    drop_contaminated)."""
+    if not (len(hs) and len(tset)):
+        return 0
+    idx = np.searchsorted(tset, hs)
+    return int(((idx < len(tset))
+                & (tset[np.minimum(idx, len(tset) - 1)] == hs)).sum())
+
+
+def drop_contaminated(train_ds, test_ds, *, text_col: str = "text",
+                      width: int = 8, broadcast_limit: int = 2_000_000):
+    """Decontamination as a FILTER: drop every train row that shares at
+    least one ``width``-token window with the test set, keeping all input
+    columns (``contamination`` reports; this enforces). Same shape: the
+    test set's distinct window hashes broadcast once as a sorted uint64
+    array; the train side is scanned locally — no shuffle at any size."""
+    import ray as _ray
+
+    from ..functions.minhash import token_window_hashes
+
+    test_hashes = _dup_hash_set(test_ds, text_col=text_col, width=width,
+                                min_count=1)
+    if test_hashes.count() > broadcast_limit:
+        raise NotImplementedError(
+            "drop_contaminated above the broadcast gate: hash-partition "
+            "both sides and semi-join per slice (as duplicate_spans does) "
+            "— a test set this large usually means the split is inverted")
+    _, test_ref = _broadcast_sorted_hashes(test_hashes)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        tset: np.ndarray = _ray.get(test_ref)
+        mask = [_sorted_hits(token_window_hashes(t or "", width), tset) == 0
+                for t in batch.column(text_col).to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    return train_ds.map_batches(keep, batch_format="pyarrow")

@@ -223,6 +223,55 @@ def pack_sequences(ds, *, seq_len: int = 512, text_col: str = "text",
                                   nrows=slim.count())
 
 
+def _repetition_signals(texts, max_dup_bigram_milli: int,
+                        min_distinct_token_milli: int,
+                        max_top_bigram_milli: int):
+    """Shared per-doc repetition computation for ``repetition_stats`` and
+    ``repetition_filter`` — a single source of truth so the filter can
+    never drift from the oracle-gated stats."""
+    import collections
+
+    from ..functions.minhash import _ASCII_WS
+
+    n_tok, ttr, dup_bg, top_bg, keep = [], [], [], [], []
+    for t in texts:
+        toks = [x for x in _ASCII_WS.split((t or "").lower()) if x]
+        n = len(toks)
+        n_tok.append(n)
+        ttr.append(1000 * len(set(toks)) // n if n else 0)
+        if n >= 2:
+            cnt = collections.Counter(zip(toks, toks[1:]))
+            n_bg = n - 1
+            dup_bg.append(1000 * (n_bg - len(cnt)) // n_bg)
+            top_bg.append(1000 * max(cnt.values()) // n_bg)
+        else:
+            dup_bg.append(0)
+            top_bg.append(0)
+        keep.append(dup_bg[-1] <= max_dup_bigram_milli
+                    and ttr[-1] >= min_distinct_token_milli
+                    and top_bg[-1] <= max_top_bigram_milli)
+    return n_tok, ttr, dup_bg, top_bg, keep
+
+
+def repetition_filter(ds, *, text_col: str = "text",
+                      max_dup_bigram_milli: int = 50,
+                      min_distinct_token_milli: int = 400,
+                      max_top_bigram_milli: int = 60):
+    """Filter form of ``repetition_stats``: keep only rows passing all
+    three repetition thresholds, preserving every input column. Same
+    stateless no-shuffle shape; same kernel (``_repetition_signals``)."""
+    import pyarrow as pa
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        *_, keep = _repetition_signals(
+            batch.column(text_col).to_pylist(),
+            max_dup_bigram_milli, min_distinct_token_milli,
+            max_top_bigram_milli)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def repetition_stats(ds, *, text_col: str = "text", id_col: str = "doc_id",
                      max_dup_bigram_milli: int = 50,
                      min_distinct_token_milli: int = 400,
@@ -242,32 +291,15 @@ def repetition_stats(ds, *, text_col: str = "text", id_col: str = "doc_id",
     stateless ``map_batches`` pass, no shuffle at any scale; the per-doc
     Counter is the hot loop but each doc is touched exactly once.
     """
-    import collections
-
     import pyarrow as pa
-
-    from ..functions.minhash import _ASCII_WS
 
     id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
 
     def kernel(batch: pa.Table) -> pa.Table:
-        n_tok, ttr, dup_bg, top_bg, keep = [], [], [], [], []
-        for t in batch.column(text_col).to_pylist():
-            toks = [x for x in _ASCII_WS.split((t or "").lower()) if x]
-            n = len(toks)
-            n_tok.append(n)
-            ttr.append(1000 * len(set(toks)) // n if n else 0)
-            if n >= 2:
-                cnt = collections.Counter(zip(toks, toks[1:]))
-                n_bg = n - 1
-                dup_bg.append(1000 * (n_bg - len(cnt)) // n_bg)
-                top_bg.append(1000 * max(cnt.values()) // n_bg)
-            else:
-                dup_bg.append(0)
-                top_bg.append(0)
-            keep.append(dup_bg[-1] <= max_dup_bigram_milli
-                        and ttr[-1] >= min_distinct_token_milli
-                        and top_bg[-1] <= max_top_bigram_milli)
+        n_tok, ttr, dup_bg, top_bg, keep = _repetition_signals(
+            batch.column(text_col).to_pylist(),
+            max_dup_bigram_milli, min_distinct_token_milli,
+            max_top_bigram_milli)
         return pa.table({
             id_col: batch.column(id_col).cast(id_type),
             "n_tokens": pa.array(n_tok, type=pa.int64()),

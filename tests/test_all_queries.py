@@ -51,7 +51,7 @@ def _names():
         "dup_spans", "strip_dup_spans", "bm25", "contamination",
         "stratified_sample", "pack_sequences", "top_terms",
         "repetition_stats", "bigram_commonness",
-        "chunk_documents", "source_mix",
+        "chunk_documents", "source_mix", "corpus_curate",
     ]
 
 

@@ -94,6 +94,37 @@ class TestBigramCommonness:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestRepetitionFilter:
+    def test_filter_matches_stats_keep(self, ray_session):
+        from pdf_parser_ray.stages.textstage import (repetition_filter,
+                                                     repetition_stats)
+
+        docs = ["a b a b a", "one two three four five", "solo",
+                "x " * 200 + "y", " ".join(f"w{i}" for i in range(100))]
+        stats = repetition_stats(_ds(docs)).to_pandas()
+        kept = repetition_filter(_ds(docs)).to_pandas()
+        expect = set(stats.loc[stats["repetition_keep"], "doc_id"])
+        assert set(kept["doc_id"]) == expect
+        assert list(kept.columns) == ["doc_id", "text"]  # columns preserved
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDropContaminated:
+    def test_drops_only_overlapping(self, ray_session):
+        from pdf_parser_ray.stages.dedup import drop_contaminated
+
+        shared = " ".join(f"s{i}" for i in range(8))
+        train = ["clean doc " + " ".join(f"t{i}" for i in range(10)),
+                 "leaky prefix " + shared + " suffix here now",
+                 "tiny"]
+        test = ["the test set contains " + shared + " verbatim"]
+        out = drop_contaminated(_ds(train), _ds(test, ids=["t0"]),
+                                width=8).to_pandas()
+        assert sorted(out["doc_id"]) == ["0", "2"]  # leaky doc 1 dropped
+        assert list(out.columns) == ["doc_id", "text"]
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestChunkDocuments:
     def test_explode_shape_and_text(self, ray_session):
         from pdf_parser_ray.stages.textstage import chunk_documents
