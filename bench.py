@@ -175,7 +175,8 @@ def run_query_suite() -> dict:
              "pricing_summary", "events_hourly", "token_counts",
              "customer_order_revenue", "corpus_prep",
              "ngram_jaccard", "events_asof",
-             "events_range_join", "knn_lsh", "dup_spans"]
+             "events_range_join", "knn_lsh", "dup_spans",
+             "corpus_curate"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:
