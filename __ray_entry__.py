@@ -425,12 +425,10 @@ def _md5_bucket_split(batch: pa.Table, *, want_test: bool,
                       pct: int = 10) -> pa.Table:
     """Deterministic train/test split on the hash_sample md5-bucket rule
     (bucket < pct → test) — shared by contamination and corpus_curate."""
-    import hashlib
+    from pdf_parser_ray.functions.hashing import md5_bucket_100
 
-    _md5 = hashlib.md5
-    keep = [(int.from_bytes(_md5(str(i).encode()).digest()[:4], "big")
-             % 100 < pct) == want_test
-            for i in batch.column("doc_id").to_pylist()]
+    keep = [(b < pct) == want_test
+            for b in md5_bucket_100(batch.column("doc_id").to_pylist())]
     return batch.filter(pa.array(keep))
 
 
@@ -737,26 +735,33 @@ def _q_chunk_documents(sf_dir: str):
     from pdf_parser_ray.stages.textstage import chunk_documents
 
     ds = _documents(sf_dir, columns=["doc_id", "text"])
-    return chunk_documents(ds, chunk_tokens=64)
+    return chunk_documents(ds, chunk_tokens=_CHUNK_TOKENS)
 
 
-# DuckDB replay: per-doc chunk indices via range(), 1-based inclusive list
-# slicing for the window, single-space re-join. Zero-token docs emit none.
-_CHUNK_DOCS_SQL = r"""
+def _chunk_docs_sql(chunk_tokens: int = 64) -> str:
+    """DuckDB replay of chunk_documents: per-doc chunk indices via range(),
+    1-based inclusive list slicing for the window, single-space re-join;
+    zero-token docs emit none. The chunk size is single-sourced here and
+    must match _q_chunk_documents' chunk_tokens."""
+    c = chunk_tokens
+    return rf"""
 WITH toks AS (
   SELECT doc_id, list_filter(
     string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS t
   FROM documents),
 base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
 c AS (SELECT doc_id, t, n,
-             unnest(range((n + 63) // 64)) AS chunk_idx
+             unnest(range((n + {c - 1}) // {c})) AS chunk_idx
       FROM base)
 SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-  CAST(LEAST(64, n - chunk_idx * 64) AS BIGINT) AS n_chunk_tokens,
-  array_to_string(t[chunk_idx * 64 + 1 : LEAST((chunk_idx + 1) * 64, n)], ' ')
+  CAST(LEAST({c}, n - chunk_idx * {c}) AS BIGINT) AS n_chunk_tokens,
+  array_to_string(t[chunk_idx * {c} + 1 : LEAST((chunk_idx + 1) * {c}, n)], ' ')
     AS chunk_text
 FROM c
 """
+
+
+_CHUNK_TOKENS = 64  # shared by _q_chunk_documents and its oracle
 
 
 _BM25_TERMS = ["dup", "vector", "hash"]  # rare / mid / common document freq
@@ -1912,7 +1917,7 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": _TOP_TERMS_SQL,
         "repetition_stats": _REPETITION_SQL,
         "bigram_commonness": _BIGRAM_COMMONNESS_SQL,
-        "chunk_documents": _CHUNK_DOCS_SQL,
+        "chunk_documents": _chunk_docs_sql(_CHUNK_TOKENS),
         "source_mix": _source_mix_sql(),
         "corpus_curate": _corpus_curate_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),

@@ -57,3 +57,15 @@ def md5_column(values: pa.Array | pa.ChunkedArray) -> pa.Array:
             b = b.encode("utf-8")
         out[i] = hashlib.md5(b).hexdigest()
     return pa.array(out, type=pa.string())
+
+
+def md5_bucket_100(ids) -> list:
+    """Per-row md5 percent-bucket of the stringified id — the ONE source of
+    truth for every deterministic-sampling / split rule in the repo
+    (hash_sample, source_mix, the contamination/corpus_curate train/test
+    split). DuckDB replay:
+    ``CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS UBIGINT)
+    % 100``."""
+    _md5 = hashlib.md5
+    return [int.from_bytes(_md5(str(i).encode()).digest()[:4], "big") % 100
+            for i in ids]

@@ -891,20 +891,15 @@ def hash_sample(sf_dir: str, pct: int = 10):
     """Deterministic hash sampling (§2.6 sampling operator): keep rows whose
     md5(doc_id) bucket mod 100 < pct — reproducible across runs/engines
     (unlike random_shuffle/random sample), embarrassingly parallel, no
-    shuffle."""
-    import hashlib
+    shuffle. The bucket rule is the shared ``md5_bucket_100`` (one source
+    of truth with source_mix and the train/test split)."""
+    from ..functions.hashing import md5_bucket_100
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
 
     def kernel(batch: pa.Table) -> pa.Table:
-        # md5 must run per row for DuckDB-oracle parity (no vectorized md5
-        # exists); keep the loop lean: Arrow-side string cast, local-bound
-        # md5, digest-bytes prefix instead of hexdigest slicing. No shuffle
-        # — embarrassingly parallel either way.
-        ids = pc.cast(batch.column("doc_id"), pa.string()).to_pylist()
-        _md5 = hashlib.md5
-        keep = [int.from_bytes(_md5(i.encode()).digest()[:4], "big") % 100 < pct
-                for i in ids]
+        keep = [b < pct
+                for b in md5_bucket_100(batch.column("doc_id").to_pylist())]
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(kernel, batch_format="pyarrow")
@@ -920,7 +915,7 @@ def source_mix(sf_dir: str, rates: dict[str, int] | None = None,
     parallel, no shuffle — the rates map is a tiny constant shipped in the
     task closure (NOT re-sent per batch: Ray pickles the closure once per
     task, and the map is O(n_sources))."""
-    import hashlib
+    from ..functions.hashing import md5_bucket_100
 
     if rates is None:
         # default mix: source "srcN" sampled at N·5 % (src0 dropped
@@ -930,13 +925,10 @@ def source_mix(sf_dir: str, rates: dict[str, int] | None = None,
     ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
 
     def kernel(batch: pa.Table) -> pa.Table:
-        # md5 per row for DuckDB-oracle parity (hash_sample idiom)
-        _md5 = hashlib.md5
-        ids = pc.cast(batch.column("doc_id"), pa.string()).to_pylist()
+        buckets = md5_bucket_100(batch.column("doc_id").to_pylist())
         srcs = batch.column("source").to_pylist()
-        keep = [int.from_bytes(_md5(i.encode()).digest()[:4], "big") % 100
-                < rates.get(s, default_pct)
-                for i, s in zip(ids, srcs)]
+        keep = [b < rates.get(s, default_pct)
+                for b, s in zip(buckets, srcs)]
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(kernel, batch_format="pyarrow")

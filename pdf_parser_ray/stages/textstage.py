@@ -30,6 +30,16 @@ def add_language(batch: pd.DataFrame, *, text_col: str = "text") -> pd.DataFrame
     return batch
 
 
+def _resolve_id_type(ds, id_col: str, id_type=None):
+    """Arrow type of ``id_col``. Pass ``id_type`` explicitly when ``ds`` is
+    a non-trivial LAZY pipeline: ``Dataset.schema()`` EXECUTES the upstream
+    to sample it (the same trap hash_join's left_types/right_types guards
+    against); on a bare read it is metadata-only and the default is fine."""
+    if id_type is not None:
+        return id_type
+    return dict(zip(ds.schema().names, ds.schema().types))[id_col]
+
+
 class Fingerprint:
     """Winnowing fingerprint stage (per-doc rolling-hash sketch).
 
@@ -48,7 +58,8 @@ class Fingerprint:
 
 
 def bm25_score(ds, *, terms: list[str], text_col: str = "text",
-               id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75):
+               id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75,
+               id_type=None):
     """Distributed BM25 relevance scoring (Robertson–Spärck Jones / Okapi,
     public algorithm) of every document against a fixed term list — the
     relevance-filtering primitive of training-data curation.
@@ -112,7 +123,7 @@ def bm25_score(ds, *, terms: list[str], text_col: str = "text",
     idf = [math.log((n_total - int(d) + 0.5) / (int(d) + 0.5) + 1.0)
            for d in df_total]
 
-    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    id_type = _resolve_id_type(ds, id_col, id_type)
 
     def score(batch: pa.Table) -> pa.Table:
         ids, dls, millis = [], [], []
@@ -136,7 +147,8 @@ def bm25_score(ds, *, terms: list[str], text_col: str = "text",
 
 
 def pack_sequences(ds, *, seq_len: int = 512, text_col: str = "text",
-                   id_col: str = "doc_id", bucket_size: int = 1 << 14):
+                   id_col: str = "doc_id", bucket_size: int = 1 << 14,
+                   id_type=None):
     """Sequence packing (concat-and-chunk): lay every document's tokens
     end-to-end in ``id_col`` order and cut fixed ``seq_len`` context
     windows — the training-data packing step that turns a corpus into
@@ -161,7 +173,7 @@ def pack_sequences(ds, *, seq_len: int = 512, text_col: str = "text",
 
     from ..functions import textstats
 
-    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    id_type = _resolve_id_type(ds, id_col, id_type)
     if not pa.types.is_integer(id_type):
         raise TypeError(f"pack_sequences needs an integer {id_col!r} to "
                         f"define the pack order, got {id_type}")
@@ -275,7 +287,7 @@ def repetition_filter(ds, *, text_col: str = "text",
 def repetition_stats(ds, *, text_col: str = "text", id_col: str = "doc_id",
                      max_dup_bigram_milli: int = 50,
                      min_distinct_token_milli: int = 400,
-                     max_top_bigram_milli: int = 60):
+                     max_top_bigram_milli: int = 60, id_type=None):
     """Gopher-style repetition quality signals per document (Rae et al.
     2021, "Scaling Language Models" §A1.1 repetition filters — public
     method), as exact integers so a DuckDB oracle replays them bit-for-bit:
@@ -293,7 +305,7 @@ def repetition_stats(ds, *, text_col: str = "text", id_col: str = "doc_id",
     """
     import pyarrow as pa
 
-    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    id_type = _resolve_id_type(ds, id_col, id_type)
 
     def kernel(batch: pa.Table) -> pa.Table:
         n_tok, ttr, dup_bg, top_bg, keep = _repetition_signals(
@@ -313,7 +325,7 @@ def repetition_stats(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
 
 def bigram_commonness(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                      broadcast_limit: int = 500_000):
+                      broadcast_limit: int = 500_000, id_type=None):
     """Corpus-level bigram "language model" commonness score — the
     CCNet-style idea (score each doc against corpus statistics) kept
     integer-exact: every doc's bigram occurrences are looked up in the
@@ -340,7 +352,7 @@ def bigram_commonness(ds, *, text_col: str = "text", id_col: str = "doc_id",
     from ..functions.minhash import _ASCII_WS
     from ..pipelines.relational import hash_join, partitioned_group_sum
 
-    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    id_type = _resolve_id_type(ds, id_col, id_type)
 
     def _bigrams(t: str) -> list[str]:
         toks = [x for x in _ASCII_WS.split((t or "").lower()) if x]
@@ -415,7 +427,9 @@ def bigram_commonness(ds, *, text_col: str = "text", id_col: str = "doc_id",
                               "sum_count": "sum_count"})
 
     def zeros(batch: pa.Table) -> pa.Table:
-        n_bgs = [max(len([x for x in _ASCII_WS.split((t or "").lower()) if x]) - 1, 0)
+        # derive from _bigrams so the count can never drift from the
+        # broadcast path's definition
+        n_bgs = [len(_bigrams(t))
                  for t in batch.column(text_col).to_pylist()]
         return pa.table({id_col: batch.column(id_col).cast(id_type),
                          "n_bigrams": pa.array(n_bgs, type=pa.int64()),
@@ -439,7 +453,7 @@ def bigram_commonness(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
 
 def chunk_documents(ds, *, chunk_tokens: int = 64, text_col: str = "text",
-                    id_col: str = "doc_id"):
+                    id_col: str = "doc_id", id_type=None):
     """Split every document into fixed-size token windows — the chunking
     step that turns a corpus into context-window-sized model inputs (the
     row-EXPLODE shape: output rows ≫ input rows, each batch maps to a
@@ -461,7 +475,7 @@ def chunk_documents(ds, *, chunk_tokens: int = 64, text_col: str = "text",
     if chunk_tokens < 1:
         raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
 
-    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    id_type = _resolve_id_type(ds, id_col, id_type)
 
     def kernel(batch: pa.Table) -> pa.Table:
         ids, idxs, ns, texts = [], [], [], []
