@@ -116,3 +116,47 @@ class TestTextstatsProperties:
         s = pd.Series([text])
         assert int(textstats.alpha_count(s)[0]) <= int(textstats.char_count(s)[0])
         assert int(textstats.token_count(s)[0]) <= max(1, int(textstats.char_count(s)[0]))
+
+
+class TestRepetitionSignalProperties:
+    @given(st.lists(st.text(alphabet=string.printable, max_size=200),
+                    min_size=0, max_size=8))
+    @settings(max_examples=40, deadline=None)
+    def test_bounds_and_shape(self, texts):
+        from pdf_parser_ray.stages.textstage import _repetition_signals
+
+        n_tok, ttr, dup, top, keep = _repetition_signals(texts, 50, 400, 60)
+        assert len(n_tok) == len(ttr) == len(dup) == len(top) == len(keep) \
+            == len(texts)
+        for n, t, d, p, k in zip(n_tok, ttr, dup, top, keep):
+            assert 0 <= t <= 1000 and 0 <= d <= 1000 and 0 <= p <= 1000
+            if n < 2:  # no bigrams: both ratios pinned to 0
+                assert d == 0 and p == 0
+            assert k == (d <= 50 and t >= 400 and p <= 60)
+
+    @given(st.integers(min_value=2, max_value=50))
+    @settings(max_examples=20, deadline=None)
+    def test_degenerate_repetition(self, n):
+        from pdf_parser_ray.stages.textstage import _repetition_signals
+
+        # one token repeated n times: top bigram ratio is exactly 1000
+        _, ttr, dup, top, _ = _repetition_signals(["x " * n], 50, 400, 60)
+        assert top[0] == 1000
+        assert ttr[0] == 1000 // n
+        n_bg = n - 1
+        assert dup[0] == 1000 * (n_bg - 1) // n_bg
+
+
+class TestMd5BucketProperties:
+    @given(st.lists(st.one_of(st.integers(min_value=0, max_value=10**9),
+                              st.text(max_size=24)),
+                    min_size=0, max_size=30))
+    @settings(max_examples=40, deadline=None)
+    def test_range_and_determinism(self, ids):
+        from pdf_parser_ray.functions.hashing import md5_bucket_100
+
+        a = md5_bucket_100(ids)
+        assert a == md5_bucket_100(ids)
+        assert all(0 <= b < 100 for b in a)
+        # stringified ids bucket identically (the DuckDB CAST AS VARCHAR rule)
+        assert a == md5_bucket_100([str(i) for i in ids])
