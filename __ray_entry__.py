@@ -610,6 +610,49 @@ FROM base b LEFT JOIN sc USING (doc_id)
 """
 
 
+def _q_embedding_centroids(sf_dir: str):
+    """Grouped vector aggregate (stages/similarity.py:embedding_centroids):
+    per-label centroid of the embedding column, milli fixed-point
+    integer-exact; slim (group, dim, Σ, n) partials — vectors never enter
+    the exchange."""
+    from pdf_parser_ray.stages.similarity import embedding_centroids
+
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+    out = embedding_centroids(ds, vec_col="embedding", group_col="label")
+    return out.map_batches(
+        lambda b: pa.table({
+            "label": pc.cast(b.column("label"), pa.int64()),
+            "dim": pc.cast(b.column("dim"), pa.int64()),
+            "sum_milli": pc.cast(b.column("sum_milli"), pa.int64()),
+            "n_vecs": pc.cast(b.column("n_vecs"), pa.int64()),
+            "centroid_milli": pc.cast(b.column("centroid_milli"), pa.int64()),
+        }), batch_format="pyarrow")
+
+
+# DuckDB replay: positional parallel-unnest of (range(len), milli list
+# comprehension); float64 1000·x floor matches numpy's IEEE ops; the mean
+# is floor(sum/n) in double (exact below 2^53).
+_EMBEDDING_CENTROIDS_SQL = """
+WITH m AS (
+  SELECT label,
+         unnest(range(len(embedding))) AS dim,
+         unnest([CAST(floor(1000 * CAST(e AS DOUBLE)) AS BIGINT)
+                 for e in embedding]) AS m
+  FROM embeddings),
+g AS (SELECT label, dim, CAST(sum(m) AS BIGINT) AS sum_milli,
+             CAST(count(*) AS BIGINT) AS n_vecs
+      FROM m GROUP BY label, dim)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       sum_milli, n_vecs,
+       CAST(floor(CAST(sum_milli AS DOUBLE) / n_vecs) AS BIGINT)
+         AS centroid_milli
+FROM g
+"""
+
+
 def _source_mix_sql() -> str:
     """Replay of relational.source_mix's default mix: srcN sampled at N·5 %
     via the house md5-bucket idiom (hash_sample)."""
@@ -1785,6 +1828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_commonness": _q_bigram_commonness,
         "chunk_documents": _q_chunk_documents,
         "corpus_curate": _q_corpus_curate,
+        "embedding_centroids": _q_embedding_centroids,
         "customers_with_orders": _q_customers_with_orders,
         "distinct_flags": _q_distinct_flags,
         "events_props": _q_events_props,
@@ -1920,6 +1964,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _chunk_docs_sql(_CHUNK_TOKENS),
         "source_mix": _source_mix_sql(),
         "corpus_curate": _corpus_curate_sql(),
+        "embedding_centroids": _EMBEDDING_CENTROIDS_SQL,
         "ngram_jaccard": _ngram_jaccard_sql(),
         "corpus_prep_neardup": _corpus_prep_neardup_sql(),
         "token_counts": (

@@ -355,3 +355,59 @@ def pq_topk(ds, query_ids: list, query_vectors: np.ndarray,
     partials = ds.map_batches(PQBatchTopK, batch_format="pandas",
                               batch_size=4096, concurrency=concurrency)
     return _reduce_topk(partials, k)
+
+
+def embedding_centroids(ds, *, vec_col: str = "embedding",
+                        group_col: str = "label", num_parts: int = 64):
+    """Grouped VECTOR aggregate: the per-group centroid of an embedding
+    column (class prototypes / cluster summaries), kept integer-exact so a
+    DuckDB oracle replays it bit-for-bit: each component is milli
+    fixed-pointed (floor(1000·x) in float64 — the same IEEE ops DuckDB
+    performs), summed as int64, and floor-divided by the group count.
+
+    Shape: per-batch vectorized partial (one (group, dim, Σmilli, n) row
+    per group×dim per batch — the exchange never carries vectors), then
+    the house coarse-partition group-sum keyed on group×dim; the final
+    mean is one arithmetic map. Output: (group_col, dim, sum_milli,
+    n_vecs, centroid_milli), n_groups × n_dims rows.
+    """
+    import pyarrow as pa
+
+    from ..pipelines.relational import coarse_partition_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        groups, dims, sums, ns = [], [], [], []
+        for g, sub in batch.groupby(group_col, sort=False):
+            mat = np.stack(sub[vec_col].to_numpy()).astype(np.float64)
+            m = np.floor(1000.0 * mat).astype(np.int64)
+            s = m.sum(axis=0)
+            d = s.shape[0]
+            groups.extend([g] * d)
+            dims.extend(range(d))
+            sums.extend(int(x) for x in s)
+            ns.extend([len(sub)] * d)
+        return pd.DataFrame({group_col: groups, "dim": dims,
+                             "sum_milli": sums, "n_vecs": ns})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby([group_col, "dim"], as_index=False).agg(
+            sum_milli=("sum_milli", "sum"), n_vecs=("n_vecs", "sum"))
+        agg["centroid_milli"] = agg["sum_milli"] // agg["n_vecs"]
+        for c in ("dim", "sum_milli", "n_vecs", "centroid_milli"):
+            agg[c] = agg[c].astype("int64")
+        return agg.drop(columns=["gd_part"], errors="ignore")
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = pc.add(pc.multiply(pc.cast(batch.column(group_col), pa.int64()),
+                                 pa.scalar(1 << 20)),
+                     pc.cast(batch.column("dim"), pa.int64()))
+        return batch.append_column("gd_key", key)
+
+    keyed = partials.map_batches(add_key, batch_format="pyarrow")
+    return coarse_partition_apply(keyed, combine, key_col="gd_key",
+                                  part_col="gd_part", num_parts=num_parts,
+                                  nrows=keyed.count())

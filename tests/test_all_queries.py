@@ -52,6 +52,7 @@ def _names():
         "stratified_sample", "pack_sequences", "top_terms",
         "repetition_stats", "bigram_commonness",
         "chunk_documents", "source_mix", "corpus_curate",
+        "embedding_centroids",
     ]
 
 

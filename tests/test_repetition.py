@@ -151,6 +151,31 @@ class TestChunkDocuments:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestEmbeddingCentroids:
+    def test_hand_computed_with_negatives(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.similarity import embedding_centroids
+
+        tbl = pa.table({
+            "label": pa.array([0, 0, 1], type=pa.int32()),
+            "embedding": pa.array([[1.0, -0.5], [2.0, -0.25], [0.1, 0.2]],
+                                  type=pa.list_(pa.float32())),
+        })
+        out = embedding_centroids(
+            ray.data.from_arrow(tbl).repartition(2)).to_pandas()
+        out = out.set_index(["label", "dim"]).sort_index()
+        # label 0 dim 0: floor(1000)+floor(2000)=3000 → //2 = 1500
+        assert out.loc[(0, 0), "centroid_milli"] == 1500
+        # label 0 dim 1: floor(-500)+floor(-250) = -750 → floor(-375)
+        assert out.loc[(0, 1), "sum_milli"] == -750
+        assert out.loc[(0, 1), "centroid_milli"] == -375
+        # float32(0.1)*1000 ≈ 100.00000149 → floor 100
+        assert out.loc[(1, 0), "centroid_milli"] == 100
+        assert (out["n_vecs"] == [2, 2, 1, 1]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestSourceMix:
     def test_rates_respected(self, ray_session, tmp_path):
         import pyarrow.parquet as pq
