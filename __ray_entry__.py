@@ -1695,6 +1695,29 @@ def _q_token_percentiles(sf_dir: str):
     })
 
 
+_KMV_K = 64  # sf0.01 has 150 distinct users — k=64 exercises the estimator
+
+
+def _kmv_sql() -> str:
+    """DuckDB replay of the events KMV sketch (single-sourced from
+    stages/sketch.py so the hash rule and estimator can't drift)."""
+    from pdf_parser_ray.stages.sketch import kmv_distinct_sql
+
+    return kmv_distinct_sql("events", "user_id", k=_KMV_K)
+
+
+def _q_approx_distinct_users(sf_dir: str):
+    """KMV approximate-distinct sketch (stages/sketch.py): estimate
+    COUNT(DISTINCT user_id) from the 64 smallest md5-uint64 hashes; the
+    exchange is ≤ k rows per block regardless of input size."""
+    from pdf_parser_ray.stages.sketch import kmv_distinct
+
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return kmv_distinct(ds, "user_id", k=_KMV_K)
+
+
 def _q_distinct_flags(sf_dir: str):
     """Dataset.unique (set-op/distinct operator) over lineitem flags."""
     import ray.data
@@ -1830,6 +1853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curate": _q_corpus_curate,
         "embedding_centroids": _q_embedding_centroids,
         "customers_with_orders": _q_customers_with_orders,
+        "approx_distinct_users": _q_approx_distinct_users,
         "distinct_flags": _q_distinct_flags,
         "events_props": _q_events_props,
         "text_normalize": _q_text_normalize,
@@ -1864,6 +1888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_acctbal": rel.supplier_nation_acctbal,
         "top_revenue_orders": rel.top_revenue_orders,
         "orders_filter_topk": rel.orders_filter_topk,
+        "orders_top_per_customer": rel.orders_top_per_customer,
         "events_hourly": rel.events_hourly,
         "events_top_users": rel.events_top_users,
         "events_sessions": rel.events_sessions,
@@ -2016,6 +2041,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_flags": (
             "SELECT DISTINCT l_returnflag FROM lineitem"
         ),
+        "approx_distinct_users": _kmv_sql(),
         "events_props": (
             "SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decile, "
             "count(*) AS n_events FROM events GROUP BY 1"
@@ -2155,6 +2181,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT user_id, ts, "
             "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events) "
             "GROUP BY user_id"
+        ),
+        "orders_top_per_customer": (
+            "SELECT o_custkey, o_orderkey, o_totalprice, "
+            "CAST(row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk "
+            "FROM orders QUALIFY rnk <= 3"
         ),
         "events_asof": (
             "SELECT event_id, user_id, "

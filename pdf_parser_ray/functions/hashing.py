@@ -69,3 +69,16 @@ def md5_bucket_100(ids) -> list:
     _md5 = hashlib.md5
     return [int.from_bytes(_md5(str(i).encode()).digest()[:4], "big") % 100
             for i in ids]
+
+
+def md5_u64(values) -> np.ndarray:
+    """uint64 md5 hash of each stringified value — the house uniform-hash
+    rule for sketches (KMV distinct, minhash md5 mode). DuckDB replay:
+    ``CAST(concat('0x', substr(md5(CAST(v AS VARCHAR)), 1, 16)) AS UBIGINT)``
+    (first 8 digest bytes, big-endian == first 16 hex chars)."""
+    _md5 = hashlib.md5
+    out = np.fromiter(
+        (int.from_bytes(_md5(str(v).encode()).digest()[:8], "big")
+         for v in values),
+        dtype=np.uint64, count=len(values))
+    return out

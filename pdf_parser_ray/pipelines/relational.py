@@ -439,6 +439,45 @@ def topk(ds, *, by: list[str], descending: list[bool], k: int):
                                              batch_size=None)
 
 
+def top_n_per_group(ds, *, group_col: str, order_cols: list[str],
+                    descending: list[bool], n: int, rank_col: str = "rnk",
+                    num_parts: int = 64, nrows: int | None = None):
+    """Windowed rank: ``row_number() OVER (PARTITION BY group
+    ORDER BY ...) <= n`` — top-n rows per group, with the 1-based rank
+    appended. The per-group sibling of :func:`topk` (global) that Ray Data
+    has no primitive for.
+
+    Shape: the house coarse-partition contract (one crc32(group) exchange,
+    ONE vectorized kernel per partition — mergesort + cumcount, no per-key
+    Python). The kernel is partition-shape-independent, so the small-input
+    coalesce gate applies. Order columns must make the rank deterministic
+    (include a tiebreaker).
+    """
+    ascending = [True] + [not d for d in descending]
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col] + order_cols, ascending=ascending,
+                          kind="mergesort")
+        rnk = g.groupby(group_col, sort=False).cumcount().to_numpy() + 1
+        out = g.iloc[rnk <= n].copy()
+        out[rank_col] = rnk[rnk <= n].astype("int64")
+        return out.drop(columns=["tng_part"], errors="ignore")
+
+    return coarse_partition_apply(ds, kernel, key_col=group_col,
+                                  part_col="tng_part", num_parts=num_parts,
+                                  nrows=nrows)
+
+
+def orders_top_per_customer(sf_dir: str, n: int = 3):
+    """Top-n orders per customer by price (windowed rank over orders)."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    return top_n_per_group(ds, group_col="o_custkey",
+                           order_cols=["o_totalprice", "o_orderkey"],
+                           descending=[True, False], n=n,
+                           nrows=_table_nrows(sf_dir, "orders"))
+
+
 # ---------------------------------------------------------------------------
 # Large ⋈ large: explicit bucket-partitioned hash join
 # ---------------------------------------------------------------------------

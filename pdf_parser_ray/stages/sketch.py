@@ -1,0 +1,114 @@
+"""Distributed cardinality sketches.
+
+KMV (k-minimum-values) approximate-distinct: hash every value to a uniform
+uint64, keep only the k smallest DISTINCT hashes, and estimate the global
+cardinality from the k-th smallest — ``(k-1) * 2^64 // h_k`` (Bar-Yossef et
+al. 2002, "Counting distinct elements in a data stream"). Unlike HLL the
+whole sketch state is an explicit ordered set of hashes, which makes it
+bit-replayable in SQL (a ``row_number() OVER (ORDER BY h) <= k`` window).
+
+Scale shape: each input block independently reduces to ≤ k rows (one uint64
+per kept hash), so the exchange moving to the single merge task is
+``k × n_blocks`` rows regardless of input size — 100 TB of values becomes a
+few MB of partials. The merge is the house zero-sort coalesce
+(``repartition(1)`` split/merge + one vectorized kernel, no key exchange;
+see pipelines/relational.py:coarse_partition_apply for the rationale).
+
+The reference engine has no sketch counterpart (its dedup is an exact
+sha256 key — src/pdf_parser/processors/pdf_processor.py:65); this is one of
+the large-corpus additions the engine needs at 10^12-document scale, where
+an exact distinct over a groupby shuffle is an all-to-all exchange but a
+KMV union is a constant-size reduction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import md5_u64
+
+_TWO64 = 1 << 64
+
+
+def _k_smallest_distinct(hashes: np.ndarray, k: int) -> np.ndarray:
+    """The ≤ k smallest distinct values of a uint64 array, ascending."""
+    uniq = np.unique(hashes)  # sorted ascending, distinct
+    return uniq[:k]
+
+
+def kmv_estimate(kept: np.ndarray, k: int) -> int:
+    """Cardinality estimate from a merged KMV sketch.
+
+    If fewer than k distinct hashes exist the sketch IS the distinct set
+    (exact count); otherwise the classic unbiased estimator
+    ``(k-1) * 2^64 // h_k`` with h_k the k-th smallest hash, computed in
+    exact big-int arithmetic so a DuckDB HUGEINT replay matches bit-for-bit.
+    """
+    n_kept = len(kept)
+    if n_kept < k:
+        return n_kept
+    return (k - 1) * _TWO64 // int(kept[-1])
+
+
+def kmv_distinct(ds, col: str, *, k: int = 256):
+    """Approximate COUNT(DISTINCT col) via a distributed KMV sketch.
+
+    Returns a one-row Dataset ``(k, n_kept, kth_min, estimate)``:
+    ``kth_min`` is the largest kept hash (uint64), ``estimate`` the
+    cardinality estimate (exact when the true cardinality is below k).
+    Standard error ≈ 1/sqrt(k-2) — k=256 gives ~6 %.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_pylist()
+        hs = md5_u64([v for v in vals if v is not None])
+        if len(hs) == 0:
+            return pa.table({"h": pa.array([], type=pa.uint64())})
+        return pa.table({"h": pa.array(_k_smallest_distinct(hs, k),
+                                       type=pa.uint64())})
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        kept = _k_smallest_distinct(
+            part["h"].to_numpy(dtype=np.uint64), k)
+        n_kept = len(kept)
+        kth = int(kept[-1]) if n_kept else 0
+        return pd.DataFrame({
+            "k": pd.array([k], dtype="int64"),
+            "n_kept": pd.array([n_kept], dtype="int64"),
+            "kth_min": pd.array([kth], dtype="uint64"),
+            "estimate": pd.array([kmv_estimate(kept, k)], dtype="int64"),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    # partials are ≤ k rows per input block — always tiny; coalesce without
+    # a key exchange and reduce once (same shape as relational.topk merge).
+    return partials.repartition(1).map_batches(merge, batch_format="pandas",
+                                               batch_size=None)
+
+
+def kmv_distinct_sql(table: str, col: str, *, k: int = 256) -> str:
+    """DuckDB replay of :func:`kmv_distinct` over ``table.col`` — same
+    hash rule (md5 first-16-hex as UBIGINT), same keep-k window, same
+    exact-integer estimator (HUGEINT ``//``)."""
+    return f"""
+WITH h AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(CAST({col} AS VARCHAR)), 1, 16))
+                       AS UBIGINT) AS h
+  FROM {table} WHERE {col} IS NOT NULL),
+kept AS (
+  SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS r FROM h)
+  WHERE r <= {k})
+SELECT CAST({k} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(coalesce(max(h), 0) AS UBIGINT) AS kth_min,
+       CAST(CASE WHEN count(*) < {k} THEN CAST(count(*) AS HUGEINT)
+                 ELSE CAST({k - 1} AS HUGEINT)
+                      * CAST('18446744073709551616' AS HUGEINT)
+                      // CAST(max(h) AS HUGEINT)
+            END AS BIGINT) AS estimate
+FROM kept
+"""

@@ -52,7 +52,8 @@ def _names():
         "stratified_sample", "pack_sequences", "top_terms",
         "repetition_stats", "bigram_commonness",
         "chunk_documents", "source_mix", "corpus_curate",
-        "embedding_centroids",
+        "embedding_centroids", "approx_distinct_users",
+        "orders_top_per_customer",
     ]
 
 

@@ -195,3 +195,53 @@ class TestStratifiedSample:
                 .groupby("lang").head(3)[["doc_id", "lang"]])
         assert (sorted(map(tuple, got.itertuples(index=False)))
                 == sorted(map(tuple, want.itertuples(index=False))))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTopNPerGroup:
+    def test_oracle_parity_sf0001(self, ray_session, con):
+        from pdf_parser_ray.pipelines.relational import orders_top_per_customer
+
+        got = orders_top_per_customer(SF_DIR, n=3).to_pandas()
+        want = con.execute(
+            "SELECT o_custkey, o_orderkey, o_totalprice, "
+            "CAST(row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk "
+            "FROM orders QUALIFY rnk <= 3").fetchdf()
+        _cmp(got[sorted(got.columns)], want)
+
+    def test_rank_and_ties(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.pipelines.relational import top_n_per_group
+
+        df = pd.DataFrame({
+            "g": [1, 1, 1, 2, 2],
+            "id": [10, 11, 12, 20, 21],
+            "v": [5.0, 5.0, 9.0, 1.0, 1.0],  # ties → id ascending breaks
+        })
+        out = top_n_per_group(
+            ray.data.from_pandas(df).repartition(3), group_col="g",
+            order_cols=["v", "id"], descending=[True, False], n=2,
+            nrows=None).to_pandas().sort_values(["g", "rnk"],
+                                                ignore_index=True)
+        assert list(out["id"]) == [12, 10, 20, 21]
+        assert list(out["rnk"]) == [1, 2, 1, 2]
+
+    def test_coalesce_gate_equals_shuffle_path(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.pipelines.relational import top_n_per_group
+
+        df = pd.DataFrame({"g": [i % 7 for i in range(100)],
+                           "id": range(100),
+                           "v": [float((i * 37) % 13) for i in range(100)]})
+        kw = dict(group_col="g", order_cols=["v", "id"],
+                  descending=[True, False], n=3)
+        ds = ray.data.from_pandas(df).repartition(4)
+        a = top_n_per_group(ds, nrows=100, **kw).to_pandas()
+        b = top_n_per_group(ds, nrows=None, **kw).to_pandas()
+        key = ["g", "rnk"]
+        pd.testing.assert_frame_equal(
+            a.sort_values(key, ignore_index=True)[sorted(a.columns)],
+            b.sort_values(key, ignore_index=True)[sorted(b.columns)])

@@ -1,0 +1,109 @@
+"""KMV approximate-distinct sketch (stages/sketch.py)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pdf_parser_ray.functions.hashing import md5_u64
+from pdf_parser_ray.stages.sketch import (kmv_distinct, kmv_distinct_sql,
+                                          kmv_estimate)
+
+
+def _h(v) -> int:
+    return int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
+
+
+class TestMd5U64:
+    def test_matches_hashlib_and_duckdb_idiom(self):
+        import duckdb
+
+        vals = ["a", "7", "", "héllo"]
+        got = md5_u64(vals)
+        assert got.dtype == np.uint64
+        assert [int(x) for x in got] == [_h(v) for v in vals]
+        sql = duckdb.sql(
+            "SELECT CAST(concat('0x', substr(md5(v), 1, 16)) AS UBIGINT) "
+            "FROM (SELECT unnest(['a', '7', '', 'héllo']) AS v)"
+        ).fetchall()
+        assert [r[0] for r in sql] == [int(x) for x in got]
+
+
+class TestKmvEstimate:
+    def test_exact_below_k(self):
+        kept = np.array([5, 9, 12], dtype=np.uint64)
+        assert kmv_estimate(kept, k=8) == 3
+
+    def test_estimator_formula_at_k(self):
+        # h_k = 2^62 → estimate = (k-1) * 2^64 // 2^62 = (k-1) * 4
+        kept = np.array([1, 2, 1 << 62], dtype=np.uint64)
+        assert kmv_estimate(kept, k=3) == 8
+
+    def test_big_int_no_overflow(self):
+        kept = np.array([1, 2, 3], dtype=np.uint64)  # h_k = 3 → huge estimate
+        assert kmv_estimate(kept, k=3) == 2 * (1 << 64) // 3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKmvDistinct:
+    def _run(self, values, k, parts=3):
+        import ray.data
+
+        ds = ray.data.from_arrow(pa.table({"v": values})).repartition(parts)
+        df = kmv_distinct(ds, "v", k=k).to_pandas()
+        assert len(df) == 1 and str(df["kth_min"].dtype) == "uint64"
+        # NOTE: df.iloc[0] would promote the mixed int64/uint64 row to
+        # float64 and corrupt kth_min — read columns individually.
+        return {c: df[c].iloc[0] for c in df.columns}
+
+    def test_exact_when_cardinality_below_k(self):
+        row = self._run(pa.array(list(range(10)) * 5, type=pa.int64()), k=64)
+        assert row["estimate"] == 10 == row["n_kept"]
+        assert row["kth_min"] == max(_h(v) for v in
+                                     sorted(range(10), key=_h)[:64])
+
+    def test_estimate_matches_hand_merge(self):
+        vals = [f"u{i}" for i in range(500)]
+        row = self._run(pa.array(vals * 2), k=32, parts=7)
+        kept = sorted({_h(v) for v in vals})[:32]
+        assert row["n_kept"] == 32
+        assert int(row["kth_min"]) == kept[-1]
+        assert row["estimate"] == 31 * (1 << 64) // kept[-1]
+        # k=32 → ~18 % stderr; this seed-free check is structural, not tuned
+        assert 250 <= row["estimate"] <= 1000
+
+    def test_nulls_skipped(self):
+        row = self._run(pa.array([1, None, 2, None, 1], type=pa.int64()), k=8)
+        assert row["estimate"] == 2
+
+    def test_partition_shape_independent(self):
+        vals = pa.array([f"d{i}" for i in range(200)])
+        a = self._run(vals, k=16, parts=1)
+        b = self._run(vals, k=16, parts=11)
+        assert a == b
+
+    def test_k_validation(self):
+        import ray.data
+
+        with pytest.raises(ValueError):
+            kmv_distinct(ray.data.from_items([{"v": 1}]), "v", k=1)
+
+    def test_sql_replay_matches(self, tmp_path):
+        import duckdb
+
+        import ray.data
+
+        vals = pa.table({"v": pa.array([i % 97 for i in range(400)],
+                                       type=pa.int64())})
+        p = str(tmp_path / "t.parquet")
+        import pyarrow.parquet as pq
+
+        pq.write_table(vals, p)
+        got = kmv_distinct(ray.data.read_parquet(p), "v", k=48).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{p}')")
+        want = con.execute(kmv_distinct_sql("t", "v", k=48)).fetchdf()
+        pd.testing.assert_frame_equal(
+            got.sort_index(axis=1), want.sort_index(axis=1))
