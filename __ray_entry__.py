@@ -1718,6 +1718,31 @@ def _q_approx_distinct_users(sf_dir: str):
     return kmv_distinct(ds, "user_id", k=_KMV_K)
 
 
+_KMV_BY_K = 32
+
+
+def _kmv_by_sql() -> str:
+    from pdf_parser_ray.stages.sketch import kmv_distinct_by_sql
+
+    return kmv_distinct_by_sql("events", "user_id", group_col="event_type",
+                               k=_KMV_BY_K)
+
+
+def _q_approx_distinct_users_by_type(sf_dir: str):
+    """Per-group KMV sketch: approx distinct users per event_type. The
+    grouped COUNT(DISTINCT) that needs no (group, value) shuffle — blocks
+    reduce to ≤ k hashes per group before the exchange."""
+    from pdf_parser_ray.pipelines.relational import _table_nrows
+    from pdf_parser_ray.stages.sketch import kmv_distinct_by
+
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return kmv_distinct_by(ds, "user_id", group_col="event_type",
+                           k=_KMV_BY_K, nrows=_table_nrows(sf_dir, "events"))
+
+
 def _q_distinct_flags(sf_dir: str):
     """Dataset.unique (set-op/distinct operator) over lineitem flags."""
     import ray.data
@@ -1854,6 +1879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": _q_embedding_centroids,
         "customers_with_orders": _q_customers_with_orders,
         "approx_distinct_users": _q_approx_distinct_users,
+        "approx_distinct_users_by_type": _q_approx_distinct_users_by_type,
         "distinct_flags": _q_distinct_flags,
         "events_props": _q_events_props,
         "text_normalize": _q_text_normalize,
@@ -2042,6 +2068,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT l_returnflag FROM lineitem"
         ),
         "approx_distinct_users": _kmv_sql(),
+        "approx_distinct_users_by_type": _kmv_by_sql(),
         "events_props": (
             "SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decile, "
             "count(*) AS n_events FROM events GROUP BY 1"

@@ -90,6 +90,86 @@ def kmv_distinct(ds, col: str, *, k: int = 256):
                                                batch_size=None)
 
 
+def kmv_distinct_by(ds, col: str, *, group_col: str, k: int = 256,
+                    num_parts: int = 64, nrows: int | None = None):
+    """Per-group approximate COUNT(DISTINCT col): one KMV sketch per group.
+
+    The point at scale: COUNT(DISTINCT x) GROUP BY g normally shuffles
+    every (g, x) pair; here each block reduces to ≤ k hashes PER GROUP
+    SEEN IN THAT BLOCK, so the exchange carries ``k × groups-per-block``
+    uint64 rows — independent of row count. Sketches merge per group
+    (KMV union = k smallest of the union) with the house coarse-partition
+    kernel. Output: (group_col, k, n_kept, kth_min, estimate).
+    """
+    from ..pipelines.relational import coarse_partition_apply
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        gs, hs = [], []
+        for g, sub in batch.groupby(group_col, sort=False):
+            vals = sub[col].dropna()
+            kept = _k_smallest_distinct(md5_u64(list(vals)), k)
+            gs.extend([g] * len(kept))
+            hs.extend(int(x) for x in kept)
+        return pd.DataFrame({group_col: gs,
+                             "h": pd.array(hs, dtype="uint64")})
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for g, sub in part.groupby(group_col, sort=False):
+            kept = _k_smallest_distinct(
+                sub["h"].to_numpy(dtype=np.uint64), k)
+            rows.append((g, len(kept), int(kept[-1]) if len(kept) else 0,
+                         kmv_estimate(kept, k)))
+        out = pd.DataFrame(rows, columns=[group_col, "n_kept", "kth_min",
+                                          "estimate"])
+        out.insert(1, "k", k)
+        for c, dt in (("k", "int64"), ("n_kept", "int64"),
+                      ("kth_min", "uint64"), ("estimate", "int64")):
+            out[c] = out[c].astype(dt)
+        return out.drop(columns=["kmv_part"], errors="ignore")
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    # partials are ≤ k rows per group per block — a group-keyed merge over
+    # slim uint64 rows; the value column itself never enters the exchange.
+    # nrows (the INPUT row count, free from parquet footers) is a sound
+    # upper bound on the partial row count, so the coalesce gate applies.
+    return coarse_partition_apply(partials, merge, key_col=group_col,
+                                  part_col="kmv_part", num_parts=num_parts,
+                                  nrows=nrows)
+
+
+def kmv_distinct_by_sql(table: str, col: str, *, group_col: str,
+                        k: int = 256) -> str:
+    """DuckDB replay of :func:`kmv_distinct_by` — the keep-k window runs
+    PARTITION BY group, estimator identical to the global sketch."""
+    return f"""
+WITH h AS (
+  SELECT DISTINCT {group_col},
+         CAST(concat('0x', substr(md5(CAST({col} AS VARCHAR)), 1, 16))
+              AS UBIGINT) AS h
+  FROM {table} WHERE {col} IS NOT NULL),
+kept AS (
+  SELECT {group_col}, h FROM (
+    SELECT {group_col}, h,
+           row_number() OVER (PARTITION BY {group_col} ORDER BY h) AS r
+    FROM h)
+  WHERE r <= {k})
+SELECT {group_col},
+       CAST({k} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(max(h) AS UBIGINT) AS kth_min,
+       CAST(CASE WHEN count(*) < {k} THEN CAST(count(*) AS HUGEINT)
+                 ELSE CAST({k - 1} AS HUGEINT)
+                      * CAST('18446744073709551616' AS HUGEINT)
+                      // CAST(max(h) AS HUGEINT)
+            END AS BIGINT) AS estimate
+FROM kept GROUP BY {group_col}
+"""
+
+
 def kmv_distinct_sql(table: str, col: str, *, k: int = 256) -> str:
     """DuckDB replay of :func:`kmv_distinct` over ``table.col`` — same
     hash rule (md5 first-16-hex as UBIGINT), same keep-k window, same

@@ -53,7 +53,7 @@ def _names():
         "repetition_stats", "bigram_commonness",
         "chunk_documents", "source_mix", "corpus_curate",
         "embedding_centroids", "approx_distinct_users",
-        "orders_top_per_customer",
+        "orders_top_per_customer", "approx_distinct_users_by_type",
     ]
 
 

@@ -107,3 +107,67 @@ class TestKmvDistinct:
         want = con.execute(kmv_distinct_sql("t", "v", k=48)).fetchdf()
         pd.testing.assert_frame_equal(
             got.sort_index(axis=1), want.sort_index(axis=1))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKmvDistinctBy:
+    def _ds(self, df, parts=5):
+        import ray.data
+
+        return ray.data.from_pandas(df).repartition(parts)
+
+    def test_per_group_matches_global_sketch_rule(self):
+        from pdf_parser_ray.stages.sketch import kmv_distinct_by
+
+        df = pd.DataFrame({
+            "g": (["a"] * 300) + (["b"] * 40),
+            "v": [f"u{i % 120}" for i in range(300)] + [f"w{i}" for i in range(40)],
+        })
+        out = (kmv_distinct_by(self._ds(df), "v", group_col="g", k=16,
+                               nrows=340)
+               .to_pandas().set_index("g").sort_index())
+        # group a: 120 distinct > k → estimator
+        kept_a = sorted({_h(f"u{i}") for i in range(120)})[:16]
+        assert out.loc["a", "n_kept"] == 16
+        assert int(out.loc["a", "kth_min"]) == kept_a[-1]
+        assert out.loc["a", "estimate"] == 15 * (1 << 64) // kept_a[-1]
+        # group b: 40 distinct > 16 too — check exact path with tiny group
+        kept_b = sorted({_h(f"w{i}") for i in range(40)})[:16]
+        assert out.loc["b", "estimate"] == 15 * (1 << 64) // kept_b[-1]
+
+    def test_exact_small_groups_and_shuffle_vs_coalesce(self):
+        from pdf_parser_ray.stages.sketch import kmv_distinct_by
+
+        df = pd.DataFrame({"g": ["x", "x", "y"], "v": [1, 1, 2]})
+        for nrows in (3, None):  # coalesce gate vs shuffle path
+            out = (kmv_distinct_by(self._ds(df, parts=2), "v", group_col="g",
+                                   k=8, nrows=nrows)
+                   .to_pandas().set_index("g").sort_index())
+            assert list(out["estimate"]) == [1, 1]
+            assert list(out["n_kept"]) == [1, 1]
+
+    def test_sql_replay_matches(self, tmp_path):
+        import duckdb
+        import pyarrow.parquet as pq
+
+        import ray.data
+
+        from pdf_parser_ray.stages.sketch import (kmv_distinct_by,
+                                                  kmv_distinct_by_sql)
+
+        tbl = pa.table({
+            "g": pa.array([f"t{i % 3}" for i in range(600)]),
+            "v": pa.array([(i * 7) % 100 for i in range(600)], type=pa.int64()),
+        })
+        p = str(tmp_path / "t.parquet")
+        pq.write_table(tbl, p)
+        got = kmv_distinct_by(ray.data.read_parquet(p), "v", group_col="g",
+                              k=24, nrows=600).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{p}')")
+        want = con.execute(
+            kmv_distinct_by_sql("t", "v", group_col="g", k=24)).fetchdf()
+        key = sorted(got.columns)
+        pd.testing.assert_frame_equal(
+            got[key].sort_values(key, ignore_index=True),
+            want[key].sort_values(key, ignore_index=True))
