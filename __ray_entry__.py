@@ -1915,6 +1915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": rel.top_revenue_orders,
         "orders_filter_topk": rel.orders_filter_topk,
         "orders_top_per_customer": rel.orders_top_per_customer,
+        "events_value_percentiles": rel.events_value_percentiles,
         "events_hourly": rel.events_hourly,
         "events_top_users": rel.events_top_users,
         "events_sessions": rel.events_sessions,
@@ -2208,6 +2209,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT user_id, ts, "
             "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events) "
             "GROUP BY user_id"
+        ),
+        "events_value_percentiles": (
+            "WITH m AS (SELECT event_type, "
+            "CAST(floor(1000 * value) AS BIGINT) AS v "
+            "FROM events WHERE value IS NOT NULL) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "min(v) AS min_milli, "
+            "quantile_disc(v, 0.25) AS p25_milli, "
+            "quantile_disc(v, 0.50) AS p50_milli, "
+            "quantile_disc(v, 0.75) AS p75_milli, "
+            "quantile_disc(v, 0.90) AS p90_milli, "
+            "max(v) AS max_milli "
+            "FROM m GROUP BY event_type"
         ),
         "orders_top_per_customer": (
             "SELECT o_custkey, o_orderkey, o_totalprice, "

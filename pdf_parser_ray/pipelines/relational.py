@@ -468,6 +468,65 @@ def top_n_per_group(ds, *, group_col: str, order_cols: list[str],
                                   nrows=nrows)
 
 
+def events_value_percentiles(sf_dir: str, num_parts: int = 16):
+    """GROUPED exact quantiles (p25/p50/p75/p90 of value per event_type) —
+    the per-key sibling of the global token_percentiles histogram trick.
+
+    Values are milli fixed-pointed (``floor(1000·v)`` in float64 — the
+    same IEEE ops DuckDB performs), so exact discrete quantiles reduce to
+    a bounded histogram: per-batch (type, value_milli, n) partials → one
+    slim exchange keyed on type → per-type cumulative-count quantile
+    lookup, ``ceil(q·n)-1`` matching DuckDB quantile_disc. The exchange
+    carries one row per distinct (type, milli value) per batch — bounded
+    by value resolution, independent of row count.
+    """
+    import math
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def hist_partial(batch: pd.DataFrame) -> pa.Table:
+        v = batch["value"].to_numpy(dtype=np.float64)
+        keep = ~np.isnan(v)
+        g = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy()[keep],
+            "value_milli": np.floor(1000.0 * v[keep]).astype(np.int64),
+        })
+        agg = g.groupby(["event_type", "value_milli"], as_index=False).size()
+        return pa.table({
+            "event_type": pa.array(agg["event_type"], type=pa.string()),
+            "value_milli": pa.array(agg["value_milli"], type=pa.int64()),
+            "n": pa.array(agg["size"], type=pa.int64()),
+        })
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, sub in part.groupby("event_type", sort=False):
+            h = (sub.groupby("value_milli", as_index=False)["n"].sum()
+                 .sort_values("value_milli"))
+            values = h["value_milli"].to_numpy()
+            cum = h["n"].to_numpy().cumsum()
+            n = int(cum[-1])
+
+            def qd(q: float) -> int:
+                idx = min(max(math.ceil(q * n) - 1, 0), n - 1)
+                return int(values[np.searchsorted(cum, idx + 1)])
+
+            rows.append((t, n, int(values[0]), qd(0.25), qd(0.5),
+                         qd(0.75), qd(0.9), int(values[-1])))
+        out = pd.DataFrame(rows, columns=[
+            "event_type", "n_events", "min_milli", "p25_milli", "p50_milli",
+            "p75_milli", "p90_milli", "max_milli"])
+        for c in out.columns[1:]:
+            out[c] = out[c].astype("int64")
+        return out.drop(columns=["evp_part"], errors="ignore")
+
+    hist = ds.map_batches(hist_partial, batch_format="pandas")
+    # input nrows upper-bounds the partial histogram rows → gate is sound
+    return coarse_partition_apply(hist, kernel, key_col="event_type",
+                                  part_col="evp_part", num_parts=num_parts,
+                                  nrows=_table_nrows(sf_dir, "events"))
+
+
 def orders_top_per_customer(sf_dir: str, n: int = 3):
     """Top-n orders per customer by price (windowed rank over orders)."""
     ds = _read(sf_dir, "orders",

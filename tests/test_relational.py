@@ -245,3 +245,45 @@ class TestTopNPerGroup:
         pd.testing.assert_frame_equal(
             a.sort_values(key, ignore_index=True)[sorted(a.columns)],
             b.sort_values(key, ignore_index=True)[sorted(b.columns)])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventsValuePercentiles:
+    def test_oracle_parity_sf0001(self, ray_session, con):
+        from pdf_parser_ray.pipelines.relational import events_value_percentiles
+
+        got = events_value_percentiles(SF_DIR).to_pandas()
+        want = con.execute(
+            "WITH m AS (SELECT event_type, "
+            "CAST(floor(1000 * value) AS BIGINT) AS v "
+            "FROM events WHERE value IS NOT NULL) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "min(v) AS min_milli, quantile_disc(v, 0.25) AS p25_milli, "
+            "quantile_disc(v, 0.50) AS p50_milli, "
+            "quantile_disc(v, 0.75) AS p75_milli, "
+            "quantile_disc(v, 0.90) AS p90_milli, max(v) AS max_milli "
+            "FROM m GROUP BY event_type").fetchdf()
+        _cmp(got, want)
+
+    def test_tiny_hand_case_both_paths(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import events_value_percentiles
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "event_type": pa.array(["a"] * 4 + ["b"]),
+            "value": pa.array([0.001, 0.002, 0.003, 0.004, -0.0015],
+                              type=pa.float64()),
+        }), str(d / "events.parquet"))
+        out = events_value_percentiles(str(d)).to_pandas().set_index(
+            "event_type").sort_index()
+        # a: milli values [1,2,3,4]; p50 idx=ceil(.5*4)-1=1 → 2; p25 → 1
+        assert out.loc["a", "p50_milli"] == 2
+        assert out.loc["a", "p25_milli"] == 1
+        assert out.loc["a", "p90_milli"] == 4
+        # b: floor(-1.5) = -2
+        assert out.loc["b", "min_milli"] == -2 == out.loc["b", "max_milli"]
+        assert out.loc["b", "n_events"] == 1
