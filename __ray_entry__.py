@@ -1916,6 +1916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_filter_topk": rel.orders_filter_topk,
         "orders_top_per_customer": rel.orders_top_per_customer,
         "events_value_percentiles": rel.events_value_percentiles,
+        "customer_orders_left": rel.customer_orders_left,
         "events_hourly": rel.events_hourly,
         "events_top_users": rel.events_top_users,
         "events_sessions": rel.events_sessions,
@@ -2209,6 +2210,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT user_id, ts, "
             "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events) "
             "GROUP BY user_id"
+        ),
+        "customer_orders_left": (
+            "SELECT c_custkey, c_name, o_orderkey, o_totalprice "
+            "FROM customer LEFT JOIN orders ON o_custkey = c_custkey"
         ),
         "events_value_percentiles": (
             "WITH m AS (SELECT event_type, "

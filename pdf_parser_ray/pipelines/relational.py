@@ -468,6 +468,27 @@ def top_n_per_group(ds, *, group_col: str, order_cols: list[str],
                                   nrows=nrows)
 
 
+def customer_orders_left(sf_dir: str, num_buckets: int = 32):
+    """LEFT OUTER join demo over the bucket-partitioned hash join:
+    every customer with each of their orders, orderless customers kept
+    with null order columns. Explicit types keep the pipeline fully lazy
+    (Dataset.schema() would execute the upstream)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def rekey(b: pa.Table) -> pa.Table:
+        return b.select(["o_custkey", "o_orderkey", "o_totalprice"]) \
+                .rename_columns(["c_custkey", "o_orderkey", "o_totalprice"])
+
+    orders = orders.map_batches(rekey, batch_format="pyarrow")
+    return hash_join(
+        cust, orders, key="c_custkey", how="left", num_buckets=num_buckets,
+        left_types={"c_custkey": pa.int64(), "c_name": pa.string()},
+        right_types={"c_custkey": pa.int64(), "o_orderkey": pa.int64(),
+                     "o_totalprice": pa.float64()})
+
+
 def events_value_percentiles(sf_dir: str, num_parts: int = 16):
     """GROUPED exact quantiles (p25/p50/p75/p90 of value per event_type) —
     the per-key sibling of the global token_percentiles histogram trick.
@@ -542,9 +563,9 @@ def orders_top_per_customer(sf_dir: str, n: int = 3):
 # ---------------------------------------------------------------------------
 
 def hash_join(ds_left, ds_right, *, key: str, num_buckets: int = 32,
-              suffixes: tuple = ("", "_r"),
+              suffixes: tuple = ("", "_r"), how: str = "inner",
               left_types: dict | None = None, right_types: dict | None = None):
-    """Bucket-partitioned inner hash join for two LARGE datasets.
+    """Bucket-partitioned inner/left-outer hash join for two LARGE datasets.
 
     The portable pattern from the Ray guide: both sides get a
     ``join_bucket = hash(key) % B`` column, schemas are aligned with TYPED
@@ -553,8 +574,16 @@ def hash_join(ds_left, ds_right, *, key: str, num_buckets: int = 32,
     join pairwise inside map_groups. The shuffle is one all-to-all of each
     side, same as any distributed hash join. Skewed keys: raise num_buckets
     or pre-salt the hot key into sub-buckets on the probe side.
+
+    ``how="left"`` keeps unmatched left rows (right columns null); a left
+    row's bucket group always exists, so no extra pass is needed. A
+    schemaless (fully empty) right side needs ``right_types`` for a left
+    join — without them the nullable right columns can't be typed.
     """
     import zlib
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
 
     # Dataset.schema() EXECUTES a lazy upstream pipeline to sample its
     # schema — callers that know their column types pass left_types /
@@ -563,9 +592,17 @@ def hash_join(ds_left, ds_right, *, key: str, num_buckets: int = 32,
         lschema = ds_left.schema() if left_types is None else True
         rschema = ds_right.schema() if right_types is None else True
         if lschema is None or rschema is None:
-            # a schemaless (fully empty) side makes the inner join empty;
-            # return the empty side so downstream stages no-op
-            return ds_left if lschema is None else ds_right
+            # a schemaless (fully empty) left side makes any join empty; a
+            # schemaless right side makes an INNER join empty (a LEFT join
+            # against it needs right_types to type the null columns —
+            # raise rather than silently drop them)
+            if lschema is None:
+                return ds_left
+            if how == "left":
+                raise ValueError(
+                    "hash_join(how='left') with a schemaless right side "
+                    "requires right_types")
+            return ds_right
         if left_types is None:
             left_types = {n: _arrow_type(t) for n, t in zip(lschema.names, lschema.types)}
         if right_types is None:
@@ -612,12 +649,30 @@ def hash_join(ds_left, ds_right, *, key: str, num_buckets: int = 32,
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["join_side"] == 0][l_keep]
         r = g[g["join_side"] == 1][r_keep]
-        out = l.merge(r, on=key, how="inner")  # empty-safe: keeps dtypes
-        # restore integer dtypes diluted to float64 by the union's nulls
-        for c in out.columns:
+        out = l.merge(r, on=key, how=how)  # empty-safe: keeps dtypes
+        # restore integer dtypes diluted to float64 by the union's nulls.
+        # LEFT join right side: unmatched rows put real NaNs there in SOME
+        # buckets, so cast to NULLABLE Int64 (→ Arrow int64-with-nulls) —
+        # every bucket emits the same Arrow type, and the final to_pandas
+        # lands on int64 when no null exists and float64 when one does,
+        # matching what DuckDB's fetchdf does for a nullable BIGINT.
+        restore = out.columns if how == "inner" else l_keep
+        for c in restore:
             if pa.types.is_integer(all_types.get(c, pa.string())) and \
                     out[c].dtype.kind == "f" and not out[c].isna().any():
                 out[c] = out[c].astype("int64")
+        if how == "left":
+            for c in r_keep:
+                if c != key and pa.types.is_integer(all_types[c]) and \
+                        out[c].dtype.kind == "f":
+                    out[c] = out[c].astype("Int64")
+            # Arrow block (int64-with-nulls), NOT a pandas Int64 block:
+            # Dataset.to_pandas then lands on int64 when the column has no
+            # null and float64 when it does — DuckDB fetchdf semantics.
+            # Strip the embedded pandas metadata or to_pandas round-trips
+            # the Int64 extension dtype right back.
+            return pa.Table.from_pandas(
+                out, preserve_index=False).replace_schema_metadata(None)
         return out
 
     return both.groupby("join_bucket").map_groups(join_bucket, batch_format="pandas")

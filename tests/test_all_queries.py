@@ -54,7 +54,7 @@ def _names():
         "chunk_documents", "source_mix", "corpus_curate",
         "embedding_centroids", "approx_distinct_users",
         "orders_top_per_customer", "approx_distinct_users_by_type",
-        "events_value_percentiles",
+        "events_value_percentiles", "customer_orders_left",
     ]
 
 

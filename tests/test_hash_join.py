@@ -120,3 +120,57 @@ class TestDistributedBloom:
         ref.add_many(keys)
         assert (bf.bits == ref.bits).all()
         assert all(bf.might_contain(k) for k in keys)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLeftJoin:
+    def test_left_join_equivalence(self):
+        import ray.data
+
+        from pdf_parser_ray.pipelines.relational import hash_join
+
+        left = pd.DataFrame({"k": [1, 2, 2, 3, 5], "lv": ["a", "b", "c", "d", "e"]})
+        right = pd.DataFrame({"k": [2, 2, 3, 4], "rv": [10, 20, 30, 40]})
+        got = hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                        key="k", how="left", num_buckets=4).to_pandas()
+        want = left.merge(right, on="k", how="left")
+        cols = ["k", "lv", "rv"]
+        pd.testing.assert_frame_equal(
+            got[cols].sort_values(cols, ignore_index=True),
+            want[cols].sort_values(cols, ignore_index=True), check_dtype=False)
+        # unmatched left rows survive with null right values
+        assert got.loc[got["k"].isin([1, 5]), "rv"].isna().all()
+
+    def test_left_join_consistent_right_dtype_across_buckets(self):
+        import ray.data
+
+        from pdf_parser_ray.pipelines.relational import hash_join
+
+        # bucket of k=1 has no right rows (NaN), bucket of k=2 matches —
+        # the column must come back one dtype, not int64/float64 mixed
+        left = pd.DataFrame({"k": [1, 2], "lv": ["a", "b"]})
+        right = pd.DataFrame({"k": [2], "rv": [7]})
+        got = hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                        key="k", how="left", num_buckets=8).to_pandas()
+        assert len(got) == 2
+        assert got["rv"].dtype.kind == "f"
+
+    def test_left_join_schemaless_right_raises_without_types(self):
+        import ray.data
+
+        from pdf_parser_ray.pipelines.relational import hash_join
+
+        left = ray.data.from_pandas(pd.DataFrame({"k": [1], "lv": ["a"]}))
+        empty = ray.data.from_pandas(pd.DataFrame({"k": [], "rv": []})).filter(
+            lambda r: False)
+        with pytest.raises(ValueError, match="right_types"):
+            hash_join(left, empty.materialize(), key="k", how="left")
+
+    def test_how_validation(self):
+        import ray.data
+
+        from pdf_parser_ray.pipelines.relational import hash_join
+
+        ds = ray.data.from_pandas(pd.DataFrame({"k": [1]}))
+        with pytest.raises(ValueError, match="how"):
+            hash_join(ds, ds, key="k", how="outer")
