@@ -176,7 +176,8 @@ def run_query_suite() -> dict:
              "customer_order_revenue", "corpus_prep",
              "ngram_jaccard", "events_asof",
              "events_range_join", "knn_lsh", "dup_spans",
-             "corpus_curate"]
+             "corpus_curate", "approx_distinct_users",
+             "events_value_percentiles", "orders_top_per_customer"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:
