@@ -1917,6 +1917,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_top_per_customer": rel.orders_top_per_customer,
         "events_value_percentiles": rel.events_value_percentiles,
         "customer_orders_left": rel.customer_orders_left,
+        "user_event_pivot": rel.user_event_pivot,
+        "pricing_rollup": rel.pricing_rollup,
         "events_hourly": rel.events_hourly,
         "events_top_users": rel.events_top_users,
         "events_sessions": rel.events_sessions,
@@ -2214,6 +2216,20 @@ def oracle_sql() -> dict[str, str]:
         "customer_orders_left": (
             "SELECT c_custkey, c_name, o_orderkey, o_totalprice "
             "FROM customer LEFT JOIN orders ON o_custkey = c_custkey"
+        ),
+        "user_event_pivot": (
+            "SELECT user_id, "
+            + ", ".join(
+                f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT)"
+                f" AS n_{t}"
+                for t in ["click", "view", "purchase", "signup", "error"])
+            + " FROM events GROUP BY user_id"
+        ),
+        "pricing_rollup": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
         ),
         "events_value_percentiles": (
             "WITH m AS (SELECT event_type, "

@@ -468,6 +468,96 @@ def top_n_per_group(ds, *, group_col: str, order_cols: list[str],
                                   nrows=nrows)
 
 
+def pivot_counts(ds, *, key: str, pivot_col: str, categories: list[str],
+                 other: str | None = None, num_parts: int = 64,
+                 nrows: int | None = None):
+    """PIVOT / crosstab: one count column per category per key
+    (``n_<cat>``), the one-hot aggregate feeding feature tables. The
+    category list is an explicit contract (as in SQL ``PIVOT ... IN``);
+    ``other`` buckets unlisted values into ``n_<other>`` (None = drop).
+
+    Shape: per-batch vectorized crosstab partial (one row per key per
+    batch, count columns fixed) → coarse key-partition group-sum. The
+    exchange carries ``keys-per-batch × (len(categories)+2)`` int64 cells —
+    never the raw rows.
+    """
+    cats = list(categories) + ([other] if other else [])
+    cols = [f"n_{c}" for c in cats]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({key: batch[key], "_c": batch[pivot_col]})
+        if other is not None:
+            g["_c"] = np.where(g["_c"].isin(categories), g["_c"], other)
+        else:
+            g = g[g["_c"].isin(categories)]
+        ct = g.groupby([key, "_c"], observed=True).size().unstack(fill_value=0)
+        ct = ct.reindex(columns=cats, fill_value=0)
+        ct.columns = cols
+        return ct.reset_index()
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        agg = part.groupby(key, as_index=False)[cols].sum()
+        for c in cols:
+            agg[c] = agg[c].astype("int64")
+        return agg.drop(columns=["pv_part"], errors="ignore")
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    # input nrows upper-bounds partial rows → the coalesce gate is sound
+    return coarse_partition_apply(partials, kernel, key_col=key,
+                                  part_col="pv_part", num_parts=num_parts,
+                                  nrows=nrows)
+
+
+def pricing_rollup(sf_dir: str):
+    """Hierarchical ROLLUP aggregate: sum_qty / n_rows at three grain
+    levels — (returnflag, linestatus), (returnflag), () — like SQL
+    ``GROUP BY ROLLUP``, higher levels null-filled.
+
+    Shape: one full-data pass of per-batch partials keyed on the FINEST
+    grain; the coarser levels are re-aggregated from the tiny base result
+    inside the single merge task — rolling up never re-reads the input.
+    Quantities are cast to int64 (integral by contract) so every level is
+    order-independent exact.
+    """
+    keys = ["l_returnflag", "l_linestatus"]
+    ds = _read(sf_dir, "lineitem", columns=keys + ["l_quantity"])
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        batch = batch.assign(q=batch["l_quantity"].astype("int64"))
+        agg = batch.groupby(keys, as_index=False).agg(
+            sum_qty=("q", "sum"), n_rows=("q", "size"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        spec = {"sum_qty": ("sum_qty", "sum"), "n_rows": ("n_rows", "sum")}
+        base = part.groupby(keys, as_index=False).agg(**spec)
+        lvl1 = base.groupby(keys[0], as_index=False).agg(**spec)
+        lvl1[keys[1]] = None
+        lvl0 = pd.DataFrame({keys[0]: [None], keys[1]: [None],
+                             "sum_qty": [base["sum_qty"].sum()],
+                             "n_rows": [base["n_rows"].sum()]})
+        out = pd.concat([base, lvl1, lvl0], ignore_index=True)
+        out["sum_qty"] = out["sum_qty"].astype("int64")
+        out["n_rows"] = out["n_rows"].astype("int64")
+        return out[keys + ["sum_qty", "n_rows"]]
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    # partial rows ≤ distinct(flag×status) per batch — always tiny
+    return partials.repartition(1).map_batches(combine, batch_format="pandas",
+                                               batch_size=None)
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def user_event_pivot(sf_dir: str):
+    """Per-user event-type count matrix (PIVOT over the event stream)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return pivot_counts(ds, key="user_id", pivot_col="event_type",
+                        categories=_EVENT_TYPES,
+                        nrows=_table_nrows(sf_dir, "events"))
+
+
 def customer_orders_left(sf_dir: str, num_buckets: int = 32):
     """LEFT OUTER join demo over the bucket-partitioned hash join:
     every customer with each of their orders, orderless customers kept

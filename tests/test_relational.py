@@ -287,3 +287,78 @@ class TestEventsValuePercentiles:
         # b: floor(-1.5) = -2
         assert out.loc["b", "min_milli"] == -2 == out.loc["b", "max_milli"]
         assert out.loc["b", "n_events"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPivotCounts:
+    def test_hand_case_other_and_drop(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.pipelines.relational import pivot_counts
+
+        df = pd.DataFrame({"u": [1, 1, 1, 2, 2],
+                           "t": ["a", "a", "b", "zz", "a"]})
+        ds = ray.data.from_pandas(df).repartition(3)
+        # other bucket
+        out = pivot_counts(ds, key="u", pivot_col="t", categories=["a", "b"],
+                           other="other", nrows=5).to_pandas().set_index("u").sort_index()
+        assert list(out.loc[1]) == [2, 1, 0]
+        assert list(out.loc[2]) == [1, 0, 1]
+        # drop unlisted
+        out2 = pivot_counts(ds, key="u", pivot_col="t", categories=["a", "b"],
+                            nrows=5).to_pandas().set_index("u").sort_index()
+        assert list(out2.columns) == ["n_a", "n_b"]
+        assert list(out2.loc[2]) == [1, 0]
+
+    def test_shuffle_path_equals_gate_path(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.pipelines.relational import pivot_counts
+
+        df = pd.DataFrame({"u": [i % 13 for i in range(200)],
+                           "t": [["a", "b", "c"][i % 3] for i in range(200)]})
+        ds = ray.data.from_pandas(df).repartition(5)
+        kw = dict(key="u", pivot_col="t", categories=["a", "b", "c"])
+        a = pivot_counts(ds, nrows=200, **kw).to_pandas()
+        b = pivot_counts(ds, nrows=None, **kw).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values("u", ignore_index=True),
+            b.sort_values("u", ignore_index=True))
+
+    def test_oracle_parity_sf0001(self, ray_session, con):
+        from pdf_parser_ray.pipelines.relational import user_event_pivot
+
+        got = user_event_pivot(SF_DIR).to_pandas()
+        want = con.execute(
+            "SELECT user_id, "
+            + ", ".join(
+                f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+                for t in ["click", "view", "purchase", "signup", "error"])
+            + " FROM events GROUP BY user_id").fetchdf()
+        _cmp(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPricingRollup:
+    def test_oracle_parity_sf0001(self, ray_session, con):
+        from pdf_parser_ray.pipelines.relational import pricing_rollup
+
+        got = pricing_rollup(SF_DIR).to_pandas()
+        want = con.execute(
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ).fetchdf()
+        _cmp(got, want)
+
+    def test_levels_consistent(self, ray_session):
+        from pdf_parser_ray.pipelines.relational import pricing_rollup
+
+        df = pricing_rollup(SF_DIR).to_pandas()
+        total = df[df["l_returnflag"].isna()]
+        lvl1 = df[df["l_returnflag"].notna() & df["l_linestatus"].isna()]
+        base = df[df["l_linestatus"].notna()]
+        assert len(total) == 1
+        assert total["n_rows"].iloc[0] == lvl1["n_rows"].sum() == base["n_rows"].sum()
+        assert total["sum_qty"].iloc[0] == base["sum_qty"].sum()
