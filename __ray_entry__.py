@@ -619,9 +619,15 @@ def _q_embedding_centroids(sf_dir: str):
 
     import ray.data
 
+    from pdf_parser_ray.pipelines.relational import _table_nrows
+
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["label", "embedding"])
-    out = embedding_centroids(ds, vec_col="embedding", group_col="label")
+    # partial-rows over-bound for the coalesce gate: rows × dim (the synth
+    # embeddings table is 64-dimensional — TESTDATA.md)
+    nrows = _table_nrows(sf_dir, "embeddings") * 64
+    out = embedding_centroids(ds, vec_col="embedding", group_col="label",
+                              nrows=nrows)
     return out.map_batches(
         lambda b: pa.table({
             "label": pc.cast(b.column("label"), pa.int64()),

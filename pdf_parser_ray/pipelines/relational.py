@@ -388,6 +388,10 @@ def _bucket_array(kv, num_buckets: int) -> pa.Array:
     import zlib
 
     if pa.types.is_integer(kv.type):
+        # null-safe: fill nulls with 0 BEFORE the numpy cast (NaN→int64 is
+        # undefined); all null keys land deterministically in bucket(0)
+        if kv.null_count:
+            kv = pc.fill_null(kv, 0)
         arr = kv.to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.array((arr & (2**62 - 1)) % num_buckets, type=pa.int64())
     return pa.array([zlib.crc32(str(v).encode()) % num_buckets for v in kv.to_pylist()],
@@ -451,14 +455,16 @@ def top_n_per_group(ds, *, group_col: str, order_cols: list[str],
     ONE vectorized kernel per partition — mergesort + cumcount, no per-key
     Python). The kernel is partition-shape-independent, so the small-input
     coalesce gate applies. Order columns must make the rank deterministic
-    (include a tiebreaker).
+    (include a tiebreaker). A null group key is a real partition
+    (``dropna=False``), as in SQL PARTITION BY.
     """
     ascending = [True] + [not d for d in descending]
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([group_col] + order_cols, ascending=ascending,
                           kind="mergesort")
-        rnk = g.groupby(group_col, sort=False).cumcount().to_numpy() + 1
+        rnk = g.groupby(group_col, sort=False,
+                        dropna=False).cumcount().to_numpy() + 1
         out = g.iloc[rnk <= n].copy()
         out[rank_col] = rnk[rnk <= n].astype("int64")
         return out.drop(columns=["tng_part"], errors="ignore")
@@ -481,7 +487,7 @@ def pivot_counts(ds, *, key: str, pivot_col: str, categories: list[str],
     exchange carries ``keys-per-batch × (len(categories)+2)`` int64 cells —
     never the raw rows.
     """
-    cats = list(categories) + ([other] if other else [])
+    cats = list(categories) + ([other] if other is not None else [])
     cols = [f"n_{c}" for c in cats]
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -490,16 +496,17 @@ def pivot_counts(ds, *, key: str, pivot_col: str, categories: list[str],
             g["_c"] = np.where(g["_c"].isin(categories), g["_c"], other)
         else:
             g = g[g["_c"].isin(categories)]
-        ct = g.groupby([key, "_c"], observed=True).size().unstack(fill_value=0)
+        ct = (g.groupby([key, "_c"], observed=True, dropna=False).size()
+              .unstack(fill_value=0))
         ct = ct.reindex(columns=cats, fill_value=0)
         ct.columns = cols
         return ct.reset_index()
 
     def kernel(part: pd.DataFrame) -> pd.DataFrame:
-        agg = part.groupby(key, as_index=False)[cols].sum()
+        agg = part.groupby(key, as_index=False, dropna=False)[cols].sum()
         for c in cols:
             agg[c] = agg[c].astype("int64")
-        return agg.drop(columns=["pv_part"], errors="ignore")
+        return agg
 
     partials = ds.map_batches(partial, batch_format="pandas")
     # input nrows upper-bounds partial rows → the coalesce gate is sound
@@ -602,7 +609,8 @@ def events_value_percentiles(sf_dir: str, num_parts: int = 16):
             "event_type": batch["event_type"].to_numpy()[keep],
             "value_milli": np.floor(1000.0 * v[keep]).astype(np.int64),
         })
-        agg = g.groupby(["event_type", "value_milli"], as_index=False).size()
+        agg = g.groupby(["event_type", "value_milli"], as_index=False,
+                        dropna=False).size()
         return pa.table({
             "event_type": pa.array(agg["event_type"], type=pa.string()),
             "value_milli": pa.array(agg["value_milli"], type=pa.int64()),
@@ -611,7 +619,7 @@ def events_value_percentiles(sf_dir: str, num_parts: int = 16):
 
     def kernel(part: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for t, sub in part.groupby("event_type", sort=False):
+        for t, sub in part.groupby("event_type", sort=False, dropna=False):
             h = (sub.groupby("value_milli", as_index=False)["n"].sum()
                  .sort_values("value_milli"))
             values = h["value_milli"].to_numpy()
@@ -629,7 +637,7 @@ def events_value_percentiles(sf_dir: str, num_parts: int = 16):
             "p75_milli", "p90_milli", "max_milli"])
         for c in out.columns[1:]:
             out[c] = out[c].astype("int64")
-        return out.drop(columns=["evp_part"], errors="ignore")
+        return out
 
     hist = ds.map_batches(hist_partial, batch_format="pandas")
     # input nrows upper-bounds the partial histogram rows → gate is sound
@@ -752,17 +760,22 @@ def hash_join(ds_left, ds_right, *, key: str, num_buckets: int = 32,
                     out[c].dtype.kind == "f" and not out[c].isna().any():
                 out[c] = out[c].astype("int64")
         if how == "left":
-            for c in r_keep:
-                if c != key and pa.types.is_integer(all_types[c]) and \
+            for c in out.columns:
+                if pa.types.is_integer(all_types[c]) and \
                         out[c].dtype.kind == "f":
                     out[c] = out[c].astype("Int64")
-            # Arrow block (int64-with-nulls), NOT a pandas Int64 block:
-            # Dataset.to_pandas then lands on int64 when the column has no
-            # null and float64 when it does — DuckDB fetchdf semantics.
-            # Strip the embedded pandas metadata or to_pandas round-trips
-            # the Int64 extension dtype right back.
+            # Arrow block with the EXPLICIT join schema (int64-with-nulls,
+            # typed strings), NOT per-bucket inference: an unmatched bucket
+            # would infer a null-typed column for all-None strings and a
+            # matched one string — mixed block schemas downstream. With
+            # int64-with-nulls blocks, Dataset.to_pandas lands on int64
+            # when the column has no null and float64 when it does —
+            # DuckDB fetchdf semantics. Strip the embedded pandas metadata
+            # or to_pandas round-trips the Int64 extension dtype back.
+            schema = pa.schema([(c, all_types[c]) for c in out.columns])
             return pa.Table.from_pandas(
-                out, preserve_index=False).replace_schema_metadata(None)
+                out, preserve_index=False,
+                schema=schema).replace_schema_metadata(None)
         return out
 
     return both.groupby("join_bucket").map_groups(join_bucket, batch_format="pandas")

@@ -358,7 +358,8 @@ def pq_topk(ds, query_ids: list, query_vectors: np.ndarray,
 
 
 def embedding_centroids(ds, *, vec_col: str = "embedding",
-                        group_col: str = "label", num_parts: int = 64):
+                        group_col: str = "label", num_parts: int = 64,
+                        nrows: int | None = None):
     """Grouped VECTOR aggregate: the per-group centroid of an embedding
     column (class prototypes / cluster summaries), kept integer-exact so a
     DuckDB oracle replays it bit-for-bit: each component is milli
@@ -370,44 +371,54 @@ def embedding_centroids(ds, *, vec_col: str = "embedding",
     the house coarse-partition group-sum keyed on group×dim; the final
     mean is one arithmetic map. Output: (group_col, dim, sum_milli,
     n_vecs, centroid_milli), n_groups × n_dims rows.
+
+    ``nrows``: caller-supplied upper bound on the PARTIAL row count
+    (groups × dims × blocks; input_rows × dim is a sound over-bound) for
+    the small-input coalesce gate. None ⇒ always the shuffle path — never
+    an eager count() here, which would execute the scan twice.
     """
     import pyarrow as pa
 
     from ..pipelines.relational import coarse_partition_apply
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        groups, dims, sums, ns = [], [], [], []
-        for g, sub in batch.groupby(group_col, sort=False):
+        frames = []
+        for g, sub in batch.groupby(group_col, sort=False, dropna=False):
             mat = np.stack(sub[vec_col].to_numpy()).astype(np.float64)
-            m = np.floor(1000.0 * mat).astype(np.int64)
-            s = m.sum(axis=0)
+            s = np.floor(1000.0 * mat).astype(np.int64).sum(axis=0)
             d = s.shape[0]
-            groups.extend([g] * d)
-            dims.extend(range(d))
-            sums.extend(int(x) for x in s)
-            ns.extend([len(sub)] * d)
-        return pd.DataFrame({group_col: groups, "dim": dims,
-                             "sum_milli": sums, "n_vecs": ns})
+            frames.append(pd.DataFrame({
+                group_col: np.repeat(np.asarray([g], dtype=object), d),
+                "dim": np.arange(d, dtype=np.int64),
+                "sum_milli": s,
+                "n_vecs": np.full(d, len(sub), dtype=np.int64)}))
+        return pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame({group_col: pd.Series(dtype=object),
+                          "dim": pd.Series(dtype="int64"),
+                          "sum_milli": pd.Series(dtype="int64"),
+                          "n_vecs": pd.Series(dtype="int64")})
 
     partials = ds.map_batches(partial, batch_format="pandas")
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby([group_col, "dim"], as_index=False).agg(
+        agg = g.groupby([group_col, "dim"], as_index=False, dropna=False).agg(
             sum_milli=("sum_milli", "sum"), n_vecs=("n_vecs", "sum"))
         agg["centroid_milli"] = agg["sum_milli"] // agg["n_vecs"]
         for c in ("dim", "sum_milli", "n_vecs", "centroid_milli"):
             agg[c] = agg[c].astype("int64")
-        return agg.drop(columns=["gd_part"], errors="ignore")
+        return agg
 
     def add_key(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        key = pc.add(pc.multiply(pc.cast(batch.column(group_col), pa.int64()),
-                                 pa.scalar(1 << 20)),
-                     pc.cast(batch.column("dim"), pa.int64()))
+        # string concat key: works for ANY label type (crc32 bucketing
+        # downstream), no 2^20-dim or numeric-label collision concerns
+        key = pc.binary_join_element_wise(
+            pc.cast(batch.column(group_col), pa.string()),
+            pc.cast(batch.column("dim"), pa.string()), ":")
         return batch.append_column("gd_key", key)
 
     keyed = partials.map_batches(add_key, batch_format="pyarrow")
     return coarse_partition_apply(keyed, combine, key_col="gd_key",
                                   part_col="gd_part", num_parts=num_parts,
-                                  nrows=keyed.count())
+                                  nrows=nrows)

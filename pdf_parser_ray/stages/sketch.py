@@ -100,25 +100,37 @@ def kmv_distinct_by(ds, col: str, *, group_col: str, k: int = 256,
     uint64 rows — independent of row count. Sketches merge per group
     (KMV union = k smallest of the union) with the house coarse-partition
     kernel. Output: (group_col, k, n_kept, kth_min, estimate).
+
+    Null VALUES are skipped (as in the SQL replay); null GROUP keys are a
+    real group (pandas ``dropna=False`` — matches SQL GROUP BY NULL).
     """
     from ..pipelines.relational import coarse_partition_apply
 
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        gs, hs = [], []
-        for g, sub in batch.groupby(group_col, sort=False):
-            vals = sub[col].dropna()
-            kept = _k_smallest_distinct(md5_u64(list(vals)), k)
-            gs.extend([g] * len(kept))
-            hs.extend(int(x) for x in kept)
-        return pd.DataFrame({group_col: gs,
-                             "h": pd.array(hs, dtype="uint64")})
+    def partial(batch: pa.Table) -> pa.Table:
+        # Hash from the ARROW column: a pandas round-trip would turn an
+        # int64-with-nulls column into float64 and hash '7.0' != md5('7')
+        vals = batch.column(col).to_pylist()
+        mask = np.array([v is not None for v in vals], dtype=bool)
+        hs = md5_u64([v for v, m in zip(vals, mask) if m])
+        g = pd.DataFrame({group_col: np.asarray(
+                              batch.column(group_col).to_pylist(),
+                              dtype=object)[mask],
+                          "h": pd.array(hs, dtype="uint64")})
+        kept = (g.drop_duplicates()
+                 .sort_values("h", kind="mergesort")
+                 .groupby(group_col, sort=False, dropna=False).head(k))
+        return pa.Table.from_pandas(kept, preserve_index=False,
+                                    schema=pa.schema([
+                                        (group_col, batch.schema.field(
+                                            group_col).type),
+                                        ("h", pa.uint64())]))
 
     def merge(part: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for g, sub in part.groupby(group_col, sort=False):
+        for g, sub in part.groupby(group_col, sort=False, dropna=False):
             kept = _k_smallest_distinct(
                 sub["h"].to_numpy(dtype=np.uint64), k)
             rows.append((g, len(kept), int(kept[-1]) if len(kept) else 0,
@@ -129,9 +141,9 @@ def kmv_distinct_by(ds, col: str, *, group_col: str, k: int = 256,
         for c, dt in (("k", "int64"), ("n_kept", "int64"),
                       ("kth_min", "uint64"), ("estimate", "int64")):
             out[c] = out[c].astype(dt)
-        return out.drop(columns=["kmv_part"], errors="ignore")
+        return out
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
     # partials are ≤ k rows per group per block — a group-keyed merge over
     # slim uint64 rows; the value column itself never enters the exchange.
     # nrows (the INPUT row count, free from parquet footers) is a sound

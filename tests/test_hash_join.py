@@ -174,3 +174,43 @@ class TestLeftJoin:
         ds = ray.data.from_pandas(pd.DataFrame({"k": [1]}))
         with pytest.raises(ValueError, match="how"):
             hash_join(ds, ds, key="k", how="outer")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLeftJoinSchemaConsistency:
+    def test_string_right_column_unmatched_buckets(self):
+        """Buckets with zero matches must still emit a STRING-typed right
+        column (all-None object would infer Arrow null type → mixed block
+        schemas)."""
+        import ray.data
+
+        from pdf_parser_ray.pipelines.relational import hash_join
+
+        left = pd.DataFrame({"k": list(range(16)),
+                             "lv": [f"l{i}" for i in range(16)]})
+        right = pd.DataFrame({"k": [3], "rname": ["hit"]})
+        out = hash_join(ray.data.from_pandas(left).repartition(4),
+                        ray.data.from_pandas(right),
+                        key="k", how="left", num_buckets=8)
+        # schema must unify across buckets; write+read exercises it hardest
+        df = out.to_pandas()
+        assert len(df) == 16
+        assert df.loc[df["k"] == 3, "rname"].iloc[0] == "hit"
+        assert df.loc[df["k"] != 3, "rname"].isna().all()
+
+    def test_left_int_key_with_null_left_values(self):
+        """A LEFT int column containing real nulls must come out one dtype
+        across buckets (nullable Int64 → Arrow int64-with-nulls)."""
+        import ray.data
+
+        from pdf_parser_ray.pipelines.relational import hash_join
+
+        left = pd.DataFrame({"k": [1, 2, 3, 4],
+                             "lval": pd.array([10, None, 30, None],
+                                              dtype="Int64")})
+        right = pd.DataFrame({"k": [1, 3], "rv": [7.0, 9.0]})
+        df = hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                       key="k", how="left", num_buckets=8).to_pandas()
+        assert len(df) == 4
+        assert df["lval"].dtype.kind == "f"  # nulls present → float64
+        assert df.loc[df["k"] == 3, "lval"].iloc[0] == 30

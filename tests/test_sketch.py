@@ -171,3 +171,55 @@ class TestKmvDistinctBy:
         pd.testing.assert_frame_equal(
             got[key].sort_values(key, ignore_index=True),
             want[key].sort_values(key, ignore_index=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReviewRegressions:
+    def test_grouped_sketch_hashes_ints_not_floats(self, tmp_path):
+        """An int64 column CONTAINING NULLS must hash '7', not '7.0'
+        (a pandas batch would dilute to float64) — replay vs DuckDB."""
+        import duckdb
+        import pyarrow.parquet as pq
+
+        import ray.data
+
+        from pdf_parser_ray.stages.sketch import (kmv_distinct_by,
+                                                  kmv_distinct_by_sql)
+
+        tbl = pa.table({
+            "g": pa.array(["a"] * 6 + ["b"] * 3),
+            "v": pa.array([7, 8, None, 7, 9, 10, None, 1, 2],
+                          type=pa.int64()),
+        })
+        p = str(tmp_path / "t.parquet")
+        pq.write_table(tbl, p)
+        got = kmv_distinct_by(ray.data.read_parquet(p), "v", group_col="g",
+                              k=8, nrows=9).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{p}')")
+        want = con.execute(
+            kmv_distinct_by_sql("t", "v", group_col="g", k=8)).fetchdf()
+        key = sorted(got.columns)
+        pd.testing.assert_frame_equal(
+            got[key].sort_values(key, ignore_index=True),
+            want[key].sort_values(key, ignore_index=True))
+        # direct check too: group a kept hashes of 7,8,9,10 as INTS
+        a = got[got["g"] == "a"].iloc[0]
+        assert a["n_kept"] == 4
+        assert int(got[got["g"] == "a"]["kth_min"].iloc[0]) == \
+            max(sorted(_h(v) for v in [7, 8, 9, 10])[:8])
+
+    def test_grouped_sketch_null_group_is_a_group(self):
+        import ray.data
+
+        from pdf_parser_ray.stages.sketch import kmv_distinct_by
+
+        tbl = pa.table({
+            "g": pa.array(["x", None, None], type=pa.string()),
+            "v": pa.array([1, 2, 3], type=pa.int64()),
+        })
+        out = kmv_distinct_by(ray.data.from_arrow(tbl), "v", group_col="g",
+                              k=8, nrows=3).to_pandas()
+        assert len(out) == 2
+        null_row = out[out["g"].isna()]
+        assert null_row["estimate"].iloc[0] == 2
