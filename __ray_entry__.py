@@ -1924,6 +1924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_percentiles": rel.events_value_percentiles,
         "customer_orders_left": rel.customer_orders_left,
         "user_event_pivot": rel.user_event_pivot,
+        "user_event_unpivot": rel.user_event_unpivot,
         "pricing_rollup": rel.pricing_rollup,
         "events_hourly": rel.events_hourly,
         "events_top_users": rel.events_top_users,
@@ -2230,6 +2231,17 @@ def oracle_sql() -> dict[str, str]:
                 f" AS n_{t}"
                 for t in ["click", "view", "purchase", "signup", "error"])
             + " FROM events GROUP BY user_id"
+        ),
+        "user_event_unpivot": (
+            "WITH p AS (SELECT user_id, "
+            + ", ".join(
+                f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT)"
+                f" AS n_{t}"
+                for t in ["click", "view", "purchase", "signup", "error"])
+            + " FROM events GROUP BY user_id) "
+            + " UNION ALL ".join(
+                f"SELECT user_id, 'n_{t}' AS cat, n_{t} AS n FROM p"
+                for t in ["click", "view", "purchase", "signup", "error"])
         ),
         "pricing_rollup": (
             "SELECT l_returnflag, l_linestatus, "

@@ -515,6 +515,27 @@ def pivot_counts(ds, *, key: str, pivot_col: str, categories: list[str],
                                   nrows=nrows)
 
 
+def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
+            var_col: str = "variable", value_col: str = "value"):
+    """UNPIVOT / melt: wide columns → long (id, variable, value) rows —
+    the inverse of :func:`pivot_counts`. Embarrassingly parallel (a pure
+    per-batch reshape, rows × len(value_cols) output, NO shuffle)."""
+    def melt(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.melt(id_vars=id_cols, value_vars=value_cols,
+                          var_name=var_col, value_name=value_col)
+
+    return ds.map_batches(melt, batch_format="pandas")
+
+
+def user_event_unpivot(sf_dir: str):
+    """pivot → unpivot round trip: the per-user count matrix melted back
+    to long (user_id, cat, n) rows."""
+    wide = user_event_pivot(sf_dir)
+    return unpivot(wide, id_cols=["user_id"],
+                   value_cols=[f"n_{t}" for t in _EVENT_TYPES],
+                   var_col="cat", value_col="n")
+
+
 def pricing_rollup(sf_dir: str):
     """Hierarchical ROLLUP aggregate: sum_qty / n_rows at three grain
     levels — (returnflag, linestatus), (returnflag), () — like SQL

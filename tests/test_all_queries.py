@@ -55,7 +55,7 @@ def _names():
         "embedding_centroids", "approx_distinct_users",
         "orders_top_per_customer", "approx_distinct_users_by_type",
         "events_value_percentiles", "customer_orders_left",
-        "user_event_pivot", "pricing_rollup",
+        "user_event_pivot", "pricing_rollup", "user_event_unpivot",
     ]
 
 

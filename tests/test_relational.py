@@ -362,3 +362,36 @@ class TestPricingRollup:
         assert len(total) == 1
         assert total["n_rows"].iloc[0] == lvl1["n_rows"].sum() == base["n_rows"].sum()
         assert total["sum_qty"].iloc[0] == base["sum_qty"].sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUnpivot:
+    def test_melt_shape_and_roundtrip(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.pipelines.relational import unpivot
+
+        wide = pd.DataFrame({"u": [1, 2], "n_a": [3, 0], "n_b": [1, 5]})
+        out = unpivot(ray.data.from_pandas(wide).repartition(2),
+                      id_cols=["u"], value_cols=["n_a", "n_b"],
+                      var_col="cat", value_col="n").to_pandas()
+        assert len(out) == 4
+        assert set(out.columns) == {"u", "cat", "n"}
+        assert out.set_index(["u", "cat"])["n"].to_dict() == {
+            (1, "n_a"): 3, (2, "n_a"): 0, (1, "n_b"): 1, (2, "n_b"): 5}
+
+    def test_oracle_parity_sf0001(self, ray_session, con):
+        from pdf_parser_ray.pipelines.relational import user_event_unpivot
+
+        got = user_event_unpivot(SF_DIR).to_pandas()
+        types = ["click", "view", "purchase", "signup", "error"]
+        want = con.execute(
+            "WITH p AS (SELECT user_id, "
+            + ", ".join(
+                f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+                for t in types)
+            + " FROM events GROUP BY user_id) "
+            + " UNION ALL ".join(
+                f"SELECT user_id, 'n_{t}' AS cat, n_{t} AS n FROM p"
+                for t in types)).fetchdf()
+        _cmp(got, want)
