@@ -616,8 +616,10 @@ def events_value_percentiles(sf_dir: str, num_parts: int = 16):
     a bounded histogram: per-batch (type, value_milli, n) partials → one
     slim exchange keyed on type → per-type cumulative-count quantile
     lookup, ``ceil(q·n)-1`` matching DuckDB quantile_disc. The exchange
-    carries one row per distinct (type, milli value) per batch — bounded
-    by value resolution, independent of row count.
+    carries one row per distinct (type, milli value) per batch —
+    ``min(batch_rows, types × value_range·1000)`` — so it collapses for
+    bounded-range values and degrades to the raw (type, value) pairs only
+    when every value is distinct, which is the exact-quantile floor.
     """
     import math
 

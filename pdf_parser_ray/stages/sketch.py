@@ -52,13 +52,20 @@ def kmv_estimate(kept: np.ndarray, k: int) -> int:
     return (k - 1) * _TWO64 // int(kept[-1])
 
 
-def kmv_distinct(ds, col: str, *, k: int = 256):
+def kmv_distinct(ds, col: str, *, k: int = 256,
+                 intermediate_parts: int | None = None):
     """Approximate COUNT(DISTINCT col) via a distributed KMV sketch.
 
     Returns a one-row Dataset ``(k, n_kept, kth_min, estimate)``:
     ``kth_min`` is the largest kept hash (uint64), ``estimate`` the
     cardinality estimate (exact when the true cardinality is below k).
     Standard error ≈ 1/sqrt(k-2) — k=256 gives ~6 %.
+
+    The final merge task sees ``k × n_blocks`` uint64 rows. That is fine
+    up to ~10^5 blocks (k=256 → 200 MB); for a 100-TB input (~10^6
+    128-MB blocks) set ``intermediate_parts`` (e.g. 64) to insert a tree
+    level — sketch union is associative, so each intermediate partition
+    re-reduces to ≤ k rows and the final task sees ``k × parts`` instead.
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
@@ -84,8 +91,16 @@ def kmv_distinct(ds, col: str, *, k: int = 256):
         })
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    # partials are ≤ k rows per input block — always tiny; coalesce without
-    # a key exchange and reduce once (same shape as relational.topk merge).
+    if intermediate_parts:
+        def re_reduce(part: pd.DataFrame) -> pd.DataFrame:
+            kept = _k_smallest_distinct(
+                part["h"].to_numpy(dtype=np.uint64), k)
+            return pd.DataFrame({"h": pd.array(kept, dtype="uint64")})
+
+        partials = partials.repartition(intermediate_parts).map_batches(
+            re_reduce, batch_format="pandas", batch_size=None)
+    # partials are ≤ k rows per input block — tiny; coalesce without a key
+    # exchange and reduce once (same shape as relational.topk merge).
     return partials.repartition(1).map_batches(merge, batch_format="pandas",
                                                batch_size=None)
 

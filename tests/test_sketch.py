@@ -223,3 +223,14 @@ class TestReviewRegressions:
         assert len(out) == 2
         null_row = out[out["g"].isna()]
         assert null_row["estimate"].iloc[0] == 2
+
+    def test_tree_merge_equals_flat_merge(self):
+        import ray.data
+
+        from pdf_parser_ray.stages.sketch import kmv_distinct
+
+        vals = pa.array([f"v{i % 300}" for i in range(900)])
+        ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(9)
+        flat = kmv_distinct(ds, "v", k=32).to_pandas()
+        tree = kmv_distinct(ds, "v", k=32, intermediate_parts=4).to_pandas()
+        pd.testing.assert_frame_equal(flat, tree)
