@@ -160,3 +160,73 @@ class TestMd5BucketProperties:
         assert all(0 <= b < 100 for b in a)
         # stringified ids bucket identically (the DuckDB CAST AS VARCHAR rule)
         assert a == md5_bucket_100([str(i) for i in ids])
+
+
+class TestKmvProperties:
+    @given(st.lists(st.integers(min_value=-10**6, max_value=10**6),
+                    min_size=0, max_size=300),
+           st.integers(min_value=2, max_value=32),
+           st.integers(min_value=1, max_value=5))
+    @settings(max_examples=60, deadline=None)
+    def test_merge_is_partition_invariant(self, vals, k, nparts):
+        """Union of per-part k-smallest == k-smallest of the whole — the
+        property that makes the distributed sketch (and its tree merge)
+        exact regardless of block layout."""
+        from pdf_parser_ray.functions.hashing import md5_u64
+        from pdf_parser_ray.stages.sketch import _k_smallest_distinct
+
+        hs = md5_u64(vals)
+        whole = _k_smallest_distinct(hs, k)
+        parts = [hs[i::nparts] for i in range(nparts)]
+        pooled = np.concatenate(
+            [_k_smallest_distinct(p, k) for p in parts]) if vals else hs
+        merged = _k_smallest_distinct(pooled, k)
+        assert np.array_equal(whole, merged)
+
+    @given(st.lists(st.integers(min_value=0, max_value=40),
+                    min_size=1, max_size=200))
+    @settings(max_examples=60, deadline=None)
+    def test_exact_below_k_and_estimator_bounds(self, vals):
+        from pdf_parser_ray.functions.hashing import md5_u64
+        from pdf_parser_ray.stages.sketch import (_k_smallest_distinct,
+                                                  kmv_estimate)
+
+        k = 64  # distinct(vals) <= 41 < k → exact path always
+        kept = _k_smallest_distinct(md5_u64(vals), k)
+        assert kmv_estimate(kept, k) == len(set(vals))
+
+    @given(st.lists(st.one_of(st.integers(min_value=-10**9, max_value=10**9),
+                              st.text(max_size=12)),
+                    min_size=0, max_size=50))
+    @settings(max_examples=40, deadline=None)
+    def test_md5_u64_equals_hex_prefix_rule(self, vals):
+        """First-8-digest-bytes big-endian == int(hexdigest[:16], 16) — the
+        exact value CAST('0x'||substr(md5(x),1,16) AS UBIGINT) yields."""
+        import hashlib
+
+        from pdf_parser_ray.functions.hashing import md5_u64
+
+        got = md5_u64(vals)
+        want = [int(hashlib.md5(str(v).encode()).hexdigest()[:16], 16)
+                for v in vals]
+        assert [int(x) for x in got] == want
+
+
+class TestQuantileRuleProperties:
+    @given(st.lists(st.integers(min_value=-1000, max_value=1000),
+                    min_size=1, max_size=300))
+    @settings(max_examples=60, deadline=None)
+    def test_histogram_lookup_equals_sorted_index(self, vals):
+        """The (values, cumsum, searchsorted) discrete-quantile lookup used
+        by token_percentiles / events_value_percentiles == direct
+        sorted-list indexing at ceil(q·n)-1 (DuckDB quantile_disc)."""
+        import math
+
+        arr = np.asarray(sorted(vals))
+        uniq, counts = np.unique(arr, return_counts=True)
+        cum = counts.cumsum()
+        n = len(arr)
+        for q in (0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0):
+            idx = min(max(math.ceil(q * n) - 1, 0), n - 1)
+            via_hist = int(uniq[np.searchsorted(cum, idx + 1)])
+            assert via_hist == int(arr[idx])
