@@ -451,25 +451,39 @@ def top_n_per_group(ds, *, group_col: str, order_cols: list[str],
     appended. The per-group sibling of :func:`topk` (global) that Ray Data
     has no primitive for.
 
-    Shape: the house coarse-partition contract (one crc32(group) exchange,
-    ONE vectorized kernel per partition — mergesort + cumcount, no per-key
-    Python). The kernel is partition-shape-independent, so the small-input
-    coalesce gate applies. Order columns must make the rank deterministic
-    (include a tiebreaker). A null group key is a real partition
-    (``dropna=False``), as in SQL PARTITION BY.
+    Shape: per-group top-n is ASSOCIATIVE (the global top-n per key is the
+    top-n of per-block top-ns), so a per-batch pre-prune keeps ≤ n rows per
+    group per block before the exchange — the shuffle carries
+    ``n × keys-per-block`` rows, not the input (a hot key still ships only
+    n rows per block, the skew cap). Then the house coarse-partition
+    contract (one crc32(group) exchange, ONE vectorized mergesort+cumcount
+    kernel per partition — no per-key Python). The kernel is
+    partition-shape-independent, so the small-input coalesce gate applies.
+    Order columns must make the rank deterministic (include a tiebreaker).
+    A null group key is a real partition (``dropna=False``), as in SQL
+    PARTITION BY.
     """
     ascending = [True] + [not d for d in descending]
 
-    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+    def _rank(g: pd.DataFrame):
         g = g.sort_values([group_col] + order_cols, ascending=ascending,
                           kind="mergesort")
         rnk = g.groupby(group_col, sort=False,
                         dropna=False).cumcount().to_numpy() + 1
+        return g, rnk
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g, rnk = _rank(g)
+        return g.iloc[rnk <= n]
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g, rnk = _rank(g)
         out = g.iloc[rnk <= n].copy()
         out[rank_col] = rnk[rnk <= n].astype("int64")
         return out.drop(columns=["tng_part"], errors="ignore")
 
-    return coarse_partition_apply(ds, kernel, key_col=group_col,
+    pruned = ds.map_batches(prune, batch_format="pandas")
+    return coarse_partition_apply(pruned, kernel, key_col=group_col,
                                   part_col="tng_part", num_parts=num_parts,
                                   nrows=nrows)
 

@@ -395,3 +395,23 @@ class TestUnpivot:
                 f"SELECT user_id, 'n_{t}' AS cat, n_{t} AS n FROM p"
                 for t in types)).fetchdf()
         _cmp(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTopNPerGroupPrePrune:
+    def test_hot_key_single_group(self, ray_session):
+        """All rows one key across many blocks — pre-prune must still yield
+        the exact global top-n."""
+        import ray.data
+
+        from pdf_parser_ray.pipelines.relational import top_n_per_group
+
+        df = pd.DataFrame({"g": [1] * 500, "id": range(500),
+                           "v": [float((i * 7919) % 997) for i in range(500)]})
+        out = top_n_per_group(
+            ray.data.from_pandas(df).repartition(8), group_col="g",
+            order_cols=["v", "id"], descending=[True, False], n=4,
+            nrows=None).to_pandas().sort_values("rnk", ignore_index=True)
+        want = df.sort_values(["v", "id"], ascending=[False, True]).head(4)
+        assert list(out["id"]) == list(want["id"])
+        assert list(out["rnk"]) == [1, 2, 3, 4]
