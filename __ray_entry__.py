@@ -1925,6 +1925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_orders_left": rel.customer_orders_left,
         "user_event_pivot": rel.user_event_pivot,
         "user_event_unpivot": rel.user_event_unpivot,
+        "token_budget_mix": rel.token_budget_mix,
         "pricing_rollup": rel.pricing_rollup,
         "events_hourly": rel.events_hourly,
         "events_top_users": rel.events_top_users,
@@ -2231,6 +2232,18 @@ def oracle_sql() -> dict[str, str]:
                 f" AS n_{t}"
                 for t in ["click", "view", "purchase", "signup", "error"])
             + " FROM events GROUP BY user_id"
+        ),
+        "token_budget_mix": (
+            "WITH t AS (SELECT doc_id, source, "
+            "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+            "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) "
+            "AS UBIGINT) AS rank FROM documents), "
+            "c AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(sum(n_tokens) OVER (PARTITION BY source "
+            "ORDER BY rank, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+            "AS cum_tokens FROM t) "
+            "SELECT doc_id, source, n_tokens, cum_tokens FROM c "
+            "WHERE cum_tokens <= 20000"
         ),
         "user_event_unpivot": (
             "WITH p AS (SELECT user_id, "

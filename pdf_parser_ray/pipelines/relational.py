@@ -1198,6 +1198,51 @@ def hash_sample(sf_dir: str, pct: int = 10):
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
+def token_budget_mix(sf_dir: str, budget_tokens: int = 20_000,
+                     num_parts: int = 16):
+    """Mixture selection to a TOKEN BUDGET: per source, take documents in
+    deterministic md5(doc_id)-rank order until the source's cumulative
+    token count would exceed the budget — "build an N-token-per-source
+    mix", the budgeted form of :func:`source_mix`'s rate sampling.
+
+    Shape: one full-data pass computes slim (doc_id, source, n_tokens,
+    rank) rows — the text never leaves the scan — then ONE exchange keyed
+    on source and a per-partition sort+cumsum kernel. Selected ids can
+    recover payloads via the house semi-join (dedup.py). Deterministic
+    across runs/engines: rank is the md5-uint64 of the stringified id,
+    ties broken by doc_id.
+    """
+    from ..functions.hashing import md5_u64
+    from ..stages.textstage import add_token_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def slim(batch: pd.DataFrame) -> pa.Table:
+        batch = add_token_counts(batch)
+        return pa.table({
+            "doc_id": pa.array(batch["doc_id"], type=pa.int64()),
+            "source": pa.array(batch["source"], type=pa.string()),
+            "n_tokens": pa.array(batch["n_tokens"], type=pa.int64()),
+            "rank": pa.array(md5_u64(batch["doc_id"].to_list()),
+                             type=pa.uint64()),
+        })
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["source", "rank", "doc_id"],
+                                kind="mergesort")
+        cum = part.groupby("source", sort=False,
+                           dropna=False)["n_tokens"].cumsum()
+        keep = cum <= budget_tokens
+        out = part.loc[keep, ["doc_id", "source", "n_tokens"]].copy()
+        out["cum_tokens"] = cum[keep].astype("int64")
+        return out.drop(columns=["tbm_part"], errors="ignore")
+
+    slim_ds = ds.map_batches(slim, batch_format="pandas")
+    return coarse_partition_apply(slim_ds, kernel, key_col="source",
+                                  part_col="tbm_part", num_parts=num_parts,
+                                  nrows=_table_nrows(sf_dir, "documents"))
+
+
 def source_mix(sf_dir: str, rates: dict[str, int] | None = None,
                default_pct: int = 0):
     """Deterministic per-source mixture sampling — the data-mixing

@@ -415,3 +415,46 @@ class TestTopNPerGroupPrePrune:
         want = df.sort_values(["v", "id"], ascending=[False, True]).head(4)
         assert list(out["id"]) == list(want["id"])
         assert list(out["rnk"]) == [1, 2, 3, 4]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTokenBudgetMix:
+    def test_oracle_parity_sf0001(self, ray_session, con):
+        from pdf_parser_ray.pipelines.relational import token_budget_mix
+
+        got = token_budget_mix(SF_DIR, budget_tokens=2000).to_pandas()
+        want = con.execute(
+            "WITH t AS (SELECT doc_id, source, "
+            "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+            "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) "
+            "AS UBIGINT) AS rank FROM documents), "
+            "c AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(sum(n_tokens) OVER (PARTITION BY source "
+            "ORDER BY rank, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+            "AS cum_tokens FROM t) "
+            "SELECT doc_id, source, n_tokens, cum_tokens FROM c "
+            "WHERE cum_tokens <= 2000").fetchdf()
+        _cmp(got, want)
+        assert len(got) > 0
+
+    def test_prefix_property(self, ray_session):
+        """Per source the kept set is a RANK-ORDER PREFIX and the budget
+        is never exceeded."""
+        import hashlib
+
+        import duckdb
+
+        from pdf_parser_ray.pipelines.relational import token_budget_mix
+
+        got = token_budget_mix(SF_DIR, budget_tokens=2000).to_pandas()
+        assert (got.groupby("source")["cum_tokens"].max() <= 2000).all()
+        docs = duckdb.connect().execute(
+            f"SELECT doc_id, source FROM read_parquet('{SF_DIR}/documents.parquet')").df()
+        docs["rank"] = [int(hashlib.md5(str(i).encode()).hexdigest()[:16], 16)
+                        for i in docs["doc_id"]]
+        for src, sub in got.groupby("source"):
+            ranked = docs[docs["source"] == src].sort_values(
+                ["rank", "doc_id"])["doc_id"].tolist()
+            kept = set(sub["doc_id"])
+            # kept ids must be exactly the first len(kept) in rank order
+            assert kept == set(ranked[:len(kept)])
