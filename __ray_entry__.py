@@ -2235,9 +2235,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_budget_mix": (
             "WITH t AS (SELECT doc_id, source, "
-            "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+            "coalesce(length(regexp_extract_all(text, '\\S+')), 0) AS n_tokens, "
             "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) "
-            "AS UBIGINT) AS rank FROM documents), "
+            "AS UBIGINT) AS rank FROM documents "
+            "WHERE doc_id IS NOT NULL), "
             "c AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, "
             "CAST(sum(n_tokens) OVER (PARTITION BY source "
             "ORDER BY rank, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "

@@ -384,7 +384,16 @@ def _arrow_type(t):
 
 
 def _bucket_array(kv, num_buckets: int) -> pa.Array:
-    """Deterministic hash bucket per key (int: masked mod; other: crc32)."""
+    """Deterministic hash bucket per key, by LOGICAL value.
+
+    int: masked mod; float: integral values hash via the SAME int rule —
+    a pandas stage upstream turns an int64-with-nulls block into float64,
+    so the same logical key arrives as Arrow int64 in null-free blocks and
+    float64 in null-bearing ones; hashing 8 and 8.0 identically keeps a
+    group in ONE partition regardless of which blocks its rows share with
+    a null. (Ints beyond 2^53 are corrupted by that pandas round-trip
+    itself — nothing to recover here.) Nulls/NaN land in bucket(0); other
+    types crc32 their str form."""
     import zlib
 
     if pa.types.is_integer(kv.type):
@@ -394,6 +403,16 @@ def _bucket_array(kv, num_buckets: int) -> pa.Array:
             kv = pc.fill_null(kv, 0)
         arr = kv.to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.array((arr & (2**62 - 1)) % num_buckets, type=pa.int64())
+    if pa.types.is_floating(kv.type):
+        arr = kv.to_numpy(zero_copy_only=False).astype(np.float64)
+        buckets = np.zeros(len(arr), dtype=np.int64)  # NaN/null → bucket(0)
+        ok = np.isfinite(arr) & (np.floor(arr) == arr)
+        iv = arr[ok].astype(np.int64)
+        buckets[ok] = (iv & (2**62 - 1)) % num_buckets
+        rest = np.flatnonzero(np.isfinite(arr) & ~(np.floor(arr) == arr))
+        for i in rest:  # true non-integral floats: consistent str hash
+            buckets[i] = zlib.crc32(str(arr[i]).encode()) % num_buckets
+        return pa.array(buckets, type=pa.int64())
     return pa.array([zlib.crc32(str(v).encode()) % num_buckets for v in kv.to_pylist()],
                     type=pa.int64())
 
@@ -759,16 +778,9 @@ def hash_join(ds_left, ds_right, *, key: str, num_buckets: int = 32,
                 if c not in batch.column_names:
                     batch = batch.append_column(c, pa.nulls(n, type=all_types[c]))
             batch = batch.select(all_cols)
-            kv = batch.column(key)
-            if pa.types.is_integer(kv.type):
-                import numpy as np
-
-                arr = kv.to_numpy(zero_copy_only=False).astype(np.int64)
-                bucket = pa.array((arr & (2**62 - 1)) % num_buckets, type=pa.int64())
-            else:
-                bucket = pa.array(
-                    [zlib.crc32(str(v).encode()) % num_buckets for v in kv.to_pylist()],
-                    type=pa.int64())
+            # shared null-safe logical-value bucketing (was an inline copy
+            # missing the fill_null guard — NaN→int64 is undefined)
+            bucket = _bucket_array(batch.column(key), num_buckets)
             batch = batch.append_column("join_bucket", pc.cast(bucket, pa.int64()))
             return batch.append_column("join_side",
                                        pa.array([side_id] * n, type=pa.int64()))
@@ -1213,18 +1225,25 @@ def token_budget_mix(sf_dir: str, budget_tokens: int = 20_000,
     ties broken by doc_id.
     """
     from ..functions.hashing import md5_u64
-    from ..stages.textstage import add_token_counts
+    from ..functions.textstats import token_count
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
 
-    def slim(batch: pd.DataFrame) -> pa.Table:
-        batch = add_token_counts(batch)
+    def slim(batch: pa.Table) -> pa.Table:
+        # Arrow in: hash ids from their LOGICAL int form (a pandas batch
+        # would dilute int64-with-nulls to float64 and hash '8.0'), and
+        # drop null ids — they have no rank (oracle filters them too).
+        # Contract: null text = 0 tokens (the oracle coalesces to match).
+        if batch.column("doc_id").null_count:
+            batch = batch.filter(pc.is_valid(batch.column("doc_id")))
+        ids = batch.column("doc_id").to_pylist()
+        texts = pd.Series(batch.column("text").to_pylist(), dtype=object)
         return pa.table({
-            "doc_id": pa.array(batch["doc_id"], type=pa.int64()),
-            "source": pa.array(batch["source"], type=pa.string()),
-            "n_tokens": pa.array(batch["n_tokens"], type=pa.int64()),
-            "rank": pa.array(md5_u64(batch["doc_id"].to_list()),
-                             type=pa.uint64()),
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "source": batch.column("source"),
+            "n_tokens": pa.array(np.asarray(token_count(texts),
+                                            dtype=np.int64)),
+            "rank": pa.array(md5_u64(ids), type=pa.uint64()),
         })
 
     def kernel(part: pd.DataFrame) -> pd.DataFrame:
@@ -1235,9 +1254,9 @@ def token_budget_mix(sf_dir: str, budget_tokens: int = 20_000,
         keep = cum <= budget_tokens
         out = part.loc[keep, ["doc_id", "source", "n_tokens"]].copy()
         out["cum_tokens"] = cum[keep].astype("int64")
-        return out.drop(columns=["tbm_part"], errors="ignore")
+        return out
 
-    slim_ds = ds.map_batches(slim, batch_format="pandas")
+    slim_ds = ds.map_batches(slim, batch_format="pyarrow")
     return coarse_partition_apply(slim_ds, kernel, key_col="source",
                                   part_col="tbm_part", num_parts=num_parts,
                                   nrows=_table_nrows(sf_dir, "documents"))

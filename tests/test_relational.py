@@ -458,3 +458,65 @@ class TestTokenBudgetMix:
             kept = set(sub["doc_id"])
             # kept ids must be exactly the first len(kept) in rank order
             assert kept == set(ranked[:len(kept)])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNullDilutedKeyBucketing:
+    """A null in an int64 key column makes pandas stages deliver SOME
+    blocks as float64 — the same logical key must still land in ONE
+    bucket (was: duplicate per-group ranks / split pivot counts)."""
+
+    def test_top_n_per_group_int_key_with_nulls(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.pipelines.relational import top_n_per_group
+
+        df = pd.DataFrame({
+            "g": pd.array([8] * 6 + [None] + [8] * 5, dtype="Int64"),
+            "id": range(12),
+            "v": [float(i) for i in range(12)],
+        })
+        out = top_n_per_group(
+            ray.data.from_pandas(df).repartition(4), group_col="g",
+            order_cols=["v", "id"], descending=[True, False], n=2,
+            nrows=None).to_pandas()
+        g8 = out[out["g"] == 8]
+        assert len(g8) == 2
+        assert sorted(g8["rnk"]) == [1, 2]
+        assert sorted(g8["id"]) == [10, 11]  # global top-2 by v
+        null_rows = out[out["g"].isna()]
+        assert len(null_rows) == 1 and null_rows["rnk"].iloc[0] == 1
+
+    def test_pivot_counts_int_key_with_nulls(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.pipelines.relational import pivot_counts
+
+        df = pd.DataFrame({
+            "u": pd.array([8] * 6 + [None] + [8] * 5, dtype="Int64"),
+            "t": ["a", "b"] * 6,
+        })
+        out = pivot_counts(ray.data.from_pandas(df).repartition(4),
+                           key="u", pivot_col="t", categories=["a", "b"],
+                           nrows=None).to_pandas()
+        r8 = out[out["u"] == 8]
+        assert len(r8) == 1
+        assert int(r8["n_a"].iloc[0]) + int(r8["n_b"].iloc[0]) == 11
+
+    def test_bucket_array_int_float_agree(self):
+        import pyarrow as pa
+
+        from pdf_parser_ray.pipelines.relational import _bucket_array
+
+        ints = pa.chunked_array([pa.array([0, 8, 123456, 2**52],
+                                          type=pa.int64())])
+        floats = pa.chunked_array([pa.array([0.0, 8.0, 123456.0, float(2**52)],
+                                            type=pa.float64())])
+        a = _bucket_array(ints, 64).to_pylist()
+        b = _bucket_array(floats, 64).to_pylist()
+        assert a == b
+        # NaN (diluted null) → bucket 0, deterministic
+        nan = pa.chunked_array([pa.array([float("nan"), 3.5],
+                                         type=pa.float64())])
+        got = _bucket_array(nan, 64).to_pylist()
+        assert got[0] == 0 and 0 <= got[1] < 64
