@@ -501,7 +501,12 @@ def top_n_per_group(ds, *, group_col: str, order_cols: list[str],
         out[rank_col] = rnk[rnk <= n].astype("int64")
         return out.drop(columns=["tng_part"], errors="ignore")
 
-    pruned = ds.map_batches(prune, batch_format="pandas")
+    # below the coalesce gate the single merged kernel does all the work —
+    # a prune pass there is pure extra cost, not a smaller exchange
+    if nrows is not None and 0 < nrows <= _COALESCE_ROW_LIMIT:
+        pruned = ds
+    else:
+        pruned = ds.map_batches(prune, batch_format="pandas")
     return coarse_partition_apply(pruned, kernel, key_col=group_col,
                                   part_col="tng_part", num_parts=num_parts,
                                   nrows=nrows)
