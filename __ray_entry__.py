@@ -1926,6 +1926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": rel.user_event_pivot,
         "user_event_unpivot": rel.user_event_unpivot,
         "token_budget_mix": rel.token_budget_mix,
+        "user_event_types": rel.user_event_types,
         "pricing_rollup": rel.pricing_rollup,
         "events_hourly": rel.events_hourly,
         "events_top_users": rel.events_top_users,
@@ -2232,6 +2233,11 @@ def oracle_sql() -> dict[str, str]:
                 f" AS n_{t}"
                 for t in ["click", "view", "purchase", "signup", "error"])
             + " FROM events GROUP BY user_id"
+        ),
+        "user_event_types": (
+            "SELECT user_id, "
+            "string_agg(DISTINCT event_type, ',' ORDER BY event_type) "
+            "AS types_csv FROM events GROUP BY user_id"
         ),
         "token_budget_mix": (
             "WITH t AS (SELECT doc_id, source, "

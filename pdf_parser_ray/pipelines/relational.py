@@ -1215,6 +1215,42 @@ def hash_sample(sf_dir: str, pct: int = 10):
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
+def collect_distinct_sorted(ds, *, key: str, value_col: str,
+                            out_col: str, sep: str = ",",
+                            num_parts: int = 64, nrows: int | None = None):
+    """Collect/string-agg: the distinct values of ``value_col`` per key,
+    sorted and joined with ``sep`` (the list-aggregation wide op, encoded
+    as a string so results stay hashable/sortable for oracle comparison).
+
+    Shape: per-batch DISTINCT (key, value) pre-aggregation — the exchange
+    carries each pair once per block, not once per row — then the house
+    coarse key partition with one vectorized sort+groupby-join kernel.
+    """
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[[key, value_col]].drop_duplicates()
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[[key, value_col]].drop_duplicates().sort_values(
+            [key, value_col], kind="mergesort")
+        agg = part.groupby(key, sort=False, dropna=False)[value_col].agg(
+            lambda v: sep.join(v.astype(str)))
+        return agg.rename(out_col).reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return coarse_partition_apply(partials, kernel, key_col=key,
+                                  part_col="cds_part", num_parts=num_parts,
+                                  nrows=nrows)
+
+
+def user_event_types(sf_dir: str):
+    """Per user: the sorted distinct event types they produced, CSV."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return collect_distinct_sorted(ds, key="user_id",
+                                   value_col="event_type",
+                                   out_col="types_csv",
+                                   nrows=_table_nrows(sf_dir, "events"))
+
+
 def token_budget_mix(sf_dir: str, budget_tokens: int = 20_000,
                      num_parts: int = 16):
     """Mixture selection to a TOKEN BUDGET: per source, take documents in

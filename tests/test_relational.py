@@ -520,3 +520,29 @@ class TestNullDilutedKeyBucketing:
                                          type=pa.float64())])
         got = _bucket_array(nan, 64).to_pylist()
         assert got[0] == 0 and 0 <= got[1] < 64
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCollectDistinctSorted:
+    def test_hand_case_both_paths(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.pipelines.relational import collect_distinct_sorted
+
+        df = pd.DataFrame({"u": [1, 1, 1, 2], "t": ["b", "a", "b", "z"]})
+        ds = ray.data.from_pandas(df).repartition(3)
+        for nrows in (4, None):
+            out = collect_distinct_sorted(
+                ds, key="u", value_col="t", out_col="csv",
+                nrows=nrows).to_pandas().set_index("u").sort_index()
+            assert list(out["csv"]) == ["a,b", "z"]
+
+    def test_oracle_parity_sf0001(self, ray_session, con):
+        from pdf_parser_ray.pipelines.relational import user_event_types
+
+        got = user_event_types(SF_DIR).to_pandas()
+        want = con.execute(
+            "SELECT user_id, "
+            "string_agg(DISTINCT event_type, ',' ORDER BY event_type) "
+            "AS types_csv FROM events GROUP BY user_id").fetchdf()
+        _cmp(got, want)
