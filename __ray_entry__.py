@@ -1927,6 +1927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_unpivot": rel.user_event_unpivot,
         "token_budget_mix": rel.token_budget_mix,
         "user_event_types": rel.user_event_types,
+        "events_customers_full": rel.events_customers_full,
         "pricing_rollup": rel.pricing_rollup,
         "events_hourly": rel.events_hourly,
         "events_top_users": rel.events_top_users,
@@ -2233,6 +2234,13 @@ def oracle_sql() -> dict[str, str]:
                 f" AS n_{t}"
                 for t in ["click", "view", "purchase", "signup", "error"])
             + " FROM events GROUP BY user_id"
+        ),
+        "events_customers_full": (
+            "WITH u AS (SELECT user_id AS c_custkey, "
+            "CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY user_id) "
+            "SELECT coalesce(u.c_custkey, c.c_custkey) AS c_custkey, "
+            "n_events, c_name "
+            "FROM u FULL JOIN customer c ON u.c_custkey = c.c_custkey"
         ),
         "user_event_types": (
             "SELECT user_id, "

@@ -645,6 +645,30 @@ def customer_orders_left(sf_dir: str, num_buckets: int = 32):
                      "o_totalprice": pa.float64()})
 
 
+def events_customers_full(sf_dir: str, num_buckets: int = 32):
+    """FULL OUTER join demo: per-user event counts ⟗ customer — active
+    non-customers survive with null customer columns, inactive customers
+    with null counts. Composition: per-batch count partials →
+    coarse group-sum (slim) → bucket hash join in outer mode."""
+    ev = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        agg = batch.groupby("user_id", as_index=False, dropna=False).size()
+        return pa.table({
+            "c_custkey": pa.array(agg["user_id"], type=pa.int64()),
+            "n_events": pa.array(agg["size"], type=pa.int64()),
+        })
+
+    counts = partitioned_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        key="c_custkey", sum_cols={"n_events": "n_events"})
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return hash_join(
+        counts, cust, key="c_custkey", how="outer", num_buckets=num_buckets,
+        left_types={"c_custkey": pa.int64(), "n_events": pa.int64()},
+        right_types={"c_custkey": pa.int64(), "c_name": pa.string()})
+
+
 def events_value_percentiles(sf_dir: str, num_parts: int = 16):
     """GROUPED exact quantiles (p25/p50/p75/p90 of value per event_type) —
     the per-key sibling of the global token_percentiles histogram trick.
@@ -734,15 +758,17 @@ def hash_join(ds_left, ds_right, *, key: str, num_buckets: int = 32,
     side, same as any distributed hash join. Skewed keys: raise num_buckets
     or pre-salt the hot key into sub-buckets on the probe side.
 
-    ``how="left"`` keeps unmatched left rows (right columns null); a left
-    row's bucket group always exists, so no extra pass is needed. A
-    schemaless (fully empty) right side needs ``right_types`` for a left
-    join — without them the nullable right columns can't be typed.
+    ``how="left"`` keeps unmatched left rows (right columns null) and
+    ``how="outer"`` unmatched rows of BOTH sides; an unmatched row's
+    bucket group always exists, so no extra pass is needed. A schemaless
+    (fully empty) side whose columns must appear null-typed in the output
+    (right side for left join, either side for outer) needs its
+    ``*_types`` passed — without them the null columns can't be typed.
     """
     import zlib
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "outer"):
+        raise ValueError(f"how must be 'inner', 'left' or 'outer', got {how!r}")
 
     # Dataset.schema() EXECUTES a lazy upstream pipeline to sample its
     # schema — callers that know their column types pass left_types /
@@ -751,10 +777,15 @@ def hash_join(ds_left, ds_right, *, key: str, num_buckets: int = 32,
         lschema = ds_left.schema() if left_types is None else True
         rschema = ds_right.schema() if right_types is None else True
         if lschema is None or rschema is None:
-            # a schemaless (fully empty) left side makes any join empty; a
-            # schemaless right side makes an INNER join empty (a LEFT join
-            # against it needs right_types to type the null columns —
-            # raise rather than silently drop them)
+            # a schemaless (fully empty) left side makes inner/left joins
+            # empty; a schemaless right side makes an INNER join empty.
+            # Where the empty side's columns must still appear (null-typed)
+            # in the output, require explicit types rather than silently
+            # dropping them.
+            if how == "outer":
+                raise ValueError(
+                    "hash_join(how='outer') with a schemaless side "
+                    "requires its left_types/right_types")
             if lschema is None:
                 return ds_left
             if how == "left":
@@ -808,12 +839,13 @@ def hash_join(ds_left, ds_right, *, key: str, num_buckets: int = 32,
         # every bucket emits the same Arrow type, and the final to_pandas
         # lands on int64 when no null exists and float64 when one does,
         # matching what DuckDB's fetchdf does for a nullable BIGINT.
-        restore = out.columns if how == "inner" else l_keep
+        restore = out.columns if how == "inner" else \
+            (l_keep if how == "left" else [])
         for c in restore:
             if pa.types.is_integer(all_types.get(c, pa.string())) and \
                     out[c].dtype.kind == "f" and not out[c].isna().any():
                 out[c] = out[c].astype("int64")
-        if how == "left":
+        if how != "inner":
             for c in out.columns:
                 if pa.types.is_integer(all_types[c]) and \
                         out[c].dtype.kind == "f":

@@ -56,7 +56,7 @@ def _names():
         "orders_top_per_customer", "approx_distinct_users_by_type",
         "events_value_percentiles", "customer_orders_left",
         "user_event_pivot", "pricing_rollup", "user_event_unpivot",
-        "token_budget_mix", "user_event_types",
+        "token_budget_mix", "user_event_types", "events_customers_full",
     ]
 
 

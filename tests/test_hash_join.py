@@ -173,7 +173,7 @@ class TestLeftJoin:
 
         ds = ray.data.from_pandas(pd.DataFrame({"k": [1]}))
         with pytest.raises(ValueError, match="how"):
-            hash_join(ds, ds, key="k", how="outer")
+            hash_join(ds, ds, key="k", how="right")
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -214,3 +214,38 @@ class TestLeftJoinSchemaConsistency:
         assert len(df) == 4
         assert df["lval"].dtype.kind == "f"  # nulls present → float64
         assert df.loc[df["k"] == 3, "lval"].iloc[0] == 30
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOuterJoin:
+    def test_outer_join_equivalence(self):
+        import ray.data
+
+        from pdf_parser_ray.pipelines.relational import hash_join
+
+        left = pd.DataFrame({"k": [1, 2, 2, 5], "lv": [10, 20, 21, 50]})
+        right = pd.DataFrame({"k": [2, 3], "rv": ["x", "y"]})
+        got = hash_join(ray.data.from_pandas(left).repartition(2),
+                        ray.data.from_pandas(right),
+                        key="k", how="outer", num_buckets=4).to_pandas()
+        want = left.merge(right, on="k", how="outer")
+        cols = ["k", "lv", "rv"]
+        pd.testing.assert_frame_equal(
+            got[cols].sort_values(cols, ignore_index=True),
+            want[cols].sort_values(cols, ignore_index=True),
+            check_dtype=False)
+        # right-only row kept with null left values
+        r3 = got[got["k"] == 3]
+        assert len(r3) == 1 and r3["lv"].isna().all()
+
+    def test_outer_schemaless_side_raises(self):
+        import ray.data
+
+        from pdf_parser_ray.pipelines.relational import hash_join
+
+        left = ray.data.from_pandas(pd.DataFrame({"k": [1], "lv": ["a"]}))
+        empty = ray.data.from_pandas(
+            pd.DataFrame({"k": [], "rv": []})).filter(
+            lambda r: False).materialize()
+        with pytest.raises(ValueError, match="outer"):
+            hash_join(left, empty, key="k", how="outer")
