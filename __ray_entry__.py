@@ -1936,6 +1936,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": rel.events_asof,
         "events_range_join": rel.events_range_join,
         "events_sliding_window": rel.events_sliding_window,
+        "events_gaps": rel.events_gaps,
+        "custkeys_f_and_o": rel.custkeys_f_and_o,
+        "custkeys_f_not_o": rel.custkeys_f_not_o,
         "hash_sample": rel.hash_sample,
         "stratified_sample": rel.stratified_sample,
         "source_mix": rel.source_mix,
@@ -2302,6 +2305,23 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS last_mark_ts_us "
             "FROM events"
+        ),
+        "events_gaps": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps, "
+            "CAST(sum(gap_us) AS BIGINT) AS sum_gap_us, max(gap_us) AS max_gap_us "
+            "FROM (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us FROM events) "
+            "WHERE gap_us IS NOT NULL GROUP BY user_id"
+        ),
+        "custkeys_f_and_o": (
+            "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+            "INTERSECT "
+            "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'"
+        ),
+        "custkeys_f_not_o": (
+            "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+            "EXCEPT "
+            "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'"
         ),
         "events_range_join": (
             "SELECT p.event_id, p.user_id, "

@@ -1419,3 +1419,103 @@ def stratified_sample(sf_dir: str, *, key: str = "lang", k: int = 20):
                                               batch_size=None)
     return merged.map_batches(
         lambda b: b.select(["doc_id", key]), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Distinct set operations (INTERSECT / EXCEPT / UNION DISTINCT) on a key
+# ---------------------------------------------------------------------------
+
+def set_op(ds_a, ds_b, *, key: str, how: str, num_parts: int = 32,
+           nrows: int | None = None):
+    """Distinct set operation between two datasets on one key column.
+
+    Shape: per-batch distinct + a presence bit per side (A=1, B=2) → the
+    exchange carries only DISTINCT keys (slim, pre-deduped inside every
+    batch) → coarse key-hash partition → one vectorized bit-OR kernel per
+    partition → membership filter.  ``intersect`` keeps keys with both
+    bits (3), ``except`` keys seen only on side A (1), ``union`` any.
+    Nothing payload-sized ever shuffles and no sort runs at any size; the
+    all-to-all is bounded by distinct(key) × blocks.
+    """
+    if how not in ("intersect", "except", "union"):
+        raise ValueError(f"how must be intersect/except/union, got {how!r}")
+
+    def tag(bit: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = pc.unique(batch.column(key))
+            return pa.table({key: k,
+                             "side_bits": pa.array(
+                                 np.full(len(k), bit, dtype=np.int64))})
+        return fn
+
+    both = ds_a.map_batches(tag(1), batch_format="pyarrow").union(
+        ds_b.map_batches(tag(2), batch_format="pyarrow"))
+    want = {"union": (1, 2, 3), "intersect": (3,), "except": (1,)}[how]
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        # one row per (key, side) then a plain sum: bits ∈ {1,2} so the
+        # sum IS the bitwise OR — fully vectorized, no per-key Python
+        u = g.drop_duplicates([key, "side_bits"])
+        bits = u.groupby(key, as_index=False)["side_bits"].sum()
+        return bits[bits["side_bits"].isin(want)][[key]].reset_index(drop=True)
+
+    return coarse_partition_apply(both, kernel, key_col=key,
+                                  part_col="set_part", num_parts=num_parts,
+                                  nrows=nrows)
+
+
+def _orders_cust_slice(sf_dir: str, status: str):
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+    return ds.map_batches(
+        lambda b, st=status: b.filter(
+            pc.equal(b.column("o_orderstatus"), st)).select(["o_custkey"]),
+        batch_format="pyarrow")
+
+
+def custkeys_f_and_o(sf_dir: str):
+    """INTERSECT: custkeys with BOTH a finished and an open order."""
+    return set_op(_orders_cust_slice(sf_dir, "F"),
+                  _orders_cust_slice(sf_dir, "O"),
+                  key="o_custkey", how="intersect",
+                  nrows=_table_nrows(sf_dir, "orders"))
+
+
+def custkeys_f_not_o(sf_dir: str):
+    """EXCEPT: custkeys with a finished order but NO open order."""
+    return set_op(_orders_cust_slice(sf_dir, "F"),
+                  _orders_cust_slice(sf_dir, "O"),
+                  key="o_custkey", how="except",
+                  nrows=_table_nrows(sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# Lag window: per-user inter-event gap statistics
+# ---------------------------------------------------------------------------
+
+def events_gaps(sf_dir: str, num_parts: int = 64):
+    """Per-user inter-event gap stats — the lag()-window family: for every
+    user with ≥2 events, the number of gaps, total and max gap in µs.
+
+    Same coarse user-hash partition + one vectorized kernel as
+    ``events_sessions`` (a per-user map_groups costs ~ms/key).  Gaps are
+    diffs of the (ts, event_id)-sorted sequence, so ties are deterministic
+    and the µs sums are exact int64 — order-independent for the oracle.
+    """
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def gaps_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = ts_int_us(g["ts"])
+        uid = g["user_id"].to_numpy()
+        same = np.r_[False, uid[1:] == uid[:-1]]
+        gap = np.r_[np.int64(0), ts[1:] - ts[:-1]]
+        df = pd.DataFrame({"user_id": uid[same], "gap_us": gap[same]})
+        out = df.groupby("user_id", as_index=False).agg(
+            n_gaps=("gap_us", "size"), sum_gap_us=("gap_us", "sum"),
+            max_gap_us=("gap_us", "max"))
+        out["n_gaps"] = out["n_gaps"].astype("int64")
+        return out
+
+    return coarse_partition_apply(ds, gaps_part, key_col="user_id",
+                                  part_col="gap_part", num_parts=num_parts,
+                                  nrows=_table_nrows(sf_dir, "events"))

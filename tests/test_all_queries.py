@@ -57,6 +57,8 @@ def _names():
         "events_value_percentiles", "customer_orders_left",
         "user_event_pivot", "pricing_rollup", "user_event_unpivot",
         "token_budget_mix", "user_event_types", "events_customers_full",
+        # round-3 set-op / lag-window family
+        "events_gaps", "custkeys_f_and_o", "custkeys_f_not_o",
     ]
 
 

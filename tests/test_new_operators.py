@@ -158,3 +158,50 @@ class TestMetricsAggregation:
         assert "doc_parse.process_doc" in ops
         assert ops["doc_parse.process_doc"]["calls"] >= 10
         assert ops["doc_parse.process_doc"]["total_s"] > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSetOpProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=20), max_size=60),
+           st.lists(st.integers(min_value=0, max_value=20), max_size=60),
+           st.sampled_from(["intersect", "except", "union"]))
+    def test_matches_python_sets(self, a_keys, b_keys, how):
+        import ray.data
+        from pdf_parser_ray.pipelines.relational import set_op
+
+        # at least one row per side: a fully-empty Ray dataset has no
+        # schema, which is a separate (guarded) concern
+        a_keys = a_keys or [0]
+        b_keys = b_keys or [1]
+        ds_a = ray.data.from_pandas(pd.DataFrame({"k": a_keys})).repartition(3)
+        ds_b = ray.data.from_pandas(pd.DataFrame({"k": b_keys})).repartition(2)
+        got = set_op(ds_a, ds_b, key="k", how=how, num_parts=4,
+                     nrows=len(a_keys) + len(b_keys)).to_pandas()
+        sa, sb = set(a_keys), set(b_keys)
+        want = {"intersect": sa & sb, "except": sa - sb, "union": sa | sb}[how]
+        if want:
+            assert sorted(got["k"]) == sorted(want)
+        else:
+            assert len(got) == 0
+
+    def test_shuffle_path_matches_coalesced(self, ray_session):
+        import ray.data
+        from pdf_parser_ray.pipelines.relational import set_op
+
+        a = pd.DataFrame({"k": list(range(0, 40))})
+        b = pd.DataFrame({"k": list(range(20, 60))})
+        ds_a = ray.data.from_pandas(a).repartition(4)
+        ds_b = ray.data.from_pandas(b).repartition(4)
+        small = set_op(ds_a, ds_b, key="k", how="intersect", nrows=80).to_pandas()
+        # nrows=None forces the groupby exchange path; results must agree
+        big = set_op(ds_a, ds_b, key="k", how="intersect", nrows=None).to_pandas()
+        assert sorted(small["k"]) == sorted(big["k"]) == list(range(20, 40))
+
+    def test_bad_how_raises(self, ray_session):
+        import ray.data
+        from pdf_parser_ray.pipelines.relational import set_op
+
+        ds = ray.data.from_pandas(pd.DataFrame({"k": [1]}))
+        with pytest.raises(ValueError):
+            set_op(ds, ds, key="k", how="full")
