@@ -1936,6 +1936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": rel.events_asof,
         "events_range_join": rel.events_range_join,
         "events_sliding_window": rel.events_sliding_window,
+        "nation_revenue": rel.nation_revenue,
         "events_gaps": rel.events_gaps,
         "custkeys_f_and_o": rel.custkeys_f_and_o,
         "custkeys_f_not_o": rel.custkeys_f_not_o,
@@ -2305,6 +2306,18 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS last_mark_ts_us "
             "FROM events"
+        ),
+        "nation_revenue": (
+            "SELECT n_name, CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) "
+            "AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name"
         ),
         "events_gaps": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps, "

@@ -1519,3 +1519,126 @@ def events_gaps(sf_dir: str, num_parts: int = 64):
     return coarse_partition_apply(ds, gaps_part, key_col="user_id",
                                   part_col="gap_part", num_parts=num_parts,
                                   nrows=_table_nrows(sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5-style local-supplier-volume: a six-table join composition
+# ---------------------------------------------------------------------------
+
+def nation_revenue(sf_dir: str, region: str = "ASIA",
+                   date_lo: str = "1996-01-01", date_hi: str = "1997-01-01",
+                   num_buckets: int = 16):
+    """Revenue per nation where the customer and the line's supplier share
+    a nation inside ``region``, for orders in ``[date_lo, date_hi)`` —
+    TPC-H Q5 re-expressed as a Ray Data composition:
+
+    * region ⋈ nation (tiny dims) join on the DRIVER → a nationkey→name
+      map, broadcast by closure (≤25 entries);
+    * supplier → a sorted (s_suppkey → s_nationkey) array pair,
+      ``ray.put`` ONCE and searchsorted per batch (TPC-H supplier is
+      1e-4 of lineitem; at 10^12 lines that is ~10^8 × 16 B ≈ 1.6 GB —
+      borderline but object-store-resident and read per actor, never
+      re-shipped; past that, swap this stage for a third
+      ``hash_join``);
+    * the two BIG joins — orders(filtered) ⋈ customer(filtered) on
+      custkey, lineitem ⋈ that on orderkey — are bucket hash joins, the
+      only all-to-all exchanges, both over pre-projected slim columns;
+    * revenue partial-aggregates per nationkey inside map_batches, so the
+      final merge sees ≤ 25 × blocks rows on one block.
+    """
+    nation = _read(sf_dir, "nation").to_pandas()
+    regiondf = _read(sf_dir, "region").to_pandas()
+    rkeys = regiondf.loc[regiondf["r_name"] == region, "r_regionkey"]
+    nat = nation[nation["n_regionkey"].isin(rkeys)]
+    nation_names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    nat_keys = np.array(sorted(nation_names), dtype=np.int64)
+
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = sup["s_suppkey"].to_numpy(np.int64)
+    order = np.argsort(sk, kind="stable")
+    sup_ref = ray.put((sk[order],
+                       sup["s_nationkey"].to_numpy(np.int64)[order]))
+
+    lo_us = int(pd.Timestamp(date_lo).value // 1000)
+    hi_us = int(pd.Timestamp(date_hi).value // 1000)
+
+    def orders_slim(batch: pa.Table) -> pa.Table:
+        d = pc.cast(pc.cast(batch.column("o_orderdate"), pa.timestamp("us")),
+                    pa.int64())
+        keep = pc.and_(pc.greater_equal(d, pa.scalar(lo_us)),
+                       pc.less(d, pa.scalar(hi_us)))
+        return batch.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]
+                   ).map_batches(orders_slim, batch_format="pyarrow")
+
+    def cust_slim(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("c_nationkey"),
+                        value_set=pa.array(nat_keys, type=pa.int64()))
+        t = batch.filter(keep)
+        return pa.table({"o_custkey": t.column("c_custkey"),
+                         "cust_nation": t.column("c_nationkey")})
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+                 ).map_batches(cust_slim, batch_format="pyarrow")
+
+    j1 = hash_join(
+        orders, cust, key="o_custkey", num_buckets=num_buckets,
+        left_types={"o_orderkey": pa.int64(), "o_custkey": pa.int64()},
+        right_types={"o_custkey": pa.int64(), "cust_nation": pa.int64()})
+
+    def li_slim(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return pa.table({"o_orderkey": batch.column("l_orderkey"),
+                         "l_suppkey": batch.column("l_suppkey"),
+                         "revenue_cents": _cents(rev)})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"]
+               ).map_batches(li_slim, batch_format="pyarrow")
+
+    j2 = hash_join(
+        li, j1.select_columns(["o_orderkey", "cust_nation"]),
+        key="o_orderkey", num_buckets=num_buckets,
+        left_types={"o_orderkey": pa.int64(), "l_suppkey": pa.int64(),
+                    "revenue_cents": pa.int64()},
+        right_types={"o_orderkey": pa.int64(), "cust_nation": pa.int64()})
+
+    empty = pa.table({"nationkey": pa.array([], type=pa.int64()),
+                      "revenue_cents": pa.array([], type=pa.int64())})
+
+    def resolve_partial(batch: pa.Table) -> pa.Table:
+        # local-supplier predicate: line's supplier nation == customer
+        # nation (searchsorted against the broadcast map — plasma-local
+        # after the first get, same idiom as customer_order_revenue)
+        sk_, snat_ = ray.get(sup_ref)
+        if batch.num_rows == 0 or len(sk_) == 0:
+            return empty
+        lsk = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.minimum(np.searchsorted(sk_, lsk), len(sk_) - 1)
+        snat = snat_[idx]
+        cnat = batch.column("cust_nation").to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = (sk_[idx] == lsk) & (snat == cnat)
+        if not hit.any():
+            return empty
+        df = pd.DataFrame({
+            "nationkey": snat[hit],
+            "revenue_cents": batch.column("revenue_cents").to_numpy(
+                zero_copy_only=False)[hit]})
+        g = df.groupby("nationkey", as_index=False)["revenue_cents"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("nationkey", as_index=False)["revenue_cents"].sum()
+        g["n_name"] = g["nationkey"].map(nation_names)
+        g = g.sort_values(["revenue_cents", "n_name"],
+                          ascending=[False, True], ignore_index=True)
+        return g[["n_name", "revenue_cents"]].astype({"revenue_cents": "int64"})
+
+    partials = j2.map_batches(resolve_partial, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(combine, batch_format="pandas",
+                                               batch_size=None)
