@@ -1937,6 +1937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": rel.events_range_join,
         "events_sliding_window": rel.events_sliding_window,
         "nation_revenue": rel.nation_revenue,
+        "orders_price_rank": rel.orders_price_rank,
         "events_gaps": rel.events_gaps,
         "custkeys_f_and_o": rel.custkeys_f_and_o,
         "custkeys_f_not_o": rel.custkeys_f_not_o,
@@ -2306,6 +2307,13 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS last_mark_ts_us "
             "FROM events"
+        ),
+        "orders_price_rank": (
+            "SELECT o_orderkey, o_orderpriority, "
+            "CAST(round(o_totalprice*100) AS BIGINT) AS price_cents, "
+            "CAST(rank() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rnk "
+            "FROM orders"
         ),
         "nation_revenue": (
             "SELECT n_name, CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) "

@@ -1642,3 +1642,104 @@ def nation_revenue(sf_dir: str, region: str = "ASIA",
     partials = j2.map_batches(resolve_partial, batch_format="pyarrow")
     return partials.repartition(1).map_batches(combine, batch_format="pandas",
                                                batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Distributed window rank() — two-pass, no global sort
+# ---------------------------------------------------------------------------
+
+def ranked_by_value(make_ds, *, group_col: str, value_col: str,
+                    out_cols: list[str], shift: int = 12,
+                    num_parts: int = 64):
+    """SQL ``rank() OVER (PARTITION BY group ORDER BY value)`` (ties share
+    the min rank) over an INTEGER value column, with no global sort:
+
+    * pass 1 — per-batch counts per (group, coarse value range
+      ``bucket = value >> shift``) → a tiny tree combine → driver builds
+      cumulative below-bucket offsets (O(groups × value_range / 2^shift)
+      rows — the only driver structure, bounded by ``shift``) →
+      ``ray.put`` broadcast;
+    * pass 2 — rows hash-partition by (group, bucket) (equal values share
+      a bucket BY CONSTRUCTION, so ties never straddle partitions) → one
+      vectorized kernel: within-bucket strictly-less position via the
+      sorted first-occurrence trick + the broadcast offset.
+
+    ``make_ds`` is a zero-arg factory: the input streams TWICE (the
+    classic two-pass distributed rank) instead of being materialized —
+    a re-read of pruned parquet beats pinning the projection at 10^12
+    rows.  Skew: a value-concentrated (group, bucket) lands on one
+    kernel; lower ``shift`` (finer buckets) to split it.
+    """
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = df[value_col].to_numpy(np.int64) >> shift
+        out = (pd.DataFrame({group_col: df[group_col], "_rb_bucket": b})
+               .groupby([group_col, "_rb_bucket"], as_index=False)
+               .size().rename(columns={"size": "_rb_n"}))
+        return out
+
+    def count_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby([group_col, "_rb_bucket"], as_index=False)["_rb_n"].sum()
+
+    counts = (make_ds().map_batches(count_partial, batch_format="pandas")
+              .repartition(8).map_batches(count_merge, batch_format="pandas",
+                                          batch_size=None)
+              .repartition(1).map_batches(count_merge, batch_format="pandas",
+                                          batch_size=None)).to_pandas()
+    counts = counts.sort_values([group_col, "_rb_bucket"], ignore_index=True)
+    # offset below bucket b = group-cumulative count minus own bucket
+    cum = counts.groupby(group_col)["_rb_n"].cumsum() - counts["_rb_n"]
+    off_df = counts.assign(_rb_off=cum.astype("int64"))[
+        [group_col, "_rb_bucket", "_rb_off"]]
+    off_ref = ray.put(off_df)
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_rb_bucket"] = df[value_col].to_numpy(np.int64) >> shift
+        pair_hash = pd.util.hash_pandas_object(
+            df[[group_col, "_rb_bucket"]], index=False).to_numpy()
+        df["_rb_part"] = (pair_hash % num_parts).astype("int64")
+        return df
+
+    def rank_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        g = g.merge(off, on=[group_col, "_rb_bucket"], how="left")
+        g["_rb_off"] = g["_rb_off"].fillna(0).astype("int64")
+        g = g.sort_values([group_col, "_rb_bucket", value_col],
+                          kind="mergesort", ignore_index=True)
+        n = len(g)
+        if n == 0:
+            return g[out_cols + ["rnk"]] if "rnk" in g else g.assign(
+                rnk=pd.Series(dtype="int64"))[out_cols + ["rnk"]]
+        gb_change = ((g[group_col] != g[group_col].shift())
+                     | (g["_rb_bucket"] != g["_rb_bucket"].shift())).to_numpy()
+        val_change = gb_change | (g[value_col] != g[value_col].shift()).to_numpy()
+        pos = np.arange(n)
+        first = np.maximum.accumulate(np.where(val_change, pos, 0))
+        bstart = np.maximum.accumulate(np.where(gb_change, pos, 0))
+        g["rnk"] = g["_rb_off"].to_numpy() + (first - bstart) + 1
+        return g[out_cols + ["rnk"]]
+
+    return (make_ds().map_batches(add_part, batch_format="pandas")
+            .groupby("_rb_part").map_groups(rank_kernel, batch_format="pandas"))
+
+
+def orders_price_rank(sf_dir: str):
+    """Every order's rank() by price cents within its priority class —
+    the distributed-window-function showcase for ``ranked_by_value``."""
+
+    def make_ds():
+        ds = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+        def prep(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "price_cents": _cents(batch.column("o_totalprice"))})
+
+        return ds.map_batches(prep, batch_format="pyarrow")
+
+    return ranked_by_value(
+        make_ds, group_col="o_orderpriority", value_col="price_cents",
+        out_cols=["o_orderkey", "o_orderpriority", "price_cents"])

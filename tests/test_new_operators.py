@@ -205,3 +205,27 @@ class TestSetOpProperty:
         ds = ray.data.from_pandas(pd.DataFrame({"k": [1]}))
         with pytest.raises(ValueError):
             set_op(ds, ds, key="k", how="full")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRankedByValue:
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.tuples(st.integers(min_value=0, max_value=3),
+                              st.integers(min_value=-500, max_value=500)),
+                    min_size=1, max_size=200),
+           st.integers(min_value=2, max_value=8))
+    def test_matches_pandas_rank(self, rows, shift):
+        import ray.data
+        from pdf_parser_ray.pipelines.relational import ranked_by_value
+
+        df = pd.DataFrame(rows, columns=["g", "v"]).astype({"v": "int64"})
+        df["id"] = range(len(df))
+        got = ranked_by_value(
+            lambda: ray.data.from_pandas(df).repartition(3),
+            group_col="g", value_col="v", out_cols=["id", "g", "v"],
+            shift=shift, num_parts=4).to_pandas()
+        want = df.copy()
+        want["rnk"] = want.groupby("g")["v"].rank(method="min").astype("int64")
+        a = got.sort_values("id", ignore_index=True)[["id", "g", "v", "rnk"]]
+        b = want.sort_values("id", ignore_index=True)[["id", "g", "v", "rnk"]]
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
