@@ -1938,6 +1938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": rel.events_sliding_window,
         "nation_revenue": rel.nation_revenue,
         "orders_price_rank": rel.orders_price_rank,
+        "pricing_cube": rel.pricing_cube,
         "events_gaps": rel.events_gaps,
         "custkeys_f_and_o": rel.custkeys_f_and_o,
         "custkeys_f_not_o": rel.custkeys_f_not_o,
@@ -2307,6 +2308,12 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS last_mark_ts_us "
             "FROM events"
+        ),
+        "pricing_cube": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
         ),
         "orders_price_rank": (
             "SELECT o_orderkey, o_orderpriority, "

@@ -1743,3 +1743,41 @@ def orders_price_rank(sf_dir: str):
     return ranked_by_value(
         make_ds, group_col="o_orderpriority", value_col="price_cents",
         out_cols=["o_orderkey", "o_orderpriority", "price_cents"])
+
+
+def pricing_cube(sf_dir: str):
+    """``GROUP BY CUBE(l_returnflag, l_linestatus)``: all four grain
+    levels — both keys, each key alone, grand total — null-filled like
+    SQL CUBE.  Same shape as ``pricing_rollup``: one full-data pass of
+    finest-grain partials; every coarser level re-aggregates the tiny
+    base result inside the single merge task."""
+    keys = ["l_returnflag", "l_linestatus"]
+    ds = _read(sf_dir, "lineitem", columns=keys + ["l_quantity"])
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        batch = batch.assign(q=batch["l_quantity"].astype("int64"))
+        agg = batch.groupby(keys, as_index=False).agg(
+            sum_qty=("q", "sum"), n_rows=("q", "size"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        spec = {"sum_qty": ("sum_qty", "sum"), "n_rows": ("n_rows", "sum")}
+        base = part.groupby(keys, as_index=False).agg(**spec)
+        levels = [base]
+        for keep in (keys[:1], keys[1:]):  # each single-key slice
+            lvl = base.groupby(keep, as_index=False).agg(**spec)
+            for dropped in keys:
+                if dropped not in keep:
+                    lvl[dropped] = None
+            levels.append(lvl)
+        levels.append(pd.DataFrame({keys[0]: [None], keys[1]: [None],
+                                    "sum_qty": [base["sum_qty"].sum()],
+                                    "n_rows": [base["n_rows"].sum()]}))
+        out = pd.concat(levels, ignore_index=True)
+        out["sum_qty"] = out["sum_qty"].astype("int64")
+        out["n_rows"] = out["n_rows"].astype("int64")
+        return out[keys + ["sum_qty", "n_rows"]]
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.repartition(1).map_batches(combine, batch_format="pandas",
+                                               batch_size=None)

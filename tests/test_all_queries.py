@@ -59,7 +59,7 @@ def _names():
         "token_budget_mix", "user_event_types", "events_customers_full",
         # round-3 set-op / lag-window family
         "events_gaps", "custkeys_f_and_o", "custkeys_f_not_o",
-        "nation_revenue", "orders_price_rank",
+        "nation_revenue", "orders_price_rank", "pricing_cube",
     ]
 
 
