@@ -1939,6 +1939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": rel.nation_revenue,
         "orders_price_rank": rel.orders_price_rank,
         "pricing_cube": rel.pricing_cube,
+        "shuffle_shards": rel.shuffle_shards,
         "events_gaps": rel.events_gaps,
         "custkeys_f_and_o": rel.custkeys_f_and_o,
         "custkeys_f_not_o": rel.custkeys_f_not_o,
@@ -2308,6 +2309,16 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS last_mark_ts_us "
             "FROM events"
+        ),
+        "shuffle_shards": (
+            "WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "CAST(CAST(concat('0x', substr(hx, 1, 8)) AS UBIGINT) % 16 AS BIGINT) AS shard, "
+            "CAST(rank() OVER (PARTITION BY "
+            "CAST(concat('0x', substr(hx, 1, 8)) AS UBIGINT) % 16 "
+            "ORDER BY CAST(concat('0x', substr(hx, 9, 15)) AS BIGINT)) "
+            "AS BIGINT) AS rnk FROM h"
         ),
         "pricing_cube": (
             "SELECT l_returnflag, l_linestatus, "

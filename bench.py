@@ -177,7 +177,8 @@ def run_query_suite() -> dict:
              "ngram_jaccard", "events_asof",
              "events_range_join", "knn_lsh", "dup_spans",
              "corpus_curate", "approx_distinct_users",
-             "events_value_percentiles", "orders_top_per_customer"]
+             "events_value_percentiles", "orders_top_per_customer",
+             "nation_revenue", "orders_price_rank"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:

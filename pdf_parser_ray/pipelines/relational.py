@@ -1527,7 +1527,7 @@ def events_gaps(sf_dir: str, num_parts: int = 64):
 
 def nation_revenue(sf_dir: str, region: str = "ASIA",
                    date_lo: str = "1996-01-01", date_hi: str = "1997-01-01",
-                   num_buckets: int = 16):
+                   num_buckets: int = 16, broadcast_limit: int = 2_000_000):
     """Revenue per nation where the customer and the line's supplier share
     a nation inside ``region``, for orders in ``[date_lo, date_hi)`` —
     TPC-H Q5 re-expressed as a Ray Data composition:
@@ -1543,6 +1543,10 @@ def nation_revenue(sf_dir: str, region: str = "ASIA",
     * the two BIG joins — orders(filtered) ⋈ customer(filtered) on
       custkey, lineitem ⋈ that on orderkey — are bucket hash joins, the
       only all-to-all exchanges, both over pre-projected slim columns;
+      below ``broadcast_limit`` orders rows the joined (o_orderkey →
+      cust_nation) pair array broadcasts instead and the query is ONE
+      zero-shuffle lineitem pass (the customer_order_revenue two-path
+      gate);
     * revenue partial-aggregates per nationkey inside map_batches, so the
       final merge sees ≤ 25 × blocks rows on one block.
     """
@@ -1584,11 +1588,6 @@ def nation_revenue(sf_dir: str, region: str = "ASIA",
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
                  ).map_batches(cust_slim, batch_format="pyarrow")
 
-    j1 = hash_join(
-        orders, cust, key="o_custkey", num_buckets=num_buckets,
-        left_types={"o_orderkey": pa.int64(), "o_custkey": pa.int64()},
-        right_types={"o_custkey": pa.int64(), "cust_nation": pa.int64()})
-
     def li_slim(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(batch.column("l_extendedprice"),
                           pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
@@ -1601,15 +1600,71 @@ def nation_revenue(sf_dir: str, region: str = "ASIA",
                         "l_discount"]
                ).map_batches(li_slim, batch_format="pyarrow")
 
+    empty = pa.table({"nationkey": pa.array([], type=pa.int64()),
+                      "revenue_cents": pa.array([], type=pa.int64())})
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("nationkey", as_index=False)["revenue_cents"].sum()
+        g["n_name"] = g["nationkey"].map(nation_names)
+        g = g.sort_values(["revenue_cents", "n_name"],
+                          ascending=[False, True], ignore_index=True)
+        return g[["n_name", "revenue_cents"]].astype({"revenue_cents": "int64"})
+
+    if _table_nrows(sf_dir, "orders") <= broadcast_limit:
+        # broadcast fast path (same gate/idiom as customer_order_revenue):
+        # the date-filtered orders slice merged with the region's customers
+        # is an (o_orderkey → cust_nation) pair array — ray.put ONCE, and
+        # the whole query becomes ONE streaming lineitem pass with ZERO
+        # shuffles (two fixed ~2 s sort exchanges saved; measured 11.3 s →
+        # broadcast at sf0.1).
+        odf = orders.to_pandas()
+        cdf = cust.to_pandas()
+        if "o_custkey" not in odf.columns or "o_custkey" not in cdf.columns:
+            j = pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                              "cust_nation": pd.Series(dtype="int64")})
+        else:
+            j = odf.merge(cdf, on="o_custkey")
+        okey = j["o_orderkey"].to_numpy(np.int64)
+        oorder = np.argsort(okey, kind="stable")
+        ord_ref = ray.put((okey[oorder],
+                           j["cust_nation"].to_numpy(np.int64)[oorder]))
+
+        def li_resolve(batch: pa.Table) -> pa.Table:
+            ok_, cnat_ = ray.get(ord_ref)
+            sk_, snat_ = ray.get(sup_ref)
+            if batch.num_rows == 0 or len(ok_) == 0 or len(sk_) == 0:
+                return empty
+            lok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+            oidx = np.minimum(np.searchsorted(ok_, lok), len(ok_) - 1)
+            ohit = ok_[oidx] == lok
+            lsk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+            sidx = np.minimum(np.searchsorted(sk_, lsk), len(sk_) - 1)
+            hit = ohit & (sk_[sidx] == lsk) & (snat_[sidx] == cnat_[oidx])
+            if not hit.any():
+                return empty
+            df = pd.DataFrame({
+                "nationkey": snat_[sidx][hit],
+                "revenue_cents": batch.column("revenue_cents").to_numpy(
+                    zero_copy_only=False)[hit]})
+            g = df.groupby("nationkey", as_index=False)["revenue_cents"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        partials = li.map_batches(li_resolve, batch_format="pyarrow",
+                                  batch_size=131072)
+        return partials.repartition(1).map_batches(
+            combine, batch_format="pandas", batch_size=None)
+
+    j1 = hash_join(
+        orders, cust, key="o_custkey", num_buckets=num_buckets,
+        left_types={"o_orderkey": pa.int64(), "o_custkey": pa.int64()},
+        right_types={"o_custkey": pa.int64(), "cust_nation": pa.int64()})
+
     j2 = hash_join(
         li, j1.select_columns(["o_orderkey", "cust_nation"]),
         key="o_orderkey", num_buckets=num_buckets,
         left_types={"o_orderkey": pa.int64(), "l_suppkey": pa.int64(),
                     "revenue_cents": pa.int64()},
         right_types={"o_orderkey": pa.int64(), "cust_nation": pa.int64()})
-
-    empty = pa.table({"nationkey": pa.array([], type=pa.int64()),
-                      "revenue_cents": pa.array([], type=pa.int64())})
 
     def resolve_partial(batch: pa.Table) -> pa.Table:
         # local-supplier predicate: line's supplier nation == customer
@@ -1632,13 +1687,6 @@ def nation_revenue(sf_dir: str, region: str = "ASIA",
         g = df.groupby("nationkey", as_index=False)["revenue_cents"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def combine(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby("nationkey", as_index=False)["revenue_cents"].sum()
-        g["n_name"] = g["nationkey"].map(nation_names)
-        g = g.sort_values(["revenue_cents", "n_name"],
-                          ascending=[False, True], ignore_index=True)
-        return g[["n_name", "revenue_cents"]].astype({"revenue_cents": "int64"})
-
     partials = j2.map_batches(resolve_partial, batch_format="pyarrow")
     return partials.repartition(1).map_batches(combine, batch_format="pandas",
                                                batch_size=None)
@@ -1650,7 +1698,8 @@ def nation_revenue(sf_dir: str, region: str = "ASIA",
 
 def ranked_by_value(make_ds, *, group_col: str, value_col: str,
                     out_cols: list[str], shift: int = 12,
-                    num_parts: int = 64):
+                    num_parts: int = 64, nrows: int | None = None,
+                    small_limit: int = _COALESCE_ROW_LIMIT):
     """SQL ``rank() OVER (PARTITION BY group ORDER BY value)`` (ties share
     the min rank) over an INTEGER value column, with no global sort:
 
@@ -1669,7 +1718,22 @@ def ranked_by_value(make_ds, *, group_col: str, value_col: str,
     a re-read of pruned parquet beats pinning the projection at 10^12
     rows.  Skew: a value-concentrated (group, bucket) lands on one
     kernel; lower ``shift`` (finer buckets) to split it.
+
+    Below ``small_limit`` input rows (``nrows`` free from parquet
+    footers) the whole set coalesces to one block and a direct
+    groupby-rank runs once — no offsets pass, no exchange (the repo's
+    standard size gate; each Ray sort/groupby exchange is ~2 s of fixed
+    barrier cost).
     """
+    if nrows is not None and 0 < nrows <= small_limit:
+        def small_kernel(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["rnk"] = (df.groupby(group_col)[value_col]
+                         .rank(method="min").astype("int64"))
+            return df[out_cols + ["rnk"]]
+
+        return make_ds().repartition(1).map_batches(
+            small_kernel, batch_format="pandas", batch_size=None)
 
     def count_partial(df: pd.DataFrame) -> pd.DataFrame:
         b = df[value_col].to_numpy(np.int64) >> shift
@@ -1742,7 +1806,8 @@ def orders_price_rank(sf_dir: str):
 
     return ranked_by_value(
         make_ds, group_col="o_orderpriority", value_col="price_cents",
-        out_cols=["o_orderkey", "o_orderpriority", "price_cents"])
+        out_cols=["o_orderkey", "o_orderpriority", "price_cents"],
+        nrows=_table_nrows(sf_dir, "orders"))
 
 
 def pricing_cube(sf_dir: str):
@@ -1781,3 +1846,40 @@ def pricing_cube(sf_dir: str):
     partials = ds.map_batches(partial, batch_format="pandas")
     return partials.repartition(1).map_batches(combine, batch_format="pandas",
                                                batch_size=None)
+
+
+def shuffle_shards(sf_dir: str, n_shards: int = 16):
+    """Deterministic training-export shuffle: every document gets a
+    (shard, rank-within-shard) position derived ONLY from md5(doc_id) —
+    stable across runs, resumable per shard, no ``random_shuffle``
+    all-to-all.  Shard = first 32 md5 bits mod ``n_shards``; the
+    within-shard order ranks a DIFFERENT 60-bit md5 slice (bits 32-92),
+    so shard choice and intra-shard order are independent.  The rank is
+    the two-pass distributed window rank (``ranked_by_value``) — the
+    only exchange is the slim (doc_id, shard, rank-value) projection.
+    A training job reads shard files in rank order and gets a uniform
+    global permutation."""
+
+    def make_ds():
+        ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+        def prep(batch: pa.Table) -> pa.Table:
+            import hashlib
+            _md5 = hashlib.md5
+            ids = batch.column("doc_id").to_pylist()
+            hs = [_md5(str(i).encode()).hexdigest() for i in ids]
+            shard = np.fromiter((int(h[:8], 16) % n_shards for h in hs),
+                                np.int64, len(hs))
+            rv = np.fromiter((int(h[8:23], 16) for h in hs),
+                             np.int64, len(hs))
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "shard": pa.array(shard),
+                             "shuffle_rank": pa.array(rv)})
+
+        return ds.map_batches(prep, batch_format="pyarrow")
+
+    return ranked_by_value(
+        make_ds, group_col="shard", value_col="shuffle_rank",
+        out_cols=["doc_id", "shard"], shift=48,
+        num_parts=max(n_shards, 16),
+        nrows=_table_nrows(sf_dir, "documents"))
