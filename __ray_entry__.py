@@ -1940,6 +1940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_rank": rel.orders_price_rank,
         "pricing_cube": rel.pricing_cube,
         "shuffle_shards": rel.shuffle_shards,
+        "events_moving_range": rel.events_moving_range,
         "events_gaps": rel.events_gaps,
         "custkeys_f_and_o": rel.custkeys_f_and_o,
         "custkeys_f_not_o": rel.custkeys_f_not_o,
@@ -2309,6 +2310,15 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS last_mark_ts_us "
             "FROM events"
+        ),
+        "events_moving_range": (
+            "WITH hourly AS (SELECT event_type, "
+            "CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket, "
+            "CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2) "
+            "SELECT event_type, hour_bucket, n_events, "
+            "CAST(sum(n_events) OVER (PARTITION BY event_type "
+            "ORDER BY hour_bucket RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS moving_n FROM hourly"
         ),
         "shuffle_shards": (
             "WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx "

@@ -1883,3 +1883,58 @@ def shuffle_shards(sf_dir: str, n_shards: int = 16):
         out_cols=["doc_id", "shard"], shift=48,
         num_parts=max(n_shards, 16),
         nrows=_table_nrows(sf_dir, "documents"))
+
+
+def events_moving_range(sf_dir: str, window_hours: int = 3):
+    """RANGE-framed moving count per event type: for every (type, hour)
+    the number of events in hours ``[h-(w-1), h]`` BY TIME VALUE — unlike
+    ``events_sliding_window`` (ROWS frame), gaps in the hour sequence
+    shrink the window, matching SQL ``RANGE BETWEEN w-1 PRECEDING``.
+
+    Shape: the full-data pass is the events_hourly partial (one row per
+    (type, hour) per batch); the windowing runs over the AGGREGATED
+    hourly series — bounded by types × distinct hours (a decade of hours
+    is <100k rows) — as one vectorized cumsum + searchsorted kernel per
+    type, grouped inside a single coalesced block.  No row-level
+    exchange at any scale.
+    """
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = pc.cast(
+            pc.cast(batch.column("ts"),
+                    options=pc.CastOptions(target_type=pa.timestamp("us"),
+                                           allow_time_truncate=True)),
+            pa.int64())
+        hour = pc.cast(pc.divide(epoch, pa.scalar(3_600_000_000)), pa.int64())
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "hour_bucket": hour})
+        g = t.group_by(["event_type", "hour_bucket"]).aggregate(
+            [("hour_bucket", "count", pc.CountOptions(mode="all"))])
+        return pa.table({"event_type": g.column("event_type"),
+                         "hour_bucket": g.column("hour_bucket"),
+                         "n_events": pc.cast(g.column("hour_bucket_count"),
+                                             pa.int64())})
+
+    def window_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["event_type", "hour_bucket"], as_index=False)[
+            "n_events"].sum()
+        agg = agg.sort_values(["event_type", "hour_bucket"],
+                              ignore_index=True)
+        out = []
+        for et, g in agg.groupby("event_type", sort=False):
+            hours = g["hour_bucket"].to_numpy(np.int64)
+            n = g["n_events"].to_numpy(np.int64)
+            cs = np.concatenate(([0], np.cumsum(n)))
+            lo = np.searchsorted(hours, hours - (window_hours - 1), "left")
+            moving = cs[1 + np.arange(len(hours))] - cs[lo]
+            out.append(pd.DataFrame({
+                "event_type": et, "hour_bucket": hours,
+                "n_events": n, "moving_n": moving}))
+        return pd.concat(out, ignore_index=True) if out else \
+            agg.assign(moving_n=pd.Series(dtype="int64"))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536)
+    return partials.repartition(1).map_batches(
+        window_kernel, batch_format="pandas", batch_size=None)
