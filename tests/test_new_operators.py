@@ -229,3 +229,17 @@ class TestRankedByValue:
         a = got.sort_values("id", ignore_index=True)[["id", "g", "v", "rnk"]]
         b = want.sort_values("id", ignore_index=True)[["id", "g", "v", "rnk"]]
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNationRevenuePaths:
+    def test_hash_join_path_matches_broadcast(self):
+        from pdf_parser_ray.pipelines.relational import nation_revenue
+
+        sf = "/root/testdata/sf0.001"
+        fast = nation_revenue(sf).to_pandas()
+        slow = nation_revenue(sf, broadcast_limit=0).to_pandas()  # 10^12 path
+        a = fast.sort_values(list(fast.columns), ignore_index=True)
+        b = slow.sort_values(list(slow.columns), ignore_index=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert len(a) > 0
