@@ -1941,6 +1941,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_cube": rel.pricing_cube,
         "shuffle_shards": rel.shuffle_shards,
         "events_moving_range": rel.events_moving_range,
+        "events_median_cont": rel.events_median_cont,
+        "doc_ntile": rel.doc_ntile,
         "events_gaps": rel.events_gaps,
         "custkeys_f_and_o": rel.custkeys_f_and_o,
         "custkeys_f_not_o": rel.custkeys_f_not_o,
@@ -2310,6 +2312,19 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS last_mark_ts_us "
             "FROM events"
+        ),
+        "events_median_cont": (
+            "WITH m AS (SELECT event_type, "
+            "CAST(floor(1000 * value) AS BIGINT) AS v "
+            "FROM events WHERE value IS NOT NULL) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(quantile_cont(v, 0.5) * 2 AS BIGINT) AS median_x2_milli "
+            "FROM m GROUP BY event_type"
+        ),
+        "doc_ntile": (
+            "SELECT doc_id, CAST(ntile(10) OVER (ORDER BY "
+            "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 9, 15)) "
+            "AS BIGINT)) AS BIGINT) AS tile FROM documents"
         ),
         "events_moving_range": (
             "WITH hourly AS (SELECT event_type, "

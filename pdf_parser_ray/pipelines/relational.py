@@ -1938,3 +1938,93 @@ def events_moving_range(sf_dir: str, window_hours: int = 3):
                               batch_size=65536)
     return partials.repartition(1).map_batches(
         window_kernel, batch_format="pandas", batch_size=None)
+
+
+def events_median_cont(sf_dir: str, num_parts: int = 16):
+    """Grouped INTERPOLATED median (SQL ``quantile_cont(v, 0.5)``) per
+    event type, kept integer-exact by DOUBLING: odd n → 2×middle value,
+    even n → the sum of the two middle order statistics (what
+    quantile_cont averages).  Same slim milli-histogram exchange as
+    ``events_value_percentiles`` — the interpolation only ever touches
+    the bounded per-type histogram, never row data.
+    """
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def hist_partial(batch: pd.DataFrame) -> pa.Table:
+        v = batch["value"].to_numpy(dtype=np.float64)
+        keep = ~np.isnan(v)
+        g = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy()[keep],
+            "value_milli": np.floor(1000.0 * v[keep]).astype(np.int64),
+        })
+        agg = g.groupby(["event_type", "value_milli"], as_index=False).size()
+        return pa.table({
+            "event_type": pa.array(agg["event_type"], type=pa.string()),
+            "value_milli": pa.array(agg["value_milli"], type=pa.int64()),
+            "n": pa.array(agg["size"], type=pa.int64()),
+        })
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, sub in part.groupby("event_type", sort=False):
+            h = (sub.groupby("value_milli", as_index=False)["n"].sum()
+                 .sort_values("value_milli"))
+            values = h["value_milli"].to_numpy()
+            cum = h["n"].to_numpy().cumsum()
+            n = int(cum[-1])
+
+            def at(k: int) -> int:  # k-th (0-based) order statistic
+                return int(values[np.searchsorted(cum, k + 1)])
+
+            x2 = at((n - 1) // 2) + at(n // 2)
+            rows.append((t, n, x2))
+        out = pd.DataFrame(rows, columns=["event_type", "n_events",
+                                          "median_x2_milli"])
+        return out.astype({"n_events": "int64", "median_x2_milli": "int64"})
+
+    hist = ds.map_batches(hist_partial, batch_format="pandas")
+    return coarse_partition_apply(hist, kernel, key_col="event_type",
+                                  part_col="emc_part", num_parts=num_parts,
+                                  nrows=_table_nrows(sf_dir, "events"))
+
+
+def doc_ntile(sf_dir: str, k: int = 10):
+    """Global ``NTILE(k)`` over documents ordered by a unique 60-bit md5
+    slice — equal-depth binning without a global sort: the two-pass
+    distributed rank supplies each row's position, the total row count
+    comes free from parquet footers, and the tile is pure arithmetic on
+    (position, n, k) with DuckDB's larger-buckets-first split."""
+    n = _table_nrows(sf_dir, "documents")
+
+    def make_ds():
+        ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+        def prep(batch: pa.Table) -> pa.Table:
+            import hashlib
+            _md5 = hashlib.md5
+            ids = batch.column("doc_id").to_pylist()
+            rv = np.fromiter(
+                (int(_md5(str(i).encode()).hexdigest()[8:23], 16)
+                 for i in ids), np.int64, len(ids))
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "ntile_g": pa.array(np.zeros(len(ids),
+                                                          dtype=np.int64)),
+                             "order_rank": pa.array(rv)})
+
+        return ds.map_batches(prep, batch_format="pyarrow")
+
+    ranked = ranked_by_value(make_ds, group_col="ntile_g",
+                             value_col="order_rank",
+                             out_cols=["doc_id"], shift=48, nrows=n)
+    q, r = divmod(n, k)
+    big = (q + 1) * r  # rows covered by the size-(q+1) leading buckets
+    qq = max(q, 1)  # q==0 (n<k): every row is in a leading bucket
+
+    def to_tile(df: pd.DataFrame) -> pd.DataFrame:
+        rn = df["rnk"].to_numpy(np.int64)
+        tile = np.where(rn <= big, (rn - 1) // (q + 1),
+                        r + (rn - 1 - big) // qq) + 1
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "tile": tile.astype(np.int64)})
+
+    return ranked.map_batches(to_tile, batch_format="pandas")

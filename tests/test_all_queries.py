@@ -60,7 +60,8 @@ def _names():
         # round-3 set-op / lag-window family
         "events_gaps", "custkeys_f_and_o", "custkeys_f_not_o",
         "nation_revenue", "orders_price_rank", "pricing_cube",
-        "shuffle_shards", "events_moving_range",
+        "shuffle_shards", "events_moving_range", "events_median_cont",
+        "doc_ntile",
     ]
 
 
