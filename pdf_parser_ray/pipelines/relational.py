@@ -1725,7 +1725,7 @@ def ranked_by_value(make_ds, *, group_col: str, value_col: str,
     standard size gate; each Ray sort/groupby exchange is ~2 s of fixed
     barrier cost).
     """
-    if nrows is not None and 0 < nrows <= small_limit:
+    def small_path():
         def small_kernel(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
             df["rnk"] = (df.groupby(group_col)[value_col]
@@ -1734,6 +1734,9 @@ def ranked_by_value(make_ds, *, group_col: str, value_col: str,
 
         return make_ds().repartition(1).map_batches(
             small_kernel, batch_format="pandas", batch_size=None)
+
+    if nrows is not None and 0 < nrows <= small_limit:
+        return small_path()
 
     def count_partial(df: pd.DataFrame) -> pd.DataFrame:
         b = df[value_col].to_numpy(np.int64) >> shift
@@ -1750,6 +1753,10 @@ def ranked_by_value(make_ds, *, group_col: str, value_col: str,
                                           batch_size=None)
               .repartition(1).map_batches(count_merge, batch_format="pandas",
                                           batch_size=None)).to_pandas()
+    if len(counts) == 0 or group_col not in counts.columns:
+        # an all-empty input loses its pandas schema entirely (generic
+        # Ray empty-to_pandas behavior) — rank it on the direct path
+        return small_path()
     counts = counts.sort_values([group_col, "_rb_bucket"], ignore_index=True)
     # offset below bucket b = group-cumulative count minus own bucket
     cum = counts.groupby(group_col)["_rb_n"].cumsum() - counts["_rb_n"]
