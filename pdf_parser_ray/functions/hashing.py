@@ -82,3 +82,27 @@ def md5_u64(values) -> np.ndarray:
          for v in values),
         dtype=np.uint64, count=len(values))
     return out
+
+
+def md5_shard(ids, n_shards: int) -> np.ndarray:
+    """int64 shard per stringified id from md5 bits 0-31 (hex chars 1-8).
+    DuckDB replay: ``CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)),
+    1, 8)) AS UBIGINT) % n``."""
+    _md5 = hashlib.md5
+    return np.fromiter(
+        (int(_md5(str(i).encode()).hexdigest()[:8], 16) % n_shards
+         for i in ids), dtype=np.int64, count=len(ids))
+
+
+def md5_order_i60(ids) -> np.ndarray:
+    """int64 order key per stringified id from md5 bits 32-92 (hex chars
+    9-23) — INDEPENDENT of the ``md5_shard`` bits, so sharding and
+    intra-shard order don't correlate. DuckDB replay:
+    ``CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 9, 15)) AS
+    BIGINT)``. 60 bits are unique at test scale; near 2^30 rows per
+    ordered domain, widen the slice (compare more md5 hex) before
+    trusting rank uniqueness."""
+    _md5 = hashlib.md5
+    return np.fromiter(
+        (int(_md5(str(i).encode()).hexdigest()[8:23], 16)
+         for i in ids), dtype=np.int64, count=len(ids))

@@ -80,6 +80,27 @@ def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
                         round_mode="half_towards_infinity"), pa.int64())
 
 
+def _ss_match(sorted_keys: np.ndarray, vals: np.ndarray):
+    """Clamped-searchsorted membership against a broadcast sorted key
+    array: returns (index-into-sorted, exact-hit mask)."""
+    idx = np.minimum(np.searchsorted(sorted_keys, vals),
+                     len(sorted_keys) - 1)
+    return idx, sorted_keys[idx] == vals
+
+
+def _hour_bucket_us(ts_col) -> pa.Array:
+    """Timestamp column → int64 hour bucket, resolution-independent:
+    normalize to µs BEFORE the int cast (a timestamp[ns] input would
+    otherwise yield ns and shift every bucket by 1000×);
+    allow_time_truncate: sub-µs remainders truncate like the pandas-path
+    ts_int_us helper instead of raising ArrowInvalid."""
+    epoch = pc.cast(
+        pc.cast(ts_col, options=pc.CastOptions(target_type=pa.timestamp("us"),
+                                               allow_time_truncate=True)),
+        pa.int64())
+    return pc.cast(pc.divide(epoch, pa.scalar(3_600_000_000)), pa.int64())
+
+
 # ---------------------------------------------------------------------------
 # Q1-style pricing summary: groupby with partial pre-aggregation
 # ---------------------------------------------------------------------------
@@ -270,21 +291,10 @@ def events_hourly(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        # normalize to µs before the int cast so the bucket math is
-        # resolution-independent (a timestamp[ns] input would otherwise
-        # yield ns and shift every bucket by 1000×); allow_time_truncate:
-        # sub-µs remainders truncate like the pandas-path ts_int_us helper
-        # instead of raising ArrowInvalid
-        epoch = pc.cast(
-            pc.cast(batch.column("ts"),
-                    options=pc.CastOptions(target_type=pa.timestamp("us"),
-                                           allow_time_truncate=True)),
-            pa.int64())
-        hour = pc.divide(epoch, pa.scalar(3_600_000_000))
         value_milli = pc.cast(pc.round(pc.multiply(batch.column("value"),
                                                    pa.scalar(1000.0)),
                                        round_mode="half_towards_infinity"), pa.int64())
-        t = pa.table({"hour_bucket": pc.cast(hour, pa.int64()),
+        t = pa.table({"hour_bucket": _hour_bucket_us(batch.column("ts")),
                       "event_type": batch.column("event_type"),
                       "value_milli": value_milli})
         # count mode="all": row-count semantics even with null values
@@ -1454,9 +1464,10 @@ def set_op(ds_a, ds_b, *, key: str, how: str, num_parts: int = 32,
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         # one row per (key, side) then a plain sum: bits ∈ {1,2} so the
-        # sum IS the bitwise OR — fully vectorized, no per-key Python
+        # sum IS the bitwise OR — fully vectorized, no per-key Python.
+        # dropna=False: SQL set ops treat NULL keys as equal to each other
         u = g.drop_duplicates([key, "side_bits"])
-        bits = u.groupby(key, as_index=False)["side_bits"].sum()
+        bits = u.groupby(key, as_index=False, dropna=False)["side_bits"].sum()
         return bits[bits["side_bits"].isin(want)][[key]].reset_index(drop=True)
 
     return coarse_partition_apply(both, kernel, key_col=key,
@@ -1603,6 +1614,19 @@ def nation_revenue(sf_dir: str, region: str = "ASIA",
     empty = pa.table({"nationkey": pa.array([], type=pa.int64()),
                       "revenue_cents": pa.array([], type=pa.int64())})
 
+    def nation_partial(batch: pa.Table, nat_vals: np.ndarray,
+                       hit: np.ndarray) -> pa.Table:
+        # shared tail of both paths: rows surviving the local-supplier
+        # predicate partial-aggregate per nationkey
+        if not hit.any():
+            return empty
+        df = pd.DataFrame({
+            "nationkey": nat_vals[hit],
+            "revenue_cents": batch.column("revenue_cents").to_numpy(
+                zero_copy_only=False)[hit]})
+        g = df.groupby("nationkey", as_index=False)["revenue_cents"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
     def combine(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby("nationkey", as_index=False)["revenue_cents"].sum()
         g["n_name"] = g["nationkey"].map(nation_names)
@@ -1635,19 +1659,11 @@ def nation_revenue(sf_dir: str, region: str = "ASIA",
             if batch.num_rows == 0 or len(ok_) == 0 or len(sk_) == 0:
                 return empty
             lok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
-            oidx = np.minimum(np.searchsorted(ok_, lok), len(ok_) - 1)
-            ohit = ok_[oidx] == lok
+            oidx, ohit = _ss_match(ok_, lok)
             lsk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
-            sidx = np.minimum(np.searchsorted(sk_, lsk), len(sk_) - 1)
-            hit = ohit & (sk_[sidx] == lsk) & (snat_[sidx] == cnat_[oidx])
-            if not hit.any():
-                return empty
-            df = pd.DataFrame({
-                "nationkey": snat_[sidx][hit],
-                "revenue_cents": batch.column("revenue_cents").to_numpy(
-                    zero_copy_only=False)[hit]})
-            g = df.groupby("nationkey", as_index=False)["revenue_cents"].sum()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            sidx, shit = _ss_match(sk_, lsk)
+            hit = ohit & shit & (snat_[sidx] == cnat_[oidx])
+            return nation_partial(batch, snat_[sidx], hit)
 
         partials = li.map_batches(li_resolve, batch_format="pyarrow",
                                   batch_size=131072)
@@ -1674,18 +1690,10 @@ def nation_revenue(sf_dir: str, region: str = "ASIA",
         if batch.num_rows == 0 or len(sk_) == 0:
             return empty
         lsk = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        idx = np.minimum(np.searchsorted(sk_, lsk), len(sk_) - 1)
-        snat = snat_[idx]
+        sidx, shit = _ss_match(sk_, lsk)
         cnat = batch.column("cust_nation").to_numpy(zero_copy_only=False).astype(np.int64)
-        hit = (sk_[idx] == lsk) & (snat == cnat)
-        if not hit.any():
-            return empty
-        df = pd.DataFrame({
-            "nationkey": snat[hit],
-            "revenue_cents": batch.column("revenue_cents").to_numpy(
-                zero_copy_only=False)[hit]})
-        g = df.groupby("nationkey", as_index=False)["revenue_cents"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        hit = shit & (snat_[sidx] == cnat)
+        return nation_partial(batch, snat_[sidx], hit)
 
     partials = j2.map_batches(resolve_partial, batch_format="pyarrow")
     return partials.repartition(1).map_batches(combine, batch_format="pandas",
@@ -1865,23 +1873,19 @@ def shuffle_shards(sf_dir: str, n_shards: int = 16):
     the two-pass distributed window rank (``ranked_by_value``) — the
     only exchange is the slim (doc_id, shard, rank-value) projection.
     A training job reads shard files in rank order and gets a uniform
-    global permutation."""
+    global permutation.  Rank uniqueness rests on the 60-bit slice:
+    collision-free at test scale, widen past ~10^8 docs per shard
+    (``functions/hashing.md5_order_i60``)."""
 
     def make_ds():
         ds = _read(sf_dir, "documents", columns=["doc_id"])
 
         def prep(batch: pa.Table) -> pa.Table:
-            import hashlib
-            _md5 = hashlib.md5
+            from ..functions.hashing import md5_order_i60, md5_shard
             ids = batch.column("doc_id").to_pylist()
-            hs = [_md5(str(i).encode()).hexdigest() for i in ids]
-            shard = np.fromiter((int(h[:8], 16) % n_shards for h in hs),
-                                np.int64, len(hs))
-            rv = np.fromiter((int(h[8:23], 16) for h in hs),
-                             np.int64, len(hs))
             return pa.table({"doc_id": batch.column("doc_id"),
-                             "shard": pa.array(shard),
-                             "shuffle_rank": pa.array(rv)})
+                             "shard": pa.array(md5_shard(ids, n_shards)),
+                             "shuffle_rank": pa.array(md5_order_i60(ids))})
 
         return ds.map_batches(prep, batch_format="pyarrow")
 
@@ -1908,14 +1912,8 @@ def events_moving_range(sf_dir: str, window_hours: int = 3):
     ds = _read(sf_dir, "events", columns=["ts", "event_type"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        epoch = pc.cast(
-            pc.cast(batch.column("ts"),
-                    options=pc.CastOptions(target_type=pa.timestamp("us"),
-                                           allow_time_truncate=True)),
-            pa.int64())
-        hour = pc.cast(pc.divide(epoch, pa.scalar(3_600_000_000)), pa.int64())
         t = pa.table({"event_type": batch.column("event_type"),
-                      "hour_bucket": hour})
+                      "hour_bucket": _hour_bucket_us(batch.column("ts"))})
         g = t.group_by(["event_type", "hour_bucket"]).aggregate(
             [("hour_bucket", "count", pc.CountOptions(mode="all"))])
         return pa.table({"event_type": g.column("event_type"),
@@ -1996,27 +1994,30 @@ def events_median_cont(sf_dir: str, num_parts: int = 16):
 
 
 def doc_ntile(sf_dir: str, k: int = 10):
-    """Global ``NTILE(k)`` over documents ordered by a unique 60-bit md5
-    slice — equal-depth binning without a global sort: the two-pass
-    distributed rank supplies each row's position, the total row count
-    comes free from parquet footers, and the tile is pure arithmetic on
-    (position, n, k) with DuckDB's larger-buckets-first split."""
+    """Global ``NTILE(k)`` over documents ordered by a 60-bit md5 slice —
+    equal-depth binning without a global sort: the two-pass distributed
+    rank supplies each row's position, the total row count comes free
+    from parquet footers, and the tile is pure arithmetic on
+    (position, n, k) with DuckDB's larger-buckets-first split.
+
+    The order key is collision-free at test scale but NOT at 10^12 rows
+    (birthday bound ~2^30): a tied order key shares the min rank, so the
+    colliding rows land in the same tile and the exact q/(q+1) bucket
+    sizes drift by the number of collisions.  Past ~10^8 rows widen the
+    slice (``functions/hashing.md5_order_i60`` docstring) before
+    trusting exact bucket sizes."""
     n = _table_nrows(sf_dir, "documents")
 
     def make_ds():
         ds = _read(sf_dir, "documents", columns=["doc_id"])
 
         def prep(batch: pa.Table) -> pa.Table:
-            import hashlib
-            _md5 = hashlib.md5
+            from ..functions.hashing import md5_order_i60
             ids = batch.column("doc_id").to_pylist()
-            rv = np.fromiter(
-                (int(_md5(str(i).encode()).hexdigest()[8:23], 16)
-                 for i in ids), np.int64, len(ids))
             return pa.table({"doc_id": batch.column("doc_id"),
                              "ntile_g": pa.array(np.zeros(len(ids),
                                                           dtype=np.int64)),
-                             "order_rank": pa.array(rv)})
+                             "order_rank": pa.array(md5_order_i60(ids))})
 
         return ds.map_batches(prep, batch_format="pyarrow")
 

@@ -243,3 +243,19 @@ class TestNationRevenuePaths:
         b = slow.sort_values(list(slow.columns), ignore_index=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
         assert len(a) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSetOpNullKeys:
+    def test_null_keys_match_each_other(self):
+        """SQL set-op semantics: NULL keys compare equal across sides."""
+        import ray.data
+        from pdf_parser_ray.pipelines.relational import set_op
+
+        a = pd.DataFrame({"k": pd.array([1, None, 2], dtype="Int64")})
+        b = pd.DataFrame({"k": pd.array([None, 2, 3], dtype="Int64")})
+        ds_a, ds_b = ray.data.from_pandas(a), ray.data.from_pandas(b)
+        got = set_op(ds_a, ds_b, key="k", how="intersect", nrows=6).to_pandas()
+        vals = set(got["k"].tolist())
+        assert len(got) == 2 and 2 in vals  # {NULL, 2}
+        assert got["k"].isna().sum() == 1
