@@ -1943,6 +1943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_range": rel.events_moving_range,
         "events_median_cont": rel.events_median_cont,
         "doc_ntile": rel.doc_ntile,
+        "table_profile": rel.table_profile,
         "events_gaps": rel.events_gaps,
         "custkeys_f_and_o": rel.custkeys_f_and_o,
         "custkeys_f_not_o": rel.custkeys_f_not_o,
@@ -2312,6 +2313,24 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS last_mark_ts_us "
             "FROM events"
+        ),
+        "table_profile": (
+            "SELECT 'o_orderkey' AS col, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null, "
+            "min(o_orderkey) AS min_v, max(o_orderkey) AS max_v, "
+            "CAST(sum(o_orderkey) AS BIGINT) AS sum_v FROM orders "
+            "UNION ALL "
+            "SELECT 'o_custkey', CAST(count(*) AS BIGINT), "
+            "CAST(count(*) - count(o_custkey) AS BIGINT), "
+            "min(o_custkey), max(o_custkey), "
+            "CAST(sum(o_custkey) AS BIGINT) FROM orders "
+            "UNION ALL "
+            "SELECT 'o_totalprice_cents', CAST(count(*) AS BIGINT), "
+            "CAST(count(*) - count(o_totalprice) AS BIGINT), "
+            "min(CAST(round(o_totalprice * 100) AS BIGINT)), "
+            "max(CAST(round(o_totalprice * 100) AS BIGINT)), "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "FROM orders"
         ),
         "events_median_cont": (
             "WITH m AS (SELECT event_type, "

@@ -2036,3 +2036,44 @@ def doc_ntile(sf_dir: str, k: int = 10):
                              "tile": tile.astype(np.int64)})
 
     return ranked.map_batches(to_tile, batch_format="pandas")
+
+
+def table_profile(sf_dir: str):
+    """Column profile ('describe') over orders: per profiled column the
+    row count, null count, min, max and exact int64 sum — the
+    data-engineering sanity scan.  One streaming pass of per-batch Arrow
+    aggregates (6 numbers per column per batch); the merge folds the tiny
+    partial set on one block.  Money profiles as integer cents."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {"o_orderkey": batch.column("o_orderkey"),
+                "o_custkey": batch.column("o_custkey"),
+                "o_totalprice_cents": _cents(batch.column("o_totalprice"))}
+        rows = []
+        for name, arr in cols.items():
+            n, nn = len(arr), arr.null_count
+            if n - nn == 0:
+                continue  # all-null/empty partial carries no min/max/sum
+            mm = pc.min_max(arr)
+            rows.append((name, n, nn, mm["min"].as_py(), mm["max"].as_py(),
+                         pc.sum(arr).as_py()))
+        return pa.table({
+            "col": pa.array([r[0] for r in rows], type=pa.string()),
+            "n": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_null": pa.array([r[2] for r in rows], type=pa.int64()),
+            "min_v": pa.array([r[3] for r in rows], type=pa.int64()),
+            "max_v": pa.array([r[4] for r in rows], type=pa.int64()),
+            "sum_v": pa.array([r[5] for r in rows], type=pa.int64()),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("col", as_index=False).agg(
+            n=("n", "sum"), n_null=("n_null", "sum"), min_v=("min_v", "min"),
+            max_v=("max_v", "max"), sum_v=("sum_v", "sum"))
+        return out.astype({c: "int64" for c in out.columns if c != "col"})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(merge, batch_format="pandas",
+                                               batch_size=None)
