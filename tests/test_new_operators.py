@@ -259,3 +259,24 @@ class TestSetOpNullKeys:
         vals = set(got["k"].tolist())
         assert len(got) == 2 and 2 in vals  # {NULL, 2}
         assert got["k"].isna().sum() == 1
+
+
+class TestNtileArithmetic:
+    def test_matches_duckdb_ntile_split(self):
+        """The (position, n, k) tile formula used by doc_ntile must match
+        DuckDB's larger-buckets-first NTILE split for every shape —
+        pure arithmetic, no Ray needed."""
+        import duckdb
+
+        for n in [1, 2, 3, 9, 10, 11, 25, 100]:
+            for k in [1, 3, 7, 10]:
+                q, r = divmod(n, k)
+                big = (q + 1) * r
+                qq = max(q, 1)
+                rn = np.arange(1, n + 1)
+                tile = np.where(rn <= big, (rn - 1) // (q + 1),
+                                r + (rn - 1 - big) // qq) + 1
+                want = duckdb.sql(
+                    f"SELECT ntile({k}) OVER (ORDER BY range) AS t "
+                    f"FROM range({n}) ORDER BY range").df()["t"].to_numpy()
+                assert (tile == want).all(), (n, k)
