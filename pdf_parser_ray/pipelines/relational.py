@@ -599,7 +599,10 @@ def pricing_rollup(sf_dir: str):
     ds = _read(sf_dir, "lineitem", columns=keys + ["l_quantity"])
 
     def partial(batch: pd.DataFrame) -> pa.Table:
-        batch = batch.assign(q=batch["l_quantity"].astype("int64"))
+        # np.rint = half-to-even = DuckDB's DOUBLE→BIGINT cast (a plain
+        # astype truncates — latent divergence for non-integral values)
+        batch = batch.assign(
+            q=np.rint(batch["l_quantity"].to_numpy(np.float64)).astype("int64"))
         agg = batch.groupby(keys, as_index=False).agg(
             sum_qty=("q", "sum"), n_rows=("q", "size"))
         return pa.Table.from_pandas(agg, preserve_index=False)
@@ -925,8 +928,7 @@ def customer_order_revenue(sf_dir: str, k: int = 10,
                 return pa.table({"o_custkey": pa.array([], type=pa.int64()),
                                  "total_revenue_cents": pa.array([], type=pa.int64())})
             lkey = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
-            idx = np.minimum(np.searchsorted(ok, lkey), len(ok) - 1)
-            hit = ok[idx] == lkey  # inner-join semantics: drop unmatched
+            idx, hit = _ss_match(ok, lkey)  # inner join: drop unmatched
             cents = li_revenue(batch).to_numpy(zero_copy_only=False)
             df = pd.DataFrame({"o_custkey": cu[idx][hit],
                                "total_revenue_cents": cents[hit]})
@@ -1835,7 +1837,9 @@ def pricing_cube(sf_dir: str):
     ds = _read(sf_dir, "lineitem", columns=keys + ["l_quantity"])
 
     def partial(batch: pd.DataFrame) -> pa.Table:
-        batch = batch.assign(q=batch["l_quantity"].astype("int64"))
+        # np.rint = half-to-even = DuckDB's DOUBLE→BIGINT cast semantics
+        batch = batch.assign(
+            q=np.rint(batch["l_quantity"].to_numpy(np.float64)).astype("int64"))
         agg = batch.groupby(keys, as_index=False).agg(
             sum_qty=("q", "sum"), n_rows=("q", "size"))
         return pa.Table.from_pandas(agg, preserve_index=False)
@@ -1932,7 +1936,7 @@ def events_moving_range(sf_dir: str, window_hours: int = 3):
             n = g["n_events"].to_numpy(np.int64)
             cs = np.concatenate(([0], np.cumsum(n)))
             lo = np.searchsorted(hours, hours - (window_hours - 1), "left")
-            moving = cs[1 + np.arange(len(hours))] - cs[lo]
+            moving = cs[1:] - cs[lo]
             out.append(pd.DataFrame({
                 "event_type": et, "hour_bucket": hours,
                 "n_events": n, "moving_n": moving}))
@@ -2054,8 +2058,13 @@ def table_profile(sf_dir: str):
         rows = []
         for name, arr in cols.items():
             n, nn = len(arr), arr.null_count
+            if n == 0:
+                continue
             if n - nn == 0:
-                continue  # all-null/empty partial carries no min/max/sum
+                # counts still accrue; min/max/sum are null (SQL: all-null
+                # column aggregates to NULL but count(*) counts the rows)
+                rows.append((name, n, nn, None, None, None))
+                continue
             mm = pc.min_max(arr)
             rows.append((name, n, nn, mm["min"].as_py(), mm["max"].as_py(),
                          pc.sum(arr).as_py()))
@@ -2069,10 +2078,19 @@ def table_profile(sf_dir: str):
         })
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # min_count=1: a column null in EVERY batch stays NULL like SQL
+        # sum(); pandas' default would fabricate 0
         out = df.groupby("col", as_index=False).agg(
             n=("n", "sum"), n_null=("n_null", "sum"), min_v=("min_v", "min"),
-            max_v=("max_v", "max"), sum_v=("sum_v", "sum"))
-        return out.astype({c: "int64" for c in out.columns if c != "col"})
+            max_v=("max_v", "max"),
+            sum_v=("sum_v", lambda s: s.sum(min_count=1)))
+        out = out.astype({"n": "int64", "n_null": "int64"})
+        for c in ("min_v", "max_v", "sum_v"):
+            # int64 when fully populated, float64 with NaN when any NULL —
+            # DuckDB fetchdf typing for a nullable BIGINT aggregate
+            if not out[c].isna().any():
+                out[c] = out[c].astype("int64")
+        return out
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.repartition(1).map_batches(merge, batch_format="pandas",

@@ -280,3 +280,27 @@ class TestNtileArithmetic:
                     f"SELECT ntile({k}) OVER (ORDER BY range) AS t "
                     f"FROM range({n}) ORDER BY range").df()["t"].to_numpy()
                 assert (tile == want).all(), (n, k)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTableProfileNulls:
+    def test_all_null_and_partial_null_columns(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pdf_parser_ray.pipelines.relational import table_profile
+
+        t = pa.table({
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([None, None, None], pa.int64()),
+            "o_totalprice": pa.array([1.0, None, 2.0], pa.float64()),
+        })
+        pq.write_table(t, tmp_path / "orders.parquet")
+        out = table_profile(str(tmp_path)).to_pandas().set_index("col")
+        # all-null column: counts accrue, aggregates stay NULL (SQL)
+        r = out.loc["o_custkey"]
+        assert r["n"] == 3 and r["n_null"] == 3
+        assert pd.isna(r["min_v"]) and pd.isna(r["max_v"]) and pd.isna(r["sum_v"])
+        # partially-null column: nulls skipped in aggregates, counted in n
+        r = out.loc["o_totalprice_cents"]
+        assert r["n"] == 3 and r["n_null"] == 1
+        assert r["min_v"] == 100 and r["max_v"] == 200 and r["sum_v"] == 300
