@@ -1900,6 +1900,16 @@ def shuffle_shards(sf_dir: str, n_shards: int = 16):
         nrows=_table_nrows(sf_dir, "documents"))
 
 
+def range_window_sums(keys: np.ndarray, vals: np.ndarray,
+                      window: int) -> np.ndarray:
+    """RANGE-frame moving sum over a SORTED integer key series: for each
+    position, the sum of vals whose key lies in ``[key-(window-1), key]``
+    — cumsum + searchsorted, O(n log n), no per-row Python."""
+    cs = np.concatenate(([0], np.cumsum(vals)))
+    lo = np.searchsorted(keys, keys - (window - 1), "left")
+    return cs[1:] - cs[lo]
+
+
 def events_moving_range(sf_dir: str, window_hours: int = 3):
     """RANGE-framed moving count per event type: for every (type, hour)
     the number of events in hours ``[h-(w-1), h]`` BY TIME VALUE — unlike
@@ -1934,12 +1944,9 @@ def events_moving_range(sf_dir: str, window_hours: int = 3):
         for et, g in agg.groupby("event_type", sort=False):
             hours = g["hour_bucket"].to_numpy(np.int64)
             n = g["n_events"].to_numpy(np.int64)
-            cs = np.concatenate(([0], np.cumsum(n)))
-            lo = np.searchsorted(hours, hours - (window_hours - 1), "left")
-            moving = cs[1:] - cs[lo]
             out.append(pd.DataFrame({
-                "event_type": et, "hour_bucket": hours,
-                "n_events": n, "moving_n": moving}))
+                "event_type": et, "hour_bucket": hours, "n_events": n,
+                "moving_n": range_window_sums(hours, n, window_hours)}))
         return pd.concat(out, ignore_index=True) if out else \
             agg.assign(moving_n=pd.Series(dtype="int64"))
 

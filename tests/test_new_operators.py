@@ -304,3 +304,28 @@ class TestTableProfileNulls:
         r = out.loc["o_totalprice_cents"]
         assert r["n"] == 3 and r["n_null"] == 1
         assert r["min_v"] == 100 and r["max_v"] == 200 and r["sum_v"] == 300
+
+
+class TestMovingRangeKernel:
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.tuples(st.sampled_from(["a", "b"]),
+                              st.integers(min_value=0, max_value=30)),
+                    min_size=1, max_size=80))
+    def test_matches_bruteforce_range_window(self, rows):
+        """The module's cumsum+searchsorted RANGE helper vs an O(n^2)
+        reference: for each (type, hour), events with hour' in [h-2, h]."""
+        from pdf_parser_ray.pipelines.relational import range_window_sums
+
+        df = pd.DataFrame(rows, columns=["event_type", "hour_bucket"])
+        hourly = df.groupby(["event_type", "hour_bucket"]).size().reset_index(
+            name="n_events").sort_values(["event_type", "hour_bucket"],
+                                         ignore_index=True)
+        for et, g in hourly.groupby("event_type", sort=False):
+            hours = g["hour_bucket"].to_numpy(np.int64)
+            n = g["n_events"].to_numpy(np.int64)
+            moving = range_window_sums(hours, n, 3)
+            for h, m in zip(hours, moving):
+                brute = len(df[(df["event_type"] == et)
+                               & (df["hour_bucket"] >= h - 2)
+                               & (df["hour_bucket"] <= h)])
+                assert m == brute
