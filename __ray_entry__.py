@@ -1938,6 +1938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": rel.events_sliding_window,
         "nation_revenue": rel.nation_revenue,
         "orders_price_rank": rel.orders_price_rank,
+        "orders_price_dense_rank": rel.orders_price_dense_rank,
         "pricing_cube": rel.pricing_cube,
         "shuffle_shards": rel.shuffle_shards,
         "events_moving_range": rel.events_moving_range,
@@ -2369,6 +2370,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
             "CAST(count(*) AS BIGINT) AS n_rows "
             "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+        ),
+        "orders_price_dense_rank": (
+            "SELECT o_orderkey, o_orderpriority, "
+            "CAST(round(o_totalprice*100) AS BIGINT) AS price_cents, "
+            "CAST(dense_rank() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rnk "
+            "FROM orders"
         ),
         "orders_price_rank": (
             "SELECT o_orderkey, o_orderpriority, "

@@ -2102,3 +2102,108 @@ def table_profile(sf_dir: str):
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.repartition(1).map_batches(merge, batch_format="pandas",
                                                batch_size=None)
+
+
+def dense_ranked_by_value(make_ds, *, group_col: str, value_col: str,
+                          out_cols: list[str], shift: int = 12,
+                          num_parts: int = 64, nrows: int | None = None,
+                          small_limit: int = _COALESCE_ROW_LIMIT):
+    """SQL ``dense_rank() OVER (PARTITION BY group ORDER BY value)`` —
+    the ``ranked_by_value`` two-pass shape, counting DISTINCT values:
+
+    * pass 1 — per-batch DISTINCT (group, bucket, value) triples →
+      (group,bucket)-hash partition → per-partition dedup + distinct
+      count → driver distinct-below-bucket offsets.  The distinct-value
+      exchange is the information-theoretic floor for dense ranking
+      (collapses when values repeat, degrades to row count only when
+      every value is unique);
+    * pass 2 — identical partitioning; within a bucket the dense index
+      is the running count of value changes (equal values share a
+      bucket by construction, so neither ties nor distinct counts
+      straddle partitions).
+    """
+
+    def small_path():
+        def small_kernel(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["rnk"] = (df.groupby(group_col)[value_col]
+                         .rank(method="dense").astype("int64"))
+            return df[out_cols + ["rnk"]]
+
+        return make_ds().repartition(1).map_batches(
+            small_kernel, batch_format="pandas", batch_size=None)
+
+    if nrows is not None and 0 < nrows <= small_limit:
+        return small_path()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_rb_bucket"] = df[value_col].to_numpy(np.int64) >> shift
+        pair_hash = pd.util.hash_pandas_object(
+            df[[group_col, "_rb_bucket"]], index=False).to_numpy()
+        df["_rb_part"] = (pair_hash % num_parts).astype("int64")
+        return df
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = add_part(df)
+        return df[[group_col, "_rb_bucket", "_rb_part", value_col]
+                  ].drop_duplicates()
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates([group_col, "_rb_bucket", value_col])
+        out = u.groupby([group_col, "_rb_bucket"], as_index=False).size()
+        return out.rename(columns={"size": "_rb_n"})
+
+    counts = (make_ds().map_batches(distinct_partial, batch_format="pandas")
+              .groupby("_rb_part")
+              .map_groups(count_distinct, batch_format="pandas")).to_pandas()
+    if len(counts) == 0 or group_col not in counts.columns:
+        return small_path()
+    counts = counts.sort_values([group_col, "_rb_bucket"], ignore_index=True)
+    cum = counts.groupby(group_col)["_rb_n"].cumsum() - counts["_rb_n"]
+    off_df = counts.assign(_rb_off=cum.astype("int64"))[
+        [group_col, "_rb_bucket", "_rb_off"]]
+    off_ref = ray.put(off_df)
+
+    def rank_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        g = g.merge(off, on=[group_col, "_rb_bucket"], how="left")
+        g["_rb_off"] = g["_rb_off"].fillna(0).astype("int64")
+        g = g.sort_values([group_col, "_rb_bucket", value_col],
+                          kind="mergesort", ignore_index=True)
+        n = len(g)
+        if n == 0:
+            return g.assign(rnk=pd.Series(dtype="int64"))[out_cols + ["rnk"]]
+        gb_change = ((g[group_col] != g[group_col].shift())
+                     | (g["_rb_bucket"] != g["_rb_bucket"].shift())).to_numpy()
+        val_change = gb_change | (g[value_col] != g[value_col].shift()).to_numpy()
+        pos = np.arange(n)
+        c = np.cumsum(val_change.astype(np.int64))
+        bstart = np.maximum.accumulate(np.where(gb_change, pos, 0))
+        g["rnk"] = g["_rb_off"].to_numpy() + (c - c[bstart]) + 1
+        return g[out_cols + ["rnk"]]
+
+    return (make_ds().map_batches(add_part, batch_format="pandas")
+            .groupby("_rb_part").map_groups(rank_kernel, batch_format="pandas"))
+
+
+def orders_price_dense_rank(sf_dir: str):
+    """dense_rank() of every order by price cents within its priority
+    class — the dense sibling of ``orders_price_rank``."""
+
+    def make_ds():
+        ds = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+        def prep(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "price_cents": _cents(batch.column("o_totalprice"))})
+
+        return ds.map_batches(prep, batch_format="pyarrow")
+
+    return dense_ranked_by_value(
+        make_ds, group_col="o_orderpriority", value_col="price_cents",
+        out_cols=["o_orderkey", "o_orderpriority", "price_cents"],
+        nrows=_table_nrows(sf_dir, "orders"))

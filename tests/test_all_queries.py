@@ -61,7 +61,7 @@ def _names():
         "events_gaps", "custkeys_f_and_o", "custkeys_f_not_o",
         "nation_revenue", "orders_price_rank", "pricing_cube",
         "shuffle_shards", "events_moving_range", "events_median_cont",
-        "doc_ntile", "table_profile",
+        "doc_ntile", "table_profile", "orders_price_dense_rank",
     ]
 
 

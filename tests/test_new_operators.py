@@ -329,3 +329,27 @@ class TestMovingRangeKernel:
                                & (df["hour_bucket"] >= h - 2)
                                & (df["hour_bucket"] <= h)])
                 assert m == brute
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDenseRankedByValue:
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.tuples(st.integers(min_value=0, max_value=3),
+                              st.integers(min_value=-50, max_value=50)),
+                    min_size=1, max_size=200),
+           st.integers(min_value=2, max_value=8))
+    def test_matches_pandas_dense_rank(self, rows, shift):
+        import ray.data
+        from pdf_parser_ray.pipelines.relational import dense_ranked_by_value
+
+        df = pd.DataFrame(rows, columns=["g", "v"]).astype({"v": "int64"})
+        df["id"] = range(len(df))
+        got = dense_ranked_by_value(
+            lambda: ray.data.from_pandas(df).repartition(3),
+            group_col="g", value_col="v", out_cols=["id", "g", "v"],
+            shift=shift, num_parts=4).to_pandas()
+        want = df.copy()
+        want["rnk"] = want.groupby("g")["v"].rank(method="dense").astype("int64")
+        a = got.sort_values("id", ignore_index=True)[["id", "g", "v", "rnk"]]
+        b = want.sort_values("id", ignore_index=True)[["id", "g", "v", "rnk"]]
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
