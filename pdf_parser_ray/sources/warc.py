@@ -1,0 +1,137 @@
+"""From-scratch WARC (ISO 28500) source — stdlib only.
+
+Web-archive inputs (Common-Crawl-style ``.warc`` / ``.warc.gz``) are the
+native acquisition format for a web-scale extraction tier; this module
+turns them into interleaved documents on the corpus schema
+``(doc_id, spans)`` with one ``html`` span per response record, directly
+consumable by the flagship ``DocParse`` stage.
+
+Format notes (public spec): a WARC file is a sequence of records —
+``WARC/1.0`` version line, CRLF header lines, blank line, then exactly
+``Content-Length`` block bytes, then two CRLFs.  A ``response`` record's
+block is a full HTTP response (status line + headers + CRLFCRLF + body).
+``.warc.gz`` files compress EACH record as its own gzip member so
+readers can split at member boundaries; stdlib zlib decompresses the
+member chain via repeated ``decompressobj(wbits=31)``.
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+from typing import Iterator
+
+import pyarrow as pa
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a chain of concatenated gzip members."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out += d.decompress(data[pos:])
+            out += d.flush()
+        except zlib.error:
+            break  # trailing garbage: keep what decoded
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+    return bytes(out)
+
+
+def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Yield ``(headers, block)`` per WARC record.
+
+    ``headers`` maps lower-cased field names to values.  The scan anchors
+    on the ``WARC/`` version line and honors ``Content-Length``, so
+    malformed regions between records are skipped (fail-soft, like every
+    per-row parser in this repo)."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    pos = 0
+    while True:
+        idx = data.find(b"WARC/", pos)
+        if idx < 0:
+            return
+        hdr_end = data.find(b"\r\n\r\n", idx)
+        if hdr_end < 0:
+            return
+        headers: dict[str, str] = {}
+        for ln in data[idx:hdr_end].split(b"\r\n")[1:]:
+            key, sep, val = ln.partition(b":")
+            if sep:
+                headers[key.strip().lower().decode("latin-1")] = \
+                    val.strip().decode("latin-1")
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = hdr_end + 4
+            continue
+        block = data[hdr_end + 4 : hdr_end + 4 + length]
+        yield headers, block
+        pos = hdr_end + 4 + length
+
+
+def http_response_body(block: bytes) -> bytes:
+    """Strip the HTTP envelope from a ``response`` record block (tolerant:
+    a block without a status line passes through unchanged)."""
+    if block[:5] == b"HTTP/":
+        sep = block.find(b"\r\n\r\n")
+        if sep >= 0:
+            return block[sep + 4:]
+    return block
+
+
+def build_warc(pages: list[tuple[str, str]], *,
+               gzip_members: bool = False) -> bytes:
+    """Fixture writer: ``(uri, html)`` pairs → WARC bytes of response
+    records (deterministic — fixed date/ids)."""
+    out = bytearray()
+    for i, (uri, html) in enumerate(pages):
+        body = html.encode("utf-8")
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                + f"Content-Length: {len(body)}\r\n\r\n".encode("ascii")
+                + body)
+        hdr = ("WARC/1.0\r\n"
+               "WARC-Type: response\r\n"
+               f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-{i:012d}>\r\n"
+               "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+               f"WARC-Target-URI: {uri}\r\n"
+               "Content-Type: application/http; msgtype=response\r\n"
+               f"Content-Length: {len(http)}\r\n\r\n").encode("ascii")
+        rec = hdr + http + b"\r\n\r\n"
+        out += gzip.compress(rec) if gzip_members else rec
+    return bytes(out)
+
+
+def read_warc(paths, **ray_kwargs):
+    """``ray.data.Dataset`` of interleaved documents from WARC file(s):
+    one row per ``response`` record, ``doc_id`` = WARC-Target-URI, spans
+    = [one html span] — the corpus schema, so the result pipes straight
+    into ``DocParse`` / ``extraction_dataset``.  Reads are streaming
+    (``read_binary_files`` → per-batch record explode); a WARC file is
+    the read-parallelism unit, matching how web archives shard."""
+    import ray.data
+
+    from ..schema import SPAN_STRUCT
+
+    ds = ray.data.read_binary_files(paths, **ray_kwargs)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, spans = [], []
+        for blob in batch.column("bytes").to_pylist():
+            for headers, block in iter_warc_records(blob):
+                if headers.get("warc-type") != "response":
+                    continue
+                html = http_response_body(block).decode("utf-8", "replace")
+                ids.append(headers.get("warc-target-uri", ""))
+                spans.append([{"kind": "html", "text": html,
+                               "media_ref": "", "offset": 0}])
+        return pa.table({"doc_id": pa.array(ids, type=pa.string()),
+                         "spans": pa.array(spans,
+                                           type=pa.list_(SPAN_STRUCT))})
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -1,0 +1,64 @@
+"""WARC source: record parsing, gzip members, HTTP stripping, and the
+Ray path feeding the flagship extraction stage."""
+
+import pytest
+
+PAGES = [
+    ("http://example.com/a", "<html><body><p>Alpha paragraph with enough "
+     "words to count as main content for the extractor.</p></body></html>"),
+    ("http://example.com/b", "<html><body><nav>menu</nav><p>Beta body text "
+     "long enough to be treated as a real content block.</p></body></html>"),
+    ("http://example.com/c", "<html><body><p>Gamma page content, also a "
+     "full sentence of meaningful main text.</p></body></html>"),
+]
+
+
+class TestWarcParsing:
+    def test_roundtrip_plain_and_gzip(self):
+        from pdf_parser_ray.sources.warc import (build_warc, http_response_body,
+                                                 iter_warc_records)
+
+        for gz in (False, True):
+            data = build_warc(PAGES, gzip_members=gz)
+            recs = list(iter_warc_records(data))
+            assert len(recs) == 3
+            for (uri, html), (headers, block) in zip(PAGES, recs):
+                assert headers["warc-type"] == "response"
+                assert headers["warc-target-uri"] == uri
+                assert http_response_body(block).decode() == html
+
+    def test_non_response_records_and_junk_skipped(self):
+        from pdf_parser_ray.sources.warc import build_warc, iter_warc_records
+
+        info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n"
+                b"\r\nabcd\r\n\r\n")
+        data = info + b"JUNKJUNK" + build_warc(PAGES[:1])
+        recs = list(iter_warc_records(data))
+        assert [h["warc-type"] for h, _ in recs] == ["warcinfo", "response"]
+
+    def test_body_without_http_envelope_passes_through(self):
+        from pdf_parser_ray.sources.warc import http_response_body
+
+        assert http_response_body(b"<html></html>") == b"<html></html>"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWarcRayPath:
+    def test_read_warc_feeds_doc_parse(self, tmp_path):
+        from pdf_parser_ray.html import extract_main_content
+        from pdf_parser_ray.sources.warc import build_warc, read_warc
+        from pdf_parser_ray.stages.doc_parse import doc_parse_batch
+
+        p = tmp_path / "crawl-00000.warc.gz"
+        p.write_bytes(build_warc(PAGES, gzip_members=True))
+        ds = read_warc(str(p))
+        out = ds.map_batches(doc_parse_batch, batch_format="pyarrow").to_pandas()
+        assert sorted(out["doc_id"]) == sorted(u for u, _ in PAGES)
+        assert out["error"].isna().all()
+        # span text equals a direct run of the HTML extractor on the html
+        by_id = {r["doc_id"]: r for _, r in out.iterrows()}
+        for uri, html in PAGES:
+            got = [s["text"] for s in by_id[uri]["spans"] if s["kind"] == "text"]
+            want = [sp.text for sp in extract_main_content(html)
+                    if sp.kind == "text"]
+            assert got == want
