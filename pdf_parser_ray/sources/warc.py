@@ -135,3 +135,16 @@ def read_warc(paths, **ray_kwargs):
                                            type=pa.list_(SPAN_STRUCT))})
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def warc_to_corpus(paths, out_dir: str, **ray_kwargs) -> None:
+    """Materialize WARC input as the corpus parquet layout.
+
+    The checkpointed extraction (``pipelines/extraction.run_extraction``)
+    plans partitions from parquet row-group statistics, which WARC files
+    don't carry — so web-archive ingestion is a two-step: this one
+    streaming conversion pass (records → corpus rows → parquet shards),
+    then the fragment-planned, exactly-resumable extraction over the
+    result.  The conversion itself is restartable at file granularity
+    (rerun with the not-yet-converted WARC paths)."""
+    read_warc(paths, **ray_kwargs).write_parquet(out_dir)

@@ -62,3 +62,32 @@ class TestWarcRayPath:
             want = [sp.text for sp in extract_main_content(html)
                     if sp.kind == "text"]
             assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWarcToCheckpointedExtraction:
+    def test_warc_corpus_runs_resumable_extraction(self, tmp_path):
+        import pandas as pd
+
+        from pdf_parser_ray.pipelines.extraction import run_extraction
+        from pdf_parser_ray.sources.warc import build_warc, warc_to_corpus
+
+        warc = tmp_path / "crawl-00000.warc"
+        warc.write_bytes(build_warc(PAGES))
+        corpus = str(tmp_path / "corpus")
+        out = str(tmp_path / "out")
+        warc_to_corpus(str(warc), corpus)
+
+        r1 = run_extraction(corpus, out)
+        assert r1["partitions_committed_now"] >= 1
+        # rerun resumes: everything already committed
+        r2 = run_extraction(corpus, out)
+        assert r2["partitions_committed_now"] == 0
+        assert r2["partitions_skipped"] == r1["partitions_total"]
+        import glob
+
+        parts = sorted(glob.glob(f"{out}/partitions/*"))
+        got = pd.concat([pd.read_parquet(p) for p in parts],
+                        ignore_index=True)
+        assert sorted(got["doc_id"]) == sorted(u for u, _ in PAGES)
+        assert got["error"].isna().all()
