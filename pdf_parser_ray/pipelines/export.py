@@ -1,24 +1,26 @@
 """Deterministic shuffled training export — the consumption side of
 ``relational.shuffle_shards``.
 
-Documents land in md5-shard directories (``shard=K``), each file
-internally ordered by the intra-shard shuffle rank, so a training job
-reading shard directories in order replays ONE stable global
-permutation — no ``random_shuffle`` all-to-all, stable across reruns.
+Documents land in md5-shard directories (``shard=K``), split into
+rank-RANGE bucket files named so that reading a shard's files in
+lexicographic order, each file already internally sorted, replays ONE
+stable global permutation — no ``random_shuffle`` all-to-all, stable
+across reruns, and no kernel ever holds a whole shard: the work unit is
+a (shard, rank-range) bucket (``order_buckets`` per shard), so memory
+per task is corpus_bytes / (n_shards × order_buckets) regardless of
+shard size.
 
 Resume contract (same shape as the extraction checkpoint,
-``pipelines/extraction.py``): a shard directory is written to a tmp path
-and committed with an atomic rename; a rerun skips committed shards
-without recomputing them, and the returned manifest says which were
-skipped.  Scale note: one shard is sorted in one kernel — pick
-``n_shards`` so a shard fits a worker (corpus_bytes / shard_budget);
-shards are md5-uniform so there is no skew to salt.
+``pipelines/extraction.py``): each bucket file is written to a tmp path
+and committed with an atomic rename; a rerun skips committed files
+without recomputing their sort, and the returned manifest says which
+were skipped.  Shards and buckets are md5-uniform, so there is no skew
+to salt.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 
 import pandas as pd
 import pyarrow as pa
@@ -28,42 +30,55 @@ import ray.data
 
 from ..functions.hashing import md5_order_i60, md5_shard
 
+_RANK_BITS = 60  # md5_order_i60 yields values in [0, 2^60)
+
 
 def export_shuffled(sf_dir: str, out_dir: str, n_shards: int = 16,
+                    order_buckets: int = 4,
                     columns: list[str] | None = None):
-    """Write ``documents`` to ``out_dir/shard=K/part-0.parquet``, each
-    file ordered by the deterministic shuffle rank.  Returns the shard
-    manifest as a pandas DataFrame (shard, n_docs, skipped)."""
+    """Write ``documents`` to ``out_dir/shard=K/part-{bucket}.parquet``,
+    bucket = high bits of the shuffle rank (so file-name order == rank
+    order), each file internally rank-sorted.  Returns the bucket
+    manifest as a pandas DataFrame (shard, bucket, n_docs, skipped)."""
+    if order_buckets < 1 or order_buckets & (order_buckets - 1):
+        raise ValueError("order_buckets must be a power of two")
     columns = columns or ["doc_id", "text"]
+    bucket_shift = _RANK_BITS - (order_buckets.bit_length() - 1)
+    width = len(str(order_buckets - 1)) if order_buckets > 1 else 1
     os.makedirs(out_dir, exist_ok=True)
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=columns)
 
     def prep(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        batch = batch.append_column("shard",
-                                    pa.array(md5_shard(ids, n_shards)))
-        return batch.append_column("shuffle_rank",
-                                   pa.array(md5_order_i60(ids)))
+        rank = md5_order_i60(ids)
+        shard = md5_shard(ids, n_shards)
+        # ORDERED buckets from the rank's high bits: lexicographic file
+        # order replays rank order with zero cross-file coordination
+        bucket = rank >> bucket_shift
+        batch = batch.append_column("shard", pa.array(shard))
+        batch = batch.append_column("order_bucket", pa.array(bucket))
+        batch = batch.append_column(
+            "export_part", pa.array(shard * order_buckets + bucket))
+        return batch.append_column("shuffle_rank", pa.array(rank))
 
-    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
         shard = int(g["shard"].iloc[0])
-        dst = os.path.join(out_dir, f"shard={shard}")
+        bucket = int(g["order_bucket"].iloc[0])
+        shard_dir = os.path.join(out_dir, f"shard={shard}")
+        os.makedirs(shard_dir, exist_ok=True)
+        dst = os.path.join(shard_dir, f"part-{bucket:0{width}d}.parquet")
+        row = {"shard": [shard], "bucket": [bucket], "n_docs": [len(g)]}
         if os.path.exists(dst):  # committed by a previous run — skip
-            return pd.DataFrame({"shard": [shard], "n_docs": [len(g)],
-                                 "skipped": [True]})
+            return pd.DataFrame({**row, "skipped": [True]})
         g = g.sort_values(["shuffle_rank", "doc_id"], kind="mergesort")
         tmp = dst + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp)
         pq.write_table(
-            pa.Table.from_pandas(g[columns], preserve_index=False),
-            os.path.join(tmp, "part-0.parquet"))
-        os.replace(tmp, dst)  # atomic commit: dir appears fully written
-        return pd.DataFrame({"shard": [shard], "n_docs": [len(g)],
-                             "skipped": [False]})
+            pa.Table.from_pandas(g[columns], preserve_index=False), tmp)
+        os.replace(tmp, dst)  # atomic commit: file appears fully written
+        return pd.DataFrame({**row, "skipped": [False]})
 
     manifest = (ds.map_batches(prep, batch_format="pyarrow")
-                .groupby("shard")
-                .map_groups(write_shard, batch_format="pandas")).to_pandas()
-    return manifest.sort_values("shard", ignore_index=True)
+                .groupby("export_part")
+                .map_groups(write_bucket, batch_format="pandas")).to_pandas()
+    return manifest.sort_values(["shard", "bucket"], ignore_index=True)

@@ -1,6 +1,8 @@
-"""Shuffled training export: determinism, ordering, and shard-level resume."""
+"""Shuffled training export: determinism, ordering, bucketed files, and
+file-level resume."""
 
 import filecmp
+import glob
 import os
 
 import duckdb
@@ -10,18 +12,28 @@ import pytest
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def _shard_doc_ids(out_dir: str, shard: int) -> list:
+    """Read a shard's files in lexicographic name order — the reader
+    contract: that order IS the shuffle order."""
+    ids = []
+    for f in sorted(glob.glob(os.path.join(out_dir, f"shard={shard}",
+                                           "part-*.parquet"))):
+        ids.extend(pd.read_parquet(f)["doc_id"].tolist())
+    return ids
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestExportShuffled:
     def test_order_resume_and_determinism(self, tmp_path):
         from pdf_parser_ray.pipelines.export import export_shuffled
 
         out1 = str(tmp_path / "run1")
-        m1 = export_shuffled(SF_DIR, out1, n_shards=4)
-        assert not m1["skipped"].any() and len(m1) == 4
+        m1 = export_shuffled(SF_DIR, out1, n_shards=4, order_buckets=4)
+        assert not m1["skipped"].any()
         assert m1["n_docs"].sum() == duckdb.sql(
             f"SELECT count(*) FROM '{SF_DIR}/documents.parquet'").fetchall()[0][0]
 
-        # within-shard order replays the SQL shuffle rank
+        # files read in name order replay the SQL shuffle rank
         want = duckdb.sql(
             f"WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx "
             f"FROM '{SF_DIR}/documents.parquet') "
@@ -29,24 +41,40 @@ class TestExportShuffled:
             "WHERE CAST(concat('0x', substr(hx,1,8)) AS UBIGINT) % 4 = 1 "
             "ORDER BY CAST(concat('0x', substr(hx,9,15)) AS BIGINT), doc_id"
         ).fetchdf()["doc_id"].tolist()
-        got = pd.read_parquet(os.path.join(out1, "shard=1"))["doc_id"].tolist()
-        assert got == want
+        assert _shard_doc_ids(out1, 1) == want
 
-        # full rerun: every shard skipped, files untouched
-        m2 = export_shuffled(SF_DIR, out1, n_shards=4)
+        # full rerun: every bucket file skipped
+        m2 = export_shuffled(SF_DIR, out1, n_shards=4, order_buckets=4)
         assert m2["skipped"].all()
 
-        # resume: drop one shard, only it is rewritten — byte-equal
-        import shutil
-        shutil.rmtree(os.path.join(out1, "shard=2"))
-        m3 = export_shuffled(SF_DIR, out1, n_shards=4)
-        assert m3.set_index("shard")["skipped"].to_dict() == {
-            0: True, 1: True, 2: False, 3: True}
+        # resume at FILE granularity: drop one bucket file, only it returns
+        victims = sorted(glob.glob(os.path.join(out1, "shard=2",
+                                                "part-*.parquet")))
+        os.remove(victims[0])
+        m3 = export_shuffled(SF_DIR, out1, n_shards=4, order_buckets=4)
+        redone = m3[~m3["skipped"]]
+        assert len(redone) == 1
+        assert (int(redone["shard"].iloc[0]), int(redone["bucket"].iloc[0])) \
+            == (2, 0)
+        assert _shard_doc_ids(out1, 2) == _shard_doc_ids(out1, 2)
 
         # independent fresh run is byte-identical (deterministic export)
         out2 = str(tmp_path / "run2")
-        export_shuffled(SF_DIR, out2, n_shards=4)
-        for k in range(4):
-            a = os.path.join(out1, f"shard={k}", "part-0.parquet")
-            b = os.path.join(out2, f"shard={k}", "part-0.parquet")
-            assert filecmp.cmp(a, b, shallow=False), f"shard {k} differs"
+        export_shuffled(SF_DIR, out2, n_shards=4, order_buckets=4)
+        for f1 in glob.glob(os.path.join(out1, "shard=*", "part-*.parquet")):
+            f2 = os.path.join(out2, os.path.relpath(f1, out1))
+            assert filecmp.cmp(f1, f2, shallow=False), f1
+
+    def test_single_bucket_mode(self, tmp_path):
+        from pdf_parser_ray.pipelines.export import export_shuffled
+
+        out = str(tmp_path / "one")
+        m = export_shuffled(SF_DIR, out, n_shards=2, order_buckets=1)
+        assert sorted(m["shard"].unique()) == [0, 1]
+        assert (m["bucket"] == 0).all()
+
+    def test_bad_bucket_count_raises(self, tmp_path):
+        from pdf_parser_ray.pipelines.export import export_shuffled
+
+        with pytest.raises(ValueError):
+            export_shuffled(SF_DIR, str(tmp_path / "x"), order_buckets=3)
