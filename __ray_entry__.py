@@ -501,6 +501,19 @@ FROM o
 """
 
 
+def _q_bpe_tokens(sf_dir: str):
+    """Per-document subword token count under a corpus-trained BPE vocab
+    (stages/textstage.py:bpe_token_counts): ONE distributed word-count
+    exchange → driver merge training on the bounded top-K word table →
+    broadcast-ranks encode pass. Iterative training is not
+    SQL-expressible — rows-only here; the kernels are pytest-gated
+    against the classic hand-worked BPE example (tests/test_bpe_train.py)."""
+    from pdf_parser_ray.stages.textstage import bpe_token_counts
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return bpe_token_counts(ds, num_merges=64, vocab_words=2000)
+
+
 def _q_top_terms(sf_dir: str):
     """Corpus-wide term-frequency top-50 (stages/textstage.py:top_terms):
     per-batch Counter combiner → shared coarse-partition group-sum →
@@ -1878,6 +1891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": _q_contamination,
         "pack_sequences": _q_pack_sequences,
         "top_terms": _q_top_terms,
+        "bpe_tokens": _q_bpe_tokens,
         "repetition_stats": _q_repetition_stats,
         "bigram_commonness": _q_bigram_commonness,
         "chunk_documents": _q_chunk_documents,

@@ -521,3 +521,67 @@ def top_terms(ds, *, k: int = 50, text_col: str = "text"):
     counts = ds.map_batches(partials, batch_format="pyarrow")
     summed = partitioned_group_sum(counts, key="term", sum_cols={"n": "n"})
     return topk(summed, by=["n", "term"], descending=[True, False], k=k)
+
+
+def bpe_token_counts(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                     num_merges: int = 64, vocab_words: int = 2000):
+    """Per-document subword token count under a BPE vocabulary TRAINED ON
+    THIS CORPUS — the end-to-end tokenization pipeline:
+
+    1. one distributed word-count exchange (the ``top_terms`` shape:
+       per-batch Counter partials, coarse group-sum, bounded top-k) keeps
+       the ``vocab_words`` most frequent words — the standard practice at
+       scale, since the word-frequency table is BPE's sufficient
+       statistic and its head carries nearly all merge mass;
+    2. ``functions/bpe.train_bpe`` runs ON THE DRIVER over that bounded
+       table (deterministic tie-breaks — reproducible vocab);
+    3. the merge ranks broadcast by closure and a second embarrassingly
+       parallel pass encodes every document (out-of-vocab words still
+       encode — BPE degrades to characters, never fails).
+
+    Returns (id, n_words, n_bpe_tokens).  Non-SQL-expressible (iterative
+    training), so the driver gate is rows-only; the kernels are
+    pytest-gated against the classic hand-worked example instead.
+    """
+    import collections
+
+    import pyarrow as pa
+
+    from ..functions.bpe import apply_bpe, train_bpe
+    from ..functions.minhash import _ASCII_WS
+    from ..pipelines.relational import partitioned_group_sum, topk
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cnt: collections.Counter = collections.Counter()
+        for t in batch.column(text_col).to_pylist():
+            cnt.update(x for x in _ASCII_WS.split((t or "").lower()) if x)
+        return pa.table({"word": pa.array(list(cnt.keys()), type=pa.string()),
+                         "n": pa.array(list(cnt.values()), type=pa.int64())})
+
+    counts = ds.map_batches(partials, batch_format="pyarrow")
+    summed = partitioned_group_sum(counts, key="word", sum_cols={"n": "n"})
+    head = topk(summed, by=["n", "word"], descending=[True, False],
+                k=vocab_words).to_pandas()
+    freqs = dict(zip(head["word"], head["n"])) if "word" in head.columns else {}
+    merges = train_bpe(freqs, num_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        n_words, n_tokens = [], []
+        cache: dict[str, int] = {}
+        for t in batch.column(text_col).to_pylist():
+            words = [x for x in _ASCII_WS.split((t or "").lower()) if x]
+            total = 0
+            for w in words:
+                hit = cache.get(w)
+                if hit is None:
+                    hit = cache[w] = len(apply_bpe(w, ranks))
+                total += hit
+            n_words.append(len(words))
+            n_tokens.append(total)
+        return pa.table({id_col: ids,
+                         "n_words": pa.array(n_words, type=pa.int64()),
+                         "n_bpe_tokens": pa.array(n_tokens, type=pa.int64())})
+
+    return ds.map_batches(encode, batch_format="pyarrow")
