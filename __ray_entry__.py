@@ -501,6 +501,18 @@ FROM o
 """
 
 
+def _q_perplexity(sf_dir: str):
+    """CCNet-style trigram-LM quality score (stages/textstage.py:
+    lm_perplexity): LM trained on the lang='en' slice via ONE bounded
+    trigram-count exchange; per-trigram INTEGER milli NLL (half-away
+    rounded BEFORE summation) makes each document's score an order-free
+    exact int64 — the oracle replays the entire train+score path in SQL."""
+    from pdf_parser_ray.stages.textstage import lm_perplexity
+
+    ds = _documents(sf_dir, columns=["doc_id", "text", "lang"])
+    return lm_perplexity(ds)
+
+
 def _q_bpe_tokens(sf_dir: str):
     """Per-document subword token count under a corpus-trained BPE vocab
     (stages/textstage.py:bpe_token_counts): ONE distributed word-count
@@ -1892,6 +1904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "top_terms": _q_top_terms,
         "bpe_tokens": _q_bpe_tokens,
+        "perplexity": _q_perplexity,
         "repetition_stats": _q_repetition_stats,
         "bigram_commonness": _q_bigram_commonness,
         "chunk_documents": _q_chunk_documents,
@@ -2328,6 +2341,27 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS last_mark_ts_us "
             "FROM events"
+        ),
+        "perplexity": (
+            "WITH ref AS (SELECT lower(text) AS t FROM documents "
+            "WHERE lang = 'en' AND text IS NOT NULL), "
+            "rtri AS (SELECT substr(t, i, 3) AS g FROM ref, "
+            "unnest([x for x in range(1, length(t) - 1)]) AS u(i)), "
+            "counts AS (SELECT g, CAST(count(*) AS BIGINT) AS c "
+            "FROM rtri GROUP BY g), "
+            "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, "
+            "CAST(count(*) AS BIGINT) AS v FROM counts), "
+            "lp AS (SELECT g, CAST(round(-1000 * ln((c + 1) / (n + v + 1.0))) "
+            "AS BIGINT) AS milli FROM counts, tot), "
+            "oov AS (SELECT CAST(round(-1000 * ln(1.0 / (n + v + 1.0))) "
+            "AS BIGINT) AS milli FROM tot), "
+            "docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+            "WHERE length(text) >= 3), "
+            "dtri AS (SELECT doc_id, substr(t, i, 3) AS g FROM docs, "
+            "unnest([x for x in range(1, length(t) - 1)]) AS u(i)) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, "
+            "CAST(sum(coalesce(lp.milli, (SELECT milli FROM oov))) AS BIGINT) "
+            "AS nll_milli FROM dtri LEFT JOIN lp USING (g) GROUP BY doc_id"
         ),
         "table_profile": (
             "SELECT 'o_orderkey' AS col, CAST(count(*) AS BIGINT) AS n, "

@@ -585,3 +585,89 @@ def bpe_token_counts(ds, *, text_col: str = "text", id_col: str = "doc_id",
                          "n_bpe_tokens": pa.array(n_tokens, type=pa.int64())})
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def lm_perplexity(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                  lang_col: str = "lang", ref_lang: str = "en"):
+    """CCNet-style language-model quality scoring: a smoothed character
+    TRIGRAM LM is trained on the corpus's reference slice
+    (``lang == ref_lang``) and every document is scored by its total
+    negative log-likelihood — the classic perplexity filter signal
+    (lower = more like the reference distribution).
+
+    Scale shape: pass 1 is one bounded trigram-count exchange (distinct
+    char trigrams ≤ charset³ — the count table, not the corpus, is the
+    LM's sufficient statistic); the driver turns counts into PER-TRIGRAM
+    INTEGER milli NLL values (``round(-1000·ln((c+1)/(N+V+1)))``, OOV
+    bucket ``c=0``) rounded half-away BEFORE summation, so every
+    document score is an order-free exact int64 sum — DuckDB-replayable
+    bit for bit.  Pass 2 is embarrassingly parallel with the milli table
+    broadcast.  Returns (id, n_trigrams, nll_milli) for documents with
+    ≥1 trigram.
+    """
+    import collections
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..pipelines.relational import partitioned_group_sum
+
+    def tri_partials(batch: pa.Table) -> pa.Table:
+        cnt: collections.Counter = collections.Counter()
+        langs = batch.column(lang_col).to_pylist()
+        for t, lg in zip(batch.column(text_col).to_pylist(), langs):
+            if lg != ref_lang or not t:
+                continue
+            t = t.lower()
+            cnt.update(t[i:i + 3] for i in range(len(t) - 2))
+        return pa.table({"g": pa.array(list(cnt.keys()), type=pa.string()),
+                         "c": pa.array(list(cnt.values()), type=pa.int64())})
+
+    counts = partitioned_group_sum(
+        ds.map_batches(tri_partials, batch_format="pyarrow"),
+        key="g", sum_cols={"c": "c"}).to_pandas()
+    if len(counts) == 0 or "g" not in counts.columns:
+        grams, n_total, v = {}, 0, 0
+    else:
+        grams = dict(zip(counts["g"], counts["c"].astype(int)))
+        n_total = int(counts["c"].sum())
+        v = len(grams)
+    denom = float(n_total + v + 1)
+
+    def milli(c: int) -> float:
+        return -1000.0 * math.log((c + 1) / denom)
+
+    vals = pa.array([milli(c) for c in grams.values()], type=pa.float64())
+    milli_int = pc.cast(pc.round(vals, round_mode="half_towards_infinity"),
+                        pa.int64()).to_pylist()
+    lp = dict(zip(grams.keys(), milli_int))
+    oov = int(pc.cast(pc.round(pa.array([milli(0)]),
+                               round_mode="half_towards_infinity"),
+                      pa.int64())[0].as_py())
+
+    import ray as _ray
+
+    lp_ref = _ray.put(lp)
+
+    def score(batch: pa.Table) -> pa.Table:
+        table = _ray.get(lp_ref)
+        ids_in = batch.column(id_col).to_pylist()
+        ids, n_tris, nlls = [], [], []
+        for i, t in zip(ids_in, batch.column(text_col).to_pylist()):
+            t = (t or "").lower()
+            if len(t) < 3:
+                continue  # no trigrams → no score (SQL group-by parity)
+            total = 0
+            get = table.get
+            for j in range(len(t) - 2):
+                total += get(t[j:j + 3], oov)
+            ids.append(i)
+            n_tris.append(len(t) - 2)
+            nlls.append(total)
+        id_type = batch.schema.field(id_col).type
+        return pa.table({id_col: pa.array(ids, type=id_type),
+                         "n_trigrams": pa.array(n_tris, type=pa.int64()),
+                         "nll_milli": pa.array(nlls, type=pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
