@@ -178,7 +178,8 @@ def run_query_suite() -> dict:
              "events_range_join", "knn_lsh", "dup_spans",
              "corpus_curate", "approx_distinct_users",
              "events_value_percentiles", "orders_top_per_customer",
-             "nation_revenue", "orders_price_rank"]
+             "nation_revenue", "orders_price_rank",
+             "perplexity", "bpe_tokens"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:
