@@ -2349,7 +2349,7 @@ def oracle_sql() -> dict[str, str]:
             "unnest([x for x in range(1, length(t) - 1)]) AS u(i)), "
             "counts AS (SELECT g, CAST(count(*) AS BIGINT) AS c "
             "FROM rtri GROUP BY g), "
-            "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, "
+            "tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n, "
             "CAST(count(*) AS BIGINT) AS v FROM counts), "
             "lp AS (SELECT g, CAST(round(-1000 * ln((c + 1) / (n + v + 1.0))) "
             "AS BIGINT) AS milli FROM counts, tot), "

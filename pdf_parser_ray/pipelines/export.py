@@ -46,6 +46,25 @@ def export_shuffled(sf_dir: str, out_dir: str, n_shards: int = 16,
     bucket_shift = _RANK_BITS - (order_buckets.bit_length() - 1)
     width = len(str(order_buckets - 1)) if order_buckets > 1 else 1
     os.makedirs(out_dir, exist_ok=True)
+    # resume-plan guard (the extraction checkpoint's plan-mismatch abort,
+    # sink-side): skipping committed FILES is only sound if the rerun
+    # shards and buckets identically — a changed plan would silently mix
+    # two inconsistent layouts
+    import json
+
+    params = {"n_shards": n_shards, "order_buckets": order_buckets,
+              "columns": list(columns)}
+    params_path = os.path.join(out_dir, "_export_params.json")
+    if os.path.exists(params_path):
+        with open(params_path) as f:
+            prev = json.load(f)
+        if prev != params:
+            raise ValueError(
+                f"export plan mismatch: {out_dir} was written with {prev}, "
+                f"rerun asks for {params}; use a fresh out_dir")
+    else:
+        with open(params_path, "w") as f:
+            json.dump(params, f)
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=columns)
 
@@ -81,4 +100,9 @@ def export_shuffled(sf_dir: str, out_dir: str, n_shards: int = 16,
     manifest = (ds.map_batches(prep, batch_format="pyarrow")
                 .groupby("export_part")
                 .map_groups(write_bucket, batch_format="pandas")).to_pandas()
+    if "shard" not in manifest.columns:  # empty input loses its schema
+        return pd.DataFrame({"shard": pd.Series(dtype="int64"),
+                             "bucket": pd.Series(dtype="int64"),
+                             "n_docs": pd.Series(dtype="int64"),
+                             "skipped": pd.Series(dtype="bool")})
     return manifest.sort_values(["shard", "bucket"], ignore_index=True)

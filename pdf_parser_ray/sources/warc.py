@@ -70,6 +70,10 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
         except ValueError:
             pos = hdr_end + 4
             continue
+        # clamp: a negative/absurd length in a malformed record must never
+        # move the scan backwards (infinite re-yield) or to a negative
+        # index (bytes.find treats it as from-the-end — silent data loss)
+        length = max(length, 0)
         block = data[hdr_end + 4 : hdr_end + 4 + length]
         yield headers, block
         pos = hdr_end + 4 + length

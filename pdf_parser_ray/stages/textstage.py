@@ -543,26 +543,15 @@ def bpe_token_counts(ds, *, text_col: str = "text", id_col: str = "doc_id",
     training), so the driver gate is rows-only; the kernels are
     pytest-gated against the classic hand-worked example instead.
     """
-    import collections
-
     import pyarrow as pa
 
     from ..functions.bpe import apply_bpe, train_bpe
     from ..functions.minhash import _ASCII_WS
-    from ..pipelines.relational import partitioned_group_sum, topk
 
-    def partials(batch: pa.Table) -> pa.Table:
-        cnt: collections.Counter = collections.Counter()
-        for t in batch.column(text_col).to_pylist():
-            cnt.update(x for x in _ASCII_WS.split((t or "").lower()) if x)
-        return pa.table({"word": pa.array(list(cnt.keys()), type=pa.string()),
-                         "n": pa.array(list(cnt.values()), type=pa.int64())})
-
-    counts = ds.map_batches(partials, batch_format="pyarrow")
-    summed = partitioned_group_sum(counts, key="word", sum_cols={"n": "n"})
-    head = topk(summed, by=["n", "word"], descending=[True, False],
-                k=vocab_words).to_pandas()
-    freqs = dict(zip(head["word"], head["n"])) if "word" in head.columns else {}
+    # the word-frequency head IS top_terms — one shared tokenizer/count
+    # pipeline, so the BPE vocab can't drift from the corpus term stats
+    head = top_terms(ds, k=vocab_words, text_col=text_col).to_pandas()
+    freqs = dict(zip(head["term"], head["n"])) if "term" in head.columns else {}
     merges = train_bpe(freqs, num_merges)
     ranks = {p: i for i, p in enumerate(merges)}
 

@@ -61,3 +61,20 @@ class TestBpePipeline:
         a = out.sort_values("doc_id", ignore_index=True)
         b = out2.sort_values("doc_id", ignore_index=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPerplexityEmptyRef:
+    def test_missing_reference_language_scores_zero(self):
+        """No reference slice → uniform LM with NLL 0, matching the SQL
+        oracle's coalesce(sum(c), 0) path — parity, not a crash."""
+        import ray.data
+
+        from pdf_parser_ray.stages.textstage import lm_perplexity
+
+        sf = "/root/testdata/sf0.001"
+        ds = ray.data.read_parquet(f"{sf}/documents.parquet",
+                                   columns=["doc_id", "text", "lang"])
+        out = lm_perplexity(ds, ref_lang="zz").to_pandas()
+        assert len(out) > 0
+        assert (out["nll_milli"] == 0).all()

@@ -48,6 +48,7 @@ class TestExportShuffled:
         assert m2["skipped"].all()
 
         # resume at FILE granularity: drop one bucket file, only it returns
+        before = _shard_doc_ids(out1, 2)
         victims = sorted(glob.glob(os.path.join(out1, "shard=2",
                                                 "part-*.parquet")))
         os.remove(victims[0])
@@ -56,7 +57,7 @@ class TestExportShuffled:
         assert len(redone) == 1
         assert (int(redone["shard"].iloc[0]), int(redone["bucket"].iloc[0])) \
             == (2, 0)
-        assert _shard_doc_ids(out1, 2) == _shard_doc_ids(out1, 2)
+        assert _shard_doc_ids(out1, 2) == before  # rewritten file is exact
 
         # independent fresh run is byte-identical (deterministic export)
         out2 = str(tmp_path / "run2")
@@ -78,3 +79,11 @@ class TestExportShuffled:
 
         with pytest.raises(ValueError):
             export_shuffled(SF_DIR, str(tmp_path / "x"), order_buckets=3)
+
+    def test_plan_mismatch_rerun_aborts(self, tmp_path):
+        from pdf_parser_ray.pipelines.export import export_shuffled
+
+        out = str(tmp_path / "plan")
+        export_shuffled(SF_DIR, out, n_shards=2, order_buckets=2)
+        with pytest.raises(ValueError, match="plan mismatch"):
+            export_shuffled(SF_DIR, out, n_shards=4, order_buckets=2)

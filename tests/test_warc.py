@@ -91,3 +91,16 @@ class TestWarcToCheckpointedExtraction:
                         ignore_index=True)
         assert sorted(got["doc_id"]) == sorted(u for u, _ in PAGES)
         assert got["error"].isna().all()
+
+
+class TestWarcMalformed:
+    def test_negative_content_length_terminates(self):
+        from pdf_parser_ray.sources.warc import build_warc, iter_warc_records
+
+        bad = (b"X" * 100 + b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"Content-Length: -100\r\n\r\nbody")
+        data = bad + build_warc(PAGES[:1])
+        recs = list(iter_warc_records(data))  # must terminate
+        assert [h["warc-type"] for h, _ in recs].count("response") == 2
+        # the well-formed record after the malformed one still parses
+        assert recs[-1][0]["warc-target-uri"] == PAGES[0][0]
