@@ -1709,19 +1709,26 @@ def nation_revenue(sf_dir: str, region: str = "ASIA",
 def ranked_by_value(make_ds, *, group_col: str, value_col: str,
                     out_cols: list[str], shift: int = 12,
                     num_parts: int = 64, nrows: int | None = None,
-                    small_limit: int = _COALESCE_ROW_LIMIT):
-    """SQL ``rank() OVER (PARTITION BY group ORDER BY value)`` (ties share
-    the min rank) over an INTEGER value column, with no global sort:
+                    small_limit: int = _COALESCE_ROW_LIMIT,
+                    dense: bool = False):
+    """SQL ``rank()`` (default) or ``dense_rank()`` (``dense=True``)
+    ``OVER (PARTITION BY group ORDER BY value)`` over an INTEGER value
+    column, with no global sort:
 
-    * pass 1 — per-batch counts per (group, coarse value range
-      ``bucket = value >> shift``) → a tiny tree combine → driver builds
-      cumulative below-bucket offsets (O(groups × value_range / 2^shift)
-      rows — the only driver structure, bounded by ``shift``) →
-      ``ray.put`` broadcast;
-    * pass 2 — rows hash-partition by (group, bucket) (equal values share
-      a bucket BY CONSTRUCTION, so ties never straddle partitions) → one
-      vectorized kernel: within-bucket strictly-less position via the
-      sorted first-occurrence trick + the broadcast offset.
+    * pass 1 — below-bucket offsets per (group, coarse value range
+      ``bucket = value >> shift``): for rank(), per-batch ROW counts and
+      a tiny tree combine; for dense_rank(), DISTINCT (group, bucket,
+      value) triples co-located by (group,bucket) hash and counted — the
+      distinct-value exchange is the information floor for dense
+      ranking.  Either way the driver holds only
+      O(groups × value_range / 2^shift) offset rows, ``ray.put``
+      broadcast;
+    * pass 2 — rows hash-partition by (group, bucket) (equal values
+      share a bucket BY CONSTRUCTION, so neither ties nor distinct
+      counts straddle partitions) → one vectorized kernel: the
+      within-bucket index is the sorted first-occurrence position
+      (rank) or the running count of value changes (dense), plus the
+      broadcast offset.
 
     ``make_ds`` is a zero-arg factory: the input streams TWICE (the
     classic two-pass distributed rank) instead of being materialized —
@@ -1735,11 +1742,13 @@ def ranked_by_value(make_ds, *, group_col: str, value_col: str,
     standard size gate; each Ray sort/groupby exchange is ~2 s of fixed
     barrier cost).
     """
+    method = "dense" if dense else "min"
+
     def small_path():
         def small_kernel(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
             df["rnk"] = (df.groupby(group_col)[value_col]
-                         .rank(method="min").astype("int64"))
+                         .rank(method=method).astype("int64"))
             return df[out_cols + ["rnk"]]
 
         return make_ds().repartition(1).map_batches(
@@ -1748,21 +1757,50 @@ def ranked_by_value(make_ds, *, group_col: str, value_col: str,
     if nrows is not None and 0 < nrows <= small_limit:
         return small_path()
 
-    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
-        b = df[value_col].to_numpy(np.int64) >> shift
-        out = (pd.DataFrame({group_col: df[group_col], "_rb_bucket": b})
-               .groupby([group_col, "_rb_bucket"], as_index=False)
-               .size().rename(columns={"size": "_rb_n"}))
-        return out
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_rb_bucket"] = df[value_col].to_numpy(np.int64) >> shift
+        pair_hash = pd.util.hash_pandas_object(
+            df[[group_col, "_rb_bucket"]], index=False).to_numpy()
+        df["_rb_part"] = (pair_hash % num_parts).astype("int64")
+        return df
 
-    def count_merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby([group_col, "_rb_bucket"], as_index=False)["_rb_n"].sum()
+    if dense:
+        # distinct triples, co-located so cross-batch dedup is exact
+        def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+            df = add_part(df)
+            return df[[group_col, "_rb_bucket", "_rb_part", value_col]
+                      ].drop_duplicates()
 
-    counts = (make_ds().map_batches(count_partial, batch_format="pandas")
-              .repartition(8).map_batches(count_merge, batch_format="pandas",
-                                          batch_size=None)
-              .repartition(1).map_batches(count_merge, batch_format="pandas",
-                                          batch_size=None)).to_pandas()
+        def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+            u = g.drop_duplicates([group_col, "_rb_bucket", value_col])
+            out = u.groupby([group_col, "_rb_bucket"], as_index=False).size()
+            return out.rename(columns={"size": "_rb_n"})
+
+        counts = (make_ds().map_batches(distinct_partial,
+                                        batch_format="pandas")
+                  .groupby("_rb_part")
+                  .map_groups(count_distinct,
+                              batch_format="pandas")).to_pandas()
+    else:
+        def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+            b = df[value_col].to_numpy(np.int64) >> shift
+            return (pd.DataFrame({group_col: df[group_col], "_rb_bucket": b})
+                    .groupby([group_col, "_rb_bucket"], as_index=False)
+                    .size().rename(columns={"size": "_rb_n"}))
+
+        def count_merge(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby([group_col, "_rb_bucket"],
+                              as_index=False)["_rb_n"].sum()
+
+        counts = (make_ds().map_batches(count_partial, batch_format="pandas")
+                  .repartition(8).map_batches(count_merge,
+                                              batch_format="pandas",
+                                              batch_size=None)
+                  .repartition(1).map_batches(count_merge,
+                                              batch_format="pandas",
+                                              batch_size=None)).to_pandas()
+
     if len(counts) == 0 or group_col not in counts.columns:
         # an all-empty input loses its pandas schema entirely (generic
         # Ray empty-to_pandas behavior) — rank it on the direct path
@@ -1774,14 +1812,6 @@ def ranked_by_value(make_ds, *, group_col: str, value_col: str,
         [group_col, "_rb_bucket", "_rb_off"]]
     off_ref = ray.put(off_df)
 
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_rb_bucket"] = df[value_col].to_numpy(np.int64) >> shift
-        pair_hash = pd.util.hash_pandas_object(
-            df[[group_col, "_rb_bucket"]], index=False).to_numpy()
-        df["_rb_part"] = (pair_hash % num_parts).astype("int64")
-        return df
-
     def rank_kernel(g: pd.DataFrame) -> pd.DataFrame:
         off = ray.get(off_ref)
         g = g.merge(off, on=[group_col, "_rb_bucket"], how="left")
@@ -1790,15 +1820,19 @@ def ranked_by_value(make_ds, *, group_col: str, value_col: str,
                           kind="mergesort", ignore_index=True)
         n = len(g)
         if n == 0:
-            return g[out_cols + ["rnk"]] if "rnk" in g else g.assign(
-                rnk=pd.Series(dtype="int64"))[out_cols + ["rnk"]]
+            return g.assign(rnk=pd.Series(dtype="int64"))[out_cols + ["rnk"]]
         gb_change = ((g[group_col] != g[group_col].shift())
                      | (g["_rb_bucket"] != g["_rb_bucket"].shift())).to_numpy()
         val_change = gb_change | (g[value_col] != g[value_col].shift()).to_numpy()
         pos = np.arange(n)
-        first = np.maximum.accumulate(np.where(val_change, pos, 0))
         bstart = np.maximum.accumulate(np.where(gb_change, pos, 0))
-        g["rnk"] = g["_rb_off"].to_numpy() + (first - bstart) + 1
+        if dense:
+            c = np.cumsum(val_change.astype(np.int64))
+            within = c - c[bstart]
+        else:
+            first = np.maximum.accumulate(np.where(val_change, pos, 0))
+            within = first - bstart
+        g["rnk"] = g["_rb_off"].to_numpy() + within + 1
         return g[out_cols + ["rnk"]]
 
     return (make_ds().map_batches(add_part, batch_format="pandas")
@@ -2108,83 +2142,12 @@ def dense_ranked_by_value(make_ds, *, group_col: str, value_col: str,
                           out_cols: list[str], shift: int = 12,
                           num_parts: int = 64, nrows: int | None = None,
                           small_limit: int = _COALESCE_ROW_LIMIT):
-    """SQL ``dense_rank() OVER (PARTITION BY group ORDER BY value)`` —
-    the ``ranked_by_value`` two-pass shape, counting DISTINCT values:
-
-    * pass 1 — per-batch DISTINCT (group, bucket, value) triples →
-      (group,bucket)-hash partition → per-partition dedup + distinct
-      count → driver distinct-below-bucket offsets.  The distinct-value
-      exchange is the information-theoretic floor for dense ranking
-      (collapses when values repeat, degrades to row count only when
-      every value is unique);
-    * pass 2 — identical partitioning; within a bucket the dense index
-      is the running count of value changes (equal values share a
-      bucket by construction, so neither ties nor distinct counts
-      straddle partitions).
-    """
-
-    def small_path():
-        def small_kernel(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["rnk"] = (df.groupby(group_col)[value_col]
-                         .rank(method="dense").astype("int64"))
-            return df[out_cols + ["rnk"]]
-
-        return make_ds().repartition(1).map_batches(
-            small_kernel, batch_format="pandas", batch_size=None)
-
-    if nrows is not None and 0 < nrows <= small_limit:
-        return small_path()
-
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_rb_bucket"] = df[value_col].to_numpy(np.int64) >> shift
-        pair_hash = pd.util.hash_pandas_object(
-            df[[group_col, "_rb_bucket"]], index=False).to_numpy()
-        df["_rb_part"] = (pair_hash % num_parts).astype("int64")
-        return df
-
-    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = add_part(df)
-        return df[[group_col, "_rb_bucket", "_rb_part", value_col]
-                  ].drop_duplicates()
-
-    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        u = g.drop_duplicates([group_col, "_rb_bucket", value_col])
-        out = u.groupby([group_col, "_rb_bucket"], as_index=False).size()
-        return out.rename(columns={"size": "_rb_n"})
-
-    counts = (make_ds().map_batches(distinct_partial, batch_format="pandas")
-              .groupby("_rb_part")
-              .map_groups(count_distinct, batch_format="pandas")).to_pandas()
-    if len(counts) == 0 or group_col not in counts.columns:
-        return small_path()
-    counts = counts.sort_values([group_col, "_rb_bucket"], ignore_index=True)
-    cum = counts.groupby(group_col)["_rb_n"].cumsum() - counts["_rb_n"]
-    off_df = counts.assign(_rb_off=cum.astype("int64"))[
-        [group_col, "_rb_bucket", "_rb_off"]]
-    off_ref = ray.put(off_df)
-
-    def rank_kernel(g: pd.DataFrame) -> pd.DataFrame:
-        off = ray.get(off_ref)
-        g = g.merge(off, on=[group_col, "_rb_bucket"], how="left")
-        g["_rb_off"] = g["_rb_off"].fillna(0).astype("int64")
-        g = g.sort_values([group_col, "_rb_bucket", value_col],
-                          kind="mergesort", ignore_index=True)
-        n = len(g)
-        if n == 0:
-            return g.assign(rnk=pd.Series(dtype="int64"))[out_cols + ["rnk"]]
-        gb_change = ((g[group_col] != g[group_col].shift())
-                     | (g["_rb_bucket"] != g["_rb_bucket"].shift())).to_numpy()
-        val_change = gb_change | (g[value_col] != g[value_col].shift()).to_numpy()
-        pos = np.arange(n)
-        c = np.cumsum(val_change.astype(np.int64))
-        bstart = np.maximum.accumulate(np.where(gb_change, pos, 0))
-        g["rnk"] = g["_rb_off"].to_numpy() + (c - c[bstart]) + 1
-        return g[out_cols + ["rnk"]]
-
-    return (make_ds().map_batches(add_part, batch_format="pandas")
-            .groupby("_rb_part").map_groups(rank_kernel, batch_format="pandas"))
+    """``dense_rank()`` — ``ranked_by_value`` with ``dense=True`` (one
+    shared two-pass engine; see its docstring for both pass shapes)."""
+    return ranked_by_value(make_ds, group_col=group_col,
+                           value_col=value_col, out_cols=out_cols,
+                           shift=shift, num_parts=num_parts, nrows=nrows,
+                           small_limit=small_limit, dense=True)
 
 
 def orders_price_dense_rank(sf_dir: str):
