@@ -1,0 +1,63 @@
+"""URL canonicalization — the web-pipeline identity key.
+
+Web corpora dedupe by canonical URL before any content pass (the same
+page is crawled under scheme/case/port/query-order/fragment variants).
+Pure stdlib ``urllib.parse``; the rules are the common-denominator set
+every major crawler applies:
+
+  - scheme and host lowercased; trailing dot on the host dropped
+  - default ports stripped (http:80, https:443)
+  - path: empty → "/", percent-encoding normalized by parse/unparse
+  - query: parameters sorted by (key, value); blank-valued keys kept;
+    tracking parameters (``utm_*``, ``fbclid``, ``gclid``) dropped
+  - fragment dropped (never sent to the server)
+"""
+
+from __future__ import annotations
+
+from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+
+_DEFAULT_PORTS = {"http": 80, "https": 443}
+_TRACKING_PREFIXES = ("utm_",)
+_TRACKING_KEYS = {"fbclid", "gclid"}
+
+
+def canonical_url(url: str) -> str:
+    """Canonical form of ``url``; returns the input stripped when it
+    doesn't parse as a URL (fail-soft, like every per-row kernel here)."""
+    url = (url or "").strip()
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return url
+    if not parts.scheme or not parts.netloc:
+        return url
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower().rstrip(".")
+    port = None
+    try:
+        port = parts.port
+    except ValueError:  # non-numeric port: keep the netloc verbatim
+        return urlunsplit((scheme, parts.netloc, parts.path or "/",
+                           parts.query, ""))
+    netloc = host if port is None or _DEFAULT_PORTS.get(scheme) == port \
+        else f"{host}:{port}"
+    if parts.username:  # credentials are part of identity — preserve
+        cred = parts.username + (f":{parts.password}" if parts.password else "")
+        netloc = f"{cred}@{netloc}"
+    path = parts.path or "/"
+    pairs = [(k, v) for k, v in
+             parse_qsl(parts.query, keep_blank_values=True)
+             if not k.lower().startswith(_TRACKING_PREFIXES)
+             and k.lower() not in _TRACKING_KEYS]
+    query = urlencode(sorted(pairs))
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def url_host(url: str) -> str:
+    """Registered host of ``url`` ('' when unparseable) — the grouping
+    key for per-domain caps and source statistics."""
+    try:
+        return (urlsplit((url or "").strip()).hostname or "").lower().rstrip(".")
+    except ValueError:
+        return ""

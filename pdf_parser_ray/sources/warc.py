@@ -152,3 +152,29 @@ def warc_to_corpus(paths, out_dir: str, **ray_kwargs) -> None:
     result.  The conversion itself is restartable at file granularity
     (rerun with the not-yet-converted WARC paths)."""
     read_warc(paths, **ray_kwargs).write_parquet(out_dir)
+
+
+def dedup_warc_by_url(ds, *, url_col: str = "doc_id", num_parts: int = 64,
+                      nrows: int | None = None):
+    """URL-level crawl dedup: canonicalize each record's URL
+    (``functions/url.canonical_url`` — case/port/query-order/tracking/
+    fragment variants collapse) and keep the min-id survivor per
+    canonical form via the ids-only exact dedup (slim
+    (id, hash, canonical) exchange, payload never shuffles).  Returns
+    (url_col, content_hash=sha256(canonical), canonical) survivor rows —
+    semi-join them back against the corpus to materialize surviving
+    documents, exactly like ``exact_dedup_semi`` does for content dedup."""
+    from ..functions.url import canonical_url
+    from ..stages.dedup import exact_dedup_ids
+
+    def canon(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col).to_pylist()
+        return pa.table({url_col: batch.column(url_col),
+                         "canonical": pa.array(
+                             [canonical_url(u) for u in urls],
+                             type=pa.string())})
+
+    slim = ds.map_batches(canon, batch_format="pyarrow")
+    return exact_dedup_ids(slim, text_col="canonical", id_col=url_col,
+                           keep_cols=("canonical",),
+                           num_parts=num_parts, nrows=nrows)

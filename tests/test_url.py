@@ -1,0 +1,57 @@
+"""URL canonicalization kernels (web-pipeline identity keys)."""
+
+from pdf_parser_ray.functions.url import canonical_url, url_host
+
+
+class TestCanonicalUrl:
+    def test_case_port_fragment_query_order(self):
+        variants = [
+            "HTTP://Example.COM:80/a/b?z=2&a=1#frag",
+            "http://example.com/a/b?a=1&z=2",
+            "http://example.com./a/b?z=2&a=1",
+        ]
+        canon = {canonical_url(u) for u in variants}
+        assert canon == {"http://example.com/a/b?a=1&z=2"}
+
+    def test_https_default_port_and_empty_path(self):
+        assert canonical_url("HTTPS://A.org:443") == "https://a.org/"
+        assert canonical_url("https://a.org:8443/x") == "https://a.org:8443/x"
+
+    def test_tracking_params_dropped_blank_kept(self):
+        u = "http://e.com/p?utm_source=x&q=&fbclid=123&b=2"
+        assert canonical_url(u) == "http://e.com/p?b=2&q="
+
+    def test_credentials_preserved(self):
+        assert canonical_url("http://u:pw@E.com/x") == "http://u:pw@e.com/x"
+
+    def test_fail_soft_on_non_urls(self):
+        assert canonical_url("not a url") == "not a url"
+        assert canonical_url("") == ""
+        assert canonical_url("  /relative/path ") == "/relative/path"
+
+    def test_host_helper(self):
+        assert url_host("HTTP://Example.COM.:8080/x") == "example.com"
+        assert url_host("garbage") == ""
+
+
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWarcUrlDedup:
+    def test_crawl_variants_collapse(self, tmp_path):
+        from pdf_parser_ray.sources.warc import (build_warc, dedup_warc_by_url,
+                                                 read_warc)
+
+        pages = [
+            ("http://e.com/a?z=2&a=1", "<p>page A</p>"),
+            ("HTTP://E.com:80/a?a=1&z=2#x", "<p>page A again</p>"),
+            ("http://e.com/b", "<p>page B</p>"),
+        ]
+        p = tmp_path / "c.warc"
+        p.write_bytes(build_warc(pages))
+        survivors = dedup_warc_by_url(read_warc(str(p))).to_pandas()
+        # two canonical URLs survive; min-id (lexicographic) per group
+        assert len(survivors) == 2
+        assert set(survivors["canonical"]) == {
+            "http://e.com/a?a=1&z=2", "http://e.com/b"}
