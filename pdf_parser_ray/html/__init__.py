@@ -5,6 +5,6 @@ in the readability/jusText family (public heuristics; see PAPERS.md). No
 external parser libraries. New capability vs the reference (SURVEY.md §2.9).
 """
 
-from .extract import extract_main_content, HtmlSpan
+from .extract import HtmlSpan, extract_main_content, extract_metadata
 
-__all__ = ["extract_main_content", "HtmlSpan"]
+__all__ = ["extract_main_content", "extract_metadata", "HtmlSpan"]

@@ -196,3 +196,47 @@ def extract_main_content(html: str) -> list[HtmlSpan]:
             for src in imgs:
                 out.append(HtmlSpan("image", "", src))
     return out
+
+
+def extract_metadata(html: str) -> dict:
+    """Head metadata: ``title``, meta ``description``, ``canonical`` link —
+    the web-corpus provenance fields (extract_main_content deliberately
+    drops <title> as boilerplate; this scanner reads it).  Same tolerant
+    tokenizer (``_TAG_RE``/``_parse_attrs``/``_decode_entities``); first
+    occurrence wins; missing fields are ''."""
+    out = {"title": "", "description": "", "canonical": ""}
+    pos, n = 0, len(html)
+    while pos < n and not all(out.values()):
+        lt = html.find("<", pos)
+        if lt < 0:
+            break
+        if html.startswith("<!--", lt):
+            end = html.find("-->", lt + 4)
+            pos = n if end < 0 else end + 3
+            continue
+        m = _TAG_RE.match(html, lt)
+        if not m:
+            pos = lt + 1
+            continue
+        closing, tag = m.group(1) == "/", m.group(2).lower()
+        pos = m.end()
+        if closing:
+            continue
+        if tag == "title" and not out["title"]:
+            close = re.search(r"</title\s*>", html[pos:], re.I)
+            raw = html[pos:] if close is None else html[pos:pos + close.start()]
+            out["title"] = _WS_RE.sub(" ", _decode_entities(raw)).strip()
+            if close is not None:
+                pos += close.end()
+        elif tag == "meta" and not out["description"]:
+            attrs = _parse_attrs(m.group(3))
+            if attrs.get("name", "").lower() == "description":
+                out["description"] = _WS_RE.sub(
+                    " ", _decode_entities(attrs.get("content", ""))).strip()
+        elif tag == "link" and not out["canonical"]:
+            attrs = _parse_attrs(m.group(3))
+            if attrs.get("rel", "").lower() == "canonical":
+                out["canonical"] = attrs.get("href", "").strip()
+        elif tag == "body":
+            break  # head metadata only — don't scan the document body
+    return out

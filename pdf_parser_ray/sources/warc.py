@@ -178,3 +178,29 @@ def dedup_warc_by_url(ds, *, url_col: str = "doc_id", num_parts: int = 64,
     return exact_dedup_ids(slim, text_col="canonical", id_col=url_col,
                            keep_cols=("canonical",),
                            num_parts=num_parts, nrows=nrows)
+
+
+def warc_metadata(ds):
+    """Head-metadata table for a WARC-derived corpus: one row per doc
+    with (doc_id, title, description, canonical) from its html span
+    (``html.extract_metadata``) — the provenance fields a web corpus
+    carries alongside the extracted text.  Stateless map, no shuffle."""
+    from ..html import extract_metadata
+
+    def meta(batch: pa.Table) -> pa.Table:
+        ids, titles, descs, canons = [], [], [], []
+        for i, spans in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("spans").to_pylist()):
+            html = "".join(s["text"] or "" for s in spans
+                           if s["kind"] == "html")
+            m = extract_metadata(html)
+            ids.append(i)
+            titles.append(m["title"])
+            descs.append(m["description"])
+            canons.append(m["canonical"])
+        return pa.table({"doc_id": pa.array(ids, type=pa.string()),
+                         "title": pa.array(titles, type=pa.string()),
+                         "description": pa.array(descs, type=pa.string()),
+                         "canonical": pa.array(canons, type=pa.string())})
+
+    return ds.map_batches(meta, batch_format="pyarrow")

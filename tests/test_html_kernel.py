@@ -98,3 +98,31 @@ class TestEntityEdgeCases:
                 "paragraph for keeping around.</p></body>")
         spans = extract_main_content(page)
         assert "\U0010ffff" in spans[0].text
+
+
+class TestExtractMetadata:
+    def test_title_description_canonical(self):
+        from pdf_parser_ray.html.extract import extract_metadata
+
+        html = ("<html><head><title> My&nbsp;Page &mdash; Home </title>"
+                "<meta name='Description' content='A &amp; B site'>"
+                "<link rel='canonical' href='http://e.com/a'>"
+                "</head><body><title>not this</title></body></html>")
+        m = extract_metadata(html)
+        assert m["title"] == "My Page — Home"
+        assert m["description"] == "A & B site"
+        assert m["canonical"] == "http://e.com/a"
+
+    def test_missing_fields_and_body_stop(self):
+        from pdf_parser_ray.html.extract import extract_metadata
+
+        m = extract_metadata("<body><meta name='description' content='x'>")
+        assert m == {"title": "", "description": "", "canonical": ""}
+        assert extract_metadata("") == {"title": "", "description": "",
+                                        "canonical": ""}
+
+    def test_unclosed_title_and_comments(self):
+        from pdf_parser_ray.html.extract import extract_metadata
+
+        m = extract_metadata("<!-- <title>no</title> --><title>Real")
+        assert m["title"] == "Real"

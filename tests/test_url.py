@@ -55,3 +55,22 @@ class TestWarcUrlDedup:
         assert len(survivors) == 2
         assert set(survivors["canonical"]) == {
             "http://e.com/a?a=1&z=2", "http://e.com/b"}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWarcMetadata:
+    def test_metadata_table_from_warc(self, tmp_path):
+        from pdf_parser_ray.sources.warc import (build_warc, read_warc,
+                                                 warc_metadata)
+
+        pages = [
+            ("http://e.com/a", "<head><title>Alpha</title>"
+             "<link rel=canonical href='http://e.com/a'></head><p>x</p>"),
+            ("http://e.com/b", "<p>no head at all</p>"),
+        ]
+        p = tmp_path / "m.warc"
+        p.write_bytes(build_warc(pages))
+        out = warc_metadata(read_warc(str(p))).to_pandas().set_index("doc_id")
+        assert out.loc["http://e.com/a", "title"] == "Alpha"
+        assert out.loc["http://e.com/a", "canonical"] == "http://e.com/a"
+        assert out.loc["http://e.com/b", "title"] == ""
