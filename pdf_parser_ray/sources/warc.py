@@ -204,3 +204,41 @@ def warc_metadata(ds):
                          "canonical": pa.array(canons, type=pa.string())})
 
     return ds.map_batches(meta, batch_format="pyarrow")
+
+
+def robots_filter(ds, robots_by_host: dict[str, str], *,
+                  url_col: str = "doc_id", agent: str = "*"):
+    """Drop rows whose URL is disallowed by its host's robots.txt — the
+    crawl-compliance filter of a web pipeline.  ``robots_by_host`` maps
+    hostname → robots.txt TEXT (fetched out of band; parsing is offline
+    stdlib ``urllib.robotparser``).  The map ships once via ``ray.put``;
+    each task lazily parses only the hosts its batch touches and caches
+    the parser (hosts ≪ rows).  A host with no robots.txt entry is
+    allowed (the crawl-world default)."""
+    import ray as _ray
+
+    from ..functions.url import url_host
+
+    robots_ref = _ray.put(dict(robots_by_host))
+
+    def keep_allowed(batch: pa.Table) -> pa.Table:
+        from urllib.robotparser import RobotFileParser
+
+        texts = _ray.get(robots_ref)
+        parsers: dict[str, RobotFileParser | None] = {}
+        keep = []
+        for u in batch.column(url_col).to_pylist():
+            host = url_host(u)
+            if host not in parsers:
+                txt = texts.get(host)
+                if txt is None:
+                    parsers[host] = None
+                else:
+                    p = RobotFileParser()
+                    p.parse(txt.splitlines())
+                    parsers[host] = p
+            p = parsers[host]
+            keep.append(p is None or p.can_fetch(agent, u))
+        return batch.filter(pa.array(keep, type=pa.bool_()))
+
+    return ds.map_batches(keep_allowed, batch_format="pyarrow")

@@ -74,3 +74,22 @@ class TestWarcMetadata:
         assert out.loc["http://e.com/a", "title"] == "Alpha"
         assert out.loc["http://e.com/a", "canonical"] == "http://e.com/a"
         assert out.loc["http://e.com/b", "title"] == ""
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRobotsFilter:
+    def test_disallowed_urls_dropped(self, tmp_path):
+        from pdf_parser_ray.sources.warc import (build_warc, read_warc,
+                                                 robots_filter)
+
+        pages = [
+            ("http://e.com/private/x", "<p>secret</p>"),
+            ("http://e.com/public/y", "<p>open</p>"),
+            ("http://other.org/anything", "<p>no robots entry</p>"),
+        ]
+        p = tmp_path / "r.warc"
+        p.write_bytes(build_warc(pages))
+        robots = {"e.com": "User-agent: *\nDisallow: /private/\n"}
+        out = robots_filter(read_warc(str(p)), robots).to_pandas()
+        assert sorted(out["doc_id"]) == ["http://e.com/public/y",
+                                        "http://other.org/anything"]
