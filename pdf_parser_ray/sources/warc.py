@@ -89,15 +89,19 @@ def http_response_body(block: bytes) -> bytes:
     return block
 
 
-def build_warc(pages: list[tuple[str, str]], *,
-               gzip_members: bool = False) -> bytes:
-    """Fixture writer: ``(uri, html)`` pairs → WARC bytes of response
-    records (deterministic — fixed date/ids)."""
+def build_warc(pages, *, gzip_members: bool = False) -> bytes:
+    """Fixture writer → WARC bytes of response records (deterministic —
+    fixed date/ids).  Entries: ``(uri, html_str)`` or
+    ``(uri, payload_bytes, content_type)`` for non-HTML payloads."""
     out = bytearray()
-    for i, (uri, html) in enumerate(pages):
-        body = html.encode("utf-8")
-        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-                + f"Content-Length: {len(body)}\r\n\r\n".encode("ascii")
+    for i, page in enumerate(pages):
+        if len(page) == 2:
+            uri, payload = page
+            body, ctype = payload.encode("utf-8"), "text/html"
+        else:
+            uri, body, ctype = page
+        http = (f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n".encode("ascii")
                 + body)
         hdr = ("WARC/1.0\r\n"
                "WARC-Type: response\r\n"
@@ -111,13 +115,36 @@ def build_warc(pages: list[tuple[str, str]], *,
     return bytes(out)
 
 
+_IMAGE_MAGIC = (b"\x89PNG\r\n\x1a\n", b"GIF87a", b"GIF89a", b"\xff\xd8\xff")
+
+
+def _classify_body(body: bytes, uri: str) -> dict:
+    """Payload sniffing by magic bytes → one span on the corpus schema.
+    Web archives interleave media with pages; trusting Content-Type is
+    famously wrong, so the BYTES decide: %PDF → a ``pdf`` span (base64
+    text, the corpus encoding DocParse expects), image magic → an
+    ``image`` span referencing the record URI, else an ``html`` span."""
+    import base64
+
+    if body.startswith(b"%PDF"):
+        return {"kind": "pdf",
+                "text": base64.b64encode(body).decode("ascii"),
+                "media_ref": "", "offset": 0}
+    if body.startswith(_IMAGE_MAGIC):
+        return {"kind": "image", "text": "", "media_ref": uri, "offset": 0}
+    return {"kind": "html", "text": body.decode("utf-8", "replace"),
+            "media_ref": "", "offset": 0}
+
+
 def read_warc(paths, **ray_kwargs):
-    """``ray.data.Dataset`` of interleaved documents from WARC file(s):
+    """``ray.data.Dataset`` of INTERLEAVED documents from WARC file(s):
     one row per ``response`` record, ``doc_id`` = WARC-Target-URI, spans
-    = [one html span] — the corpus schema, so the result pipes straight
-    into ``DocParse`` / ``extraction_dataset``.  Reads are streaming
-    (``read_binary_files`` → per-batch record explode); a WARC file is
-    the read-parallelism unit, matching how web archives shard."""
+    = [one sniffed span] (html page / pdf payload / image ref — see
+    ``_classify_body``) on the corpus schema, so the result pipes
+    straight into ``DocParse`` / ``extraction_dataset``.  Reads are
+    streaming (``read_binary_files`` → per-batch record explode); a WARC
+    file is the read-parallelism unit, matching how web archives
+    shard."""
     import ray.data
 
     from ..schema import SPAN_STRUCT
@@ -130,10 +157,10 @@ def read_warc(paths, **ray_kwargs):
             for headers, block in iter_warc_records(blob):
                 if headers.get("warc-type") != "response":
                     continue
-                html = http_response_body(block).decode("utf-8", "replace")
-                ids.append(headers.get("warc-target-uri", ""))
-                spans.append([{"kind": "html", "text": html,
-                               "media_ref": "", "offset": 0}])
+                uri = headers.get("warc-target-uri", "")
+                body = http_response_body(block)
+                ids.append(uri)
+                spans.append([_classify_body(body, uri)])
         return pa.table({"doc_id": pa.array(ids, type=pa.string()),
                          "spans": pa.array(spans,
                                            type=pa.list_(SPAN_STRUCT))})

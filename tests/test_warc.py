@@ -104,3 +104,35 @@ class TestWarcMalformed:
         assert [h["warc-type"] for h, _ in recs].count("response") == 2
         # the well-formed record after the malformed one still parses
         assert recs[-1][0]["warc-target-uri"] == PAGES[0][0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWarcInterleaved:
+    def test_pdf_and_image_payloads_sniffed(self, tmp_path):
+        from pdf_parser_ray.pdf import extract_page_texts
+        from pdf_parser_ray.pdf.build import claim_form_pdf
+        from pdf_parser_ray.sources.warc import build_warc, read_warc
+        from pdf_parser_ray.stages.doc_parse import doc_parse_batch
+
+        pdf_bytes = claim_form_pdf()
+        png_stub = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+        pages = [
+            ("http://e.com/page", PAGES[0][1]),
+            ("http://e.com/doc.pdf", pdf_bytes, "application/pdf"),
+            ("http://e.com/logo.png", png_stub, "image/png"),
+        ]
+        p = tmp_path / "mix.warc.gz"
+        p.write_bytes(build_warc(pages, gzip_members=True))
+        out = (read_warc(str(p))
+               .map_batches(doc_parse_batch, batch_format="pyarrow")
+               .to_pandas().set_index("doc_id"))
+        assert out["error"].isna().all()
+        # the PDF record round-trips through the real layout parser
+        want_pages, _ = extract_page_texts(pdf_bytes)
+        got = [s["text"] for s in out.loc["http://e.com/doc.pdf", "spans"]
+               if s["kind"] == "text"]
+        assert got == want_pages
+        # the image record passes through as a media_ref pointer
+        img = out.loc["http://e.com/logo.png", "spans"]
+        assert [ (s["kind"], s["media_ref"]) for s in img ] == [
+            ("image", "http://e.com/logo.png")]
