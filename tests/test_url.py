@@ -93,3 +93,36 @@ class TestRobotsFilter:
         out = robots_filter(read_warc(str(p)), robots).to_pandas()
         assert sorted(out["doc_id"]) == ["http://e.com/public/y",
                                         "http://other.org/anything"]
+
+
+from hypothesis import given, settings, strategies as st
+
+
+class TestCanonicalIdempotence:
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(max_size=60))
+    def test_canonical_is_idempotent_and_total(self, s):
+        """canonical(canonical(u)) == canonical(u) for ARBITRARY input —
+        the fixpoint property that makes it a safe dedup key — and it
+        never raises."""
+        once = canonical_url(s)
+        assert canonical_url(once) == once
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.sampled_from(["http", "https"]),
+           st.from_regex(r"[a-z][a-z0-9.-]{0,12}", fullmatch=True),
+           st.from_regex(r"(/[a-z0-9._~-]{0,6}){0,3}", fullmatch=True),
+           st.lists(st.tuples(st.from_regex(r"[a-z]{1,4}", fullmatch=True),
+                              st.from_regex(r"[a-z0-9]{0,4}", fullmatch=True)),
+                    max_size=4))
+    def test_query_order_invariance(self, scheme, host, path, params):
+        import random
+
+        base = f"{scheme}://{host}{path}"
+        a = base + ("?" + "&".join(f"{k}={v}" for k, v in params)
+                    if params else "")
+        shuffled = list(params)
+        random.Random(0).shuffle(shuffled)
+        b = base + ("?" + "&".join(f"{k}={v}" for k, v in shuffled)
+                    if shuffled else "")
+        assert canonical_url(a) == canonical_url(b)
