@@ -5,9 +5,11 @@ page is crawled under scheme/case/port/query-order/fragment variants).
 Pure stdlib ``urllib.parse``; the rules are the common-denominator set
 every major crawler applies:
 
-  - scheme and host lowercased; trailing dot on the host dropped
+  - scheme and host lowercased; trailing dot on the host dropped;
+    IPv6 hosts keep their brackets
   - default ports stripped (http:80, https:443)
-  - path: empty → "/", percent-encoding normalized by parse/unparse
+  - path: empty → "/"; RFC 3986 percent-normalization (unreserved
+    octets decoded, remaining escapes uppercased — %7E and ~ collapse)
   - query: parameters sorted by (key, value); blank-valued keys kept;
     tracking parameters (``utm_*``, ``fbclid``, ``gclid``) dropped
   - fragment dropped (never sent to the server)
@@ -15,7 +17,25 @@ every major crawler applies:
 
 from __future__ import annotations
 
+import re
 from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+_UNRESERVED = set("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                  "abcdefghijklmnopqrstuvwxyz0123456789-._~")
+
+
+def _norm_pct(path: str) -> str:
+    """RFC 3986 §6.2.2 percent normalization: decode escapes of
+    unreserved characters, uppercase the hex of everything else
+    (reserved octets like %2F stay encoded — decoding them would change
+    the path's meaning)."""
+
+    def sub(m: re.Match) -> str:
+        c = chr(int(m.group(1), 16))
+        return c if c in _UNRESERVED else "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(sub, path)
 
 _DEFAULT_PORTS = {"http": 80, "https": 443}
 _TRACKING_PREFIXES = ("utm_",)
@@ -34,6 +54,8 @@ def canonical_url(url: str) -> str:
         return url
     scheme = parts.scheme.lower()
     host = (parts.hostname or "").lower().rstrip(".")
+    if ":" in host:  # urlsplit.hostname strips IPv6 brackets — restore
+        host = f"[{host}]"
     port = None
     try:
         port = parts.port
@@ -42,10 +64,13 @@ def canonical_url(url: str) -> str:
                            parts.query, ""))
     netloc = host if port is None or _DEFAULT_PORTS.get(scheme) == port \
         else f"{host}:{port}"
-    if parts.username:  # credentials are part of identity — preserve
-        cred = parts.username + (f":{parts.password}" if parts.password else "")
+    if parts.username or parts.password:
+        # credentials are part of identity — preserve, incl. the
+        # password-only ':pw@' form
+        cred = (parts.username or "") + \
+            (f":{parts.password}" if parts.password else "")
         netloc = f"{cred}@{netloc}"
-    path = parts.path or "/"
+    path = _norm_pct(parts.path or "/")
     pairs = [(k, v) for k, v in
              parse_qsl(parts.query, keep_blank_values=True)
              if not k.lower().startswith(_TRACKING_PREFIXES)

@@ -222,6 +222,13 @@ def extract_metadata(html: str) -> dict:
         pos = m.end()
         if closing:
             continue
+        if tag in RAW_TEXT_TAGS:
+            # skip script/style bodies — markup-like strings inside them
+            # must not be parsed as real tags (same rule as the main
+            # extractor at its RAW_TEXT_TAGS branch)
+            close = re.search(rf"</{tag}\s*>", html[pos:], re.I)
+            pos = n if close is None else pos + close.end()
+            continue
         if tag == "title" and not out["title"]:
             close = re.search(r"</title\s*>", html[pos:], re.I)
             raw = html[pos:] if close is None else html[pos:pos + close.start()]

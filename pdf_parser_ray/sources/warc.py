@@ -126,6 +126,10 @@ def _classify_body(body: bytes, uri: str) -> dict:
     ``image`` span referencing the record URI, else an ``html`` span."""
     import base64
 
+    if body[:2] == b"\x1f\x8b":
+        # Content-Encoding: gzip bodies are common in real WARCs — the
+        # magic-byte contract only holds on the DECOMPRESSED payload
+        body = _gunzip_members(body) or body
     if body.startswith(b"%PDF"):
         return {"kind": "pdf",
                 "text": base64.b64encode(body).decode("ascii"),
@@ -157,7 +161,12 @@ def read_warc(paths, **ray_kwargs):
             for headers, block in iter_warc_records(blob):
                 if headers.get("warc-type") != "response":
                     continue
-                uri = headers.get("warc-target-uri", "")
+                # a record without a target URI still needs a UNIQUE id —
+                # WARC-Record-ID is mandatory/unique; '' for N records
+                # would make them indistinguishable (URL dedup would
+                # collapse unrelated documents)
+                uri = headers.get("warc-target-uri") or \
+                    headers.get("warc-record-id", "")
                 body = http_response_body(block)
                 ids.append(uri)
                 spans.append([_classify_body(body, uri)])

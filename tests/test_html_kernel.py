@@ -126,3 +126,11 @@ class TestExtractMetadata:
 
         m = extract_metadata("<!-- <title>no</title> --><title>Real")
         assert m["title"] == "Real"
+
+    def test_script_and_style_bodies_skipped(self):
+        from pdf_parser_ray.html.extract import extract_metadata
+
+        html = ("<head><script>var x = \"<title>FAKE</title>\";</script>"
+                "<style>/* <title>css</title> */</style>"
+                "<title>Real Title</title></head>")
+        assert extract_metadata(html)["title"] == "Real Title"

@@ -126,3 +126,22 @@ class TestCanonicalIdempotence:
         b = base + ("?" + "&".join(f"{k}={v}" for k, v in shuffled)
                     if shuffled else "")
         assert canonical_url(a) == canonical_url(b)
+
+
+class TestCanonicalEdgeCases:
+    def test_ipv6_brackets_preserved(self):
+        assert canonical_url("http://[2001:DB8::1]:8080/x") == \
+            "http://[2001:db8::1]:8080/x"
+        assert canonical_url("http://[2001:db8::1]:80/x") == \
+            "http://[2001:db8::1]/x"
+
+    def test_password_only_credentials_preserved(self):
+        assert canonical_url("http://:pw@e.com/x") == "http://:pw@e.com/x"
+        assert canonical_url("http://:pw@e.com/x") != \
+            canonical_url("http://e.com/x")
+
+    def test_percent_normalization(self):
+        # unreserved escapes decode; reserved escapes stay, hex uppercased
+        assert canonical_url("http://a.com/%7Ex") == "http://a.com/~x"
+        assert canonical_url("http://a.com/~x") == "http://a.com/~x"
+        assert canonical_url("http://a.com/a%2fb") == "http://a.com/a%2Fb"

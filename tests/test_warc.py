@@ -136,3 +136,28 @@ class TestWarcInterleaved:
         img = out.loc["http://e.com/logo.png", "spans"]
         assert [ (s["kind"], s["media_ref"]) for s in img ] == [
             ("image", "http://e.com/logo.png")]
+
+
+class TestWarcSniffEdgeCases:
+    def test_gzip_encoded_body_sniffed_after_decompress(self):
+        import gzip as _gz
+
+        from pdf_parser_ray.sources.warc import _classify_body
+
+        pdf = b"%PDF-1.4 fake"
+        span = _classify_body(_gz.compress(pdf), "http://x/doc.pdf")
+        assert span["kind"] == "pdf"
+        html = _classify_body(_gz.compress(b"<p>hi</p>"), "http://x/p")
+        assert html["kind"] == "html" and html["text"] == "<p>hi</p>"
+
+    def test_missing_target_uri_gets_record_id(self, ray_session, tmp_path):
+        from pdf_parser_ray.sources.warc import read_warc
+
+        rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Record-ID: <urn:uuid:abc-1>\r\n"
+               b"Content-Length: 11\r\n\r\n<p>x</p>\r\n\r\n")
+        rec2 = rec.replace(b"abc-1", b"abc-2")
+        p = tmp_path / "nouri.warc"
+        p.write_bytes(rec + rec2)
+        ids = sorted(read_warc(str(p)).to_pandas()["doc_id"])
+        assert ids == ["<urn:uuid:abc-1>", "<urn:uuid:abc-2>"]
