@@ -161,3 +161,48 @@ class TestWarcSniffEdgeCases:
         p.write_bytes(rec + rec2)
         ids = sorted(read_warc(str(p)).to_pandas()["doc_id"])
         assert ids == ["<urn:uuid:abc-1>", "<urn:uuid:abc-2>"]
+
+
+from hypothesis import given, settings, strategies as st
+
+
+class TestWarcFuzz:
+    @settings(max_examples=120, deadline=None)
+    @given(st.binary(max_size=400))
+    def test_scanner_total_on_arbitrary_bytes(self, data):
+        """iter_warc_records must terminate without raising on ANY input."""
+        from pdf_parser_ray.sources.warc import iter_warc_records
+
+        for headers, block in iter_warc_records(data):
+            assert isinstance(headers, dict) and isinstance(block, bytes)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.binary(max_size=60), max_size=4),
+           st.binary(max_size=30))
+    def test_scanner_total_on_warc_shaped_garbage(self, blocks, junk):
+        """Adversarial shape: WARC/ anchors with random headers/lengths."""
+        from pdf_parser_ray.sources.warc import iter_warc_records
+
+        parts = []
+        for i, b in enumerate(blocks):
+            parts.append(b"WARC/1.0\r\nContent-Length: "
+                         + str(len(b) - 5).encode() + b"\r\n\r\n" + b)
+            parts.append(junk)
+        data = b"".join(parts)
+        list(iter_warc_records(data))  # must terminate, never raise
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.binary(max_size=200))
+    def test_gunzip_members_total(self, data):
+        from pdf_parser_ray.sources.warc import _gunzip_members
+
+        out = _gunzip_members(b"\x1f\x8b" + data)
+        assert isinstance(out, bytes)
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.text(max_size=300))
+    def test_metadata_total_on_arbitrary_text(self, s):
+        from pdf_parser_ray.html.extract import extract_metadata
+
+        m = extract_metadata(s)
+        assert set(m) == {"title", "description", "canonical"}
