@@ -1975,6 +1975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gaps": rel.events_gaps,
         "custkeys_f_and_o": rel.custkeys_f_and_o,
         "custkeys_f_not_o": rel.custkeys_f_not_o,
+        "custkeys_f_or_o": rel.custkeys_f_or_o,
         "hash_sample": rel.hash_sample,
         "stratified_sample": rel.stratified_sample,
         "source_mix": rel.source_mix,
@@ -2460,6 +2461,11 @@ def oracle_sql() -> dict[str, str]:
         "custkeys_f_not_o": (
             "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F' "
             "EXCEPT "
+            "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'"
+        ),
+        "custkeys_f_or_o": (
+            "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+            "UNION "
             "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'"
         ),
         "events_range_join": (

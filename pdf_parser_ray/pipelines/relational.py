@@ -2170,3 +2170,12 @@ def orders_price_dense_rank(sf_dir: str):
         make_ds, group_col="o_orderpriority", value_col="price_cents",
         out_cols=["o_orderkey", "o_orderpriority", "price_cents"],
         nrows=_table_nrows(sf_dir, "orders"))
+
+
+def custkeys_f_or_o(sf_dir: str):
+    """UNION DISTINCT: custkeys with a finished OR an open order —
+    completes the gate-registered set-op family."""
+    return set_op(_orders_cust_slice(sf_dir, "F"),
+                  _orders_cust_slice(sf_dir, "O"),
+                  key="o_custkey", how="union",
+                  nrows=_table_nrows(sf_dir, "orders"))

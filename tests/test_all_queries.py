@@ -62,7 +62,7 @@ def _names():
         "nation_revenue", "orders_price_rank", "pricing_cube",
         "shuffle_shards", "events_moving_range", "events_median_cont",
         "doc_ntile", "table_profile", "orders_price_dense_rank",
-        "perplexity",
+        "perplexity", "custkeys_f_or_o",
     ]
 
 
