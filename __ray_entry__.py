@@ -2408,9 +2408,9 @@ def oracle_sql() -> dict[str, str]:
             "WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx "
             "FROM documents) "
             "SELECT doc_id, "
-            "CAST(CAST(concat('0x', substr(hx, 1, 8)) AS UBIGINT) % 16 AS BIGINT) AS shard, "
+            "CAST(CAST(concat('0x', substr(hx, 25, 8)) AS UBIGINT) % 16 AS BIGINT) AS shard, "
             "CAST(rank() OVER (PARTITION BY "
-            "CAST(concat('0x', substr(hx, 1, 8)) AS UBIGINT) % 16 "
+            "CAST(concat('0x', substr(hx, 25, 8)) AS UBIGINT) % 16 "
             "ORDER BY CAST(concat('0x', substr(hx, 9, 15)) AS BIGINT)) "
             "AS BIGINT) AS rnk FROM h"
         ),

@@ -85,12 +85,15 @@ def md5_u64(values) -> np.ndarray:
 
 
 def md5_shard(ids, n_shards: int) -> np.ndarray:
-    """int64 shard per stringified id from md5 bits 0-31 (hex chars 1-8).
-    DuckDB replay: ``CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)),
-    1, 8)) AS UBIGINT) % n``."""
+    """int64 shard per stringified id from md5 bits 96-127 (hex chars
+    25-32) — a digest slice DISJOINT from both ``md5_bucket_100`` (hex
+    1-8) and ``md5_order_i60`` (hex 9-23), so a corpus pre-filtered by
+    percent bucket still shards uniformly (gcd(n_shards, 100) residue
+    bias otherwise). DuckDB replay: ``CAST(concat('0x',
+    substr(md5(CAST(id AS VARCHAR)), 25, 8)) AS UBIGINT) % n``."""
     _md5 = hashlib.md5
     return np.fromiter(
-        (int(_md5(str(i).encode()).hexdigest()[:8], 16) % n_shards
+        (int(_md5(str(i).encode()).hexdigest()[24:32], 16) % n_shards
          for i in ids), dtype=np.int64, count=len(ids))
 
 

@@ -57,13 +57,23 @@ def canonical_url(url: str) -> str:
     if ":" in host:  # urlsplit.hostname strips IPv6 brackets — restore
         host = f"[{host}]"
     port = None
+    bad_port = False
     try:
         port = parts.port
-    except ValueError:  # non-numeric port: keep the netloc verbatim
-        return urlunsplit((scheme, parts.netloc, parts.path or "/",
-                           parts.query, ""))
-    netloc = host if port is None or _DEFAULT_PORTS.get(scheme) == port \
-        else f"{host}:{port}"
+    except ValueError:
+        # non-numeric port: only the port TEXT stays verbatim — host
+        # case/dot and path/query still normalize like any other URL,
+        # else such URLs never collapse with their variants
+        bad_port = True
+        hostport = parts.netloc.rsplit("@", 1)[-1]
+        if hostport.startswith("["):  # [v6]:port — brackets delimit host
+            br = hostport.find("]")
+            host = hostport[:br + 1].lower() + hostport[br + 1:]
+        else:
+            h, _, ptxt = hostport.rpartition(":")
+            host = f"{h.lower().rstrip('.')}:{ptxt}"
+    netloc = host if bad_port or port is None \
+        or _DEFAULT_PORTS.get(scheme) == port else f"{host}:{port}"
     if parts.username or parts.password:
         # credentials are part of identity — preserve, incl. the
         # password-only ':pw@' form

@@ -48,12 +48,18 @@ def export_shuffled(sf_dir: str, out_dir: str, n_shards: int = 16,
     os.makedirs(out_dir, exist_ok=True)
     # resume-plan guard (the extraction checkpoint's plan-mismatch abort,
     # sink-side): skipping committed FILES is only sound if the rerun
-    # shards and buckets identically — a changed plan would silently mix
-    # two inconsistent layouts
+    # shards and buckets identically AND the input corpus is byte-for-
+    # byte the plan that wrote them — a changed corpus would silently
+    # mix stale committed bucket files with fresh ones
     import json
 
+    from ..state.manifest import fragment_plan_fingerprint, fragment_stats
+
+    src = f"{sf_dir}/documents.parquet"
     params = {"n_shards": n_shards, "order_buckets": order_buckets,
-              "columns": list(columns)}
+              "columns": list(columns),
+              "corpus_fingerprint": fragment_plan_fingerprint(
+                  fragment_stats(src))}
     params_path = os.path.join(out_dir, "_export_params.json")
     if os.path.exists(params_path):
         with open(params_path) as f:
@@ -65,8 +71,7 @@ def export_shuffled(sf_dir: str, out_dir: str, n_shards: int = 16,
     else:
         with open(params_path, "w") as f:
             json.dump(params, f)
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=columns)
+    ds = ray.data.read_parquet(src, columns=columns)
 
     def prep(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()

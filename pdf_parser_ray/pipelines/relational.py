@@ -1905,9 +1905,11 @@ def shuffle_shards(sf_dir: str, n_shards: int = 16):
     """Deterministic training-export shuffle: every document gets a
     (shard, rank-within-shard) position derived ONLY from md5(doc_id) —
     stable across runs, resumable per shard, no ``random_shuffle``
-    all-to-all.  Shard = first 32 md5 bits mod ``n_shards``; the
-    within-shard order ranks a DIFFERENT 60-bit md5 slice (bits 32-92),
-    so shard choice and intra-shard order are independent.  The rank is
+    all-to-all.  Shard = md5 bits 96-127 mod ``n_shards`` (disjoint from
+    the percent-bucket slice too, so bucket-filtered corpora still shard
+    uniformly); the within-shard order ranks a DIFFERENT 60-bit md5
+    slice (bits 32-92), so shard choice and intra-shard order are
+    independent.  The rank is
     the two-pass distributed window rank (``ranked_by_value``) — the
     only exchange is the slim (doc_id, shard, rank-value) projection.
     A training job reads shard files in rank order and gets a uniform

@@ -86,7 +86,9 @@ def bm25_score(ds, *, terms: list[str], text_col: str = "text",
 
     from ..functions.minhash import _ASCII_WS
 
-    terms = list(terms)
+    # document tokens are lowercased below, so match terms in the same
+    # case-space — a mixed-case query term would otherwise silently score 0
+    terms = [t.lower() for t in terms]
 
     def _toks(t: str) -> list[str]:
         return [x for x in _ASCII_WS.split((t or "").lower()) if x]

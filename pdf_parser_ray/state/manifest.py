@@ -121,6 +121,16 @@ def validate_resume_plan(records: list[dict], parts: list[Partition],
 # Fragment-metadata planning (the extraction run path)
 # ---------------------------------------------------------------------------
 
+def _natural_key(name: str) -> tuple:
+    """Numeric-aware sort key: digit runs compare as ints, so unpadded
+    part names (part-2 < part-10) keep doc-contiguity of planned
+    partitions."""
+    import re
+
+    return tuple(int(t) if t.isdigit() else t
+                 for t in re.split(r"(\d+)", name))
+
+
 @dataclass(frozen=True)
 class Fragment:
     """One planning unit: a parquet row group (or a Lance fragment).
@@ -148,8 +158,10 @@ def fragment_stats(corpus_path: str) -> list[Fragment]:
     """Per-row-group (path, index, n_rows, n_bytes) from parquet FOOTERS only
     — no data pages are read, no document is enumerated.
 
-    Files are visited in sorted-name order (the corpus writer emits doc-id-
-    ordered part files, so fragment order == doc order). For a Lance corpus
+    Files are visited in NATURAL-sorted name order (digit runs compare
+    numerically, so ``part-2`` precedes ``part-10`` even unpadded) — the
+    corpus writer emits doc-id-ordered part files, so fragment order ==
+    doc order holds for both padded and unpadded numbering. For a Lance corpus
     the equivalent is ``dataset.get_fragments()`` → per-fragment
     ``count_rows()`` + physical size; same Fragment shape either way.
     At >10^4 files fan the footer reads out as Ray tasks (footers are
@@ -158,8 +170,8 @@ def fragment_stats(corpus_path: str) -> list[Fragment]:
     import pyarrow.parquet as pq
 
     if os.path.isdir(corpus_path):
-        names = sorted(f for f in os.listdir(corpus_path)
-                       if f.endswith(".parquet"))
+        names = sorted((f for f in os.listdir(corpus_path)
+                        if f.endswith(".parquet")), key=_natural_key)
     else:
         corpus_path, names = os.path.dirname(corpus_path) or ".", \
             [os.path.basename(corpus_path)]

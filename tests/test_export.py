@@ -38,7 +38,7 @@ class TestExportShuffled:
             f"WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx "
             f"FROM '{SF_DIR}/documents.parquet') "
             "SELECT doc_id FROM h "
-            "WHERE CAST(concat('0x', substr(hx,1,8)) AS UBIGINT) % 4 = 1 "
+            "WHERE CAST(concat('0x', substr(hx,25,8)) AS UBIGINT) % 4 = 1 "
             "ORDER BY CAST(concat('0x', substr(hx,9,15)) AS BIGINT), doc_id"
         ).fetchdf()["doc_id"].tolist()
         assert _shard_doc_ids(out1, 1) == want
