@@ -44,6 +44,38 @@ def _table_nrows(sf_dir: str, table: str) -> int:
 from ..config import COALESCE_ROW_LIMIT as _COALESCE_ROW_LIMIT  # shared gate
 
 
+def choose_partitions(nrows: int | None, *, default: int = 64,
+                      rows_per_part: int = 65_536, lo: int = 2,
+                      hi: int = 512) -> int:
+    """Data-derived exchange width, shared by every coarse-partition /
+    hash-bucket stage (group-sum, hash_join, connected_components).
+
+    Fixed widths are wrong at both ends: 64 partitions over 100 TB
+    concentrates reducers; 64 over 5k rows scatters the sort into mostly
+    EMPTY range partitions (each one a schemaless block Ray warns about
+    and a wasted reduce task). When the caller knows the input row count
+    (parquet footers via ``_table_nrows``, or a materialized edge set's
+    ``count()``), size the exchange to it and the cluster: enough
+    partitions that one partition stays comfortably in a worker heap,
+    floored at the cluster's CPU count (when Ray is up) so a big reduce
+    still spreads. ``None`` ⇒ unknown ⇒ the caller's default."""
+    if nrows is None:
+        return default
+    import math
+
+    parts = math.ceil(max(nrows, 1) / rows_per_part)
+    if parts > 1:  # real exchange: don't under-parallelize the cluster
+        try:
+            import ray
+
+            if ray.is_initialized():
+                cpus = int(ray.cluster_resources().get("CPU", 0))
+                parts = max(parts, min(cpus, math.ceil(nrows / 4096)))
+        except Exception:
+            pass
+    return max(lo, min(hi, parts))
+
+
 def coarse_partition_apply(ds, kernel, *, key_col: str, part_col: str,
                            num_parts: int, nrows: int | None = None,
                            small_limit: int = _COALESCE_ROW_LIMIT):
@@ -65,6 +97,9 @@ def coarse_partition_apply(ds, kernel, *, key_col: str, part_col: str,
     if nrows is not None and 0 < nrows <= small_limit:
         return ds.repartition(1).map_batches(kernel, batch_format="pandas",
                                              batch_size=None)
+    # above the gate a known row count sizes the exchange to the data and
+    # cluster instead of the caller's fixed default
+    num_parts = choose_partitions(nrows, default=num_parts)
 
     def add_part(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -423,12 +458,28 @@ def _bucket_array(kv, num_buckets: int) -> pa.Array:
         for i in rest:  # true non-integral floats: consistent str hash
             buckets[i] = zlib.crc32(str(arr[i]).encode()) % num_buckets
         return pa.array(buckets, type=pa.int64())
+    if pa.types.is_string(kv.type) or pa.types.is_large_string(kv.type):
+        return pa.array(vec_str_buckets(kv.to_pandas(), num_buckets),
+                        type=pa.int64())
     return pa.array([zlib.crc32(str(v).encode()) % num_buckets for v in kv.to_pylist()],
                     type=pa.int64())
 
 
+def vec_str_buckets(values, num_buckets: int) -> np.ndarray:
+    """Vectorized deterministic bucket for a string/object sequence — the
+    shared shuffle-prep stamp (pair-distinct passes, connected-components
+    labels, streaming session routing). pandas' siphash with its fixed
+    key is stable across processes and sessions, unlike builtin ``hash``;
+    the per-row ``zlib.crc32(str(v))`` list comprehension this replaces
+    was the hot loop of edge-set stamping at scale."""
+    s = values if isinstance(values, pd.Series) else pd.Series(values, dtype="object")
+    return (pd.util.hash_pandas_object(s, index=False).to_numpy()
+            % num_buckets).astype(np.int64)
+
+
 def partitioned_group_sum(ds, *, key: str, sum_cols: dict[str, str],
-                          num_parts: int = 64):
+                          num_parts: int = 64, sort_width: int = 8,
+                          nrows: int | None = None):
     """Distributed group-sum for HIGH-CARDINALITY keys.
 
     Ray Data's ``groupby(key).aggregate(Sum(...))`` folds per key in
@@ -438,8 +489,24 @@ def partitioned_group_sum(ds, *, key: str, sum_cols: dict[str, str],
     ONE vectorized pandas groupby-sum per partition — O(num_parts)
     Python calls regardless of key cardinality.
 
+    The partials are repartitioned to ``sort_width`` blocks before the
+    groupby: Ray's sort-shuffle makes one output RANGE per input block,
+    so sorting N tiny partial blocks over ≤num_parts distinct bucket
+    values yields N−num_parts EMPTY range partitions — each a schemaless
+    block (Ray builds it without calling the UDF, map_transformer.py)
+    that triggers the "RefBundle with a different schema" warning and a
+    wasted reduce task. The partials are slim (one row per distinct key
+    per batch), so the extra split/merge pass is cheap at any scale.
+    ``sort_width`` deliberately defaults LOW (8 is plenty for test-scale
+    vocabularies); a caller with a known input size passes ``nrows`` and
+    the width scales via ``choose_partitions`` so a billion-key reduce
+    still spreads across the cluster.
+
     ``sum_cols`` maps output column → input column to sum.
     """
+    if nrows is not None:
+        sort_width = choose_partitions(nrows, default=sort_width,
+                                       lo=sort_width)
 
     def add_part(batch: pa.Table) -> pa.Table:
         return batch.append_column("gs_part",
@@ -450,8 +517,9 @@ def partitioned_group_sum(ds, *, key: str, sum_cols: dict[str, str],
             **{out: (src, "sum") for out, src in sum_cols.items()})
         return agg
 
-    return ds.map_batches(add_part, batch_format="pyarrow").groupby(
-        "gs_part").map_groups(combine, batch_format="pandas")
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .repartition(min(sort_width, num_parts))
+            .groupby("gs_part").map_groups(combine, batch_format="pandas"))
 
 
 def topk(ds, *, by: list[str], descending: list[bool], k: int):

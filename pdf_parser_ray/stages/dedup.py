@@ -36,10 +36,10 @@ def _add_pair_part(df: pd.DataFrame, col: str = "doc_id",
                    num_parts: int = 64) -> pd.DataFrame:
     """Coarse partition key for pair-distinct passes: a (col, dup_of) pair
     always lands in one partition (keyed by col only)."""
-    import zlib
+    from ..pipelines.relational import vec_str_buckets
 
     df = df.copy()
-    df["pair_part"] = [zlib.crc32(str(v).encode()) % num_parts for v in df[col]]
+    df["pair_part"] = vec_str_buckets(df[col], num_parts)
     return df
 
 
@@ -102,14 +102,14 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     shuffle) or ``exact_dedup_semi`` (full survivor rows via semi-join,
     payload never enters a groupby shuffle).
     """
-    import zlib
-
     hashed = ds.map_batches(add_content_hash, batch_format="pyarrow",
                             fn_kwargs={"text_col": text_col})
 
     def add_part(batch: pa.Table) -> pa.Table:
-        parts = [zlib.crc32(h.encode()) % num_parts
-                 for h in batch.column("content_hash").to_pylist()]
+        from ..pipelines.relational import vec_str_buckets
+
+        parts = vec_str_buckets(batch.column("content_hash").to_pandas(),
+                                num_parts)
         return batch.append_column("dedup_part", pa.array(parts, type=pa.int64()))
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
@@ -128,8 +128,6 @@ def _slim_hash_parts(ds, *, text_col: str = "text", id_col: str = "doc_id",
     crc32(hash). The returned dataset — the only thing that shuffles —
     carries (id, content_hash, *keep_cols, dedup_part); no payload column.
     """
-    import zlib
-
     hashed = ds.map_batches(add_content_hash, batch_format="pyarrow",
                             fn_kwargs={"text_col": text_col})
     slim_cols = [id_col, "content_hash", *keep_cols]
@@ -140,8 +138,9 @@ def _slim_hash_parts(ds, *, text_col: str = "text", id_col: str = "doc_id",
         # exchange (an all-identical batch collapses to one row)
         df = df.sort_values(["content_hash", id_col], kind="mergesort")
         df = df.drop_duplicates("content_hash", keep="first")
-        df["dedup_part"] = [zlib.crc32(h.encode()) % num_parts
-                            for h in df["content_hash"]]
+        from ..pipelines.relational import vec_str_buckets
+
+        df["dedup_part"] = vec_str_buckets(df["content_hash"], num_parts)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return hashed.map_batches(slim, batch_format="pyarrow")
@@ -380,9 +379,9 @@ def _lsh_candidate_pairs(sketched, *, num_perm: int, num_bands: int,
         return cands, id_type
 
     def add_part(batch: pa.Table) -> pa.Table:
-        import zlib
+        from ..pipelines.relational import vec_str_buckets
 
-        parts = [zlib.crc32(k.encode()) % 64 for k in batch.column("band_key").to_pylist()]
+        parts = vec_str_buckets(batch.column("band_key").to_pandas(), 64)
         return batch.append_column("band_part", pa.array(parts, type=pa.int64()))
 
     parts = bands.map_batches(add_part, batch_format="pyarrow")
@@ -609,9 +608,9 @@ def simhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
                              "dup_of": pd.Series(ids[anchor_idx[mask]], dtype=g["doc_id"].dtype)})
 
     def add_part(batch: pa.Table) -> pa.Table:
-        import zlib
+        from ..pipelines.relational import vec_str_buckets
 
-        parts = [zlib.crc32(k.encode()) % 64 for k in batch.column("band_key").to_pylist()]
+        parts = vec_str_buckets(batch.column("band_key").to_pandas(), 64)
         return batch.append_column("band_part", pa.array(parts, type=pa.int64()))
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
@@ -696,10 +695,10 @@ def embedding_neardup_edges(ds, *, vec_col: str = "embedding", id_col: str = "ve
         return pd.DataFrame({id_col: ids, "band_key": keys})
 
     def add_parts(df: pd.DataFrame) -> pd.DataFrame:
-        import zlib
+        from ..pipelines.relational import vec_str_buckets
 
         df = df.copy()
-        df["band_part"] = [zlib.crc32(k.encode()) % 64 for k in df["band_key"]]
+        df["band_part"] = vec_str_buckets(df["band_key"], 64)
         return df
 
     def partition_candidates(g: pd.DataFrame) -> pd.DataFrame:
@@ -802,7 +801,7 @@ def embedding_neardup_edges(ds, *, vec_col: str = "embedding", id_col: str = "ve
 # ---------------------------------------------------------------------------
 
 def connected_components(edges_ds, *, a_col: str = "doc_id", b_col: str = "dup_of",
-                         max_rounds: int = 25, num_blocks: int = 8):
+                         max_rounds: int = 25, num_blocks: int | None = None):
     """Exact connected components over an undirected edge set: returns a
     Dataset of (doc_id, component_id) where component_id is the MIN doc id
     in the component — fixing the one-round min-label under-merge on chains
@@ -817,10 +816,16 @@ def connected_components(edges_ds, *, a_col: str = "doc_id", b_col: str = "dup_o
     each node its own label carrier, so no per-round union is needed.
     Rounds needed = graph diameter (duplicate clusters are shallow in
     practice); bounded by ``max_rounds``.
-    """
-    import zlib
 
-    from ..pipelines.relational import hash_join
+    ``num_blocks`` (the per-round label width), the per-round join's
+    bucket count, and the min-label partition width all derive from the
+    MEASURED symmetric-edge count (the edge set is materialized anyway,
+    so ``count()`` is metadata-free) via the shared
+    ``choose_partitions`` rule — a fixed width would concentrate the
+    per-round exchange on one reducer at 100-TB edge sets.
+    """
+    from ..pipelines.relational import (choose_partitions, hash_join,
+                                        vec_str_buckets)
 
     def sym(df: pd.DataFrame) -> pd.DataFrame:
         # both directions + self-loops (self-loop = label retention)
@@ -830,8 +835,13 @@ def connected_components(edges_ds, *, a_col: str = "doc_id", b_col: str = "dup_o
                         ignore_index=True)
         return pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
 
-    sym_edges = edges_ds.map_batches(sym, batch_format="pandas").repartition(
-        num_blocks).materialize()
+    sym_edges = edges_ds.map_batches(sym, batch_format="pandas").materialize()
+    n_edges = sym_edges.count()
+    if num_blocks is None:
+        num_blocks = choose_partitions(n_edges, default=8, lo=8, hi=256)
+    join_buckets = choose_partitions(n_edges, default=8, lo=8, hi=256)
+    part_width = 2 * num_blocks
+    sym_edges = sym_edges.repartition(num_blocks).materialize()
 
     def group_min_labels(pairs_ds):
         """(node, label) pairs → per-node min label via the coarse-partition
@@ -840,7 +850,7 @@ def connected_components(edges_ds, *, a_col: str = "doc_id", b_col: str = "dup_o
 
         def add_part(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
-            df["cc_part"] = [zlib.crc32(str(v).encode()) % 16 for v in df["node"]]
+            df["cc_part"] = vec_str_buckets(df["node"], part_width)
             return df
 
         def kmin(g: pd.DataFrame) -> pd.DataFrame:
@@ -861,12 +871,13 @@ def connected_components(edges_ds, *, a_col: str = "doc_id", b_col: str = "dup_o
         lab_src = labels.map_batches(
             lambda df: df.rename(columns={"node": "src", "label": "cand"}),
             batch_format="pandas")
-        j = hash_join(sym_edges, lab_src, key="src", num_buckets=8)
+        j = hash_join(sym_edges, lab_src, key="src", num_buckets=join_buckets)
         new_labels = group_min_labels(j.map_batches(
             lambda df: pd.DataFrame({"node": df["dst"], "label": df["cand"]}),
             batch_format="pandas")).repartition(num_blocks).materialize()
         # converged when no label changed (labels only ever decrease)
-        cmp = hash_join(labels, new_labels, key="node", num_buckets=8)
+        cmp = hash_join(labels, new_labels, key="node",
+                        num_buckets=join_buckets)
         changed = cmp.map_batches(
             lambda df: pd.DataFrame({"n": [int((df["label"] != df["label_r"]).sum())]}),
             batch_format="pandas").sum("n")
@@ -900,26 +911,23 @@ def exact_dedup_salted(ds, *, text_col: str = "text", id_col: str = "doc_id",
                             fn_kwargs={"text_col": text_col})
 
     def add_salt(batch: pa.Table) -> pa.Table:
-        import numpy as np
-        import zlib
+        from ..pipelines.relational import vec_str_buckets
 
-        # crc32, not hash(): Python's str hash is per-process randomized
-        ids = batch.column(id_col).to_pylist()
-        salts = np.array([zlib.crc32(str(i).encode()) % num_salts for i in ids],
-                         dtype=np.int64)
+        # a fixed-key vectorized hash, not builtin hash(): Python's str
+        # hash is per-process randomized
+        salts = vec_str_buckets(batch.column(id_col).to_pandas(), num_salts)
         return batch.append_column("dedup_salt", pa.array(salts, type=pa.int64()))
 
     # both phases use the coarse-partition vectorized kernel (per-key
     # map_groups costs ~ms of Python per group). Phase 1 partitions by
-    # crc32(hash ∥ salt) so a hot hash's salted buckets spread across
-    # partitions; phase 2 by crc32(hash) alone.
-    import zlib
-
+    # hash(content_hash ∥ salt) so a hot hash's salted buckets spread
+    # across partitions; phase 2 by hash(content_hash) alone — both via
+    # the deterministic vectorized composite hash.
     def add_part(cols):
         def fn(batch: pa.Table) -> pa.Table:
-            keys = zip(*(batch.column(c).to_pylist() for c in cols))
-            parts = [zlib.crc32("|".join(str(v) for v in k).encode()) % 64
-                     for k in keys]
+            df = batch.select(list(cols)).to_pandas()
+            parts = (pd.util.hash_pandas_object(df, index=False).to_numpy()
+                     % 64).astype("int64")
             return batch.append_column("sd_part", pa.array(parts, type=pa.int64()))
         return fn
 

@@ -19,13 +19,13 @@ router feeds every bucket for every block, empty or not, so the prefix
 always advances).
 
 Partitioning assumption (documented per the custom-operator contract):
-bucket = crc32(key) % num_buckets, so a key never spans buckets; the
+bucket = vec_str_buckets(key) % num_buckets (a fixed-key deterministic
+hash), so a key never spans buckets; the
 global sort guarantees block n's events all precede block n+1's.
 """
 
 from __future__ import annotations
 
-import zlib
 
 import pandas as pd
 
@@ -108,10 +108,11 @@ def _route_block(block, seq: int, actors: list, key_col: str, ts_col: str,
     df = block.to_pandas() if hasattr(block, "to_pandas") else block
     # resolution-independent µs (bare int64 cast gives ns for datetime64[ns],
     # shrinking the effective gap threshold 1000×)
-    from ..pipelines.relational import ts_int_us
+    from ..pipelines.relational import ts_int_us, vec_str_buckets
 
     ts_us = pd.Series(ts_int_us(df[ts_col]))
-    buckets = df[key_col].map(lambda k: zlib.crc32(str(k).encode()) % num_buckets)
+    buckets = pd.Series(vec_str_buckets(df[key_col], num_buckets),
+                        index=df.index)
     refs = []
     for b, actor in enumerate(actors):
         mask = buckets == b

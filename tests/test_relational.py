@@ -546,3 +546,49 @@ class TestCollectDistinctSorted:
             "string_agg(DISTINCT event_type, ',' ORDER BY event_type) "
             "AS types_csv FROM events GROUP BY user_id").fetchdf()
         _cmp(got, want)
+
+
+class TestExchangeSizing:
+    """choose_partitions / vec_str_buckets — the shared shuffle-shape rules."""
+
+    def test_choose_partitions_two_sizes(self, ray_session):
+        from pdf_parser_ray.pipelines.relational import choose_partitions
+
+        # unknown size keeps the caller's default
+        assert choose_partitions(None, default=64) == 64
+        small = choose_partitions(10_000, default=64)
+        big = choose_partitions(50_000_000, default=64)
+        assert small < big, (small, big)
+        assert small >= 2
+        assert big <= 512
+        # a cluster-width input spreads at least CPU-wide
+        import ray as _ray
+        cpus = int(_ray.cluster_resources().get("CPU", 0))
+        assert choose_partitions(5_000_000, default=8) >= min(cpus, 512)
+
+    def test_vec_str_buckets_deterministic_and_complete(self):
+        import numpy as np
+
+        from pdf_parser_ray.pipelines.relational import vec_str_buckets
+
+        ids = [f"doc-{i}" for i in range(5000)] + [None]
+        a = vec_str_buckets(ids, 64)
+        b = vec_str_buckets(pd.Series(ids, dtype="object"), 64)
+        assert (a == b).all()                      # list vs Series agree
+        assert a.dtype == np.int64
+        assert a.min() >= 0 and a.max() < 64
+        # near-uniform spread (the reason this replaced crc32 listcomps)
+        counts = np.bincount(a, minlength=64)
+        assert counts.min() > 0.5 * counts.mean()
+
+    def test_bucket_array_string_path_vectorized_consistent(self):
+        import pyarrow as pa
+
+        from pdf_parser_ray.pipelines.relational import (_bucket_array,
+                                                         vec_str_buckets)
+
+        vals = ["a", "bb", None, "ccc", "a"]
+        arr = _bucket_array(pa.chunked_array([pa.array(vals)]), 16)
+        assert arr.to_pylist() == list(vec_str_buckets(vals, 16))
+        # same value → same bucket across blocks
+        assert arr.to_pylist()[0] == arr.to_pylist()[4]
