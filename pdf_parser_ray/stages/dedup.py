@@ -26,6 +26,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import COALESCE_ROW_LIMIT as _COALESCE_BAND_LIMIT
 from ..functions.minhash import MinHasher, SimHasher, char_ngrams, jaccard
@@ -1047,12 +1048,22 @@ def duplicate_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
     Window hash is DuckDB-reproducible md5 (functions/minhash.py:
     token_window_hashes), so the whole operator is SQL-oracle-checkable.
     """
+    dup_ds = _dup_hash_set(ds, text_col=text_col, width=width,
+                           min_count=min_count)
+    return _span_rows(ds, dup_ds, text_col=text_col, id_col=id_col,
+                      width=width, broadcast_limit=broadcast_limit)
+
+
+def _span_rows(ds, dup_ds, *, text_col: str, id_col: str, width: int,
+               broadcast_limit: int):
+    """Span detection against a PRECOMPUTED duplicated-hash Dataset — the
+    shared back half of ``duplicate_spans`` and the above-gate path of
+    ``strip_duplicate_spans`` (which already holds the dup set and must
+    not recompute the corpus-wide hash-count pass)."""
     import ray as _ray
 
     from ..functions.minhash import token_window_hashes
 
-    dup_ds = _dup_hash_set(ds, text_col=text_col, width=width,
-                           min_count=min_count)
     n_dup = dup_ds.count()
 
     id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
@@ -1184,36 +1195,127 @@ def strip_duplicate_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     dup_ds = _dup_hash_set(ds, text_col=text_col, width=width,
                            min_count=min_count)
-    if dup_ds.count() > broadcast_limit:
-        raise NotImplementedError(
-            "strip_duplicate_spans above the broadcast gate: route through "
-            "duplicate_spans' semi-join path and rebuild text from its span "
-            "rows (kept per-doc) instead")
-    _, dup_ref = _broadcast_sorted_hashes(dup_ds)
-
     id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    out_schema = pa.schema([
+        (id_col, id_type), ("clean_text", pa.string()),
+        ("n_tokens_kept", pa.int64()), ("n_tokens_removed", pa.int64())])
 
-    def strip(batch: pa.Table) -> pa.Table:
-        dup: np.ndarray = _ray.get(dup_ref)
-        ids, texts, kept_n, removed_n = [], [], [], []
-        for i, t in zip(batch.column(id_col).to_pylist(),
-                        batch.column(text_col).to_pylist()):
-            toks = [tok for tok in _ASCII_WS.split(t or "") if tok]
-            hs = token_window_hashes(t or "", width)
-            cover = np.zeros(len(toks), dtype=bool)
-            for s, e, _nw in _mark_spans(hs, dup, width):
-                cover[s:e + 1] = True
-            kept = [tok for tok, c in zip(toks, cover) if not c]
-            ids.append(i)
-            texts.append(" ".join(kept))
-            kept_n.append(len(kept))
-            removed_n.append(len(toks) - len(kept))
-        return pa.table({id_col: pa.array(ids, type=id_type),
-                         "clean_text": pa.array(texts, type=pa.string()),
-                         "n_tokens_kept": pa.array(kept_n, type=pa.int64()),
-                         "n_tokens_removed": pa.array(removed_n, type=pa.int64())})
+    def _rebuild_row(t: str, intervals) -> tuple[str, int, int]:
+        toks = [tok for tok in _ASCII_WS.split(t or "") if tok]
+        cover = np.zeros(len(toks), dtype=bool)
+        for s, e in intervals:
+            cover[s:e + 1] = True
+        kept = [tok for tok, c in zip(toks, cover) if not c]
+        return " ".join(kept), len(kept), len(toks) - len(kept)
 
-    return ds.map_batches(strip, batch_format="pyarrow")
+    if dup_ds.count() <= broadcast_limit:
+        _, dup_ref = _broadcast_sorted_hashes(dup_ds)
+
+        def strip(batch: pa.Table) -> pa.Table:
+            dup: np.ndarray = _ray.get(dup_ref)
+            ids, texts, kept_n, removed_n = [], [], [], []
+            for i, t in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+                spans = [(s, e) for s, e, _nw in _mark_spans(
+                    token_window_hashes(t or "", width), dup, width)]
+                clean, k, r = _rebuild_row(t, spans)
+                ids.append(i); texts.append(clean)
+                kept_n.append(k); removed_n.append(r)
+            return pa.table({id_col: pa.array(ids, type=id_type),
+                             "clean_text": pa.array(texts, type=pa.string()),
+                             "n_tokens_kept": pa.array(kept_n, type=pa.int64()),
+                             "n_tokens_removed": pa.array(removed_n, type=pa.int64())},
+                            schema=out_schema)
+
+        return ds.map_batches(strip, batch_format="pyarrow")
+
+    # ABOVE THE GATE — two tiers, neither materializes the dup set on the
+    # driver. Tier 1: the dup HASHES exceed the gate but the maximal SPAN
+    # rows (far fewer: runs of windows collapse) usually don't — compute
+    # spans via the shared semi-join machinery (_span_rows, no recompute
+    # of the hash-count pass) and broadcast the slim (id, start, end)
+    # rows; text still never shuffles.
+    spans = _span_rows(ds, dup_ds, text_col=text_col, id_col=id_col,
+                       width=width, broadcast_limit=broadcast_limit
+                       ).materialize()
+    if spans.count() <= broadcast_limit:
+        sdf = (spans.select_columns([id_col, "span_start", "span_end"])
+               .to_pandas().sort_values([id_col, "span_start"]))
+        ids_sorted = sdf[id_col].to_numpy()
+        bounds_ref = _ray.put((ids_sorted,
+                               sdf["span_start"].to_numpy(np.int64),
+                               sdf["span_end"].to_numpy(np.int64)))
+
+        def strip_bcast(batch: pa.Table) -> pa.Table:
+            ids_s, st, en = _ray.get(bounds_ref)
+            ids, texts, kept_n, removed_n = [], [], [], []
+            for i, t in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+                lo = np.searchsorted(ids_s, i, side="left")
+                hi = np.searchsorted(ids_s, i, side="right")
+                clean, k, r = _rebuild_row(t, zip(st[lo:hi], en[lo:hi]))
+                ids.append(i); texts.append(clean)
+                kept_n.append(k); removed_n.append(r)
+            return pa.table({id_col: pa.array(ids, type=id_type),
+                             "clean_text": pa.array(texts, type=pa.string()),
+                             "n_tokens_kept": pa.array(kept_n, type=pa.int64()),
+                             "n_tokens_removed": pa.array(removed_n, type=pa.int64())},
+                            schema=out_schema)
+
+        return ds.map_batches(strip_bcast, batch_format="pyarrow")
+
+    # Tier 2: even the span rows exceed the gate (dup-saturated corpus) —
+    # ONE text exchange, co-partitioned with the span rows by doc id (the
+    # only path that ever moves text; documented partitioning assumption:
+    # a doc's text row and all its span rows share an id-hash partition).
+    from ..pipelines.relational import coarse_partition_apply
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({id_col: batch.column(id_col),
+                         "strip_text": pc.cast(batch.column(text_col),
+                                               pa.string()),
+                         "span_start": pa.nulls(n, type=pa.int64()),
+                         "span_end": pa.nulls(n, type=pa.int64()),
+                         "strip_side": pa.array(np.zeros(n, dtype=np.int64))})
+
+    def span_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({id_col: batch.column(id_col),
+                         "strip_text": pa.nulls(n, type=pa.string()),
+                         "span_start": pc.cast(batch.column("span_start"),
+                                               pa.int64()),
+                         "span_end": pc.cast(batch.column("span_end"),
+                                             pa.int64()),
+                         "strip_side": pa.array(np.ones(n, dtype=np.int64))})
+
+    both = ds.map_batches(doc_side, batch_format="pyarrow").union(
+        spans.map_batches(span_side, batch_format="pyarrow"))
+    id_is_int = pa.types.is_integer(id_type)
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["strip_side"] == 0]
+        sp = g[g["strip_side"] == 1]
+        by_id: dict = {}
+        if len(sp):
+            st = sp["span_start"].to_numpy(dtype=np.int64)
+            en = sp["span_end"].to_numpy(dtype=np.int64)
+            for j, i in enumerate(sp[id_col].to_numpy()):
+                by_id.setdefault(i, []).append((int(st[j]), int(en[j])))
+        out = {id_col: [], "clean_text": [], "n_tokens_kept": [],
+               "n_tokens_removed": []}
+        for i, t in zip(docs[id_col].to_numpy(), docs["strip_text"]):
+            clean, k, r = _rebuild_row(t, by_id.get(i, ()))
+            out[id_col].append(i); out["clean_text"].append(clean)
+            out["n_tokens_kept"].append(k); out["n_tokens_removed"].append(r)
+        df = pd.DataFrame(out)
+        if id_is_int and len(df):  # union nulls never touch the id column,
+            df[id_col] = df[id_col].astype("int64")  # but be explicit
+        return df
+
+    return coarse_partition_apply(both, rebuild, key_col=id_col,
+                                  part_col="strip_part", num_parts=64,
+                                  nrows=None)
 
 
 def contamination(train_ds, test_ds, *, text_col: str = "text",
@@ -1227,9 +1329,15 @@ def contamination(train_ds, test_ds, *, text_col: str = "text",
 
     The test side reduces to its distinct window-hash set via the same
     slim (hash, count) partial pass as ``duplicate_spans`` and broadcasts
-    once as a sorted uint64 array (a benchmark/test set is the small side
-    by definition; the loud gate guards the assumption). The train corpus
-    is scanned locally — no shuffle at any size.
+    once as a sorted uint64 array when ≤ ``broadcast_limit`` (a benchmark
+    set is normally the small side); the train corpus is then scanned
+    locally — no shuffle at any size. Above the gate a fixed-size Bloom
+    filter over the test hashes broadcasts instead, each train batch
+    ships only (id, hash) rows whose window MIGHT be contaminated
+    (plus one slim per-doc anchor row carrying n_windows), and a
+    per-hash-partition semi-join confirms exactly — the same
+    prefilter-then-verify shape as ``duplicate_spans``' above-gate path;
+    train text never shuffles on either path.
 
     Returns one row per train doc: (id_col, n_windows, n_contaminated,
     contaminated)."""
@@ -1239,32 +1347,118 @@ def contamination(train_ds, test_ds, *, text_col: str = "text",
 
     test_hashes = _dup_hash_set(test_ds, text_col=text_col, width=width,
                                 min_count=1)
-    if test_hashes.count() > broadcast_limit:
-        raise NotImplementedError(
-            "contamination above the broadcast gate: hash-partition both "
-            "sides and semi-join per slice (as duplicate_spans does) — a "
-            "test set this large usually means the split is inverted")
-    _, test_ref = _broadcast_sorted_hashes(test_hashes)
-
+    n_test = test_hashes.count()
     id_type = dict(zip(train_ds.schema().names, train_ds.schema().types))[id_col]
 
-    def mark(batch: pa.Table) -> pa.Table:
-        tset: np.ndarray = _ray.get(test_ref)
-        ids, n_win, n_cont = [], [], []
+    if n_test <= broadcast_limit:
+        _, test_ref = _broadcast_sorted_hashes(test_hashes)
+
+        def mark(batch: pa.Table) -> pa.Table:
+            tset: np.ndarray = _ray.get(test_ref)
+            ids, n_win, n_cont = [], [], []
+            for i, t in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+                hs = token_window_hashes(t or "", width)
+                ids.append(i)
+                n_win.append(len(hs))
+                n_cont.append(_sorted_hits(hs, tset))
+            return pa.table({
+                id_col: pa.array(ids, type=id_type),
+                "n_windows": pa.array(n_win, type=pa.int64()),
+                "n_contaminated": pa.array(n_cont, type=pa.int64()),
+                "contaminated": pa.array([c > 0 for c in n_cont], type=pa.bool_()),
+            })
+
+        return train_ds.map_batches(mark, batch_format="pyarrow")
+
+    # ABOVE THE GATE: Bloom prefilter → per-slice exact semi-join →
+    # one slim (id, n_windows, n_cont) group-sum. One scan of train.
+    from ..functions.bloom import build_bloom_distributed
+    from ..pipelines.relational import partitioned_group_sum, vec_str_buckets
+
+    bloom_ref = _ray.put(build_bloom_distributed(
+        test_hashes, "h", capacity=2 * max(n_test, 1)))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        """Per doc: ONE anchor row (side=1, n_windows; h=0 is inert — the
+        slice kernel selects by side, never by hash value) plus one
+        candidate row per bloom-hit window POSITION (side=0)."""
+        bf = _ray.get(bloom_ref)
+        ids, sides, nwins, hss = [], [], [], []
         for i, t in zip(batch.column(id_col).to_pylist(),
                         batch.column(text_col).to_pylist()):
             hs = token_window_hashes(t or "", width)
-            ids.append(i)
-            n_win.append(len(hs))
-            n_cont.append(_sorted_hits(hs, tset))
-        return pa.table({
-            id_col: pa.array(ids, type=id_type),
-            "n_windows": pa.array(n_win, type=pa.int64()),
-            "n_contaminated": pa.array(n_cont, type=pa.int64()),
-            "contaminated": pa.array([c > 0 for c in n_cont], type=pa.bool_()),
-        })
+            ids.append(i); sides.append(1); nwins.append(len(hs))
+            if len(hs):
+                hit = hs[bf.contains_many(hs)]
+                ids.extend([i] * len(hit))
+                sides.extend([0] * len(hit))
+                nwins.extend([0] * len(hit))
+                hss.append(hit)
+        h = np.concatenate(hss) if hss else np.zeros(0, dtype=np.uint64)
+        full_h = np.zeros(len(ids), dtype=np.uint64)
+        cand = np.asarray(sides) == 0
+        full_h[cand] = h
+        # anchors spread by id hash; candidates co-partition with the
+        # test hashes they must meet
+        part = vec_str_buckets([str(v) for v in ids], 64)
+        part[cand] = (h % np.uint64(64)).astype(np.int64)
+        return pa.table({id_col: pa.array(ids, type=id_type),
+                         "side": pa.array(sides, type=pa.int64()),
+                         "n_windows": pa.array(nwins, type=pa.int64()),
+                         "h": pa.array(full_h, type=pa.uint64()),
+                         "c_part": pa.array(part, type=pa.int64())})
 
-    return train_ds.map_batches(mark, batch_format="pyarrow")
+    def test_side(batch: pa.Table) -> pa.Table:
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        n = len(h)
+        return pa.table({id_col: pa.nulls(n, type=id_type),
+                         "side": pa.array(np.full(n, 2, dtype=np.int64)),
+                         "n_windows": pa.array(np.zeros(n, dtype=np.int64)),
+                         "h": batch.column("h"),
+                         "c_part": pa.array((h % np.uint64(64)).astype(np.int64))})
+
+    both = train_ds.map_batches(emit, batch_format="pyarrow").union(
+        test_hashes.select_columns(["h"]).map_batches(
+            test_side, batch_format="pyarrow"))
+    id_is_int = pa.types.is_integer(id_type)
+
+    def slice_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        th = g.loc[g["side"] == 2, "h"].unique()
+        anchors = g[g["side"] == 1]
+        cands = g[g["side"] == 0]
+        hits = cands[cands["h"].isin(th)]
+        cnt = hits.groupby(id_col, dropna=False).size()
+        out = pd.DataFrame({
+            id_col: pd.concat([anchors[id_col],
+                               cnt.index.to_series()], ignore_index=True),
+            "n_windows": pd.concat(
+                [anchors["n_windows"],
+                 pd.Series(0, index=range(len(cnt)))], ignore_index=True),
+            "n_cont": pd.concat(
+                [pd.Series(0, index=range(len(anchors))),
+                 pd.Series(cnt.to_numpy())], ignore_index=True)})
+        # the union's typed nulls dilute ints to float64 — restore
+        out["n_windows"] = out["n_windows"].fillna(0).astype("int64")
+        out["n_cont"] = out["n_cont"].astype("int64")
+        if id_is_int and len(out):
+            out[id_col] = out[id_col].astype("int64")
+        return out
+
+    partials = both.groupby("c_part").map_groups(slice_kernel,
+                                                 batch_format="pandas")
+    summed = partitioned_group_sum(
+        partials, key=id_col,
+        sum_cols={"n_windows": "n_windows", "n_contaminated": "n_cont"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["contaminated"] = df["n_contaminated"] > 0
+        if id_is_int and len(df):
+            df[id_col] = df[id_col].astype("int64")
+        return df[[id_col, "n_windows", "n_contaminated", "contaminated"]]
+
+    return summed.map_batches(finish, batch_format="pandas")
 
 
 def _sorted_hits(hs: np.ndarray, tset: np.ndarray) -> int:
@@ -1282,26 +1476,93 @@ def drop_contaminated(train_ds, test_ds, *, text_col: str = "text",
                       width: int = 8, broadcast_limit: int = 2_000_000):
     """Decontamination as a FILTER: drop every train row that shares at
     least one ``width``-token window with the test set, keeping all input
-    columns (``contamination`` reports; this enforces). Same shape: the
-    test set's distinct window hashes broadcast once as a sorted uint64
-    array; the train side is scanned locally — no shuffle at any size."""
+    columns (``contamination`` reports; this enforces).
+
+    Below the gate the test set's distinct window hashes broadcast once
+    as a sorted uint64 array and the train side is scanned locally — no
+    shuffle at any size. Above it: Bloom prefilter → per-slice exact
+    semi-join keyed by a TEXT hash (rows with identical text are
+    contamination-equivalent, so text-hash identity is exact for this
+    predicate — no synthetic row id needed, which would not survive lazy
+    re-execution) → one anti-join of the train rows against the confirmed
+    contaminated text-hash set; train payloads shuffle once, in that
+    anti-join only."""
     import ray as _ray
 
     from ..functions.minhash import token_window_hashes
 
     test_hashes = _dup_hash_set(test_ds, text_col=text_col, width=width,
                                 min_count=1)
-    if test_hashes.count() > broadcast_limit:
-        raise NotImplementedError(
-            "drop_contaminated above the broadcast gate: hash-partition "
-            "both sides and semi-join per slice (as duplicate_spans does) "
-            "— a test set this large usually means the split is inverted")
-    _, test_ref = _broadcast_sorted_hashes(test_hashes)
+    n_test = test_hashes.count()
 
-    def keep(batch: pa.Table) -> pa.Table:
-        tset: np.ndarray = _ray.get(test_ref)
-        mask = [_sorted_hits(token_window_hashes(t or "", width), tset) == 0
-                for t in batch.column(text_col).to_pylist()]
-        return batch.filter(pa.array(mask))
+    if n_test <= broadcast_limit:
+        _, test_ref = _broadcast_sorted_hashes(test_hashes)
 
-    return train_ds.map_batches(keep, batch_format="pyarrow")
+        def keep(batch: pa.Table) -> pa.Table:
+            tset: np.ndarray = _ray.get(test_ref)
+            mask = [_sorted_hits(token_window_hashes(t or "", width), tset) == 0
+                    for t in batch.column(text_col).to_pylist()]
+            return batch.filter(pa.array(mask))
+
+        return train_ds.map_batches(keep, batch_format="pyarrow")
+
+    # ABOVE THE GATE
+    from ..functions.bloom import build_bloom_distributed
+    from ..functions.hashing import md5_u64
+    from ..pipelines.relational import semi_anti_join
+
+    bloom_ref = _ray.put(build_bloom_distributed(
+        test_hashes, "h", capacity=2 * max(n_test, 1)))
+
+    def cand_rows(batch: pa.Table) -> pa.Table:
+        """(text_hash, window_hash, slice) per bloom-hit window — slim,
+        per-batch distinct."""
+        bf = _ray.get(bloom_ref)
+        ths, hss = [], []
+        for t in batch.column(text_col).to_pylist():
+            hs = token_window_hashes(t or "", width)
+            if len(hs) == 0:
+                continue
+            hit = np.unique(hs[bf.contains_many(hs)])
+            if len(hit):
+                ths.extend([t] * len(hit))
+                hss.append(hit)
+        h = np.concatenate(hss) if hss else np.zeros(0, dtype=np.uint64)
+        th = md5_u64(ths)
+        return pa.table({"th": pa.array(th, type=pa.uint64()),
+                         "h": pa.array(h, type=pa.uint64()),
+                         "side": pa.array(np.zeros(len(th), dtype=np.int64)),
+                         "dc_part": pa.array((h % np.uint64(64)).astype(np.int64))})
+
+    def test_side(batch: pa.Table) -> pa.Table:
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        n = len(h)
+        return pa.table({"th": pa.array(np.zeros(n, dtype=np.uint64)),
+                         "h": batch.column("h"),
+                         "side": pa.array(np.ones(n, dtype=np.int64)),
+                         "dc_part": pa.array((h % np.uint64(64)).astype(np.int64))})
+
+    both = train_ds.map_batches(cand_rows, batch_format="pyarrow").union(
+        test_hashes.select_columns(["h"]).map_batches(
+            test_side, batch_format="pyarrow"))
+
+    def confirmed(g: pd.DataFrame) -> pd.DataFrame:
+        th_hit = g.loc[(g["side"] == 0)
+                       & g["h"].isin(g.loc[g["side"] == 1, "h"]), "th"]
+        return pd.DataFrame({"th": th_hit.unique().astype("uint64")})
+
+    bad_th = both.groupby("dc_part").map_groups(confirmed,
+                                                batch_format="pandas")
+
+    def add_th(batch: pa.Table) -> pa.Table:
+        th = md5_u64(batch.column(text_col).to_pylist())
+        return batch.append_column("__th", pa.array(th, type=pa.uint64()))
+
+    lschema = train_ds.schema()
+    ltypes = {n: t for n, t in zip(lschema.names, lschema.types)}
+    ltypes["__th"] = pa.uint64()
+    out = semi_anti_join(
+        train_ds.map_batches(add_th, batch_format="pyarrow"), bad_th,
+        left_key="__th", right_key="th", anti=True, left_types=ltypes)
+    return out.map_batches(lambda b: b.drop_columns(["__th"]),
+                           batch_format="pyarrow")

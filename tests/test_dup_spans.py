@@ -197,16 +197,55 @@ class TestStripDuplicateSpans:
         assert out["clean_text"].tolist() == ["", ""]
         assert out["n_tokens_removed"].tolist() == [4, 4]
 
-    def test_above_gate_not_implemented(self, ray_session):
+    def _three_paths(self, ray_session, docs, width, span_limit, ids=None):
+        """Run strip on the broadcast path and both above-gate tiers and
+        assert identical output (the kernels are path-independent)."""
         import ray.data
 
         from pdf_parser_ray.stages.dedup import strip_duplicate_spans
 
-        tbl = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
-                        "text": ["u v w x", "u v w x"]})
-        with pytest.raises(NotImplementedError):
-            strip_duplicate_spans(ray.data.from_arrow(tbl), width=4,
-                                  broadcast_limit=0)
+        tbl = pa.table({"doc_id": pa.array(ids or list(range(len(docs))),
+                                           type=pa.int64()),
+                        "text": pa.array(docs)})
+
+        def run(limit):
+            return strip_duplicate_spans(
+                ray.data.from_arrow(tbl), width=width,
+                broadcast_limit=limit).to_pandas().sort_values(
+                "doc_id", ignore_index=True)
+
+        base = run(2_000_000)              # broadcast path
+        tier1 = run(span_limit)            # spans broadcast, hashes not
+        tier2 = run(0)                     # full union exchange
+        for other in (tier1, tier2):
+            assert base.to_dict("list") == other.to_dict("list")
+        return base
+
+    def test_above_gate_paths_match_broadcast(self, ray_session):
+        docs = _corpus(seed=5)
+        self._three_paths(ray_session, docs, 3, span_limit=10_000)
+
+    def test_above_gate_tier1_exercised(self, ray_session):
+        # 7 dup window hashes > limit=2 >= 2 span rows → tier 1 really runs
+        docs = ["p q r s t u v w x y", "p q r s t u v w x y", "n o"]
+        base = self._three_paths(ray_session, docs, 4, span_limit=2)
+        assert base["clean_text"].tolist() == ["", "", "n o"]
+
+    def test_above_gate_string_ids(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.dedup import strip_duplicate_spans
+
+        tbl = pa.table({"doc_id": pa.array(["b", "a"]),
+                        "text": ["same exact phrase here maybe",
+                                 "same exact phrase here never"]})
+        out = {lim: strip_duplicate_spans(
+                   ray.data.from_arrow(tbl), width=4,
+                   broadcast_limit=lim).to_pandas().sort_values(
+                   "doc_id", ignore_index=True).to_dict("list")
+               for lim in (10**6, 0)}
+        assert out[10**6] == out[0]
+        assert out[0]["n_tokens_removed"] == [4, 4]
 
 
 class TestContamination:
@@ -242,10 +281,59 @@ class TestContamination:
         out = contamination(train, test, width=4).to_pandas()
         assert out["n_contaminated"].tolist() == [0]
 
-    def test_above_gate_raises(self, ray_session):
+    def test_above_gate_matches_broadcast(self, ray_session):
         from pdf_parser_ray.stages.dedup import contamination
 
-        test = self._ds(["a b c d e f g h i j"])
-        train = self._ds(["a b c d"])
-        with pytest.raises(NotImplementedError):
-            contamination(train, test, width=4, broadcast_limit=0)
+        test = self._ds(["the secret benchmark answer is forty two exactly",
+                         "another held out prompt with rare tokens inside"])
+        train = self._ds([
+            "clean document with no overlap whatsoever in it",
+            "leaked: the secret benchmark answer is forty two exactly here",
+            "short",
+            "another held out prompt with rare tokens inside twice over "
+            "another held out prompt with rare tokens inside",
+        ], ids=[10, 11, 12, 13])
+
+        def run(limit):
+            return contamination(
+                train, test, width=4,
+                broadcast_limit=limit).to_pandas().sort_values(
+                "doc_id", ignore_index=True)
+
+        base, gated = run(2_000_000), run(0)
+        assert base.to_dict("list") == gated.to_dict("list")
+        assert gated.set_index("doc_id").loc[11, "n_contaminated"] == 5
+
+    def test_above_gate_string_ids(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.dedup import contamination
+
+        test = self._ds(["u v w x y z"])
+        train = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(["d2", "d1"]),
+            "text": ["u v w x y z plus trailing", "nothing shared at all ok"]}))
+        base = contamination(train, test, width=4,
+                             broadcast_limit=10**6).to_pandas().sort_values(
+            "doc_id", ignore_index=True)
+        gated = contamination(train, test, width=4,
+                              broadcast_limit=0).to_pandas().sort_values(
+            "doc_id", ignore_index=True)
+        assert base.to_dict("list") == gated.to_dict("list")
+
+    def test_drop_contaminated_above_gate(self, ray_session):
+        from pdf_parser_ray.stages.dedup import drop_contaminated
+
+        test = self._ds(["the secret benchmark answer is forty two exactly"])
+        train = self._ds([
+            "clean document with no overlap whatsoever in it",
+            "leaked: the secret benchmark answer is forty two exactly here",
+            "short",
+        ], ids=[10, 11, 12])
+        base = drop_contaminated(train, test, width=4,
+                                 broadcast_limit=10**6).to_pandas()
+        gated = drop_contaminated(train, test, width=4,
+                                  broadcast_limit=0).to_pandas()
+        for out in (base, gated):
+            assert sorted(out["doc_id"].tolist()) == [10, 12]
+        assert sorted(base.columns) == sorted(gated.columns)
