@@ -4,6 +4,8 @@ The Ray-side plumbing is REAL (schemas, actor-pool signatures, batch sizing,
 output tensor layout). Decode backends:
   - image ``decoder="png"``: REAL baseline-PNG decode via the from-scratch
     stdlib-zlib codec (functions/png.py);
+  - image ``decoder="jpeg"``: REAL baseline-JPEG decode via the
+    from-scratch huffman+IDCT codec (functions/jpeg.py);
   - audio ``decoder="wav"``: REAL RIFF/PCM WAV decode via the from-scratch
     stdlib-struct codec (functions/wav.py);
   - ``decoder="fake"``: deterministic sha256-seeded stand-in for tests;
@@ -53,18 +55,22 @@ class ImageDecode:
         stdlib-zlib codec (functions/png.py) + nearest-neighbor resize +
         RGB normalization. Undecodable payloads yield null pixels plus a
         ``decode_error`` string (per-row fail-soft, B2-style).
+      - ``"jpeg"``: REAL decode of baseline JPEG/JFIF (the dominant web
+        image format) via the from-scratch huffman+IDCT codec
+        (functions/jpeg.py) — 4:4:4 / 4:2:2 / 4:2:0, grayscale, restart
+        intervals; same fail-soft contract.
       - ``"fake"``: deterministic sha256-seeded tensor (schema/determinism
-        tests, non-PNG media types).
+        tests, other media types).
       - anything else (``"pillow"``...): NotImplementedError — those
         libraries are not installed here.
     """
 
     def __init__(self, out_h: int = 64, out_w: int = 64, decoder: str = "fake"):
-        if decoder not in ("fake", "png"):
+        if decoder not in ("fake", "png", "jpeg"):
             raise NotImplementedError(
                 f"decoder={decoder!r}: real image codecs are not installed in "
-                "this environment; use the from-scratch 'png' backend or the "
-                "deterministic 'fake' backend"
+                "this environment; use the from-scratch 'png'/'jpeg' backends "
+                "or the deterministic 'fake' backend"
             )
         self.out_h, self.out_w = out_h, out_w
         self.decoder = decoder
@@ -72,7 +78,14 @@ class ImageDecode:
     def _decode_png(self, payload: bytes) -> np.ndarray:
         from ..functions.png import decode_png
 
-        arr = decode_png(payload)
+        return self._resize_rgb(decode_png(payload))
+
+    def _decode_jpeg(self, payload: bytes) -> np.ndarray:
+        from ..functions.jpeg import decode_jpeg
+
+        return self._resize_rgb(decode_jpeg(payload))
+
+    def _resize_rgb(self, arr: np.ndarray) -> np.ndarray:
         h, w, c = arr.shape
         # nearest-neighbor resize via index maps (no deps)
         ys = (np.arange(self.out_h) * h) // self.out_h
@@ -88,10 +101,12 @@ class ImageDecode:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pixels, errors = [], []
+        real = {"png": self._decode_png, "jpeg": self._decode_jpeg}.get(
+            self.decoder)
         for payload in batch.column("payload").to_pylist():
-            if self.decoder == "png":
+            if real is not None:
                 try:
-                    pixels.append(self._decode_png(payload or b"").tobytes())
+                    pixels.append(real(payload or b"").tobytes())
                     errors.append(None)
                 except Exception as e:  # fail-soft per row, like DocParse
                     pixels.append(None)
@@ -103,7 +118,7 @@ class ImageDecode:
         batch = batch.append_column("pixels", pa.array(pixels, type=pa.binary()))
         batch = batch.append_column("pixels_shape", pa.array(
             [[self.out_h, self.out_w, 3]] * batch.num_rows, type=pa.list_(pa.int32())))
-        if self.decoder == "png":
+        if self.decoder in ("png", "jpeg"):
             batch = batch.append_column(
                 "decode_error", pa.array(errors, type=pa.string()))
         return batch
@@ -421,6 +436,38 @@ def synth_png_table(n: int = 32, seed: int = 42) -> pa.Table:
         px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
         refs.append(f"png://synth/{i}")
         payloads.append(encode_png(px, filter_type=i % 5))
+        widths.append(w)
+        heights.append(h)
+    return pa.table({
+        "media_ref": pa.array(refs, type=pa.string()),
+        "media_type": pa.array(["image"] * n, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": pa.array(widths, type=pa.int32()),
+        "height": pa.array(heights, type=pa.int32()),
+        "duration_ms": pa.array([0] * n, type=pa.int32()),
+    })
+
+
+def synth_jpeg_table(n: int = 32, seed: int = 43) -> pa.Table:
+    """Deterministic table of REAL baseline JPEGs (via the from-scratch
+    encoder) — subsampling, grayscale/color, quality and restart
+    intervals vary per row so the decode path covers the supported
+    matrix."""
+    from ..functions.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    refs, payloads, widths, heights = [], [], [], []
+    for i in range(n):
+        h = int(rng.integers(8, 48))
+        w = int(rng.integers(8, 48))
+        gray = i % 4 == 3
+        px = rng.integers(0, 256, size=(h, w) if gray else (h, w, 3),
+                          dtype=np.uint8)
+        payloads.append(encode_jpeg(
+            px, quality=(70, 85, 95)[i % 3],
+            subsampling="420" if i % 2 else "444",
+            restart_interval=(0, 0, 2, 5)[i % 4]))
+        refs.append(f"jpeg://synth/{i}")
         widths.append(w)
         heights.append(h)
     return pa.table({
