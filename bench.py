@@ -201,7 +201,22 @@ def main_plain() -> None:
 
     ray.data.DataContext.get_current().enable_progress_bars = False
 
-    headline = run_headline_extraction(NUM_CPUS)
+    # Multi-window headline + host-speed control: this shared VM swings
+    # 1.5-5x across minutes (every round has hit a different weather
+    # window — r2 15.8 s vs r3 21.0 s on identical input was host drift,
+    # not a code regression). The artifact therefore carries (a) every
+    # window's wall time, (b) a fixed-work single-process ALU control
+    # measured alongside, so rounds can be compared on docs/sec PER HOST
+    # SPEED UNIT instead of raw wall clock.
+    windows = max(1, _env_int("BENCH_HEADLINE_WINDOWS", 3))
+    alu: list[float] = [_burn_once(0)]
+    runs = []
+    for _ in range(windows):
+        runs.append(run_headline_extraction(NUM_CPUS))
+        alu.append(_burn_once(0))
+    runs_sorted = sorted(runs, key=lambda r: r["sec"])
+    headline = runs_sorted[len(runs_sorted) // 2]  # median window
+    alu_sec = sorted(alu)[len(alu) // 2]
     queries = {} if os.environ.get("BENCH_SKIP_QUERIES") else run_query_suite()
     result = {
         "metric": "interleaved-extraction end-to-end",
@@ -216,6 +231,11 @@ def main_plain() -> None:
         "bench_sf": headline["bench_sf"],
         "docs_per_sec": round(headline["docs_per_sec"], 1),
         "spans_per_sec": round(headline["spans_per_sec"], 1),
+        "headline_windows_sec": [round(r["sec"], 3) for r in runs],
+        "docs_per_sec_windows": [round(r["docs_per_sec"], 1) for r in runs],
+        "host_alu_control_sec": round(alu_sec, 3),
+        "host_alu_all_sec": [round(a, 3) for a in alu],
+        "docs_per_sec_per_alu": round(headline["docs_per_sec"] * alu_sec, 1),
     }
     ray.shutdown()
     print(json.dumps(result))
