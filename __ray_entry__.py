@@ -1596,6 +1596,17 @@ def _q_media_features_png(sf_dir: str):
     )
 
 
+def _q_perplexity_backoff(sf_dir: str):
+    """ORACLE-GATED stupid-backoff char LM (Brants et al. 2007): trained
+    on the corpus's lang='en' slice, integer-milli NLL per doc — the full
+    train-and-score chain (uni/bi/tri counts, backoff CASE, ln() milli
+    rounding) is replayed in one DuckDB statement."""
+    from pdf_parser_ray.stages.textstage import lm_perplexity_backoff
+
+    ds = _documents(sf_dir, columns=["doc_id", "text", "lang"])
+    return lm_perplexity_backoff(ds)
+
+
 def _q_media_features_jpeg(sf_dir: str):
     """REAL JPEG decode: deterministic baseline JPEGs (4:4:4/4:2:0, gray,
     restart intervals — built by the from-scratch encoder) decoded by the
@@ -2029,10 +2040,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_percentiles": _q_token_percentiles,
         "events_props": _q_events_props,
         "hash_sample": rel.hash_sample,
+        # --- new in round 4 ---
+        "domain_cap": rel.domain_cap,
+        "perplexity_backoff": _q_perplexity_backoff,
+        "media_features_jpeg": _q_media_features_jpeg,
+        # ---------------- below the 50-query driver window ----------------
         "knn_lsh": _q_knn_lsh,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
-        "media_features_jpeg": _q_media_features_jpeg,  # new in round 4
-        # ---------------- below the 50-query driver window ----------------
         "extract_fields": _q_extract_fields,
         "ai_extract": _q_ai_extract,
         "token_counts": _q_token_counts,
@@ -2462,6 +2476,49 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, "
             "CAST(sum(coalesce(lp.milli, (SELECT milli FROM oov))) AS BIGINT) "
             "AS nll_milli FROM dtri LEFT JOIN lp USING (g) GROUP BY doc_id"
+        ),
+        "domain_cap": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, source, "
+            "CAST(rnk AS BIGINT) AS rnk FROM ("
+            "SELECT doc_id, source, row_number() OVER (PARTITION BY source "
+            "ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), "
+            "9, 15)) AS BIGINT), doc_id) AS rnk FROM documents) "
+            "WHERE rnk <= 10"
+        ),
+        "perplexity_backoff": (
+            "WITH ref AS (SELECT lower(text) AS t FROM documents "
+            "WHERE lang = 'en' AND text IS NOT NULL), "
+            "u1 AS (SELECT substr(t, i, 1) AS g FROM ref, "
+            "unnest([x for x in range(1, length(t) + 1)]) AS u(i)), "
+            "c1 AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM u1 GROUP BY g), "
+            "u2 AS (SELECT substr(t, i, 2) AS g FROM ref, "
+            "unnest([x for x in range(1, length(t))]) AS u(i)), "
+            "c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM u2 GROUP BY g), "
+            "u3 AS (SELECT substr(t, i, 3) AS g FROM ref, "
+            "unnest([x for x in range(1, length(t) - 1)]) AS u(i)), "
+            "c3 AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM u3 GROUP BY g), "
+            "tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM c1), "
+            "m3 AS (SELECT c3.g, CAST(round(-1000 * ln("
+            "CAST(c3.c AS DOUBLE) / b.c)) AS BIGINT) AS milli "
+            "FROM c3 JOIN c2 b ON b.g = substr(c3.g, 1, 2)), "
+            "m2 AS (SELECT c2.g, CAST(round(-1000 * ln("
+            "0.4::DOUBLE * c2.c / a.c)) AS BIGINT) AS milli "
+            "FROM c2 JOIN c1 a ON a.g = substr(c2.g, 1, 1)), "
+            "m1 AS (SELECT c1.g, CAST(round(-1000 * ln("
+            "0.16::DOUBLE * c1.c / tot.n)) AS BIGINT) AS milli FROM c1, tot), "
+            "oov AS (SELECT CAST(round(-1000 * ln("
+            "0.16::DOUBLE / (n + 1))) AS BIGINT) AS milli FROM tot), "
+            "docs AS (SELECT doc_id, lower(text) AS t FROM documents "
+            "WHERE length(text) >= 3), "
+            "dtri AS (SELECT doc_id, substr(t, i, 3) AS g FROM docs, "
+            "unnest([x for x in range(1, length(t) - 1)]) AS u(i)) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, "
+            "CAST(sum(coalesce(m3.milli, m2.milli, m1.milli, "
+            "(SELECT milli FROM oov))) AS BIGINT) AS nll_milli "
+            "FROM dtri LEFT JOIN m3 ON m3.g = dtri.g "
+            "LEFT JOIN m2 ON m2.g = substr(dtri.g, 2, 2) "
+            "LEFT JOIN m1 ON m1.g = substr(dtri.g, 3, 1) "
+            "GROUP BY doc_id"
         ),
         "table_profile": (
             "SELECT 'o_orderkey' AS col, CAST(count(*) AS BIGINT) AS n, "

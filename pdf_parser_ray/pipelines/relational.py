@@ -590,6 +590,38 @@ def top_n_per_group(ds, *, group_col: str, order_cols: list[str],
                                   nrows=nrows)
 
 
+def domain_cap(sf_dir: str, cap: int = 10, group_col: str = "source"):
+    """Per-domain document cap — the crawl-hygiene guard against one host
+    dominating a web corpus (every large-scale pipeline applies one; cf.
+    the per-domain limits in C4/RefinedWeb-style curation).
+
+    Survivors are chosen DETERMINISTICALLY: rank docs within each domain
+    by the md5 order slice (``functions/hashing.md5_order_i60`` — the
+    same rule at any scale or partitioning, so reruns and resumes keep
+    identical survivors) and keep the first ``cap``. Built on
+    :func:`top_n_per_group`, so the shuffle ships at most cap × domains
+    rows per block (the pre-prune is the skew cap: a million-doc host
+    still contributes ``cap`` rows per block to the exchange)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", group_col])
+
+    def add_order(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import md5_order_i60
+
+        ids = batch.column("doc_id").to_pylist()
+        return batch.append_column("cap_order",
+                                   pa.array(md5_order_i60(ids)))
+
+    pre = ds.map_batches(add_order, batch_format="pyarrow")
+    out = top_n_per_group(pre, group_col=group_col,
+                          order_cols=["cap_order", "doc_id"],
+                          descending=[False, False], n=cap, rank_col="rnk",
+                          nrows=_table_nrows(sf_dir, "documents"))
+    return out.map_batches(
+        lambda df: df[["doc_id", group_col, "rnk"]].astype({"doc_id": "int64",
+                                                            "rnk": "int64"}),
+        batch_format="pandas")
+
+
 def pivot_counts(ds, *, key: str, pivot_col: str, categories: list[str],
                  other: str | None = None, num_parts: int = 64,
                  nrows: int | None = None):

@@ -662,3 +662,104 @@ def lm_perplexity(ds, *, text_col: str = "text", id_col: str = "doc_id",
                          "nll_milli": pa.array(nlls, type=pa.int64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def lm_perplexity_backoff(ds, *, text_col: str = "text",
+                          id_col: str = "doc_id", lang_col: str = "lang",
+                          ref_lang: str = "en", alpha: float = 0.4):
+    """Stupid-backoff character LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the web-scale backoff rule:
+    no discounting, a fixed backoff factor, counts only):
+
+        S(c₃|c₁c₂) = n₃/n₂(c₁c₂)            if the trigram was seen
+                   = α · n₂(c₂c₃)/n₁(c₂)    elif that bigram was seen
+                   = α² · n₁(c₃)/N          elif the char was seen
+                   = α² · 1/(N+1)           else (OOV floor)
+
+    Same scale shape as :func:`lm_perplexity`: ONE bounded count exchange
+    (uni+bi+tri gram counts of the reference slice ride one group-sum —
+    string length separates the orders, so no key collisions), the driver
+    folds counts into per-ngram INTEGER milli NLL tables (half-away
+    rounding BEFORE summation → order-free exact int64 document scores,
+    DuckDB-replayable bit for bit), then an embarrassingly parallel
+    broadcast scoring pass. Returns (id, n_trigrams, nll_milli) for
+    documents with ≥ 1 trigram.
+    """
+    import collections
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..pipelines.relational import partitioned_group_sum
+
+    def gram_partials(batch: pa.Table) -> pa.Table:
+        cnt: collections.Counter = collections.Counter()
+        langs = batch.column(lang_col).to_pylist()
+        for t, lg in zip(batch.column(text_col).to_pylist(), langs):
+            if lg != ref_lang or not t:
+                continue
+            t = t.lower()
+            cnt.update(t)                                       # unigrams
+            cnt.update(t[i:i + 2] for i in range(len(t) - 1))   # bigrams
+            cnt.update(t[i:i + 3] for i in range(len(t) - 2))   # trigrams
+        return pa.table({"g": pa.array(list(cnt.keys()), type=pa.string()),
+                         "c": pa.array(list(cnt.values()), type=pa.int64())})
+
+    counts = partitioned_group_sum(
+        ds.map_batches(gram_partials, batch_format="pyarrow"),
+        key="g", sum_cols={"c": "c"}).to_pandas()
+    c1: dict = {}
+    c2: dict = {}
+    c3: dict = {}
+    if len(counts) and "g" in counts.columns:
+        for g, c in zip(counts["g"], counts["c"].astype(int)):
+            (c1 if len(g) == 1 else c2 if len(g) == 2 else c3)[g] = c
+    n_total = sum(c1.values())
+
+    def _milli_int(raw: list[float]) -> list[int]:
+        return pc.cast(pc.round(pa.array(raw, type=pa.float64()),
+                                round_mode="half_towards_infinity"),
+                       pa.int64()).to_pylist()
+
+    # float expression ORDER matters for bit parity with the SQL replay:
+    # each is written exactly as the oracle's ln() argument
+    a2 = alpha * alpha
+    m3 = dict(zip(c3.keys(), _milli_int(
+        [-1000.0 * math.log(c / c2[g[:2]]) for g, c in c3.items()])))
+    m2 = dict(zip(c2.keys(), _milli_int(
+        [-1000.0 * math.log(alpha * c / c1[g[0]]) for g, c in c2.items()])))
+    m1 = dict(zip(c1.keys(), _milli_int(
+        [-1000.0 * math.log(a2 * c / n_total) for c in c1.values()])))
+    oov = _milli_int([-1000.0 * math.log(a2 / (n_total + 1))])[0]
+
+    import ray as _ray
+
+    tables_ref = _ray.put((m3, m2, m1))
+
+    def score(batch: pa.Table) -> pa.Table:
+        t3, t2, t1 = _ray.get(tables_ref)
+        ids_in = batch.column(id_col).to_pylist()
+        ids, n_tris, nlls = [], [], []
+        for i, t in zip(ids_in, batch.column(text_col).to_pylist()):
+            t = (t or "").lower()
+            if len(t) < 3:
+                continue
+            total = 0
+            for j in range(len(t) - 2):
+                tri = t[j:j + 3]
+                m = t3.get(tri)
+                if m is None:
+                    m = t2.get(tri[1:])
+                    if m is None:
+                        m = t1.get(tri[2], oov)
+                total += m
+            ids.append(i)
+            n_tris.append(len(t) - 2)
+            nlls.append(total)
+        id_type = batch.schema.field(id_col).type
+        return pa.table({id_col: pa.array(ids, type=id_type),
+                         "n_trigrams": pa.array(n_tris, type=pa.int64()),
+                         "nll_milli": pa.array(nlls, type=pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

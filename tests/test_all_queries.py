@@ -63,6 +63,9 @@ def _names():
         "shuffle_shards", "events_moving_range", "events_median_cont",
         "doc_ntile", "table_profile", "orders_price_dense_rank",
         "perplexity", "custkeys_f_or_o",
+        # round-4 oracles
+        "minhash_dedup", "embedding_neardup", "domain_cap",
+        "perplexity_backoff",
     ]
 
 

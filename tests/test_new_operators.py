@@ -353,3 +353,117 @@ class TestDenseRankedByValue:
         a = got.sort_values("id", ignore_index=True)[["id", "g", "v", "rnk"]]
         b = want.sort_values("id", ignore_index=True)[["id", "g", "v", "rnk"]]
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDomainCap:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_window_rank(self):
+        import duckdb
+
+        from pdf_parser_ray.pipelines.relational import domain_cap
+
+        got = (domain_cap(self.SF, cap=5).to_pandas()
+               .sort_values(["source", "rnk"], ignore_index=True))
+        want = duckdb.sql(
+            f"SELECT CAST(doc_id AS BIGINT) AS doc_id, source, "
+            f"CAST(rnk AS BIGINT) AS rnk FROM ("
+            f"SELECT doc_id, source, row_number() OVER (PARTITION BY source "
+            f"ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),"
+            f" 9, 15)) AS BIGINT), doc_id) AS rnk "
+            f"FROM read_parquet('{self.SF}/documents.parquet')) "
+            f"WHERE rnk <= 5 ORDER BY source, rnk").fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_cap_enforced_and_deterministic(self):
+        from pdf_parser_ray.pipelines.relational import domain_cap
+
+        a = domain_cap(self.SF, cap=3).to_pandas()
+        assert a.groupby("source").size().max() <= 3
+        b = domain_cap(self.SF, cap=3).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values(["source", "rnk"], ignore_index=True),
+            b.sort_values(["source", "rnk"], ignore_index=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBackoffLM:
+    def _score_brute(self, docs, langs, alpha=0.4):
+        """Literal stupid-backoff reference (dict counting, float math,
+        half-away milli rounding per position)."""
+        import collections
+        import math
+
+        c1, c2, c3 = (collections.Counter() for _ in range(3))
+        for t, lg in zip(docs, langs):
+            if lg != "en" or not t:
+                continue
+            t = t.lower()
+            c1.update(t)
+            c2.update(t[i:i + 2] for i in range(len(t) - 1))
+            c3.update(t[i:i + 3] for i in range(len(t) - 2))
+        n = sum(c1.values())
+
+        def rhalf(x):
+            return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+        out = {}
+        for did, t in enumerate(docs):
+            t = (t or "").lower()
+            if len(t) < 3:
+                continue
+            total = 0
+            for j in range(len(t) - 2):
+                tri = t[j:j + 3]
+                if tri in c3:
+                    x = -1000.0 * math.log(c3[tri] / c2[tri[:2]])
+                elif tri[1:] in c2:
+                    x = -1000.0 * math.log(alpha * c2[tri[1:]] / c1[tri[1]])
+                elif tri[2] in c1:
+                    x = -1000.0 * math.log(alpha * alpha * c1[tri[2]] / n)
+                else:
+                    x = -1000.0 * math.log(alpha * alpha / (n + 1))
+                total += rhalf(x)
+            out[did] = (len(t) - 2, total)
+        return out
+
+    def test_matches_brute_force(self):
+        import pyarrow as pa
+        import ray.data
+
+        from pdf_parser_ray.stages.textstage import lm_perplexity_backoff
+
+        docs = ["the cat sat on the mat", "the dog", "zz", "",
+                "qxqxqx unseen trigrams éé", "the the the",
+                "completely different charset 12345"]
+        langs = ["en", "en", "en", "en", "fr", "en", "fr"]
+        tbl = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                        "text": pa.array(docs), "lang": pa.array(langs)})
+        got = (lm_perplexity_backoff(ray.data.from_arrow(tbl).repartition(3))
+               .to_pandas().set_index("doc_id"))
+        want = self._score_brute(docs, langs)
+        assert set(got.index) == set(want)
+        for did, (ntri, nll) in want.items():
+            assert got.loc[did, "n_trigrams"] == ntri
+            assert got.loc[did, "nll_milli"] == nll, did
+
+    def test_backoff_orders_quality(self, ray_session):
+        # a doc made of reference trigrams must score lower NLL per
+        # position than an out-of-charset doc
+        import pyarrow as pa
+        import ray.data
+
+        from pdf_parser_ray.stages.textstage import lm_perplexity_backoff
+
+        # the out-of-charset doc is OUTSIDE the training slice (lang fr):
+        # in-slice it would score p=1 per position (deterministic
+        # continuations in a tiny corpus), which is correct but untestable
+        docs = ["abc abc abc abc", "abc abc abc", "@@##$$ %%^^&&"]
+        langs = ["en", "en", "fr"]
+        tbl = pa.table({"doc_id": pa.array(range(3), type=pa.int64()),
+                        "text": pa.array(docs), "lang": pa.array(langs)})
+        out = (lm_perplexity_backoff(ray.data.from_arrow(tbl))
+               .to_pandas().set_index("doc_id"))
+        per_pos = out["nll_milli"] / out["n_trigrams"]
+        assert per_pos[0] < per_pos[2]
