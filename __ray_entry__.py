@@ -244,6 +244,22 @@ SELECT doc_id, CAST(v AS BIGINT) AS fp_value FROM fp
 """
 
 
+def _fingerprint_sql(k: int = 8, window: int = 16) -> str:
+    """DuckDB replay of the doc-level winnowing DIGEST: the winnowed set
+    (same CTEs as fingerprint_set) serialized as comma-joined decimals in
+    ascending order → sha256 → first 16 hex chars. Docs whose winnow set
+    is empty hash the empty string, like the python side."""
+    body = _fingerprint_set_sql(k, window)
+    return (
+        f"WITH base AS ({body}) "
+        "SELECT d.doc_id, substr(sha256(coalesce(agg.s, '')), 1, 16) "
+        "AS fingerprint FROM documents d LEFT JOIN ("
+        "SELECT doc_id, string_agg(CAST(fp_value AS VARCHAR), ',' "
+        "ORDER BY fp_value) AS s FROM base GROUP BY doc_id) agg "
+        "USING (doc_id)"
+    )
+
+
 def _q_classic_fields(sf_dir: str):
     """ClassicExtract (reference regex semantics) over the documents table,
     with RE2-compatible patterns so DuckDB can oracle them."""
@@ -2039,12 +2055,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "token_percentiles": _q_token_percentiles,
         "events_props": _q_events_props,
-        "hash_sample": rel.hash_sample,
+        "fingerprint": _q_fingerprint,  # digest redefined + oracled in r4
         # --- new in round 4 ---
         "domain_cap": rel.domain_cap,
         "perplexity_backoff": _q_perplexity_backoff,
         "media_features_jpeg": _q_media_features_jpeg,
         # ---------------- below the 50-query driver window ----------------
+        "hash_sample": rel.hash_sample,
         "knn_lsh": _q_knn_lsh,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
         "extract_fields": _q_extract_fields,
@@ -2055,7 +2072,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classic_fields": _q_classic_fields,
         "validate_docs": _q_validate_docs,
         "hash_docs": _q_hash_docs,
-        "fingerprint": _q_fingerprint,
         "fingerprint_set": _q_fingerprint_set,
         "bpe_tokens": _q_bpe_tokens,
         "repetition_stats": _q_repetition_stats,
@@ -2171,6 +2187,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _embedding_neardup_sql(),
         "neardup_clusters": _neardup_clusters_sql(),
         "fingerprint_set": _fingerprint_set_sql(),
+        "fingerprint": _fingerprint_sql(),
         "dup_spans": _dup_spans_sql(),
         "strip_dup_spans": _strip_dup_spans_sql(),
         "bm25": _bm25_sql(_BM25_TERMS, _BM25_K1, _BM25_B),

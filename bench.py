@@ -179,7 +179,10 @@ def run_query_suite() -> dict:
              "corpus_curate", "approx_distinct_users",
              "events_value_percentiles", "orders_top_per_customer",
              "nation_revenue", "orders_price_rank",
-             "perplexity", "bpe_tokens"]
+             "perplexity", "bpe_tokens",
+             # round-4 additions (appended: earlier keys stay comparable)
+             "strip_dup_spans", "contamination", "domain_cap",
+             "perplexity_backoff", "media_features_jpeg", "top_terms"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:

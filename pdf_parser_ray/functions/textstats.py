@@ -169,6 +169,12 @@ def winnow_fingerprint(text: str, k: int = 8, window: int = 16) -> np.ndarray:
 
 
 def doc_fingerprint_hex(text: str, k: int = 8, window: int = 16) -> str:
-    """Stable doc-level fingerprint: sha256 of the sorted winnowed set."""
+    """Stable doc-level fingerprint: sha256 of the sorted winnowed set,
+    serialized as comma-joined decimal values — a TEXT serialization
+    chosen deliberately so the digest is SQL-replayable
+    (``sha256(string_agg(CAST(h AS VARCHAR), ',' ORDER BY h))``; DuckDB's
+    sha256 is VARCHAR-only, so a raw-bytes digest could never be
+    oracle-gated)."""
     fp = np.sort(winnow_fingerprint(text, k, window))
-    return hashlib.sha256(fp.tobytes()).hexdigest()[:16]
+    payload = ",".join(str(int(v)) for v in fp)
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]

@@ -140,6 +140,16 @@ def sessionize_stream(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     before submitting the next), so any gap-buffered seq is within the
     current window — each actor's out-of-order buffer is bounded by
     ``max_in_flight`` blocks and the actor enforces that bound loudly.
+
+    ORDERING ASSUMPTION (documented per the custom-operator contract): a
+    real stream arrives time-ordered from its source (Kafka partition, log
+    segment, CDC feed) — the global ``sort(ts)`` below exists ONLY because
+    this demo replays a static parquet table as a stream and must
+    manufacture arrival order first. At 100 TB you would NOT run this
+    sort: feed ``iter_internal_ref_bundles`` from the ordered source
+    directly (the routing, seq-reorder, backpressure and actor-state
+    machinery downstream is the part that scales; the sort is scaffolding,
+    priced accordingly in any bench reading of this operator).
     """
     gap_us = gap_minutes * 60 * 1_000_000
     actors = [SessionWindowActor.remote(gap_us, max_buffer=max_in_flight)
