@@ -292,6 +292,10 @@ def main_scaling() -> None:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
         env.setdefault("BENCH_FIXED_BLOCKS", "256")
         env.setdefault("BENCH_REPLICAS", "2")
+        # one window per subprocess: the scaling protocol is ITSELF an
+        # alternating median-of-3 — nesting the plain run's 3-window
+        # median would triple the wall time for no extra signal
+        env.setdefault("BENCH_HEADLINE_WINDOWS", "1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])

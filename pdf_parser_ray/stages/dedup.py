@@ -336,6 +336,11 @@ def _bloom_filtered_pool(source_ds, cands, *, id_col: str, value_col: str,
     bloom = build_bloom_distributed(both, "cid", capacity=2 * cands.count())
     bloom_ref = _ray.put(bloom)
 
+    # NOTE: the kernel stays a PANDAS batch deliberately — an Arrow
+    # list<double> pool block breaks Ray's sort in the hash-join fallback
+    # (blocks mix ArrowTensorType with plain list types and
+    # merge_sorted_blocks refuses); the pandas round-trip keeps every
+    # downstream block in the tensor representation Ray expects.
     def pool_filter(batch: pd.DataFrame) -> pd.DataFrame:
         bf: BloomFilter = _ray.get(bloom_ref)
         keep = bf.contains_many(batch[id_col].tolist())
