@@ -1612,6 +1612,64 @@ def _q_media_features_png(sf_dir: str):
     )
 
 
+def _web_fixture() -> tuple[str, dict]:
+    """Deterministic WARC fixture for the web_curate chain (cached under
+    /tmp): URL variants that must collapse under canonicalization, a
+    robots-disallowed page, a real PDF payload, an image payload, a thin
+    page that fails the token floor, and normal prose pages."""
+    import os
+
+    from pdf_parser_ray.pdf.build import minimal_pdf
+    from pdf_parser_ray.sources.warc import build_warc
+
+    prose = ("Quality prose with plenty of ordinary words so the "
+             "language and quality heuristics have real signal to work "
+             "with here.")
+    pages = [
+        ("http://example.com/a", f"<html><body><p>Alpha page. {prose}</p></body></html>"),
+        # canonical-URL duplicates of /a — tracking params, default port,
+        # host case, fragment: all must collapse to one survivor
+        ("http://EXAMPLE.com:80/a?utm_source=feed",
+         f"<html><body><p>Alpha page. {prose}</p></body></html>"),
+        ("http://example.com/a#section",
+         f"<html><body><p>Alpha page. {prose}</p></body></html>"),
+        ("http://example.com/b",
+         f"<html><body><nav>menu</nav><p>Beta body. {prose}</p></body></html>"),
+        ("http://blocked.example.net/private/page",
+         f"<html><body><p>Disallowed content. {prose}</p></body></html>"),
+        ("http://blocked.example.net/public/page",
+         f"<html><body><p>Allowed content. {prose}</p></body></html>"),
+        ("http://example.com/thin", "<html><body><p>hi</p></body></html>"),
+        ("http://example.com/doc.pdf",
+         minimal_pdf(["A pdf line of text for the web chain.",
+                      "Second pdf line with more words."]),
+         "application/pdf"),
+        ("http://example.com/logo",
+         b"\x89PNG\r\n\x1a\n" + b"\x00" * 32, "image/png"),
+    ]
+    path = "/tmp/pdf_parser_ray_webfix_v1.warc"
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(build_warc(pages))
+        os.replace(tmp, path)
+    robots = {"blocked.example.net":
+              "User-agent: *\nDisallow: /private\n"}
+    return path, robots
+
+
+def _q_web_curate(sf_dir: str):
+    """Rows-only end-to-end web chain: WARC → robots filter → canonical
+    URL dedup → semi-join survivors → DocParse → text features. Each
+    stage is oracle- or pytest-gated individually (canonical_url /
+    robots parsing are legitimately non-SQL); the composition is
+    pytest-gated on exact survivor sets (tests/test_web_curate.py)."""
+    from pdf_parser_ray.pipelines.web import web_curate
+
+    path, robots = _web_fixture()
+    return web_curate([path], robots)
+
+
 def _q_perplexity_backoff(sf_dir: str):
     """ORACLE-GATED stupid-backoff char LM (Brants et al. 2007): trained
     on the corpus's lang='en' slice, integer-milli NLL per doc — the full
@@ -2061,6 +2119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_backoff": _q_perplexity_backoff,
         "media_features_jpeg": _q_media_features_jpeg,
         # ---------------- below the 50-query driver window ----------------
+        "web_curate": _q_web_curate,
         "hash_sample": rel.hash_sample,
         "knn_lsh": _q_knn_lsh,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
