@@ -1658,6 +1658,33 @@ def _web_fixture() -> tuple[str, dict]:
     return path, robots
 
 
+def _q_jsonl_ingest(sf_dir: str):
+    """Rows-only JSONL ingestion demo: the sf documents table exported to
+    JSONL once (cached under /tmp), re-read through sources/jsonl
+    (normalization + column pruning), and token-counted — proving the
+    interchange source feeds the same stages as parquet."""
+    import os
+
+    import duckdb
+
+    from pdf_parser_ray.sources.jsonl import read_jsonl
+    from pdf_parser_ray.stages.textstage import add_token_counts
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/pdf_parser_ray_jsonl_{tag}.jsonl"
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        duckdb.sql(
+            f"COPY (SELECT doc_id, text, lang FROM "
+            f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id) "
+            f"TO '{tmp}' (FORMAT json)")
+        os.replace(tmp, path)
+    ds = read_jsonl([path], keep_fields=("lang",))
+    out = ds.map_batches(add_token_counts, batch_format="pandas")
+    return out.map_batches(lambda b: b.drop_columns(["text"]),
+                           batch_format="pyarrow")
+
+
 def _q_web_curate(sf_dir: str):
     """Rows-only end-to-end web chain: WARC → robots filter → canonical
     URL dedup → semi-join survivors → DocParse → text features. Each
@@ -2120,6 +2147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_jpeg": _q_media_features_jpeg,
         # ---------------- below the 50-query driver window ----------------
         "web_curate": _q_web_curate,
+        "jsonl_ingest": _q_jsonl_ingest,
         "hash_sample": rel.hash_sample,
         "knn_lsh": _q_knn_lsh,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
@@ -2263,6 +2291,14 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prep_neardup": _corpus_prep_neardup_sql(),
         "token_counts": (
             "SELECT doc_id, "
+            "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+            f"length(regexp_extract_all(text, '{bpe_pat}')) AS n_tokens_bpe "
+            "FROM documents"
+        ),
+        # the JSONL fixture is a deterministic export of documents, so the
+        # whole ingest (JSON round-trip + normalization) is value-gated
+        "jsonl_ingest": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, "
             "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "
             f"length(regexp_extract_all(text, '{bpe_pat}')) AS n_tokens_bpe "
             "FROM documents"
