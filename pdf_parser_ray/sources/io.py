@@ -71,20 +71,44 @@ def read_fragment_ranges(corpus_root: str,
 
 
 def write_corpus_table(table: pa.Table, path: str, *,
-                       row_group_size: int = 32) -> None:
-    """Driver-side write of a (small, synthesized) corpus table."""
+                       row_group_size: int = 32,
+                       isolate_bytes: int = 4 * 1024 * 1024) -> None:
+    """Driver-side write of a (small, synthesized) corpus table.
+
+    Small row groups: row groups are the block/slice granularity
+    downstream AND the fragment-planning granularity (state/manifest.py).
+    A row whose payload exceeds ``isolate_bytes`` is written as its OWN
+    row group — otherwise a 50 MB doc shares a 32-row group with 31
+    small docs, the byte-budget planner (which cannot split below a row
+    group) is forced to drag the co-riders into the straggler partition,
+    and every sliced block containing a neighbor carries the giant
+    buffer. With isolation, skew shows up in footer metadata alone and
+    the planner quarantines exactly the heavy doc."""
     if CORPUS_FORMAT == "lance":  # pragma: no cover
         import lance
 
         lance.write_dataset(table, path, mode="overwrite")
-    else:
-        # Small row groups: row groups are the block/slice granularity
-        # downstream — a multi-MB payload row must not share a row group
-        # with (and thus ride inside every sliced block of) small docs —
-        # AND the fragment-planning granularity (state/manifest.py): a
-        # giant doc dominates its own small row group, so byte-budget
-        # skew isolation works from footer metadata alone.
+        return
+    sizes = [sum(len(s["text"] or "") for s in spans or [])
+             for spans in table.column("spans").to_pylist()]
+    big = [i for i, b in enumerate(sizes) if b > isolate_bytes]
+    if not big:
         pq.write_table(table, path, row_group_size=row_group_size)
+        return
+    writer = pq.ParquetWriter(path, table.schema)
+    try:
+        start = 0
+        for i in big:
+            if i > start:
+                writer.write_table(table.slice(start, i - start),
+                                   row_group_size=row_group_size)
+            writer.write_table(table.slice(i, 1), row_group_size=1)
+            start = i + 1
+        if start < table.num_rows:
+            writer.write_table(table.slice(start, table.num_rows - start),
+                               row_group_size=row_group_size)
+    finally:
+        writer.close()
 
 
 def write_output(ds, path: str, *, partition_cols: list[str] | None = None) -> None:

@@ -251,7 +251,11 @@ def corpus_path(sf: float, base_dir: str = "/tmp/pdf_parser_ray_corpus", seed: i
 
     # cache key must cover EVERY generation parameter — kind_weights /
     # docs_per_file with the default tag previously aliased to a stale corpus
-    gen_key = hashlib.md5(repr((kind_weights, docs_per_file)).encode()).hexdigest()[:8]
+    # "rg-isolate" bumps the cache key for the round-4 writer change
+    # (oversized rows get their own row group) — content is identical,
+    # but the planning-relevant footer layout differs
+    gen_key = hashlib.md5(
+        repr((kind_weights, docs_per_file, "rg-isolate")).encode()).hexdigest()[:8]
     path = os.path.join(base_dir, f"v{GENERATOR_VERSION}_sf{sf}_seed{seed}_g{gen_key}{tag}")
     done = os.path.join(path, "_SUCCESS")
     if not os.path.exists(done):
