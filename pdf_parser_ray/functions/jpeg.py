@@ -196,6 +196,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at offset {pos}")
+        # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a marker
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG (fill bytes at EOF)")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD8:          # stray SOI

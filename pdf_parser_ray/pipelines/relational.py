@@ -478,7 +478,7 @@ def vec_str_buckets(values, num_buckets: int) -> np.ndarray:
 
 
 def partitioned_group_sum(ds, *, key: str, sum_cols: dict[str, str],
-                          num_parts: int = 64, sort_width: int = 8,
+                          num_parts: int = 64, sort_width: int | None = None,
                           nrows: int | None = None):
     """Distributed group-sum for HIGH-CARDINALITY keys.
 
@@ -497,16 +497,29 @@ def partitioned_group_sum(ds, *, key: str, sum_cols: dict[str, str],
     that triggers the "RefBundle with a different schema" warning and a
     wasted reduce task. The partials are slim (one row per distinct key
     per batch), so the extra split/merge pass is cheap at any scale.
-    ``sort_width`` deliberately defaults LOW (8 is plenty for test-scale
-    vocabularies); a caller with a known input size passes ``nrows`` and
-    the width scales via ``choose_partitions`` so a billion-key reduce
-    still spreads across the cluster.
+
+    ``sort_width`` defaults to max(8, cluster CPUs ÷ 4), capped at
+    ``num_parts`` — it must scale with the CLUSTER, not stay a constant:
+    for per-doc keys the partials are data-proportional, and a fixed
+    width of 8 would funnel a 256-node reduce through 8 blocks. A caller
+    who knows the partial row count passes ``nrows`` and the width
+    follows ``choose_partitions`` instead.
 
     ``sum_cols`` maps output column → input column to sum.
     """
+    if sort_width is None:
+        cpus = 0
+        try:
+            import ray
+
+            if ray.is_initialized():
+                cpus = int(ray.cluster_resources().get("CPU", 0))
+        except Exception:
+            pass
+        sort_width = max(8, cpus // 4)
     if nrows is not None:
         sort_width = choose_partitions(nrows, default=sort_width,
-                                       lo=sort_width)
+                                       lo=min(sort_width, 8))
 
     def add_part(batch: pa.Table) -> pa.Table:
         return batch.append_column("gs_part",

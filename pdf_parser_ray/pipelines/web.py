@@ -14,9 +14,11 @@ as ONE lazy Dataset pipeline.
 
 Every stage is an operator that is individually oracle- or pytest-gated
 elsewhere; this module is the composition (the web sibling of
-``__ray_entry__._q_corpus_curate``). Kept lazy end to end: Ray's
-streaming executor pipelines WARC scanning, parsing and featurizing —
-nothing materializes the corpus.
+``__ray_entry__._q_corpus_curate``). The corpus never materializes —
+only the slim survivor-id table does — but the WARC input is SCANNED
+TWICE (the URL-dedup pass and the keep pass); for very large crawls run
+``warc_to_corpus`` first and curate over the parquet (the documented
+two-step), making each pass a cheap columnar read.
 
 Reference parity: the reference app has no web tier (it ingests local
 PDFs); this pipeline exists because the Ray engine's brief is the
@@ -109,7 +111,14 @@ def web_curate(warc_paths, robots_by_host: dict[str, str], *,
 
     ds = read_warc(warc_paths)
     ds = robots_filter(ds, robots_by_host)
-    survivors = dedup_warc_by_url(ds)
+    # materialize the SLIM survivor ids once: keep_ids_arrow consumes them
+    # twice (count + collect/partition), and each lazy consumption would
+    # otherwise re-run the whole WARC scan behind them. The corpus itself
+    # still streams — but note it IS scanned twice by design (once inside
+    # the URL dedup, once for the keep pass); for very large crawls run
+    # warc_to_corpus first and curate over the parquet (the documented
+    # two-step), which makes every pass a cheap columnar read.
+    survivors = dedup_warc_by_url(ds).materialize()
     kept = keep_ids_arrow(ds, survivors)
     parsed = kept.map_batches(doc_parse_batch, batch_format="pyarrow",
                               batch_size=batch_size)

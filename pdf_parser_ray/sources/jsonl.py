@@ -59,11 +59,17 @@ def read_jsonl(paths, *, id_field: str | None = "doc_id",
     return ds.map_batches(normalize, batch_format="pyarrow")
 
 
-def jsonl_to_corpus(paths, out_dir: str, **read_kwargs) -> None:
+def jsonl_to_corpus(paths, out_dir: str, *, row_group_size: int = 32,
+                    **read_kwargs) -> None:
     """Materialize JSONL input as the interleaved-corpus parquet layout
     (one ``text`` span per document), the same two-step contract as
     ``warc_to_corpus``: JSONL carries no row-group statistics, so the
-    checkpointed extraction plans over the parquet this writes."""
+    checkpointed extraction plans over the parquet this writes.
+
+    Written with SMALL row groups (32, matching the corpus writer's
+    granularity): row groups are the byte-budget planner's indivisible
+    unit, so parquet-default million-row groups would collapse fragment
+    planning (and skew isolation) into giant all-or-nothing partitions."""
     from ..schema import SPAN_STRUCT
 
     ds = read_jsonl(paths, **read_kwargs)
@@ -76,7 +82,8 @@ def jsonl_to_corpus(paths, out_dir: str, **read_kwargs) -> None:
                          "spans": pa.array(spans,
                                            type=pa.list_(SPAN_STRUCT))})
 
-    ds.map_batches(to_spans, batch_format="pyarrow").write_parquet(out_dir)
+    ds.map_batches(to_spans, batch_format="pyarrow").write_parquet(
+        out_dir, row_group_size=row_group_size)
 
 
 def write_jsonl(ds, out_dir: str, **ray_kwargs) -> None:

@@ -646,9 +646,17 @@ def lm_perplexity(ds, *, text_col: str = "text", id_col: str = "doc_id",
         ids_in = batch.column(id_col).to_pylist()
         ids, n_tris, nlls = [], [], []
         for i, t in zip(ids_in, batch.column(text_col).to_pylist()):
-            t = (t or "").lower()
-            if len(t) < 3:
-                continue  # no trigrams → no score (SQL group-by parity)
+            raw = t or ""
+            t = raw.lower()
+            # SQL parity, exactly: the oracle filters on the RAW length
+            # (WHERE length(text) >= 3) and its GROUP BY drops docs whose
+            # LOWERED text yields no positions — str.lower() can change
+            # length ('İ' lowers to 2 chars in python), so both checks
+            # are needed. Known residual divergence: DuckDB's lower()
+            # differs from python's on a few locale-special codepoints
+            # (e.g. İ) — such chars alter trigram CONTENT either way.
+            if len(raw) < 3 or len(t) < 3:
+                continue
             total = 0
             get = table.get
             for j in range(len(t) - 2):
@@ -742,8 +750,11 @@ def lm_perplexity_backoff(ds, *, text_col: str = "text",
         ids_in = batch.column(id_col).to_pylist()
         ids, n_tris, nlls = [], [], []
         for i, t in zip(ids_in, batch.column(text_col).to_pylist()):
-            t = (t or "").lower()
-            if len(t) < 3:
+            raw = t or ""
+            t = raw.lower()
+            # same raw-length + lowered-length parity rule (and the same
+            # documented lower() caveat) as lm_perplexity above
+            if len(raw) < 3 or len(t) < 3:
                 continue
             total = 0
             for j in range(len(t) - 2):

@@ -153,3 +153,12 @@ class TestImageDecodeStage:
                .to_pandas())
         assert out["pixels"].isna().tolist() == [True, True, False]
         assert out["decode_error"].notna().tolist() == [True, True, False]
+
+    def test_fill_bytes_before_marker(self):
+        # T.81 B.1.1.2: 0xFF fill bytes may pad before any marker
+        img = np.full((16, 16, 3), 99, dtype=np.uint8)
+        data = bytearray(encode_jpeg(img, quality=95))
+        i = data.find(b"\xff\xdb")
+        data[i:i] = b"\xff\xff"
+        out = decode_jpeg(bytes(data))
+        assert np.array_equal(out, img)

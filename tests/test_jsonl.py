@@ -70,6 +70,15 @@ class TestReadJsonl:
                   .to_pandas().set_index("doc_id"))
         assert parsed.loc["d1", "spans"][0]["text"] == "hello corpus world"
         assert parsed["error"].isna().all()
+        # small row groups: the byte-budget planner's indivisible unit
+        import glob
+
+        import pyarrow.parquet as pq
+
+        f = glob.glob(os.path.join(out_dir, "*.parquet"))[0]
+        md = pq.ParquetFile(f).metadata
+        assert max(md.row_group(i).num_rows
+                   for i in range(md.num_row_groups)) <= 32
 
     def test_write_round_trip(self, ray_session, tmp_path):
         import ray.data
