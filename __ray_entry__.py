@@ -1357,6 +1357,29 @@ def _q_knn_pq(sf_dir: str):
     )
 
 
+def _q_knn_hnsw(sf_dir: str):
+    """Graph-ANN (sharded HNSW, stages/similarity.hnsw_topk): each corpus
+    shard builds a deterministic md5-leveled HNSW graph and beam-searches
+    the broadcast queries; shard top-k partials merge in the shared
+    bounded reduce. ROWS-ONLY: graph traversal is not SQL-expressible —
+    quality is gated by the recall-vs-brute-force pytest suite instead."""
+    import ray.data
+    from pdf_parser_ray.stages.similarity import hnsw_topk
+
+    ids, vecs = _knn_queries(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out = hnsw_topk(ds, ids, vecs, k=10)
+    return out.map_batches(
+        lambda b: pa.table({
+            "query_id": pc.cast(b.column("query_id"), pa.int64()),
+            "neighbor_id": pc.cast(b.column("neighbor_id"), pa.int64()),
+            "rank": pc.cast(b.column("rank"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 _KNN_PQ_SQL_CACHE: dict[str, str] = {}
 
 
@@ -2196,6 +2219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users": rel.events_top_users,
         "events_sessions": rel.events_sessions,
         "events_sliding_window": rel.events_sliding_window,
+        "knn_hnsw": _q_knn_hnsw,
     }
 
 

@@ -182,7 +182,8 @@ def run_query_suite() -> dict:
              "perplexity", "bpe_tokens",
              # round-4 additions (appended: earlier keys stay comparable)
              "strip_dup_spans", "contamination", "domain_cap",
-             "perplexity_backoff", "media_features_jpeg", "top_terms"]
+             "perplexity_backoff", "media_features_jpeg", "top_terms",
+             "knn_hnsw"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:

@@ -66,6 +66,8 @@ def _names():
         # round-4 oracles
         "minhash_dedup", "embedding_neardup", "domain_cap",
         "perplexity_backoff",
+        # round-4 rows-only (graph ANN; recall-gated in test_dedup_similarity)
+        "knn_hnsw",
     ]
 
 

@@ -503,3 +503,75 @@ class TestEmptyBatchGuards:
         out = k(pd.DataFrame({"vec_id": [], "embedding": []}))
         assert len(out) == 0
         assert list(out.columns) == ["query_id", "neighbor_id", "cosine"]
+
+
+class TestHNSW:
+    @pytest.fixture(scope="class")
+    def vectors(self):
+        rng = np.random.default_rng(7)
+        return rng.standard_normal((400, 16))
+
+    def test_index_recall_vs_numpy(self, vectors):
+        """Local (no-Ray) quality gate: beam search over the whole set must
+        recall >= 0.9 of exact top-10 on random vectors."""
+        from pdf_parser_ray.stages.similarity import HNSWIndex, _unit
+
+        idx = HNSWIndex(vectors, np.arange(len(vectors)))
+        unit = _unit(vectors)
+        recalls = []
+        for qi in range(20):
+            got, sims = idx.search(vectors[qi], 10)
+            truth = np.lexsort((np.arange(len(vectors)),
+                                -(unit @ unit[qi])))[:10]
+            recalls.append(len(set(map(int, got)) & set(truth.tolist())) / 10)
+            # ranking among returned candidates is exact (sim desc, id asc)
+            assert sims == sorted(sims, reverse=True)
+        assert np.mean(recalls) >= 0.9, recalls
+
+    def test_index_insertion_order_invariant(self, vectors):
+        """Levels come from md5(id) and insertion order is pinned by an id
+        sort, so a permuted input builds the identical graph."""
+        from pdf_parser_ray.stages.similarity import HNSWIndex
+
+        ids = np.arange(len(vectors))
+        perm = np.random.default_rng(1).permutation(len(vectors))
+        a = HNSWIndex(vectors, ids)
+        b = HNSWIndex(vectors[perm], ids[perm])
+        for qi in (0, 3, 11):
+            ga, sa = a.search(vectors[qi], 10)
+            gb, sb = b.search(vectors[qi], 10)
+            assert list(map(int, ga)) == list(map(int, gb))
+            assert sa == sb
+
+    def test_index_edge_cases(self):
+        from pdf_parser_ray.stages.similarity import HNSWIndex
+
+        one = HNSWIndex(np.ones((1, 4)), np.asarray([7]))
+        got, sims = one.search(np.ones(4), 5)
+        assert list(map(int, got)) == [7] and sims[0] == pytest.approx(1.0)
+
+    def test_hnsw_topk_vs_brute_force(self, ray_session, vectors):
+        """Distributed quality gate: sharded-HNSW top-10 recall vs exact
+        brute force >= 0.8 with the corpus split across blocks (each shard
+        builds its own graph; the bounded per-query reduce merges)."""
+        import ray.data
+
+        from pdf_parser_ray.stages.similarity import (brute_force_topk,
+                                                      hnsw_topk)
+
+        ds = ray.data.from_items(
+            [{"vec_id": i, "embedding": vectors[i].tolist()}
+             for i in range(len(vectors))]).repartition(4)
+        q_ids = [0, 1, 2, 3, 4]
+        q = vectors[:5]
+        exact = brute_force_topk(ds, q_ids, q, k=10, concurrency=2).to_pandas()
+        approx = hnsw_topk(ds, q_ids, q, k=10, concurrency=2).to_pandas()
+        recalls = []
+        for qi in q_ids:
+            e = set(exact[exact["query_id"] == qi]["neighbor_id"])
+            a = set(approx[approx["query_id"] == qi]["neighbor_id"])
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.8, recalls
+        # contract columns + rank density
+        r0 = approx[approx["query_id"] == 0].sort_values("rank")
+        assert r0["rank"].tolist() == list(range(1, len(r0) + 1))
