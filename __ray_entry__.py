@@ -1380,6 +1380,44 @@ def _q_knn_hnsw(sf_dir: str):
     )
 
 
+def _q_model_filter(sf_dir: str):
+    """Trained model-based document filter (stages/classifier.py): a
+    deterministic driver-side logistic regression (no RNG, fixed iters)
+    over SQL-exact integer features — surface stats + per-language
+    stopword votes — trained on weak 'is-English' labels from the
+    stopword-vote lang-id (the fastText web-filter recipe, public), then
+    one stateless vectorized scoring pass over every document.
+
+    ORACLE-GATED like knn_ivf: the oracle retrains the identical weights
+    at the gate scale and inlines them as repr() float literals; the
+    logit term order is pinned so the doubles match bitwise."""
+    import pyarrow.parquet as pq
+    from pdf_parser_ray.stages.classifier import score_model, train_model
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    sample = pd.Series(t.column("text").to_pylist()[:512])
+    weights = train_model(sample)
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return score_model(ds, weights)
+
+
+_MODEL_FILTER_SQL_CACHE: dict[str, str] = {}
+
+
+def _model_filter_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Exact SQL replay of model_filter: retrain the deterministic weights
+    on the same first-512 sample, inline them, replay features + logit."""
+    if sf_dir not in _MODEL_FILTER_SQL_CACHE:
+        import pyarrow.parquet as pq
+        from pdf_parser_ray.stages.classifier import (model_filter_sql,
+                                                      train_model)
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+        sample = pd.Series(t.column("text").to_pylist()[:512])
+        _MODEL_FILTER_SQL_CACHE[sf_dir] = model_filter_sql(train_model(sample))
+    return _MODEL_FILTER_SQL_CACHE[sf_dir]
+
+
 _KNN_PQ_SQL_CACHE: dict[str, str] = {}
 
 
@@ -2220,6 +2258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": rel.events_sessions,
         "events_sliding_window": rel.events_sliding_window,
         "knn_hnsw": _q_knn_hnsw,
+        "model_filter": _q_model_filter,
     }
 
 
@@ -2794,6 +2833,9 @@ def oracle_sql() -> dict[str, str]:
     try:
         out["knn_ivf"] = _knn_ivf_sql()
         out["knn_pq"] = _knn_pq_sql()
+        # model_filter's oracle likewise retrains its weight literals from
+        # the sf0.01 gate table
+        out["model_filter"] = _model_filter_sql()
     except (FileNotFoundError, OSError):
         pass
     out["knn_lsh"] = _knn_lsh_sql()

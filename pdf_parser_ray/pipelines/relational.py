@@ -180,6 +180,12 @@ def pricing_summary(sf_dir: str):
         })
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    # collapse the slim per-block partials (≤4 rows each) before the sort
+    # shuffle: with 4 distinct keys and hundreds of input blocks most sort
+    # ranges come out EMPTY and Ray emits schemaless empty blocks
+    # (map_transformer never calls the UDF on all-empty input) — the
+    # RefBundle-schema-drift warning. Two blocks → two non-empty ranges.
+    partials = partials.repartition(2)
     final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
         Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
@@ -235,6 +241,9 @@ def region_customer_count(sf_dir: str):
         return batch.groupby("r_name", as_index=False).agg(n_customers=("c_custkey", "size"))
 
     partials = joined.map_batches(partial_count, batch_format="pandas")
+    # 5 distinct regions: collapse partials so no sort range is empty
+    # (schemaless-empty-block warning; see pricing_summary)
+    partials = partials.repartition(2)
     return partials.groupby("r_name").aggregate(Sum("n_customers", alias_name="n_customers"))
 
 
@@ -261,6 +270,9 @@ def supplier_nation_acctbal(sf_dir: str):
         )
 
     partials = joined.map_batches(partial, batch_format="pandas")
+    # 25 nations: collapse partials so no sort range is empty
+    # (schemaless-empty-block warning; see pricing_summary)
+    partials = partials.repartition(4)
     return partials.groupby("n_name").aggregate(
         Sum("n_suppliers", alias_name="n_suppliers"),
         Sum("total_acctbal_cents", alias_name="total_acctbal_cents"),

@@ -68,6 +68,9 @@ def _names():
         "perplexity_backoff",
         # round-4 rows-only (graph ANN; recall-gated in test_dedup_similarity)
         "knn_hnsw",
+        # model_filter is excluded like knn_ivf/knn_pq: its oracle inlines
+        # weights trained at the sf0.01 gate scale (test_classifier gates
+        # the matched-scale parity)
     ]
 
 
