@@ -2190,7 +2190,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": _q_contamination,          # above-gate path added
         "dup_spans": _q_dup_spans,                  # _span_rows refactor
         "dedup_exact": _q_dedup_exact,              # vectorized stamping
-        "dedup_semi": _q_dedup_semi,
+        # model_filter sits INSIDE the 50-query driver window (new this
+        # round, fully oracled); dedup_semi moved past it — green in
+        # r1–r3 and its machinery is re-confirmed by dedup_exact above
+        "model_filter": _q_model_filter,
         "simhash_dedup": _q_simhash_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "neardup_clusters": _q_neardup_clusters,    # sized CC exchange
@@ -2258,7 +2261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": rel.events_sessions,
         "events_sliding_window": rel.events_sliding_window,
         "knn_hnsw": _q_knn_hnsw,
-        "model_filter": _q_model_filter,
+        "dedup_semi": _q_dedup_semi,
     }
 
 

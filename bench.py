@@ -183,7 +183,7 @@ def run_query_suite() -> dict:
              # round-4 additions (appended: earlier keys stay comparable)
              "strip_dup_spans", "contamination", "domain_cap",
              "perplexity_backoff", "media_features_jpeg", "top_terms",
-             "knn_hnsw"]
+             "knn_hnsw", "model_filter"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:
