@@ -39,6 +39,26 @@ def _documents(sf_dir: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _head_rows(path: str, columns: list, n: int) -> dict:
+    """First ``n`` rows of ``columns`` as {col: list} — reads row groups
+    until ``n`` rows are covered instead of the whole column (driver-side
+    sample reads must stay O(sample), not O(table); a plain
+    ``pq.read_table(...)[:n]`` pins the full column in driver memory).
+    Accepts a single parquet file (the testdata layout); sharded corpus
+    dirs go through sources/io.read_corpus instead."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    got, parts = 0, []
+    for i in range(pf.metadata.num_row_groups):
+        parts.append(pf.read_row_group(i, columns=columns))
+        got += parts[-1].num_rows
+        if got >= n:
+            break
+    t = pa.concat_tables(parts).slice(0, n)
+    return {c: t.column(c).to_pylist() for c in columns}
+
+
 def _documents_nrows(sf_dir: str) -> int:
     """Parquet-footer row count (free) — upper-bound size signal for the
     zero-sort coalesce gates in the dedup stages. Delegates to
@@ -1257,6 +1277,79 @@ def _knn_queries(sf_dir: str, n: int = 5):
     return ids, vecs
 
 
+def _semdedup_centroids(sf_dir: str) -> np.ndarray:
+    """The shared deterministic centroid recipe (same as knn_ivf: seed-42
+    kmeans_centroids on the first-2000 sample of the gate table), so the
+    Ray query and the SQL oracle train identical literals."""
+    from pdf_parser_ray.stages.similarity import kmeans_centroids
+
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in
+                    _head_rows(f"{sf_dir}/embeddings.parquet",
+                               ["embedding"], 2000)["embedding"]])
+    return kmeans_centroids(mat, n_centroids=8)
+
+
+def _q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means clusters + within-cluster
+    cosine prune, keep-lowest-id (stages/dedup.semdedup). ORACLE-GATED
+    like knn_ivf: the oracle retrains the identical seeded centroids and
+    inlines them as DOUBLE[] literals; assignment replays as the
+    row_number-over-cosine idiom and the prune as a within-cluster
+    self-join on list_cosine_similarity >= tau."""
+    import ray.data
+    from pdf_parser_ray.pipelines.relational import _table_nrows
+    from pdf_parser_ray.stages.dedup import semdedup
+
+    cent = _semdedup_centroids(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out = semdedup(ds, cent, tau=0.32,
+                   nrows=_table_nrows(sf_dir, "embeddings"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "vec_id": pc.cast(b.column("vec_id"), pa.int64()),
+            "cluster": pc.cast(b.column("cluster"), pa.int64()),
+            "semdedup_keep": b.column("semdedup_keep"),
+        }), batch_format="pyarrow")
+
+
+_SEMDEDUP_SQL_CACHE: dict[str, str] = {}
+
+
+def _semdedup_sql(sf_dir: str = "/root/testdata/sf0.01",
+                  tau: float = 0.32) -> str:
+    """DuckDB replay of semdedup: centroids inlined, arg-max-cosine
+    assignment (lowest-cid ties — numpy argmax first-max), then a row is
+    kept iff NO same-cluster row with a smaller vec_id reaches cosine >=
+    tau (threshold sits away from the float32 cosine boundary like
+    embedding_neardup_exact's 0.30)."""
+    if sf_dir in _SEMDEDUP_SQL_CACHE:
+        return _SEMDEDUP_SQL_CACHE[sf_dir]
+    cent = _semdedup_centroids(sf_dir)
+    cent_values = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(x)) for x in row))
+        for i, row in enumerate(cent))
+    _SEMDEDUP_SQL_CACHE[sf_dir] = f"""
+WITH cent(cid, cvec) AS (VALUES {cent_values}),
+assign_rn AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+    row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (SELECT vec_id, embedding, cid FROM assign_rn WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT a.vec_id FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND b.vec_id < a.vec_id
+   AND list_cosine_similarity(a.embedding, b.embedding) >= {tau}
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS cluster,
+       vec_id NOT IN (SELECT vec_id FROM dropped) AS semdedup_keep
+FROM assigned
+"""
+    return _SEMDEDUP_SQL_CACHE[sf_dir]
+
+
 def _q_ngram_jaccard(sf_dir: str):
     """Exact char-5-gram Jaccard near-dup edges, LSH-bucketed (no
     all-pairs). ORACLE-GATED: candidate CTEs + exact list-Jaccard in SQL."""
@@ -2211,6 +2304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_ingest": _q_jsonl_ingest,
         "web_curate": _q_web_curate,
         # -------------- below the 50-query driver window --------------
+        # new in round-4 session 2 — oracled, front of the round-5 window
+        "semdedup": _q_semdedup,
         # (driver-green in earlier rounds and functionally unchanged in
         # round 4, or rows-only duplicates of gated variants)
         "token_percentiles": _q_token_percentiles,
@@ -2839,6 +2934,8 @@ def oracle_sql() -> dict[str, str]:
         # model_filter's oracle likewise retrains its weight literals from
         # the sf0.01 gate table
         out["model_filter"] = _model_filter_sql()
+        # semdedup's oracle inlines the same seed-42 centroid literals
+        out["semdedup"] = _semdedup_sql()
     except (FileNotFoundError, OSError):
         pass
     out["knn_lsh"] = _knn_lsh_sql()

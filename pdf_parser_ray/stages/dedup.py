@@ -802,6 +802,79 @@ def embedding_neardup_edges(ds, *, vec_col: str = "embedding", id_col: str = "ve
     return j2.map_batches(verify_joined, batch_format="pandas")
 
 
+def semdedup(ds, centroids: np.ndarray, *, vec_col: str = "embedding",
+             id_col: str = "vec_id", tau: float = 0.32,
+             nrows: int | None = None):
+    """SemDeDup (Abbas et al. 2023, public): semantic dedup by k-means
+    clustering + within-cluster cosine pruning. A row is DROPPED iff some
+    other row in the SAME cluster has cosine ≥ ``tau`` and a smaller id
+    (the deterministic keep-lowest-id rule every near-dup stage here
+    uses). Returns (id_col, cluster:int64, semdedup_keep:bool) per row.
+
+    Distributed shape — this is the point of the algorithm: the quadratic
+    all-pairs pass is confined to one cluster at a time. Vectors are
+    exchanged exactly ONCE, partitioned by cluster id (the
+    ``coarse_partition_apply`` gate coalesces tiny inputs to a single
+    block with no key exchange); centroids ride in the task closure (a
+    handful of float rows, never re-shipped per batch). Cluster sizes are
+    bounded by choosing n_centroids ∝ corpus size (the paper's recipe);
+    a pathologically hot cluster would LSH-band within the cluster —
+    ``embedding_neardup_edges`` is exactly that machinery.
+
+    Assignment is arg-max cosine against unit centroids, FIRST max on
+    ties (numpy argmax) — replayed in SQL as ``row_number() OVER (ORDER
+    BY list_cosine_similarity DESC, cid ASC) = 1`` like the knn_ivf
+    oracle. ``centroids`` come from the deterministic driver-side
+    ``similarity.kmeans_centroids`` on a bounded sample.
+    """
+    from ..pipelines.relational import coarse_partition_apply
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    cn = np.linalg.norm(cent, axis=1)
+    cn[cn == 0] = 1.0
+    cent_unit = cent / cn[:, None]
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({id_col: batch[id_col],
+                                 "cluster": pd.Series([], dtype="int64"),
+                                 vec_col: batch[vec_col]})
+        mat = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        cl = np.argmax((mat / n[:, None]) @ cent_unit.T, axis=1)
+        return pd.DataFrame({id_col: batch[id_col],
+                             "cluster": cl.astype("int64"),
+                             vec_col: batch[vec_col]})
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        # partition-shape-independent: groups by the real cluster key
+        # internally (coarse_partition_apply contract)
+        if not len(g):
+            return pd.DataFrame({id_col: g[id_col] if id_col in g else
+                                 pd.Series([], dtype="int64"),
+                                 "cluster": pd.Series([], dtype="int64"),
+                                 "semdedup_keep": pd.Series([], dtype=bool)})
+        parts = []
+        for cl, sub in g.groupby("cluster", sort=True):
+            mat = np.stack(sub[vec_col].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(mat, axis=1)
+            n[n == 0] = 1.0
+            u = mat / n[:, None]
+            ids = sub[id_col].to_numpy()
+            dup = ((u @ u.T >= tau)
+                   & (ids[None, :] < ids[:, None])).any(axis=1)
+            parts.append(pd.DataFrame({
+                id_col: ids, "cluster": np.full(len(ids), cl, dtype="int64"),
+                "semdedup_keep": ~dup}))
+        return pd.concat(parts, ignore_index=True)
+
+    assigned = ds.map_batches(assign, batch_format="pandas")
+    return coarse_partition_apply(assigned, prune, key_col="cluster",
+                                  part_col="sd_part", num_parts=16,
+                                  nrows=nrows)
+
+
 # ---------------------------------------------------------------------------
 # Connected components: exact duplicate-cluster resolution over an edge set
 # ---------------------------------------------------------------------------

@@ -575,3 +575,77 @@ class TestHNSW:
         # contract columns + rank density
         r0 = approx[approx["query_id"] == 0].sort_values("rank")
         assert r0["rank"].tolist() == list(range(1, len(r0) + 1))
+
+
+class TestSemDedup:
+    """SemDeDup (cluster + within-cluster cosine prune): both gate paths
+    agree with a numpy brute-force replay, planted near-dups are dropped,
+    and the full pipeline replays in DuckDB at matched scale."""
+
+    @pytest.fixture(scope="class")
+    def planted(self):
+        rng = np.random.default_rng(9)
+        base = rng.standard_normal((60, 16))
+        # rows 40..49 are tiny perturbations of rows 0..9 → cosine ~0.99
+        base[40:50] = base[0:10] + 0.02 * rng.standard_normal((10, 16))
+        return base
+
+    def _replay(self, vectors, cent, tau):
+        n = np.linalg.norm(vectors, axis=1)
+        n[n == 0] = 1.0
+        u = vectors / n[:, None]
+        cn = np.linalg.norm(cent, axis=1)
+        cn[cn == 0] = 1.0
+        assign = np.argmax(u @ (cent / cn[:, None]).T, axis=1)
+        keep = {}
+        for c in set(assign.tolist()):
+            msk = assign == c
+            sub, sid = u[msk], np.flatnonzero(msk)
+            dup = ((sub @ sub.T >= tau)
+                   & (sid[None, :] < sid[:, None])).any(axis=1)
+            for i, d in zip(sid, dup):
+                keep[int(i)] = (int(assign[i]), not bool(d))
+        return keep
+
+    def test_matches_bruteforce_both_paths(self, ray_session, planted):
+        import ray.data
+
+        from pdf_parser_ray.stages.dedup import semdedup
+        from pdf_parser_ray.stages.similarity import kmeans_centroids
+
+        cent = kmeans_centroids(planted, n_centroids=4)
+        ds = ray.data.from_items(
+            [{"vec_id": i, "embedding": planted[i].tolist()}
+             for i in range(len(planted))]).repartition(3)
+        tau = 0.9
+        want = self._replay(planted, cent, tau)
+        # coalesce path (nrows below gate) and shuffle path (nrows=None)
+        for nrows in (len(planted), None):
+            got = semdedup(ds, cent, tau=tau, nrows=nrows).to_pandas()
+            got_map = {int(r.vec_id): (int(r.cluster), bool(r.semdedup_keep))
+                       for r in got.itertuples()}
+            assert got_map == want, f"nrows={nrows}"
+        # planted perturbed rows 40..49 must be dropped (their source id
+        # is smaller), sources 0..9 kept
+        assert all(not want[i][1] for i in range(40, 50))
+        assert all(want[i][1] for i in range(10))
+
+    def test_sql_parity_matched_scale(self, ray_session):
+        """The full Ray query replays bit-for-bit in DuckDB when oracle
+        centroids are trained at the SAME scale (the registered oracle
+        pins sf0.01 — the driver's gate — like knn_ivf/model_filter)."""
+        import duckdb
+
+        import __ray_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        got = entry._q_semdedup(sf).to_pandas().sort_values(
+            "vec_id", ignore_index=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"read_parquet('{sf}/embeddings.parquet')")
+        exp = con.execute(entry._semdedup_sql(sf)).fetchdf().sort_values(
+            "vec_id", ignore_index=True)
+        pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+        # a meaningful split: some dropped, some kept
+        assert 0 < got["semdedup_keep"].sum() < len(got)
