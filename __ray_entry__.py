@@ -1270,10 +1270,9 @@ def _q_embedding_neardup_exact(sf_dir: str):
 def _knn_queries(sf_dir: str, n: int = 5):
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    head = t.slice(0, n)
-    ids = head.column("vec_id").to_pylist()
-    vecs = np.stack([np.asarray(v, dtype=np.float64) for v in head.column("embedding").to_pylist()])
+    head = _head_rows(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"], n)
+    ids = head["vec_id"]
+    vecs = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"]])
     return ids, vecs
 
 
@@ -1404,9 +1403,9 @@ def _q_knn_ivf(sf_dir: str):
     from pdf_parser_ray.stages.similarity import ivf_topk, kmeans_centroids
 
     ids, vecs = _knn_queries(sf_dir)
-    sample = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    mat = np.stack([np.asarray(v, dtype=np.float64)
-                    for v in sample.column("embedding").to_pylist()[:2000]])
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in
+                    _head_rows(f"{sf_dir}/embeddings.parquet",
+                               ["embedding"], 2000)["embedding"]])
     centroids = kmeans_centroids(mat, n_centroids=8)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
@@ -1433,9 +1432,9 @@ def _q_knn_pq(sf_dir: str):
     from pdf_parser_ray.stages.similarity import pq_topk, pq_train
 
     ids, vecs = _knn_queries(sf_dir)
-    sample = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    mat = np.stack([np.asarray(v, dtype=np.float64)
-                    for v in sample.column("embedding").to_pylist()[:2000]])
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in
+                    _head_rows(f"{sf_dir}/embeddings.parquet",
+                               ["embedding"], 2000)["embedding"]])
     codebooks = pq_train(mat, m=8, n_codes=16)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
@@ -1487,8 +1486,8 @@ def _q_model_filter(sf_dir: str):
     import pyarrow.parquet as pq
     from pdf_parser_ray.stages.classifier import score_model, train_model
 
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
-    sample = pd.Series(t.column("text").to_pylist()[:512])
+    sample = pd.Series(
+        _head_rows(f"{sf_dir}/documents.parquet", ["text"], 512)["text"])
     weights = train_model(sample)
     ds = _documents(sf_dir, columns=["doc_id", "text"])
     return score_model(ds, weights)
@@ -1505,8 +1504,8 @@ def _model_filter_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
         from pdf_parser_ray.stages.classifier import (model_filter_sql,
                                                       train_model)
 
-        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
-        sample = pd.Series(t.column("text").to_pylist()[:512])
+        sample = pd.Series(
+            _head_rows(f"{sf_dir}/documents.parquet", ["text"], 512)["text"])
         _MODEL_FILTER_SQL_CACHE[sf_dir] = model_filter_sql(train_model(sample))
     return _MODEL_FILTER_SQL_CACHE[sf_dir]
 
@@ -1526,9 +1525,9 @@ def _knn_pq_sql(sf_dir: str = "/root/testdata/sf0.01", m: int = 8,
 
     if sf_dir in _KNN_PQ_SQL_CACHE:
         return _KNN_PQ_SQL_CACHE[sf_dir]
-    sample = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    mat = np.stack([np.asarray(v, dtype=np.float64)
-                    for v in sample.column("embedding").to_pylist()[:2000]])
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in
+                    _head_rows(f"{sf_dir}/embeddings.parquet",
+                               ["embedding"], 2000)["embedding"]])
     cb = pq_train(mat, m=m, n_codes=n_codes)
     sub = cb.shape[2]
     cb_values = ", ".join(
@@ -1595,9 +1594,9 @@ def _knn_ivf_sql(sf_dir: str = "/root/testdata/sf0.01", n_centroids: int = 8,
 
     if sf_dir in _KNN_IVF_SQL_CACHE:  # k-means + parquet read once per process
         return _KNN_IVF_SQL_CACHE[sf_dir]
-    sample = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    mat = np.stack([np.asarray(v, dtype=np.float64)
-                    for v in sample.column("embedding").to_pylist()[:2000]])
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in
+                    _head_rows(f"{sf_dir}/embeddings.parquet",
+                               ["embedding"], 2000)["embedding"]])
     centroids = kmeans_centroids(mat, n_centroids=n_centroids)
     cent_values = ", ".join(
         "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(x)) for x in row))
