@@ -1312,6 +1312,73 @@ def _q_semdedup(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def _dsir_lam(sf_dir: str):
+    """The shared DSIR training recipe: target = first 256 lang='en' docs
+    within the first-512 head, raw = the first-512 head itself — bounded,
+    deterministic, identical for the Ray query and the SQL oracle."""
+    from pdf_parser_ray.stages.textstage import dsir_train
+
+    head = _head_rows(f"{sf_dir}/documents.parquet", ["text", "lang"], 512)
+    target = [t for t, l in zip(head["text"], head["lang"])
+              if l == "en"][:256]
+    return dsir_train(target, head["text"], n_buckets=64)
+
+
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weighting (Xie et al. 2023; stages/textstage.py):
+    per-doc Σ of integer-milli log-likelihood ratios of hashed
+    (uni+bi)-gram buckets under a target (English) vs raw distribution —
+    the data-selection score, one stateless vectorized pass. ORACLE-GATED:
+    the 64-bucket table retrains identically in the oracle builder and
+    inlines as int literals; the md5 bucket rule and tokenizer replay via
+    the house SQL idioms, and the int64 sum is order-free exact."""
+    from pdf_parser_ray.stages.textstage import dsir_weights
+
+    lam = _dsir_lam(sf_dir)
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return dsir_weights(ds, lam)
+
+
+_DSIR_SQL_CACHE: dict[str, str] = {}
+
+
+def _dsir_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB replay of dsir_weights: lam_milli literals inlined, grams =
+    tokenizer unigrams UNION ALL the 1-based bigram comprehension,
+    bucket = md5-uint64 % 64, per-doc integer sum, LEFT JOIN zeros for
+    token-less docs."""
+    if sf_dir in _DSIR_SQL_CACHE:
+        return _DSIR_SQL_CACHE[sf_dir]
+    lam = _dsir_lam(sf_dir)
+    lam_values = ", ".join(f"({b}, {int(m)})" for b, m in enumerate(lam))
+    _DSIR_SQL_CACHE[sf_dir] = rf"""
+WITH lam(b, m) AS (VALUES {lam_values}),
+toks AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text), '[ \t\n\r\f]+'), x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, unnest(t) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+      THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+      ELSE [] END) AS g
+  FROM toks),
+sc AS (
+  SELECT grams.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(l.m) AS BIGINT) AS weight_milli
+  FROM grams JOIN lam l
+    ON l.b = CAST(concat('0x', substr(md5(grams.g), 1, 16)) AS UBIGINT) % 64
+  GROUP BY grams.doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(sc.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(COALESCE(sc.weight_milli, 0) AS BIGINT) AS weight_milli,
+  COALESCE(sc.weight_milli, 0) >= 0 AS dsir_keep
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+    return _DSIR_SQL_CACHE[sf_dir]
+
+
 _SEMDEDUP_SQL_CACHE: dict[str, str] = {}
 
 
@@ -2305,6 +2372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -------------- below the 50-query driver window --------------
         # new in round-4 session 2 — oracled, front of the round-5 window
         "semdedup": _q_semdedup,
+        "dsir_weights": _q_dsir_weights,
         # (driver-green in earlier rounds and functionally unchanged in
         # round 4, or rows-only duplicates of gated variants)
         "token_percentiles": _q_token_percentiles,
@@ -2935,6 +3003,8 @@ def oracle_sql() -> dict[str, str]:
         out["model_filter"] = _model_filter_sql()
         # semdedup's oracle inlines the same seed-42 centroid literals
         out["semdedup"] = _semdedup_sql()
+        # dsir's oracle retrains the same 64-bucket lam_milli literals
+        out["dsir_weights"] = _dsir_sql()
     except (FileNotFoundError, OSError):
         pass
     out["knn_lsh"] = _knn_lsh_sql()

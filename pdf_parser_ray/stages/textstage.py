@@ -774,3 +774,91 @@ def lm_perplexity_backoff(ds, *, text_col: str = "text",
                          "nll_milli": pa.array(nlls, type=pa.int64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, public): score raw
+# documents by the log-likelihood ratio of hashed n-gram features under a
+# target-distribution bag-of-ngrams model vs the raw distribution, then
+# keep/resample by weight.
+# ---------------------------------------------------------------------------
+
+def _dsir_grams(text: str) -> list[str]:
+    """Unigrams + bigrams over the house tokenizer (lowercase,
+    ``_ASCII_WS`` split — identical to bigram_commonness), the paper's
+    hashed n-gram feature set. SQL replay: ``list_filter(
+    string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '')``
+    unioned with the 1-based bigram list comprehension idiom."""
+    from ..functions.minhash import _ASCII_WS
+
+    toks = [x for x in _ASCII_WS.split((text or "").lower()) if x]
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _dsir_bucket(gram: str, n_buckets: int) -> int:
+    """md5-uint64 feature hash bucket. SQL replay: ``CAST(concat('0x',
+    substr(md5(g), 1, 16)) AS UBIGINT) % n_buckets``."""
+    import hashlib
+
+    return int(hashlib.md5(gram.encode()).hexdigest()[:16], 16) % n_buckets
+
+
+def dsir_train(target_texts, raw_texts, *, n_buckets: int = 64) -> np.ndarray:
+    """Driver-side DSIR table: per-bucket integer-milli log-likelihood
+    ratio ``lam_milli[b] = round_half_away(1000 * (ln p_target[b] -
+    ln p_raw[b]))`` with add-1 smoothing over hashed (uni+bi)-gram bucket
+    counts from two BOUNDED samples. Deterministic — no RNG; the floats
+    never leave the driver (scoring sums the int64 table), so the SQL
+    oracle inlines the identical literals and the per-doc sum is
+    order-free exact."""
+    import numpy as np
+
+    def counts(texts) -> np.ndarray:
+        c = np.zeros(n_buckets, dtype=np.int64)
+        for t in texts:
+            for g in _dsir_grams(t):
+                c[_dsir_bucket(g, n_buckets)] += 1
+        return c
+
+    ct, cr = counts(target_texts), counts(raw_texts)
+    lam = (np.log((ct + 1.0) / float(ct.sum() + n_buckets))
+           - np.log((cr + 1.0) / float(cr.sum() + n_buckets)))
+    return np.sign(lam).astype(np.int64) * np.floor(
+        np.abs(lam) * 1000.0 + 0.5).astype(np.int64)
+
+
+def dsir_weights(ds, lam_milli: np.ndarray, *, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """Score every document with a trained DSIR table (ONE stateless
+    vectorized pass, no shuffle — the table is ``n_buckets`` int64s in
+    the task closure, never re-shipped per batch). Output per doc:
+
+      n_grams      = unigram + bigram occurrences
+      weight_milli = Σ lam_milli[bucket(gram)]  (int64, order-free)
+      dsir_keep    = weight_milli >= 0  (the resampling threshold at
+                     importance ratio 1; callers resample by weight for
+                     the paper's full recipe)
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    lam = np.asarray(lam_milli, dtype=np.int64)
+    n_buckets = len(lam)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids, n_grams, weights = [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            grams = _dsir_grams(t)
+            ids.append(i)
+            n_grams.append(len(grams))
+            weights.append(int(sum(int(lam[_dsir_bucket(g, n_buckets)])
+                                   for g in grams)))
+        return pa.table({
+            id_col: pa.array(ids, type=batch.schema.field(id_col).type),
+            "n_grams": pa.array(n_grams, type=pa.int64()),
+            "weight_milli": pa.array(weights, type=pa.int64()),
+            "dsir_keep": pa.array([w >= 0 for w in weights], type=pa.bool_()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -467,3 +467,67 @@ class TestBackoffLM:
                .to_pandas().set_index("doc_id"))
         per_pos = out["nll_milli"] / out["n_trigrams"]
         assert per_pos[0] < per_pos[2]
+
+
+class TestDsir:
+    """DSIR importance weighting: deterministic training, literal-replay
+    scoring, matched-scale DuckDB parity, directional keep signal."""
+
+    def test_train_deterministic_and_directional(self):
+        from pdf_parser_ray.stages.textstage import (_dsir_bucket,
+                                                     dsir_train)
+
+        target = ["the cat sat", "the dog sat", "the cat ran"]
+        raw = target + ["le chat", "der hund", "el gato", "le chien"]
+        a = dsir_train(target, raw, n_buckets=32)
+        b = dsir_train(target, raw, n_buckets=32)
+        assert (a == b).all() and a.dtype == np.int64
+        # a bucket fed only by target-heavy grams must score positive,
+        # one fed only by raw-only grams negative
+        assert a[_dsir_bucket("the", 32)] > 0
+        assert a[_dsir_bucket("le chat", 32)] < 0
+
+    def test_score_matches_literal_replay(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.textstage import (_dsir_bucket,
+                                                     _dsir_grams,
+                                                     dsir_weights)
+
+        lam = np.arange(-8, 8, dtype=np.int64) * 10  # 16 buckets
+        rows = [{"doc_id": 1, "text": "The cat SAT on the mat"},
+                {"doc_id": 2, "text": ""},           # token-less
+                {"doc_id": 3, "text": "   "},        # whitespace only
+                {"doc_id": 4, "text": "unique zzz qqq"}]
+        got = dsir_weights(ray.data.from_items(rows), lam).to_pandas()
+        got = got.set_index("doc_id")
+        for r in rows:
+            grams = _dsir_grams(r["text"])
+            w = sum(int(lam[_dsir_bucket(g, 16)]) for g in grams)
+            assert got.loc[r["doc_id"], "n_grams"] == len(grams)
+            assert got.loc[r["doc_id"], "weight_milli"] == w
+            assert got.loc[r["doc_id"], "dsir_keep"] == (w >= 0)
+        assert got.loc[2, "n_grams"] == 0 and got.loc[2, "weight_milli"] == 0
+
+    def test_sql_parity_matched_scale(self, ray_session):
+        """Full pipeline == DuckDB replay when the lam table is trained at
+        the same scale (the registered oracle pins sf0.01, the gate)."""
+        import duckdb
+
+        import __ray_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        got = entry._q_dsir_weights(sf).to_pandas().sort_values(
+            "doc_id", ignore_index=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        exp = con.execute(entry._dsir_sql(sf)).fetchdf().sort_values(
+            "doc_id", ignore_index=True)
+        pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+        # the target-language signal points the right way
+        langs = con.execute("SELECT doc_id, lang FROM documents").fetchdf()
+        j = got.merge(langs, on="doc_id")
+        mean_en = j.loc[j.lang == "en", "weight_milli"].mean()
+        mean_rest = j.loc[j.lang != "en", "weight_milli"].mean()
+        assert mean_en > 0 > mean_rest
