@@ -1339,6 +1339,29 @@ def _q_dsir_weights(sf_dir: str):
     return dsir_weights(ds, lam)
 
 
+_BADWORDS_TERMS = ("slow", "junk")  # one vocab term + one absent term
+
+
+def _q_badwords(sf_dir: str):
+    """C4-style banned-word filter (stages/textstage.badwords_filter):
+    drop any doc containing a blocklisted word; counts via the SQL-exact
+    replace-length trick over ' '||lower(text)||' '."""
+    from pdf_parser_ray.stages.textstage import badwords_filter
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return badwords_filter(ds, list(_BADWORDS_TERMS))
+
+
+def _badwords_sql() -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    terms = " + ".join(
+        f"(length({padded}) - length(replace({padded}, ' {w} ', ''))) "
+        f"// {len(w) + 2}"
+        for w in _BADWORDS_TERMS)
+    return (f"SELECT doc_id, CAST({terms} AS BIGINT) AS n_banned, "
+            f"({terms}) = 0 AS banned_keep FROM documents")
+
+
 _DSIR_SQL_CACHE: dict[str, str] = {}
 
 
@@ -2373,6 +2396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in round-4 session 2 — oracled, front of the round-5 window
         "semdedup": _q_semdedup,
         "dsir_weights": _q_dsir_weights,
+        "badwords": _q_badwords,
         # (driver-green in earlier rounds and functionally unchanged in
         # round 4, or rows-only duplicates of gated variants)
         "token_percentiles": _q_token_percentiles,
@@ -3008,4 +3032,5 @@ def oracle_sql() -> dict[str, str]:
     except (FileNotFoundError, OSError):
         pass
     out["knn_lsh"] = _knn_lsh_sql()
+    out["badwords"] = _badwords_sql()
     return out

@@ -862,3 +862,38 @@ def dsir_weights(ds, lam_milli: np.ndarray, *, text_col: str = "text",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def badwords_filter(ds, terms: list[str], *, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """C4-style banned-word filter (Raffel et al. 2020, public: drop any
+    page containing a blocklisted word). Output per doc:
+
+      n_banned    = total non-overlapping word-boundary occurrences of
+                    any term over ``' ' || lower(text) || ' '`` (the
+                    replace-length trick — SQL-exact, same contract as
+                    the lang-id stopword votes)
+      banned_keep = n_banned == 0
+
+    One stateless vectorized pass; the term list rides in the task
+    closure. Word boundary = space delimiters, so back-to-back
+    occurrences ("bad bad") count once per consumed delimiter — the
+    documented stopword-vote contract, reproduced verbatim in SQL.
+    Case folding is python ``str.lower`` vs SQL ``lower()`` — identical
+    on ASCII; the locale-codepoint caveat is documented at the LM
+    scorers (the synth corpus is clean).
+    """
+    from ..functions.textstats import substring_occurrences
+
+    import numpy as np
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        padded = " " + batch[text_col].fillna("").str.lower() + " "
+        total = np.zeros(len(batch), dtype="int64")
+        for w in terms:
+            total = total + substring_occurrences(padded, f" {w} ").to_numpy()
+        return pd.DataFrame({id_col: batch[id_col],
+                             "n_banned": total,
+                             "banned_keep": total == 0})
+
+    return ds.map_batches(kernel, batch_format="pandas")

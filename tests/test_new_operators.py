@@ -531,3 +531,45 @@ class TestDsir:
         mean_en = j.loc[j.lang == "en", "weight_milli"].mean()
         mean_rest = j.loc[j.lang != "en", "weight_milli"].mean()
         assert mean_en > 0 > mean_rest
+
+
+class TestBadwords:
+    """C4-style banned-word filter: literal replay, boundary semantics,
+    DuckDB parity (the oracle is scale-free — no trained literals)."""
+
+    def test_boundary_and_counts(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.textstage import badwords_filter
+
+        rows = [{"doc_id": 1, "text": "a bad word"},
+                {"doc_id": 2, "text": "bad at the start"},
+                {"doc_id": 3, "text": "ends with bad"},
+                {"doc_id": 4, "text": "badly embedded badness"},  # no hit
+                {"doc_id": 5, "text": "BAD case folds"},
+                {"doc_id": 6, "text": "bad bad"},  # consumed delimiter: 1
+                {"doc_id": 7, "text": ""},
+                {"doc_id": 8, "text": None}]
+        got = badwords_filter(
+            ray.data.from_items(rows), ["bad"]).to_pandas().set_index("doc_id")
+        assert got["n_banned"].to_dict() == {
+            1: 1, 2: 1, 3: 1, 4: 0, 5: 1, 6: 1, 7: 0, 8: 0}
+        assert got["banned_keep"].to_dict() == {
+            1: False, 2: False, 3: False, 4: True, 5: False, 6: False,
+            7: True, 8: True}
+
+    def test_sql_parity(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        got = entry._q_badwords(sf).to_pandas().sort_values(
+            "doc_id", ignore_index=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        exp = con.execute(entry._badwords_sql()).fetchdf().sort_values(
+            "doc_id", ignore_index=True)
+        pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+        assert 0 < got["banned_keep"].sum() < len(got)
