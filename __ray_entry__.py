@@ -1339,6 +1339,35 @@ def _q_dsir_weights(sf_dir: str):
     return dsir_weights(ds, lam)
 
 
+def _cm_terms(sf_dir: str) -> list:
+    """Deterministic bounded query-term list for the count-min sketch:
+    sorted distinct tokens of the first-64-doc head, first 20."""
+    from pdf_parser_ray.functions.minhash import _ASCII_WS
+
+    toks = set()
+    for t in _head_rows(f"{sf_dir}/documents.parquet", ["text"], 64)["text"]:
+        toks.update(x for x in _ASCII_WS.split((t or "").lower()) if x)
+    return sorted(toks)[:20]
+
+
+def _q_count_min(sf_dir: str):
+    """Count-Min frequency sketch (stages/sketch.py): per-batch constant-
+    size (d×w) grids fold on the driver (bounded scalar collect — the
+    sketch's point at 100 TB); output = est vs exact count per query term,
+    est >= exact one-sided. ORACLE-GATED: the full sketch (row-salted md5
+    cells, min over rows) replays in one SQL statement."""
+    from pdf_parser_ray.stages.sketch import count_min_term_counts
+
+    ds = _documents(sf_dir, columns=["text"])
+    return count_min_term_counts(ds, _cm_terms(sf_dir))
+
+
+def _count_min_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    from pdf_parser_ray.stages.sketch import count_min_sql
+
+    return count_min_sql("documents", _cm_terms(sf_dir))
+
+
 _BADWORDS_TERMS = ("slow", "junk")  # one vocab term + one absent term
 
 
@@ -2397,6 +2426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,
         "dsir_weights": _q_dsir_weights,
         "badwords": _q_badwords,
+        "count_min": _q_count_min,
         # (driver-green in earlier rounds and functionally unchanged in
         # round 4, or rows-only duplicates of gated variants)
         "token_percentiles": _q_token_percentiles,
@@ -3029,6 +3059,8 @@ def oracle_sql() -> dict[str, str]:
         out["semdedup"] = _semdedup_sql()
         # dsir's oracle retrains the same 64-bucket lam_milli literals
         out["dsir_weights"] = _dsir_sql()
+        # count_min's oracle derives its term list from the gate table
+        out["count_min"] = _count_min_sql()
     except (FileNotFoundError, OSError):
         pass
     out["knn_lsh"] = _knn_lsh_sql()

@@ -219,3 +219,107 @@ SELECT CAST({k} AS BIGINT) AS k,
             END AS BIGINT) AS estimate
 FROM kept
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): mergeable frequency
+# estimation. Each block reduces to ONE constant-size (d × w) int64 grid
+# regardless of input size; grids add associatively, so 100 TB of tokens
+# becomes n_blocks tiny partials and the estimate is min over d hash rows
+# of the queried cell — always >= the true count, never under.
+# ---------------------------------------------------------------------------
+
+def _cm_cell(row: int, gram: str, w: int) -> int:
+    """Row-salted md5 bucket. SQL replay: ``CAST(concat('0x',
+    substr(md5(CAST(r AS VARCHAR) || ':' || g), 1, 16)) AS UBIGINT) % w``."""
+    import hashlib
+
+    return int(hashlib.md5(f"{row}:{gram}".encode()).hexdigest()[:16], 16) % w
+
+
+def count_min_term_counts(ds, terms: list[str], *, text_col: str = "text",
+                          d: int = 4, w: int = 64) -> pd.DataFrame:
+    """Estimated corpus frequency of each query term from ONE streaming
+    pass: per-batch (d, w) count grids (np.add.at over the house-tokenizer
+    stream) fold on the driver — a bounded scalar collect like
+    bm25_score's idf fold, ≤ n_blocks rows of d·w ints, never the tokens.
+    Exact per-term counts ride the same partials (len(terms) ints) so the
+    output exhibits the sketch's one-sided error: est_count >= exact_count
+    with equality unless the cell collides.
+
+    Output (small — one row per query term): (term, est_count,
+    exact_count). Deterministic for any partitioning: integer grid
+    addition is associative-commutative.
+    """
+    from ..functions.minhash import _ASCII_WS
+
+    terms = list(terms)
+    t_idx = {t: i for i, t in enumerate(terms)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grid = np.zeros((d, w), dtype=np.int64)
+        exact = np.zeros(len(terms), dtype=np.int64)
+        for text in batch.column(text_col).to_pylist():
+            for tok in _ASCII_WS.split((text or "").lower()):
+                if not tok:
+                    continue
+                for r in range(d):
+                    grid[r, _cm_cell(r, tok, w)] += 1
+                i = t_idx.get(tok)
+                if i is not None:
+                    exact[i] += 1
+        return pa.table({
+            "grid": pa.array([grid.ravel().tolist()],
+                             type=pa.list_(pa.int64())),
+            "exact": pa.array([exact.tolist()], type=pa.list_(pa.int64()))})
+
+    grid = np.zeros(d * w, dtype=np.int64)
+    exact = np.zeros(len(terms), dtype=np.int64)
+    for part in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for g in part.column("grid").to_pylist():
+            grid += np.asarray(g, dtype=np.int64)
+        for e in part.column("exact").to_pylist():
+            exact += np.asarray(e, dtype=np.int64)
+
+    grid = grid.reshape(d, w)
+    est = [int(min(grid[r, _cm_cell(r, t, w)] for r in range(d)))
+           for t in terms]
+    return pd.DataFrame({"term": terms,
+                         "est_count": pd.Series(est, dtype="int64"),
+                         "exact_count": pd.Series(exact, dtype="int64")})
+
+
+def count_min_sql(table: str, terms: list[str], *, text_col: str = "text",
+                  d: int = 4, w: int = 64) -> str:
+    """Full SQL replay of :func:`count_min_term_counts`: explode tokens,
+    count every (row, cell), estimate = min over rows of the queried cell
+    (COALESCE 0 when the cell is empty), exact = plain token equality."""
+    terms_values = ", ".join("({})".format(
+        "'" + t.replace("'", "''") + "'") for t in terms)
+    rows_values = ", ".join(f"({r})" for r in range(d))
+    cell = ("CAST(concat('0x', substr(md5(CAST({r} AS VARCHAR) || ':' || {g}),"
+            " 1, 16)) AS UBIGINT) % {w}")
+    return f"""
+WITH toks AS (
+  SELECT list_filter(
+    string_split_regex(lower({text_col}), '[ \t\n\r\f]+'), x -> x <> '') AS t
+  FROM {table}),
+occ AS (SELECT unnest(t) AS g FROM toks),
+rows_(r) AS (VALUES {rows_values}),
+terms_(term) AS (VALUES {terms_values}),
+cells AS (
+  SELECT r, {cell.format(r='r', g='g', w=w)} AS cell, count(*) AS c
+  FROM occ CROSS JOIN rows_ GROUP BY r, cell),
+est AS (
+  SELECT t.term, CAST(min(COALESCE(c.c, 0)) AS BIGINT) AS est_count
+  FROM terms_ t CROSS JOIN rows_ r
+  LEFT JOIN cells c ON c.r = r.r
+    AND c.cell = {cell.format(r='r.r', g='t.term', w=w)}
+  GROUP BY t.term),
+exact AS (SELECT g AS term, count(*) AS c FROM occ GROUP BY g)
+SELECT t.term, e.est_count,
+       CAST(COALESCE(x.c, 0) AS BIGINT) AS exact_count
+FROM terms_ t JOIN est e ON e.term = t.term
+LEFT JOIN exact x ON x.term = t.term
+"""

@@ -234,3 +234,57 @@ class TestReviewRegressions:
         flat = kmv_distinct(ds, "v", k=32).to_pandas()
         tree = kmv_distinct(ds, "v", k=32, intermediate_parts=4).to_pandas()
         pd.testing.assert_frame_equal(flat, tree)
+
+
+class TestCountMin:
+    """Count-Min sketch: one-sided error, partition invariance, collision
+    behavior at tiny w, DuckDB replay parity."""
+
+    def test_overestimate_and_exact_small(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.sketch import count_min_term_counts
+
+        rows = [{"text": "a b a c"}, {"text": "b a"}, {"text": ""},
+                {"text": None}, {"text": "A a"}]
+        # generous width: no collisions → est == exact
+        out = count_min_term_counts(
+            ray.data.from_items(rows), ["a", "b", "z"], w=1024)
+        got = out.set_index("term")
+        assert got.loc["a", "exact_count"] == 5  # case-folded
+        assert got.loc["b", "exact_count"] == 2
+        assert got.loc["z", "exact_count"] == 0
+        assert (got["est_count"] == got["exact_count"]).all()
+
+    def test_partition_invariant_and_one_sided(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.sketch import count_min_term_counts
+
+        rng = np.random.default_rng(3)
+        vocab = [f"w{i}" for i in range(200)]
+        rows = [{"text": " ".join(rng.choice(vocab, size=30))}
+                for _ in range(40)]
+        terms = vocab[:10]
+        # w=16 forces collisions → strictly one-sided overestimates
+        a = count_min_term_counts(ray.data.from_items(rows), terms, w=16)
+        b = count_min_term_counts(
+            ray.data.from_items(rows).repartition(7), terms, w=16)
+        pd.testing.assert_frame_equal(a, b)
+        assert (a["est_count"] >= a["exact_count"]).all()
+        assert (a["est_count"] > a["exact_count"]).any()  # collisions real
+
+    def test_sql_parity(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        got = entry._q_count_min(sf).sort_values("term", ignore_index=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        exp = con.execute(entry._count_min_sql(sf)).fetchdf().sort_values(
+            "term", ignore_index=True)
+        pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+        assert (got["est_count"] >= got["exact_count"]).all()
