@@ -141,7 +141,6 @@ def _q_extract_fields(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
-
 def _quality_filter_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Shared quality-filter kernel (oracle-gated via corpus_prep/quality;
     corpus_prep_neardup composes the SAME kernel so the rows-only pipeline
@@ -1268,7 +1267,6 @@ def _q_embedding_neardup_exact(sf_dir: str):
 
 
 def _knn_queries(sf_dir: str, n: int = 5):
-    import pyarrow.parquet as pq
 
     head = _head_rows(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"], n)
     ids = head["vec_id"]
@@ -1277,15 +1275,20 @@ def _knn_queries(sf_dir: str, n: int = 5):
 
 
 def _semdedup_centroids(sf_dir: str) -> np.ndarray:
-    """The shared deterministic centroid recipe (same as knn_ivf: seed-42
-    kmeans_centroids on the first-2000 sample of the gate table), so the
-    Ray query and the SQL oracle train identical literals."""
+    """The shared deterministic centroid recipe (seed-42 kmeans_centroids
+    on the first-2000 sample, like knn_ivf), so the Ray query and the SQL
+    oracle train identical literals. n_centroids derives from the footer
+    row count (clusters target ~4k vectors — the paper's 'n_centroids ∝
+    corpus size' recipe) so the within-cluster quadratic pass stays
+    bounded as the table grows; 8 at every test SF."""
+    from pdf_parser_ray.pipelines.relational import _table_nrows
     from pdf_parser_ray.stages.similarity import kmeans_centroids
 
+    n_centroids = max(8, _table_nrows(sf_dir, "embeddings") // 4096)
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in
                     _head_rows(f"{sf_dir}/embeddings.parquet",
                                ["embedding"], 2000)["embedding"]])
-    return kmeans_centroids(mat, n_centroids=8)
+    return kmeans_centroids(mat, n_centroids=n_centroids)
 
 
 def _q_semdedup(sf_dir: str):
@@ -1382,11 +1385,11 @@ def _q_badwords(sf_dir: str):
 
 
 def _badwords_sql() -> str:
+    from pdf_parser_ray.functions.textstats import substring_occurrences_sql
+
     padded = "(' ' || lower(text) || ' ')"
-    terms = " + ".join(
-        f"(length({padded}) - length(replace({padded}, ' {w} ', ''))) "
-        f"// {len(w) + 2}"
-        for w in _BADWORDS_TERMS)
+    terms = " + ".join(substring_occurrences_sql(padded, f" {w} ")
+                       for w in _BADWORDS_TERMS)
     return (f"SELECT doc_id, CAST({terms} AS BIGINT) AS n_banned, "
             f"({terms}) = 0 AS banned_keep FROM documents")
 
@@ -1449,11 +1452,17 @@ def _semdedup_sql(sf_dir: str = "/root/testdata/sf0.01",
         for i, row in enumerate(cent))
     _SEMDEDUP_SQL_CACHE[sf_dir] = f"""
 WITH cent(cid, cvec) AS (VALUES {cent_values}),
+emb AS (
+  -- DOUBLE[] so list_cosine_similarity computes in float64 like the Ray
+  -- kernel (on FLOAT[] it returns FLOAT — ~1e-7 off, enough to flip a
+  -- keep decision for a pair landing near tau)
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+),
 assign_rn AS (
   SELECT e.vec_id, e.embedding, c.cid,
     row_number() OVER (PARTITION BY e.vec_id
       ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid ASC) AS rn
-  FROM embeddings e CROSS JOIN cent c
+  FROM emb e CROSS JOIN cent c
 ),
 assigned AS (SELECT vec_id, embedding, cid FROM assign_rn WHERE rn = 1),
 dropped AS (
@@ -1517,7 +1526,6 @@ def _q_knn_bruteforce(sf_dir: str):
 
 
 def _q_knn_ivf(sf_dir: str):
-    import pyarrow.parquet as pq
     import ray.data
     from pdf_parser_ray.stages.similarity import ivf_topk, kmeans_centroids
 
@@ -1546,7 +1554,6 @@ def _q_knn_pq(sf_dir: str):
     seeded per subspace, first-2000 sample); scoring is the asymmetric
     LUT. ORACLE-GATED: the oracle retrains the same codebooks, inlines
     them as literals, and replays encode + ADC ranking in SQL."""
-    import pyarrow.parquet as pq
     import ray.data
     from pdf_parser_ray.stages.similarity import pq_topk, pq_train
 
@@ -1602,7 +1609,6 @@ def _q_model_filter(sf_dir: str):
     ORACLE-GATED like knn_ivf: the oracle retrains the identical weights
     at the gate scale and inlines them as repr() float literals; the
     logit term order is pinned so the doubles match bitwise."""
-    import pyarrow.parquet as pq
     from pdf_parser_ray.stages.classifier import score_model, train_model
 
     sample = pd.Series(
@@ -1619,7 +1625,6 @@ def _model_filter_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """Exact SQL replay of model_filter: retrain the deterministic weights
     on the same first-512 sample, inline them, replay features + logit."""
     if sf_dir not in _MODEL_FILTER_SQL_CACHE:
-        import pyarrow.parquet as pq
         from pdf_parser_ray.stages.classifier import (model_filter_sql,
                                                       train_model)
 
@@ -1639,7 +1644,6 @@ def _knn_pq_sql(sf_dir: str = "/root/testdata/sf0.01", m: int = 8,
     and inlined as codebook literals; unit-normalize, per-subspace encode
     (arg-min list_distance, lowest-code ties), ADC scoring (sum of
     subspace inner products) and ranking are then pure SQL."""
-    import pyarrow.parquet as pq
     from pdf_parser_ray.stages.similarity import pq_train
 
     if sf_dir in _KNN_PQ_SQL_CACHE:
@@ -1708,7 +1712,6 @@ def _knn_ivf_sql(sf_dir: str = "/root/testdata/sf0.01", n_centroids: int = 8,
     lowest-cid ties), nprobe probing and in-bucket ranking are then pure
     SQL. The gate runs at sf0.01 (driver contract), so the centroids are
     derived from that table."""
-    import pyarrow.parquet as pq
     from pdf_parser_ray.stages.similarity import kmeans_centroids
 
     if sf_dir in _KNN_IVF_SQL_CACHE:  # k-means + parquet read once per process
@@ -2486,16 +2489,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 
 def _lang_vote_sql(from_rel: str = "documents") -> str:
+    from pdf_parser_ray.functions.textstats import substring_occurrences_sql
+
     padded = "(' ' || text || ' ')"
     votes = {}
     for lang in sorted(LANG_STOPWORDS):
-        terms = []
-        for w in LANG_STOPWORDS[lang]:
-            needle = f" {w} "
-            terms.append(
-                f"(length({padded}) - length(replace({padded}, '{needle}', '')))"
-                f" // {len(needle)}"
-            )
+        terms = [substring_occurrences_sql(padded, f" {w} ")
+                 for w in LANG_STOPWORDS[lang]]
         votes[lang] = " + ".join(terms)
     langs = sorted(LANG_STOPWORDS)
     vote_cols = ", ".join(f"({votes[lg]}) AS v_{lg}" for lg in langs)

@@ -178,3 +178,14 @@ def doc_fingerprint_hex(text: str, k: int = 8, window: int = 16) -> str:
     fp = np.sort(winnow_fingerprint(text, k, window))
     payload = ",".join(str(int(v)) for v in fp)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def substring_occurrences_sql(padded_expr: str, needle: str) -> str:
+    """The SQL replay of :func:`substring_occurrences` on an
+    ALREADY-PADDED expression — the single source of the replace-length
+    counting idiom shared by the lang-id votes, the model-filter feature
+    block and the banned-word filter (three oracles that must stay
+    bit-identical to the pandas kernel above)."""
+    lit = needle.replace("'", "''")
+    return (f"(length({padded_expr}) - length(replace({padded_expr}, "
+            f"'{lit}', ''))) // {len(needle)}")

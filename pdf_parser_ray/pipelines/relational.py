@@ -109,6 +109,18 @@ def coarse_partition_apply(ds, kernel, *, key_col: str, part_col: str,
         part_col).map_groups(kernel, batch_format="pandas")
 
 
+def collapse_partials(partials, n_keys: int):
+    """Collapse slim per-block partials before a LOW-CARDINALITY sort
+    groupby — the one shared mechanism for the schemaless-empty-block
+    warning: with k distinct keys and hundreds of input blocks most sort
+    ranges come out empty, and Ray builds a schemaless empty block when a
+    map task's inputs are all empty (map_transformer never calls the UDF)
+    → the 'RefBundle with a different schema' drift warning. Sizing rule:
+    ~one block per 8 keys, floor 2 (parallel reduce), cap 8 (the partials
+    are a few rows each — width buys nothing past the key count)."""
+    return partials.repartition(max(2, min(8, -(-n_keys // 8))))
+
+
 def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Per-row deterministic money→int64 cents."""
     return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0)),
@@ -180,12 +192,8 @@ def pricing_summary(sf_dir: str):
         })
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    # collapse the slim per-block partials (≤4 rows each) before the sort
-    # shuffle: with 4 distinct keys and hundreds of input blocks most sort
-    # ranges come out EMPTY and Ray emits schemaless empty blocks
-    # (map_transformer never calls the UDF on all-empty input) — the
-    # RefBundle-schema-drift warning. Two blocks → two non-empty ranges.
-    partials = partials.repartition(2)
+    # 4 distinct (returnflag, linestatus) keys — see collapse_partials
+    partials = collapse_partials(partials, 4)
     final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
         Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
@@ -241,9 +249,7 @@ def region_customer_count(sf_dir: str):
         return batch.groupby("r_name", as_index=False).agg(n_customers=("c_custkey", "size"))
 
     partials = joined.map_batches(partial_count, batch_format="pandas")
-    # 5 distinct regions: collapse partials so no sort range is empty
-    # (schemaless-empty-block warning; see pricing_summary)
-    partials = partials.repartition(2)
+    partials = collapse_partials(partials, 5)  # 5 regions
     return partials.groupby("r_name").aggregate(Sum("n_customers", alias_name="n_customers"))
 
 
@@ -270,9 +276,7 @@ def supplier_nation_acctbal(sf_dir: str):
         )
 
     partials = joined.map_batches(partial, batch_format="pandas")
-    # 25 nations: collapse partials so no sort range is empty
-    # (schemaless-empty-block warning; see pricing_summary)
-    partials = partials.repartition(4)
+    partials = collapse_partials(partials, 25)  # 25 nations
     return partials.groupby("n_name").aggregate(
         Sum("n_suppliers", alias_name="n_suppliers"),
         Sum("total_acctbal_cents", alias_name="total_acctbal_cents"),

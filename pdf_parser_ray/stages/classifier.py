@@ -73,7 +73,12 @@ def extract_features(texts: pd.Series) -> pd.DataFrame:
 
 
 def weak_labels_quality(feats: pd.DataFrame) -> np.ndarray:
-    """The heuristic quality_keep rule as 0/1 training targets."""
+    """The ORACLED quality rule (the `quality` query's per-mille form:
+    n_tokens >= 10 AND alpha_per_mille > 500 AND punct_per_mille < 200)
+    as 0/1 training targets. NOTE this is the integer-exact contract, not
+    textstats.quality_score's float `alpha_ratio > 0.5` — the two differ
+    on exact-boundary docs (alpha 501/1001: ratio 0.50049 > 0.5 but
+    per-mille floor 500 is not > 500)."""
     keep = ((feats["n_tokens"] >= 10) & (feats["alpha_pm"] > 500)
             & (feats["punct_pm"] < 200))
     return keep.to_numpy().astype(np.float64)
@@ -150,14 +155,11 @@ def _vote_sql(lang: str, text_expr: str = "text") -> str:
     """Total-stopword-vote SQL for one language: sum over its stopwords of
     the non-overlapping replace-length count on ``' ' || text || ' '`` —
     the identical integer arithmetic as textstats.stopword_votes (and the
-    lang_id oracle's per-language vote columns)."""
+    lang_id oracle's per-language vote columns), built through the single
+    shared idiom helper so the oracles cannot drift apart."""
     padded = f"(' ' || {text_expr} || ' ')"
-    terms = []
-    for w in textstats.LANG_STOPWORDS[lang]:
-        needle = f" {w} "
-        terms.append(
-            f"(length({padded}) - length(replace({padded}, '{needle}', '')))"
-            f" // {len(needle)}")
+    terms = [textstats.substring_occurrences_sql(padded, f" {w} ")
+             for w in textstats.LANG_STOPWORDS[lang]]
     return "(" + " + ".join(terms) + ")"
 
 

@@ -817,8 +817,11 @@ def semdedup(ds, centroids: np.ndarray, *, vec_col: str = "embedding",
     ``coarse_partition_apply`` gate coalesces tiny inputs to a single
     block with no key exchange); centroids ride in the task closure (a
     handful of float rows, never re-shipped per batch). Cluster sizes are
-    bounded by choosing n_centroids ∝ corpus size (the paper's recipe);
-    a pathologically hot cluster would LSH-band within the cluster —
+    bounded by choosing n_centroids ∝ corpus size (the paper's recipe —
+    the query wrapper derives ``max(8, nrows // 4096)`` from the footer
+    row count so clusters target ~4k vectors); the within-cluster pass is
+    row-chunked so a hot cluster costs time, never worker memory. A
+    pathologically hot cluster would LSH-band within the cluster —
     ``embedding_neardup_edges`` is exactly that machinery.
 
     Assignment is arg-max cosine against unit centroids, FIRST max on
@@ -862,8 +865,17 @@ def semdedup(ds, centroids: np.ndarray, *, vec_col: str = "embedding",
             n[n == 0] = 1.0
             u = mat / n[:, None]
             ids = sub[id_col].to_numpy()
-            dup = ((u @ u.T >= tau)
-                   & (ids[None, :] < ids[:, None])).any(axis=1)
+            # row-chunked dense blocks: the pairwise pass is O(n_c^2)
+            # flops by design (SemDeDup's premise is that n_c is bounded
+            # by centroid sizing), but memory must stay O(chunk × n_c),
+            # not O(n_c^2) — a hot cluster would otherwise OOM the worker
+            dup = np.zeros(len(u), dtype=bool)
+            chunk = max(1, (1 << 22) // max(len(u), 1))
+            for lo in range(0, len(u), chunk):
+                hi = lo + chunk
+                blk = u[lo:hi] @ u.T
+                dup[lo:hi] = ((blk >= tau)
+                              & (ids[None, :] < ids[lo:hi, None])).any(axis=1)
             parts.append(pd.DataFrame({
                 id_col: ids, "cluster": np.full(len(ids), cl, dtype="int64"),
                 "semdedup_keep": ~dup}))

@@ -257,17 +257,23 @@ def count_min_term_counts(ds, terms: list[str], *, text_col: str = "text",
     t_idx = {t: i for i, t in enumerate(terms)}
 
     def partial(batch: pa.Table) -> pa.Table:
+        import collections
+
         grid = np.zeros((d, w), dtype=np.int64)
         exact = np.zeros(len(terms), dtype=np.int64)
+        # count first, hash each DISTINCT token once: tokens are Zipfian,
+        # so d md5 calls per occurrence would be ~occurrences/distinct
+        # times the needed work (grid addition is commutative — identical
+        # output)
+        cnt: collections.Counter = collections.Counter()
         for text in batch.column(text_col).to_pylist():
-            for tok in _ASCII_WS.split((text or "").lower()):
-                if not tok:
-                    continue
-                for r in range(d):
-                    grid[r, _cm_cell(r, tok, w)] += 1
-                i = t_idx.get(tok)
-                if i is not None:
-                    exact[i] += 1
+            cnt.update(t for t in _ASCII_WS.split((text or "").lower()) if t)
+        for tok, c in cnt.items():
+            for r in range(d):
+                grid[r, _cm_cell(r, tok, w)] += c
+            i = t_idx.get(tok)
+            if i is not None:
+                exact[i] += c
         return pa.table({
             "grid": pa.array([grid.ravel().tolist()],
                              type=pa.list_(pa.int64())),

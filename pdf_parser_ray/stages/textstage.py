@@ -814,10 +814,14 @@ def dsir_train(target_texts, raw_texts, *, n_buckets: int = 64) -> np.ndarray:
     import numpy as np
 
     def counts(texts) -> np.ndarray:
+        import collections
+
         c = np.zeros(n_buckets, dtype=np.int64)
+        cnt: collections.Counter = collections.Counter()
         for t in texts:
-            for g in _dsir_grams(t):
-                c[_dsir_bucket(g, n_buckets)] += 1
+            cnt.update(_dsir_grams(t))
+        for g, k in cnt.items():  # hash each distinct gram once
+            c[_dsir_bucket(g, n_buckets)] += k
         return c
 
     ct, cr = counts(target_texts), counts(raw_texts)
@@ -846,14 +850,21 @@ def dsir_weights(ds, lam_milli: np.ndarray, *, text_col: str = "text",
     n_buckets = len(lam)
 
     def score(batch: pa.Table) -> pa.Table:
+        bucket_cache: dict[str, int] = {}  # grams are Zipfian: hash once
+
+        def _b(g: str) -> int:
+            b = bucket_cache.get(g)
+            if b is None:
+                b = bucket_cache[g] = _dsir_bucket(g, n_buckets)
+            return b
+
         ids, n_grams, weights = [], [], []
         for i, t in zip(batch.column(id_col).to_pylist(),
                         batch.column(text_col).to_pylist()):
             grams = _dsir_grams(t)
             ids.append(i)
             n_grams.append(len(grams))
-            weights.append(int(sum(int(lam[_dsir_bucket(g, n_buckets)])
-                                   for g in grams)))
+            weights.append(int(sum(int(lam[_b(g)]) for g in grams)))
         return pa.table({
             id_col: pa.array(ids, type=batch.schema.field(id_col).type),
             "n_grams": pa.array(n_grams, type=pa.int64()),
