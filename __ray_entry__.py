@@ -1371,6 +1371,18 @@ def _count_min_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     return count_min_sql("documents", _cm_terms(sf_dir))
 
 
+def _q_redact_pii(sf_dir: str):
+    """PII masking (stages/textstage.redact_pii): sequential count +
+    sentinel replacement of emails / bare IPv4s / international phones
+    with RE2∩python-re-identical patterns; one stateless vectorized pass.
+    The synth corpus carries no PII (zeros + identity text here — the
+    planted-PII parity lives in tests), but the oracle still value-gates
+    the full count+replace chain."""
+    from pdf_parser_ray.stages.textstage import redact_pii
+
+    return redact_pii(_documents(sf_dir, columns=["doc_id", "text"]))
+
+
 _BADWORDS_TERMS = ("slow", "junk")  # one vocab term + one absent term
 
 
@@ -2430,6 +2442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "badwords": _q_badwords,
         "count_min": _q_count_min,
+        "redact_pii": _q_redact_pii,
         # (driver-green in earlier rounds and functionally unchanged in
         # round 4, or rows-only duplicates of gated variants)
         "token_percentiles": _q_token_percentiles,
@@ -3065,4 +3078,6 @@ def oracle_sql() -> dict[str, str]:
         pass
     out["knn_lsh"] = _knn_lsh_sql()
     out["badwords"] = _badwords_sql()
+    from pdf_parser_ray.stages.textstage import redact_pii_sql
+    out["redact_pii"] = redact_pii_sql()
     return out

@@ -908,3 +908,62 @@ def badwords_filter(ds, terms: list[str], *, text_col: str = "text",
                              "banned_keep": total == 0})
 
     return ds.map_batches(kernel, batch_format="pandas")
+
+
+#: PII patterns, deliberately restricted to syntax with IDENTICAL
+#: semantics in python re and DuckDB's RE2: explicit [0-9] classes (py
+#: \d is Unicode), no \b (py is Unicode-aware, RE2 is ASCII), no
+#: lookaround (RE2 has none). Replacement ORDER is part of the contract:
+#: email → ipv4 → phone, each pass counting/replacing on the previous
+#: pass's output, so e.g. digits inside an already-redacted email can't
+#: double-count as a phone.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+[0-9]{7,15}", "<PHONE>"),
+)
+
+
+def redact_pii(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """PII masking (the standard pre-training redaction pass — e.g. the
+    BigScience/ROOTS pipeline, public): sequentially count and replace
+    emails, bare IPv4s and international phone numbers with sentinel
+    tokens. One stateless vectorized pandas pass (str.count/str.replace
+    are C-speed); no shuffle. Output: (id_col, n_email, n_ipv4, n_phone,
+    text_redacted).
+
+    SQL replay is exact by construction: each pattern is RE2∩python-re
+    compatible (see PII_PATTERNS) and the oracle nests
+    regexp_replace(..., 'g') in the same order, counting each pattern on
+    the previous replacement's output. IPv4 matching is substring-level
+    (no word boundaries — RE2 \\b is ASCII, python's is Unicode; the
+    over-match is the documented approximation).
+    """
+    import numpy as np
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[text_col].fillna("")
+        out = {id_col: batch[id_col]}
+        for name, pat, repl in PII_PATTERNS:
+            out[f"n_{name}"] = t.str.count(pat).astype("int64").to_numpy()
+            t = t.str.replace(pat, repl, regex=True)
+        out["text_redacted"] = t.to_numpy()
+        return pd.DataFrame(out)
+
+    return ds.map_batches(kernel, batch_format="pandas")
+
+
+def redact_pii_sql(table: str = "documents", *, text_col: str = "text",
+                   id_col: str = "doc_id") -> str:
+    """One-statement DuckDB replay of :func:`redact_pii` (nested global
+    regexp_replace, counts on each stage's input)."""
+    stages, expr = [], text_col
+    for name, pat, repl in PII_PATTERNS:
+        lit = pat.replace("'", "''")
+        stages.append((name, lit, expr))
+        expr = f"regexp_replace({expr}, '{lit}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"CAST(length(regexp_extract_all({src}, '{lit}')) AS BIGINT)"
+        f" AS n_{name}" for name, lit, src in stages)
+    return (f"SELECT {id_col}, {counts}, {expr} AS text_redacted "
+            f"FROM {table}")

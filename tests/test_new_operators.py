@@ -573,3 +573,48 @@ class TestBadwords:
             "doc_id", ignore_index=True)
         pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
         assert 0 < got["banned_keep"].sum() < len(got)
+
+
+class TestRedactPii:
+    """PII redaction: planted-PII parity vs DuckDB (the sf corpus is
+    clean, so the registered oracle gate is trivially-passing — the real
+    evidence is here), pattern edge cases, sequential-order contract."""
+
+    @pytest.fixture(scope="class")
+    def pii_rows(self):
+        return pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": ["mail me at a.b+c%d@ex-ample.co.uk now",
+                     "server 192.168.0.1 and 8.8.8.8 up",
+                     "call +4915123456789 or +123456789012345",
+                     "x@y.io at 10.0.0.255 call +1234567",
+                     "no pii here; a@b.c and +123456 too short",
+                     ""]})
+
+    def test_counts_and_redaction(self, ray_session, pii_rows):
+        import ray.data
+
+        from pdf_parser_ray.stages.textstage import redact_pii
+
+        got = redact_pii(ray.data.from_pandas(pii_rows)).to_pandas()
+        got = got.set_index("doc_id")
+        assert got["n_email"].to_dict() == {1: 1, 2: 0, 3: 0, 4: 1, 5: 0, 6: 0}
+        assert got["n_ipv4"].to_dict() == {1: 0, 2: 2, 3: 0, 4: 1, 5: 0, 6: 0}
+        assert got["n_phone"].to_dict() == {1: 0, 2: 0, 3: 2, 4: 1, 5: 0, 6: 0}
+        assert got.loc[4, "text_redacted"] == "<EMAIL> at <IP> call <PHONE>"
+        assert got.loc[5, "text_redacted"] == pii_rows.set_index(
+            "doc_id").loc[5, "text"]  # sub-threshold patterns untouched
+
+    def test_duckdb_parity_planted(self, ray_session, pii_rows):
+        import duckdb
+        import ray.data
+
+        from pdf_parser_ray.stages.textstage import redact_pii, redact_pii_sql
+
+        got = redact_pii(ray.data.from_pandas(pii_rows)).to_pandas()
+        got = got.sort_values("doc_id", ignore_index=True)
+        con = duckdb.connect()
+        con.register("documents", pii_rows)
+        exp = con.execute(redact_pii_sql()).fetchdf().sort_values(
+            "doc_id", ignore_index=True)
+        pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
