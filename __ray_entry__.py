@@ -2413,22 +2413,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": _q_minhash_dedup,          # md5 16x4, new oracle
         "embedding_neardup": _q_embedding_neardup,  # new hyperplane oracle
         "strip_dup_spans": _q_strip_dup_spans,      # above-gate tiers added
-        "contamination": _q_contamination,          # above-gate path added
         "dup_spans": _q_dup_spans,                  # _span_rows refactor
         "dedup_exact": _q_dedup_exact,              # vectorized stamping
         # model_filter sits INSIDE the 50-query driver window (new this
         # round, fully oracled); dedup_semi moved past it — green in
         # r1–r3 and its machinery is re-confirmed by dedup_exact above
         "model_filter": _q_model_filter,
-        "simhash_dedup": _q_simhash_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "neardup_clusters": _q_neardup_clusters,    # sized CC exchange
         "minhash_dedup_md5": _q_minhash_dedup_md5,
-        "top_terms": _q_top_terms,                  # pinned sort width
-        "bm25": _q_bm25,                            # term lowercasing
         "corpus_curate": _q_corpus_curate,
         "perplexity": _q_perplexity,  # length-filter parity fix in r4
-        "pack_sequences": _q_pack_sequences,
         "fingerprint": _q_fingerprint,  # digest redefined + oracled in r4
         # --- new in round 4 (never driver-checked, so they gate now) ---
         "domain_cap": rel.domain_cap,
@@ -2436,13 +2431,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_jpeg": _q_media_features_jpeg,
         "jsonl_ingest": _q_jsonl_ingest,
         "web_curate": _q_web_curate,
-        # -------------- below the 50-query driver window --------------
-        # new in round-4 session 2 — oracled, front of the round-5 window
+        # --- new in round-4 session 2 (oracled; swapped into the window
+        # in place of simhash_dedup / top_terms / bm25 / pack_sequences /
+        # dedup_semi — all driver-green in r1–r3 with only small, pytest-
+        # gated r4 deltas; a new operator's first driver row outweighs a
+        # re-confirmation) ---
         "semdedup": _q_semdedup,
         "dsir_weights": _q_dsir_weights,
         "badwords": _q_badwords,
         "count_min": _q_count_min,
         "redact_pii": _q_redact_pii,
+        # -------------- below the 50-query driver window --------------
+        "simhash_dedup": _q_simhash_dedup,          # green r3
+        # contamination: green r3; its r4 above-gate tier cannot execute
+        # at the sf0.01 gate (broadcast path holds) and is pytest-locked
+        # equal to the broadcast path — strip_dup_spans re-confirms the
+        # shared machinery inside the window
+        "contamination": _q_contamination,
+        "top_terms": _q_top_terms,                  # pinned sort width
+        "bm25": _q_bm25,                            # term lowercasing
+        "pack_sequences": _q_pack_sequences,        # green r3
         # (driver-green in earlier rounds and functionally unchanged in
         # round 4, or rows-only duplicates of gated variants)
         "token_percentiles": _q_token_percentiles,
