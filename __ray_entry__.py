@@ -1383,6 +1383,49 @@ def _q_redact_pii(sf_dir: str):
     return redact_pii(_documents(sf_dir, columns=["doc_id", "text"]))
 
 
+_PAGERANK_EDGES_SQL = (
+    "SELECT 'u:' || CAST(user_id AS VARCHAR) AS src, "
+    "'t:' || event_type AS dst FROM events "
+    "UNION "
+    "SELECT 't:' || event_type AS src, "
+    "'u:' || CAST(user_id AS VARCHAR) AS dst FROM events")
+
+
+def _q_pagerank(sf_dir: str):
+    """Integer-exact PageRank (stages/graph.py) over the user↔event-type
+    interaction graph (both directions, distinct edges) — the web-corpus
+    centrality signal as a generic iterative Dataset loop: 10 rounds of
+    slim (node, rank) hash-joins + coarse-partition group-sums, ranks
+    repartitioned + materialized per round (the CC lesson). ORACLE-GATED:
+    the whole fixpoint is int64 floor arithmetic, replayed as 10 unrolled
+    SQL CTEs."""
+    import ray.data
+    from pdf_parser_ray.pipelines.relational import (_table_nrows,
+                                                     coarse_partition_apply)
+    from pdf_parser_ray.stages.graph import pagerank
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        u = "u:" + df["user_id"].astype(str)
+        t = "t:" + df["event_type"]
+        return pd.DataFrame({
+            "src": pd.concat([u, t], ignore_index=True),
+            "dst": pd.concat([t, u], ignore_index=True)})
+
+    def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # keyed by src: a (src, dst) pair never spans partitions
+        return g.drop_duplicates(["src", "dst"])[["src", "dst"]]
+
+    n_events = _table_nrows(sf_dir, "events")
+    edges = coarse_partition_apply(
+        ds.map_batches(both_dirs, batch_format="pandas"), distinct_pairs,
+        key_col="src", part_col="pr_part", num_parts=16,
+        nrows=2 * n_events)
+    return pagerank(edges, iters=10)
+
+
 _BADWORDS_TERMS = ("slow", "junk")  # one vocab term + one absent term
 
 
@@ -2442,6 +2485,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_min": _q_count_min,
         "redact_pii": _q_redact_pii,
         # -------------- below the 50-query driver window --------------
+        # pagerank: new in r4 session 2, oracled — round-5 window front
+        "pagerank": _q_pagerank,
         "simhash_dedup": _q_simhash_dedup,          # green r3
         # contamination: green r3; its r4 above-gate tier cannot execute
         # at the sf0.01 gate (broadcast path holds) and is pytest-locked
@@ -3088,4 +3133,6 @@ def oracle_sql() -> dict[str, str]:
     out["badwords"] = _badwords_sql()
     from pdf_parser_ray.stages.textstage import redact_pii_sql
     out["redact_pii"] = redact_pii_sql()
+    from pdf_parser_ray.stages.graph import pagerank_sql
+    out["pagerank"] = pagerank_sql(_PAGERANK_EDGES_SQL)
     return out
