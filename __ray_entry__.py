@@ -2464,7 +2464,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "model_filter": _q_model_filter,
         "ngram_jaccard": _q_ngram_jaccard,
         "neardup_clusters": _q_neardup_clusters,    # sized CC exchange
-        "minhash_dedup_md5": _q_minhash_dedup_md5,
+        # pagerank: new in r4 session 2, fully oracled — takes the window
+        # slot of minhash_dedup_md5, whose exact configuration (md5 16x4)
+        # is already re-verified by minhash_dedup at the top of this block
+        "pagerank": _q_pagerank,
         "corpus_curate": _q_corpus_curate,
         "perplexity": _q_perplexity,  # length-filter parity fix in r4
         "fingerprint": _q_fingerprint,  # digest redefined + oracled in r4
@@ -2485,8 +2488,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_min": _q_count_min,
         "redact_pii": _q_redact_pii,
         # -------------- below the 50-query driver window --------------
-        # pagerank: new in r4 session 2, oracled — round-5 window front
-        "pagerank": _q_pagerank,
+        # minhash_dedup_md5: green r3; same md5 16x4 configuration as the
+        # in-window minhash_dedup, so its driver slot went to pagerank
+        "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,          # green r3
         # contamination: green r3; its r4 above-gate tier cannot execute
         # at the sf0.01 gate (broadcast path holds) and is pytest-locked
