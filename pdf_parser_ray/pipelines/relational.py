@@ -889,7 +889,8 @@ def orders_top_per_customer(sf_dir: str, n: int = 3):
 
 def hash_join(ds_left, ds_right, *, key: str, num_buckets: int = 32,
               suffixes: tuple = ("", "_r"), how: str = "inner",
-              left_types: dict | None = None, right_types: dict | None = None):
+              left_types: dict | None = None, right_types: dict | None = None,
+              coalesce_blocks: int | None = None):
     """Bucket-partitioned inner/left-outer hash join for two LARGE datasets.
 
     The portable pattern from the Ray guide: both sides get a
@@ -906,6 +907,17 @@ def hash_join(ds_left, ds_right, *, key: str, num_buckets: int = 32,
     (fully empty) side whose columns must appear null-typed in the output
     (right side for left join, either side for outer) needs its
     ``*_types`` passed — without them the null columns can't be typed.
+
+    ``coalesce_blocks``: Ray's sort shuffle emits one output RANGE per
+    input block, so when the union holds MORE blocks than distinct
+    bucket values (slim sides split fine upstream — e.g. the per-round
+    joins of an iterative graph loop) the surplus ranges are EMPTY
+    schemaless blocks (warning + wasted reduce task each). A caller
+    whose sides are slim passes the expected exchange width here and the
+    union coalesces to ``min(coalesce_blocks, num_buckets)`` blocks
+    before the sort (split/merge repartition — no key exchange). Leave
+    it None for wide sides: there the extra full-data pass costs more
+    than the empty ranges.
     """
     import zlib
 
@@ -968,6 +980,8 @@ def hash_join(ds_left, ds_right, *, key: str, num_buckets: int = 32,
     left = ds_left.map_batches(align({}, 0), batch_format="pyarrow")
     right = ds_right.map_batches(align(rename_r, 1), batch_format="pyarrow")
     both = left.union(right)
+    if coalesce_blocks is not None:
+        both = both.repartition(max(1, min(coalesce_blocks, num_buckets)))
     l_keep = list(ltypes)
     r_keep = list(rtypes_out)
 

@@ -47,7 +47,12 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
 
     edges = edges_ds.materialize()
     n_edges = nrows if nrows is not None else edges.count()
-    width = choose_partitions(n_edges, default=8, lo=2, hi=256)
+    # lo=1: below one block's worth of edges the whole loop runs single-
+    # block — a 2-range sort over a 2-value bucket key lands BOTH values
+    # in one range whenever the sampled median hits the min, leaving the
+    # other range an empty schemaless block (10 iterations × 3 joins of
+    # warning noise at test scale); one block → one range → never empty
+    width = choose_partitions(n_edges, default=8, lo=1, hi=256)
     edges = edges.repartition(width).materialize()
 
     # node set + out-degrees: slim (node, d) rows via the house group-sum
@@ -57,7 +62,8 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
 
     outdeg = partitioned_group_sum(
         edges.map_batches(deg_partial, batch_format="pandas"),
-        key="node", sum_cols={"d": "d"}, nrows=n_edges).materialize()
+        key="node", sum_cols={"d": "d"}, num_parts=width,
+        nrows=n_edges).materialize()
 
     def node_partial(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -96,7 +102,8 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
         # contrib[u] = v // d, shipped onto edges by src
         j = hash_join(ranks, outdeg, key="node", num_buckets=width,
                       left_types={"node": ntype, "v": v_t},
-                      right_types={"node": ntype, "d": d_t})
+                      right_types={"node": ntype, "d": d_t},
+                      coalesce_blocks=width)
 
         def contrib(df: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({src_col: df["node"],
@@ -105,7 +112,8 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
         je = hash_join(edges, j.map_batches(contrib, batch_format="pandas"),
                        key=src_col, num_buckets=width,
                        left_types={src_col: ntype, dst_col: ntype},
-                       right_types={src_col: ntype, "c": v_t})
+                       right_types={src_col: ntype, "c": v_t},
+                       coalesce_blocks=width)
 
         def to_dst(df: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({"node": df[dst_col],
@@ -113,11 +121,13 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
 
         sums = partitioned_group_sum(
             je.map_batches(to_dst, batch_format="pandas"),
-            key="node", sum_cols={"c": "c"}, nrows=n_edges)
+            key="node", sum_cols={"c": "c"}, num_parts=width,
+            nrows=n_edges)
         filled = hash_join(nodes, sums, key="node", how="left",
                            num_buckets=width,
                            left_types={"node": ntype},
-                           right_types={"node": ntype, "c": v_t})
+                           right_types={"node": ntype, "c": v_t},
+                           coalesce_blocks=width)
 
         def step(df: pd.DataFrame) -> pd.DataFrame:
             c = df["c"].fillna(0).astype("int64")
