@@ -456,6 +456,69 @@ def _q_contamination(sf_dir: str):
     return contamination(train_ds, test_ds, width=8)
 
 
+def _q_segment_dedup(sf_dir: str):
+    """Cross-document boilerplate-segment removal (stages/dedup.py:
+    strip_common_segments): every non-overlapping 4-token segment whose
+    exact text occurs in MORE than 3 distinct documents is stripped from
+    every document — CCNet's paragraph-level dedup (Wenzek et al. 2020)
+    re-expressed over fixed-width segments. Fully SQL-replayed: the
+    oracle recomputes the md5 segment hashes, distinct-doc frequencies,
+    and rebuilds the space-joined surviving text per document."""
+    from pdf_parser_ray.stages.dedup import strip_common_segments
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return strip_common_segments(ds, width=4, max_df=3)
+
+
+def _segment_dedup_sql(width: int = 4, max_df: int = 3) -> str:
+    """DuckDB replay of strip_common_segments: tokenize (ASCII \\s+, no
+    case fold), hash every non-overlapping width-token segment via the
+    md5-uint64 prefix (the final segment may be short), count DISTINCT
+    docs per hash, remove hashes with df > max_df, re-join surviving
+    segments with single spaces in segment order."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> x <> '') AS t
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, unnest(ns) AS seg_no, unnest(ss) AS seg, unnest(hs) AS h
+  FROM (
+    SELECT doc_id,
+      [i for i in range(0, CAST(ceil(len(t) / {width}.0) AS BIGINT))] AS ns,
+      [array_to_string(t[i * {width} + 1 : i * {width} + {width}], ' ')
+       for i in range(0, CAST(ceil(len(t) / {width}.0) AS BIGINT))] AS ss,
+      [CAST('0x' || substr(md5(array_to_string(
+           t[i * {width} + 1 : i * {width} + {width}], ' ')), 1, 16) AS UBIGINT)
+       for i in range(0, CAST(ceil(len(t) / {width}.0) AS BIGINT))] AS hs
+    FROM toks
+  )
+),
+dup AS (
+  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM segs GROUP BY h)
+  WHERE df > {max_df}
+),
+kept AS (
+  SELECT s.doc_id, s.seg_no, s.seg FROM segs s
+  WHERE s.h NOT IN (SELECT h FROM dup)
+),
+agg AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_no) AS ct,
+         count(*) AS k
+  FROM kept GROUP BY doc_id
+),
+nseg AS (
+  SELECT doc_id, CAST(ceil(len(t) / {width}.0) AS BIGINT) AS n FROM toks
+)
+SELECT n.doc_id,
+  coalesce(a.ct, '') AS clean_text,
+  CAST(coalesce(a.k, 0) AS BIGINT) AS n_seg_kept,
+  CAST(n.n - coalesce(a.k, 0) AS BIGINT) AS n_seg_removed
+FROM nseg n LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _md5_bucket_split(batch: pa.Table, *, want_test: bool,
                       pct: int = 10) -> pa.Table:
     """Deterministic train/test split on the hash_sample md5-bucket rule
@@ -2490,6 +2553,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -------------- below the 50-query driver window --------------
         # minhash_dedup_md5: green r3; same md5 16x4 configuration as the
         # in-window minhash_dedup, so its driver slot went to pagerank
+        # segment_dedup: new in r4 session 3, fully oracled — round-5
+        # window front (the r4 window was already at its 50-query cap)
+        "segment_dedup": _q_segment_dedup,
         "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,          # green r3
         # contamination: green r3; its r4 above-gate tier cannot execute
@@ -2631,6 +2697,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_set": _fingerprint_set_sql(),
         "fingerprint": _fingerprint_sql(),
         "dup_spans": _dup_spans_sql(),
+        "segment_dedup": _segment_dedup_sql(),
         "strip_dup_spans": _strip_dup_spans_sql(),
         "bm25": _bm25_sql(_BM25_TERMS, _BM25_K1, _BM25_B),
         "contamination": _contamination_sql(),

@@ -263,3 +263,26 @@ def token_window_hashes(text: str, width: int) -> np.ndarray:
         (int(hashlib.md5(" ".join(toks[i:i + width]).encode("utf-8"))
              .hexdigest()[:16], 16) for i in range(n)),
         dtype=np.uint64, count=n)
+
+
+def segment_hashes(text: str, width: int) -> np.ndarray:
+    """uint64 hash of every NON-overlapping ``width``-token segment of
+    ``text``, in segment order — the unit of cross-document segment dedup
+    (stages/dedup.py:strip_common_segments), the fixed-width analog of
+    CCNet's paragraph-level dedup (Wenzek et al. 2020, public) for
+    corpora whose documents carry no paragraph structure.
+
+    Same tokenization and hash rule as :func:`token_window_hashes`
+    (ASCII-``\\s+`` split, md5 16-hex-char prefix as uint64) so the
+    operator stays DuckDB-replayable; segment ``i`` covers tokens
+    ``[i*width, (i+1)*width)`` and the final segment may be shorter —
+    it hashes its own (short) space-joined text."""
+    toks = [t for t in _ASCII_WS.split(text or "") if t]
+    if not toks:
+        return np.zeros(0, dtype=np.uint64)
+    n = (len(toks) + width - 1) // width
+    return np.fromiter(
+        (int(hashlib.md5(" ".join(toks[i * width:(i + 1) * width])
+                         .encode("utf-8")).hexdigest()[:16], 16)
+         for i in range(n)),
+        dtype=np.uint64, count=n)

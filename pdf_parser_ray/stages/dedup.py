@@ -1656,3 +1656,229 @@ def drop_contaminated(train_ds, test_ds, *, text_col: str = "text",
         left_key="__th", right_key="th", anti=True, left_types=ltypes)
     return out.map_batches(lambda b: b.drop_columns(["__th"]),
                            batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document common-segment removal (CCNet paragraph-dedup analog)
+# ---------------------------------------------------------------------------
+
+
+def _segment_partial_dfs(batch: pa.Table, *, text_col: str,
+                         width: int) -> pa.Table:
+    """Per-batch combiner for the segment DOCUMENT-FREQUENCY pass: each
+    document contributes every distinct segment hash ONCE (np.unique per
+    doc), so the per-batch counts sum to exact corpus-wide distinct-doc
+    counts — a document is one row, so its segments never span batches.
+    The exchange downstream carries one (hash, partial df) pair per
+    distinct segment per batch — never positions, never text."""
+    from ..functions.minhash import segment_hashes
+
+    parts = [np.unique(segment_hashes(t, width))
+             for t in batch.column(text_col).to_pylist()]
+    allh = np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint64)
+    vals, counts = np.unique(allh, return_counts=True)
+    return pa.table({"h": pa.array(vals, type=pa.uint64()),
+                     "cnt": pa.array(counts, type=pa.int64())})
+
+
+def common_segment_hashes(ds, *, text_col: str = "text", width: int = 4,
+                          max_df: int = 3):
+    """Pass A of :func:`strip_common_segments`: materialized slim Dataset
+    of segment hashes whose document frequency EXCEEDS ``max_df`` —
+    boilerplate by the CCNet rule (a paragraph repeated across many
+    documents is template chrome, not content). Same gate/exchange shape
+    as ``_dup_hash_set``; the only difference is counting distinct DOCS
+    per hash instead of occurrences."""
+    from ..pipelines.relational import coarse_partition_apply
+
+    partials = ds.map_batches(
+        _segment_partial_dfs, fn_kwargs={"text_col": text_col, "width": width},
+        batch_format="pyarrow").materialize()
+
+    def df_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("h", as_index=False)["cnt"].sum()
+        return agg.loc[agg["cnt"] > max_df, ["h", "cnt"]]
+
+    return coarse_partition_apply(partials, df_kernel, key_col="h",
+                                  part_col="h_part", num_parts=64,
+                                  nrows=partials.count()).materialize()
+
+
+def _rebuild_segments(t: str, removed_segs, width: int):
+    """Drop the listed 0-based segment indices from ``t``; surviving
+    segments re-join with single spaces in order (segment-internal token
+    joins are single spaces too, so the result equals the space-join of
+    all kept tokens). Returns (clean_text, n_seg_kept, n_seg_removed)."""
+    from ..functions.minhash import _ASCII_WS
+
+    toks = [tok for tok in _ASCII_WS.split(t or "") if tok]
+    n_seg = (len(toks) + width - 1) // width
+    rm = set(int(s) for s in removed_segs)
+    kept = [" ".join(toks[i * width:(i + 1) * width])
+            for i in range(n_seg) if i not in rm]
+    return " ".join(kept), n_seg - len(rm), len(rm)
+
+
+def strip_common_segments(ds, *, text_col: str = "text",
+                          id_col: str = "doc_id", width: int = 4,
+                          max_df: int = 3,
+                          broadcast_limit: int = 2_000_000):
+    """Cross-document boilerplate-segment removal: every non-overlapping
+    ``width``-token segment whose exact text occurs in MORE than
+    ``max_df`` distinct documents is removed from every document that
+    contains it — the fixed-width re-expression of CCNet's
+    paragraph-level dedup (Wenzek et al. 2020, public; reference has no
+    counterpart — this is the LLM-pipeline suite). Differs from
+    ``strip_duplicate_spans`` on all three axes: non-overlapping segments
+    (not sliding windows), distinct-document frequency (not occurrence
+    count), threshold > max_df (tolerates organic repetition, strips
+    template chrome).
+
+    Scale shape (the dup_spans lessons): pass A ships per-batch-combined
+    (uint64 hash, partial df) pairs only; pass B re-derives segment
+    hashes locally. Below the gate the dup set broadcasts once via
+    ray.put as a sorted array — no shuffle at any corpus size. Above it:
+    fixed-size Bloom prefilter → slim (id, seg_no) removal rows via
+    per-slice exact semi-join → ONE text exchange co-partitioned with
+    the removal rows by id hash (the only path that ever moves text).
+    No intermediate removal-row broadcast tier, unlike
+    ``strip_duplicate_spans``: removals number ≥ (max_df+1) × |dup set|
+    by construction (every dup segment sits in > max_df docs), so they
+    can never fit a gate the dup set itself exceeded.
+
+    Returns one row per input doc: (id_col, clean_text, n_seg_kept,
+    n_seg_removed). Hashes are md5-prefix uint64 (functions/minhash.py:
+    segment_hashes), so the whole operator is SQL-oracle-checkable.
+    """
+    import ray as _ray
+
+    from ..functions.minhash import segment_hashes
+
+    dup_ds = common_segment_hashes(ds, text_col=text_col, width=width,
+                                   max_df=max_df)
+    n_dup = dup_ds.count()
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    out_schema = pa.schema([
+        (id_col, id_type), ("clean_text", pa.string()),
+        ("n_seg_kept", pa.int64()), ("n_seg_removed", pa.int64())])
+
+    def _emit(ids, texts, kept_n, removed_n):
+        return pa.table({id_col: pa.array(ids, type=id_type),
+                         "clean_text": pa.array(texts, type=pa.string()),
+                         "n_seg_kept": pa.array(kept_n, type=pa.int64()),
+                         "n_seg_removed": pa.array(removed_n, type=pa.int64())},
+                        schema=out_schema)
+
+    if n_dup <= broadcast_limit:
+        _, dup_ref = _broadcast_sorted_hashes(dup_ds)
+
+        def strip(batch: pa.Table) -> pa.Table:
+            dup: np.ndarray = _ray.get(dup_ref)
+            ids, texts, kept_n, removed_n = [], [], [], []
+            for i, t in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+                hs = segment_hashes(t or "", width)
+                if len(hs) and len(dup):
+                    idx = np.searchsorted(dup, hs)
+                    rm = np.flatnonzero(
+                        (idx < len(dup))
+                        & (dup[np.minimum(idx, len(dup) - 1)] == hs))
+                else:
+                    rm = np.zeros(0, dtype=np.int64)
+                clean, k, r = _rebuild_segments(t, rm, width)
+                ids.append(i); texts.append(clean)
+                kept_n.append(k); removed_n.append(r)
+            return _emit(ids, texts, kept_n, removed_n)
+
+        return ds.map_batches(strip, batch_format="pyarrow")
+
+    # ABOVE THE GATE: Bloom-prefiltered slim (id, seg_no, h) rows,
+    # confirmed against the distributed dup set per hash slice.
+    from ..functions.bloom import build_bloom_distributed
+
+    bloom_ref = _ray.put(build_bloom_distributed(
+        dup_ds, "h", capacity=2 * max(n_dup, 1)))
+
+    def cand_rows(batch: pa.Table) -> pa.Table:
+        bf = _ray.get(bloom_ref)
+        ids, segs, hss = [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            hs = segment_hashes(t or "", width)
+            hit = np.flatnonzero(bf.contains_many(hs)) if len(hs) else []
+            ids.extend([i] * len(hit))
+            segs.extend(int(s) for s in hit)
+            hss.append(hs[hit])
+        h = np.concatenate(hss) if hss else np.zeros(0, dtype=np.uint64)
+        return pa.table({id_col: pa.array(ids, type=id_type),
+                         "seg_no": pa.array(segs, type=pa.int64()),
+                         "h": pa.array(h, type=pa.uint64()),
+                         "h_part": pa.array((h % np.uint64(64)).astype(np.int64))})
+
+    def dup_side(batch: pa.Table) -> pa.Table:
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        return pa.table({id_col: pa.nulls(len(h), type=id_type),
+                         "seg_no": pa.nulls(len(h), type=pa.int64()),
+                         "h": batch.column("h"),
+                         "h_part": pa.array((h % np.uint64(64)).astype(np.int64))})
+
+    id_is_int = pa.types.is_integer(id_type)
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        dup_h = g.loc[g["seg_no"].isna(), "h"].unique()
+        rows = g.loc[g["seg_no"].notna() & g["h"].isin(dup_h),
+                     [id_col, "seg_no"]].copy()
+        rows["seg_no"] = rows["seg_no"].astype("int64")
+        if id_is_int:
+            rows[id_col] = rows[id_col].astype("int64")
+        return rows
+
+    removals = (ds.map_batches(cand_rows, batch_format="pyarrow")
+                .union(dup_ds.select_columns(["h"]).map_batches(
+                    dup_side, batch_format="pyarrow"))
+                .groupby("h_part").map_groups(semi, batch_format="pandas"))
+
+    # ONE text exchange, co-partitioned with the removal rows by id hash
+    # (documented partitioning assumption: a doc's text row and all its
+    # removal rows share an id-hash partition).
+    from ..pipelines.relational import coarse_partition_apply
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({id_col: batch.column(id_col),
+                         "scs_text": pc.cast(batch.column(text_col),
+                                             pa.string()),
+                         "seg_no": pa.nulls(n, type=pa.int64())})
+
+    def rm_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({id_col: batch.column(id_col),
+                         "scs_text": pa.nulls(n, type=pa.string()),
+                         "seg_no": pc.cast(batch.column("seg_no"),
+                                           pa.int64())})
+
+    both = ds.map_batches(doc_side, batch_format="pyarrow").union(
+        removals.map_batches(rm_side, batch_format="pyarrow"))
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["scs_text"].notna()]
+        rm = g[g["scs_text"].isna()]
+        by_id: dict = {}
+        if len(rm):
+            sn = rm["seg_no"].to_numpy(dtype=np.int64)
+            for j, i in enumerate(rm[id_col].to_numpy()):
+                by_id.setdefault(i, []).append(int(sn[j]))
+        out = {id_col: [], "clean_text": [], "n_seg_kept": [],
+               "n_seg_removed": []}
+        for i, t in zip(docs[id_col].to_numpy(), docs["scs_text"]):
+            clean, k, r = _rebuild_segments(t, by_id.get(i, ()), width)
+            out[id_col].append(i); out["clean_text"].append(clean)
+            out["n_seg_kept"].append(k); out["n_seg_removed"].append(r)
+        df = pd.DataFrame(out)
+        if id_is_int and len(df):
+            df[id_col] = df[id_col].astype("int64")
+        return df
+
+    return coarse_partition_apply(both, rebuild, key_col=id_col,
+                                  part_col="scs_part", num_parts=64,
+                                  nrows=None)
