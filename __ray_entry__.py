@@ -1209,6 +1209,50 @@ FROM walk GROUP BY node
 """
 
 
+def _q_cluster_canonical(sf_dir: str):
+    """Near-dup cluster RESOLUTION: MinHash md5 edges → connected
+    components → keep exactly one canonical document per cluster (max
+    token count, ties to min doc_id) — stages/dedup.py:cluster_canonical,
+    the retention policy that consumes neardup_clusters. ORACLE-GATED:
+    DuckDB replays edges + recursive-CTE components + the window-function
+    argmax."""
+    from pdf_parser_ray.stages.dedup import (cluster_canonical,
+                                             connected_components,
+                                             minhash_dedup_edges)
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    edges = minhash_dedup_edges(ds, num_perm=32, num_bands=8, threshold=0.8,
+                                sketch="md5")
+    labels = connected_components(edges)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        from pdf_parser_ray.functions.textstats import token_count
+
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "n_tokens": token_count(df["text"])})
+
+    scores = ds.map_batches(score, batch_format="pandas")
+    return cluster_canonical(labels, scores)
+
+
+def _cluster_canonical_sql() -> str:
+    """DuckDB replay of cluster_canonical over the neardup_clusters
+    component labels: join each labeled doc's regex token count, then
+    keep = row_number() over (cluster ORDER BY n_tokens DESC, doc_id) = 1."""
+    return f"""
+WITH comp AS ({_neardup_clusters_sql()}),
+scored AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT c.doc_id, c.component_id, s.n_tokens,
+  (row_number() OVER (PARTITION BY c.component_id
+                      ORDER BY s.n_tokens DESC, c.doc_id) = 1) AS keep
+FROM comp c JOIN scored s USING (doc_id)
+"""
+
+
 def _q_simhash_dedup(sf_dir: str):
     from pdf_parser_ray.stages.dedup import simhash_dedup_edges
 
@@ -2556,6 +2600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # segment_dedup: new in r4 session 3, fully oracled — round-5
         # window front (the r4 window was already at its 50-query cap)
         "segment_dedup": _q_segment_dedup,
+        "cluster_canonical": _q_cluster_canonical,
         "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,          # green r3
         # contamination: green r3; its r4 above-gate tier cannot execute
@@ -2698,6 +2743,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _fingerprint_sql(),
         "dup_spans": _dup_spans_sql(),
         "segment_dedup": _segment_dedup_sql(),
+        "cluster_canonical": _cluster_canonical_sql(),
         "strip_dup_spans": _strip_dup_spans_sql(),
         "bm25": _bm25_sql(_BM25_TERMS, _BM25_K1, _BM25_B),
         "contamination": _contamination_sql(),

@@ -1882,3 +1882,50 @@ def strip_common_segments(ds, *, text_col: str = "text",
     return coarse_partition_apply(both, rebuild, key_col=id_col,
                                   part_col="scs_part", num_parts=64,
                                   nrows=None)
+
+
+def cluster_canonical(labels_ds, scores_ds, *, id_col: str = "doc_id",
+                      cluster_col: str = "component_id",
+                      score_col: str = "n_tokens", nrows: int | None = None):
+    """Canonical-document selection per duplicate cluster — the retention
+    policy that CONSUMES ``connected_components`` labels: within each
+    cluster exactly one document survives, the one with the highest
+    ``score_col`` (longest/best-quality doc), ties broken by min id. The
+    standard near-dup resolution of web-corpus pipelines (keep the best
+    representative, drop the rest), absent from the reference (which has
+    no dedup at all).
+
+    Inputs are both SLIM: ``labels_ds`` is (id, cluster) from
+    ``connected_components``; ``scores_ds`` is (id, score) — the caller
+    computes scores from the corpus with whatever kernel defines "best"
+    (token count here by convention). The join ships only these two
+    tables (never text), coalesced before its bucket sort because both
+    sides are slim; the per-cluster argmax is ONE vectorized
+    mergesort+dedup kernel per coarse partition (a cluster never spans
+    partitions). Returns (id, cluster, score, keep bool) — one row per
+    labeled doc.
+    """
+    from ..pipelines.relational import (choose_partitions,
+                                        coarse_partition_apply, hash_join)
+
+    if nrows is None:
+        labels_ds = labels_ds.materialize()  # count() must not re-execute
+        nrows = labels_ds.count()            # the upstream CC fixpoint
+    width = choose_partitions(nrows, default=8, lo=1, hi=256)
+
+    j = hash_join(labels_ds, scores_ds, key=id_col, num_buckets=width,
+                  left_types={id_col: pa.int64(), cluster_col: pa.int64()},
+                  right_types={id_col: pa.int64(), score_col: pa.int64()},
+                  coalesce_blocks=width)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([cluster_col, score_col, id_col],
+                          ascending=[True, False, True], kind="mergesort")
+        keep = ~g.duplicated(cluster_col).to_numpy()
+        out = g[[id_col, cluster_col, score_col]].copy()
+        out["keep"] = keep
+        return out
+
+    return coarse_partition_apply(j, pick, key_col=cluster_col,
+                                  part_col="cc_pick", num_parts=width,
+                                  nrows=nrows)

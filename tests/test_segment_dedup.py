@@ -101,3 +101,42 @@ def test_segment_hashes_rule():
     assert h[2] == int(hashlib.md5(b"e").hexdigest()[:16], 16)
     assert segment_hashes("", 4).dtype == np.uint64
     assert len(segment_hashes("   ", 4)) == 0
+
+
+# ---------------------------------------------------------------------------
+# cluster_canonical (retention policy over connected-components labels)
+# ---------------------------------------------------------------------------
+
+
+def _canon(labels, scores, **kw):
+    from pdf_parser_ray.stages.dedup import cluster_canonical
+
+    lds = ray.data.from_arrow(pa.table({
+        "doc_id": [a for a, _ in labels],
+        "component_id": [b for _, b in labels]}))
+    sds = ray.data.from_arrow(pa.table({
+        "doc_id": [a for a, _ in scores],
+        "n_tokens": [b for _, b in scores]}))
+    out = cluster_canonical(lds, sds, **kw)
+    return sorted((r["doc_id"], r["component_id"], r["n_tokens"], r["keep"])
+                  for r in out.take_all())
+
+
+def test_cluster_canonical_argmax_and_ties(ray_session):
+    labels = [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7), (9, 9)]
+    scores = [(1, 10), (2, 30), (3, 30), (7, 5), (8, 5), (9, 0)]
+    rows = _canon(labels, scores)
+    keep = {d for d, _c, _n, k in rows if k}
+    # cluster 1: max score 30 tied between 2 and 3 → min id 2
+    # cluster 7: tie 5/5 → min id 7; singleton 9 keeps itself
+    assert keep == {2, 7, 9}
+    assert len(rows) == 6 and sum(1 for *_, k in rows if k) == 3
+
+
+def test_cluster_canonical_explicit_width(ray_session):
+    labels = [(i, i % 4) for i in range(40)]
+    scores = [(i, i) for i in range(40)]
+    rows = _canon(labels, scores, nrows=40)
+    keep = {d for d, _c, _n, k in rows if k}
+    # per residue class the max doc_id wins (score == id)
+    assert keep == {36, 37, 38, 39}
