@@ -1209,6 +1209,39 @@ FROM walk GROUP BY node
 """
 
 
+def _q_inverted_index(sf_dir: str):
+    """Distributed inverted-index build (stages/textstage.py:
+    inverted_index): per term with document frequency ≥ 3, the df, total
+    tf, and the full ``doc:tf`` posting list, doc-id ascending. Fully
+    SQL-replayed (unnest → per-(term,doc) counts → string_agg)."""
+    from pdf_parser_ray.stages.textstage import inverted_index
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return inverted_index(ds, min_df=3, nrows=_documents_nrows(sf_dir))
+
+
+def _inverted_index_sql(min_df: int = 3) -> str:
+    """DuckDB replay of inverted_index: lowercased ASCII-\\s+ tokens,
+    per-(term, doc) counts, postings = 'doc:tf' comma-joined by doc id."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'),
+                       x -> x <> '')) AS term
+  FROM documents
+),
+dt AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+agg AS (
+  SELECT term, count(*) AS df, SUM(tf) AS tf_total,
+         string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+  FROM dt GROUP BY term
+)
+SELECT term, CAST(df AS BIGINT) AS df, CAST(tf_total AS BIGINT) AS tf_total,
+       postings
+FROM agg WHERE df >= {min_df}
+"""
+
+
 def _q_cluster_canonical(sf_dir: str):
     """Near-dup cluster RESOLUTION: MinHash md5 edges → connected
     components → keep exactly one canonical document per cluster (max
@@ -2601,6 +2634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window front (the r4 window was already at its 50-query cap)
         "segment_dedup": _q_segment_dedup,
         "cluster_canonical": _q_cluster_canonical,
+        "inverted_index": _q_inverted_index,
         "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,          # green r3
         # contamination: green r3; its r4 above-gate tier cannot execute
@@ -2744,6 +2778,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _dup_spans_sql(),
         "segment_dedup": _segment_dedup_sql(),
         "cluster_canonical": _cluster_canonical_sql(),
+        "inverted_index": _inverted_index_sql(),
         "strip_dup_spans": _strip_dup_spans_sql(),
         "bm25": _bm25_sql(_BM25_TERMS, _BM25_K1, _BM25_B),
         "contamination": _contamination_sql(),

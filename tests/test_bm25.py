@@ -132,3 +132,35 @@ class TestTopTerms:
         got = sorted(map(tuple, out[["term", "n"]].itertuples(index=False)))
         # k=3 boundary tie between c and d (both 1) → token asc keeps 'c'
         assert got == [("a", 3), ("b", 2), ("c", 1)]
+
+
+# ---------------------------------------------------------------------------
+# inverted_index (posting-list build — stages/textstage.py)
+# ---------------------------------------------------------------------------
+
+
+def test_inverted_index_brute(ray_session):
+    import collections
+
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_parser_ray.stages.textstage import inverted_index
+
+    docs = [(1, "The cat sat"), (2, "the cat ran"), (3, "THE dog"),
+            (4, ""), (5, "cat cat cat")]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [d for d, _ in docs], "text": [t for _, t in docs]}))
+    out = {r["term"]: (r["df"], r["tf_total"], r["postings"])
+           for r in inverted_index(ds, min_df=2).take_all()}
+    # brute force
+    dt = collections.defaultdict(dict)
+    for did, t in docs:
+        for w in t.lower().split():
+            dt[w][did] = dt[w].get(did, 0) + 1
+    expect = {w: (len(p), sum(p.values()),
+                  ",".join(f"{d}:{c}" for d, c in sorted(p.items())))
+              for w, p in dt.items() if len(p) >= 2}
+    assert out == expect
+    assert out["the"] == (3, 3, "1:1,2:1,3:1")   # case folded
+    assert out["cat"] == (3, 5, "1:1,2:1,5:3")   # within-doc tf kept
