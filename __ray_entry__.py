@@ -119,6 +119,32 @@ def _q_extract_spans(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def _q_media_context(sf_dir: str):
+    """Caption-candidate mining over the interleaved span sequences
+    (stages/media.py:media_context): one row per media span with the
+    nearest preceding/following text-span context — the image-text-pair
+    harvesting step. Non-SQL (the spans are extraction output, not a
+    registered view): driver-gated rows-only; span-adjacency semantics
+    are pytest-gated against handcrafted sequences."""
+    from pdf_parser_ray.sources.synth import corpus_path
+    from pdf_parser_ray.pipelines.extraction import extraction_dataset
+    from pdf_parser_ray.stages.media import media_context
+
+    ds = extraction_dataset(corpus_path(_sf_of(sf_dir)), parse_concurrency=2)
+    df = media_context(ds).to_pandas()
+    if df.empty:
+        # tiny SFs can sample zero media spans; Dataset.to_pandas drops
+        # the schema of a fully empty result (the embedding_neardup
+        # precedent) — return the typed empty frame instead
+        df = pd.DataFrame({"doc_id": pd.Series(dtype="object"),
+                           "media_ref": pd.Series(dtype="object"),
+                           "span_order": pd.Series(dtype="int32"),
+                           "kind": pd.Series(dtype="object"),
+                           "before_text": pd.Series(dtype="object"),
+                           "after_text": pd.Series(dtype="object")})
+    return df
+
+
 def _q_extract_fields(sf_dir: str):
     from pdf_parser_ray.sources.synth import corpus_path
     from pdf_parser_ray.pipelines.extraction import extraction_dataset
@@ -2653,6 +2679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
         "extract_fields": _q_extract_fields,
+        "media_context": _q_media_context,   # rows-only (spans source)
         "ai_extract": _q_ai_extract,
         "token_counts": _q_token_counts,
         "quality": _q_quality,

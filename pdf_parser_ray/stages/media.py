@@ -508,3 +508,60 @@ class MediaResolve:
         batch = batch.append_column("payload", pa.array(payloads, type=pa.binary()))
         batch = batch.append_column("media_type", pa.array(types, type=pa.string()))
         return batch
+
+
+def media_context(ds, *, spans_col: str = "spans", id_col: str = "doc_id",
+                  max_chars: int = 200):
+    """Caption-candidate mining over INTERLEAVED span sequences: for every
+    media span (``media_ref`` non-empty), the tail of the nearest
+    preceding text span and the head of the nearest following one — the
+    standard alt-text/caption harvesting step of image-text pair
+    pipelines (public practice: LAION-style alt-text mining), expressed
+    over this engine's north-rule span contract (kind, text, media_ref,
+    order).
+
+    Shuffle-free by construction: a document's spans live in ONE nested
+    list cell, so the whole operator is an embarrassingly parallel
+    ``map_batches`` — context never crosses documents. Emits one row per
+    media span: (id_col, media_ref, span_order, kind, before_text,
+    after_text), contexts clipped to ``max_chars`` characters (tail of
+    the preceding span, head of the following — the caption-proximal
+    ends). Spans are processed in list order, which the extraction
+    contract guarantees is reading order."""
+    out_schema = pa.schema([
+        (id_col, pa.string()), ("media_ref", pa.string()),
+        ("span_order", pa.int32()), ("kind", pa.string()),
+        ("before_text", pa.string()), ("after_text", pa.string())])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, refs, orders, kinds, before, after = [], [], [], [], [], []
+        for did, spans in zip(batch.column(id_col).to_pylist(),
+                              batch.column(spans_col).to_pylist()):
+            spans = spans or []
+            prev_text = ""
+            # pending media spans waiting for their following text span
+            pending: list[int] = []
+            for idx, s in enumerate(spans):
+                if s.get("media_ref"):
+                    ids.append(str(did))
+                    refs.append(s["media_ref"])
+                    orders.append(int(s.get("offset", idx)))
+                    kinds.append(s.get("kind") or "")
+                    before.append(prev_text[-max_chars:])
+                    after.append("")          # patched when text arrives
+                    pending.append(len(after) - 1)
+                elif (s.get("kind") == "text") and (s.get("text") or ""):
+                    t = s["text"]
+                    for j in pending:
+                        after[j] = t[:max_chars]
+                    pending.clear()
+                    prev_text = t
+        return pa.table({id_col: pa.array(ids, type=pa.string()),
+                         "media_ref": pa.array(refs, type=pa.string()),
+                         "span_order": pa.array(orders, type=pa.int32()),
+                         "kind": pa.array(kinds, type=pa.string()),
+                         "before_text": pa.array(before, type=pa.string()),
+                         "after_text": pa.array(after, type=pa.string())},
+                        schema=out_schema)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

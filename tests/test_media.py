@@ -68,3 +68,65 @@ class TestPipelinePlumbing:
         tbl = out.to_pandas()
         assert len(tbl) == 32
         assert all(len(f) == 32 for f in tbl["features"])
+
+
+# ---------------------------------------------------------------------------
+# media_context (caption-candidate mining over interleaved spans)
+# ---------------------------------------------------------------------------
+
+
+def _ctx_rows(docs, **kw):
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_parser_ray.stages.media import media_context
+
+    span_t = pa.list_(pa.struct([("kind", pa.string()), ("text", pa.string()),
+                                 ("media_ref", pa.string()),
+                                 ("offset", pa.int32())]))
+    tbl = pa.table({"doc_id": pa.array([d for d, _ in docs], type=pa.string()),
+                    "spans": pa.array([s for _, s in docs], type=span_t)})
+    out = media_context(ray.data.from_arrow(tbl), **kw)
+    return sorted((r["doc_id"], r["media_ref"], r["span_order"], r["kind"],
+                   r["before_text"], r["after_text"]) for r in out.take_all())
+
+
+def _s(kind, text="", ref="", off=0):
+    return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+
+def test_media_context_adjacency(ray_session):
+    docs = [
+        ("a", [_s("text", "intro words"), _s("image", "", "m://1", 1),
+               _s("text", "caption below"), _s("image", "", "m://2", 3),
+               _s("text", "tail")]),
+        ("b", [_s("image", "", "m://3", 0)]),          # no context at all
+        ("c", [_s("text", "only text")]),              # no media → no rows
+    ]
+    rows = _ctx_rows(docs)
+    assert rows == [
+        ("a", "m://1", 1, "image", "intro words", "caption below"),
+        ("a", "m://2", 3, "image", "caption below", "tail"),
+        ("b", "m://3", 0, "image", "", ""),
+    ]
+
+
+def test_media_context_consecutive_media_share_following_text(ray_session):
+    docs = [("d", [_s("image", "", "m://1", 0), _s("image", "", "m://2", 1),
+                   _s("text", "shared caption")])]
+    rows = _ctx_rows(docs)
+    assert [r[5] for r in rows] == ["shared caption", "shared caption"]
+    assert [r[4] for r in rows] == ["", ""]
+
+
+def test_media_context_clipping(ray_session):
+    long = "x" * 500 + "END"
+    docs = [("e", [_s("text", long), _s("image", "", "m://1", 1),
+                   _s("text", "BEGIN" + "y" * 500)])]
+    (row,) = _ctx_rows(docs, max_chars=10)
+    assert row[4] == ("x" * 500 + "END")[-10:]   # tail of preceding
+    assert row[5] == "BEGINyyyyy"                # head of following
+    # empty text spans are not context
+    docs = [("f", [_s("text", ""), _s("image", "", "m://2", 1)])]
+    (row,) = _ctx_rows(docs)
+    assert row[4] == "" and row[5] == ""
