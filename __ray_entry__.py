@@ -637,6 +637,18 @@ def _q_perplexity(sf_dir: str):
     return lm_perplexity(ds)
 
 
+def _q_perplexity_buckets(sf_dir: str):
+    """CCNet head/middle/tail binning (stages/textstage.py:
+    perplexity_buckets): trigram-LM average NLL → equal-depth NTILE(3)
+    via the two-pass distributed rank (no global sort). ORACLE-GATED:
+    the SQL nests the full perplexity replay and applies
+    ntile(3) OVER (ORDER BY avg_nll_micro, doc_id)."""
+    from pdf_parser_ray.stages.textstage import perplexity_buckets
+
+    ds = _documents(sf_dir, columns=["doc_id", "text", "lang"])
+    return perplexity_buckets(ds, k=3)
+
+
 def _q_bpe_tokens(sf_dir: str):
     """Per-document subword token count under a corpus-trained BPE vocab
     (stages/textstage.py:bpe_token_counts): ONE distributed word-count
@@ -2661,6 +2673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup": _q_segment_dedup,
         "cluster_canonical": _q_cluster_canonical,
         "inverted_index": _q_inverted_index,
+        "perplexity_buckets": _q_perplexity_buckets,
         "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,          # green r3
         # contamination: green r3; its r4 above-gate tier cannot execute
@@ -3314,4 +3327,13 @@ def oracle_sql() -> dict[str, str]:
     out["redact_pii"] = redact_pii_sql()
     from pdf_parser_ray.stages.graph import pagerank_sql
     out["pagerank"] = pagerank_sql(_PAGERANK_EDGES_SQL)
+    # CCNet ntile binning nests the full perplexity replay as a CTE
+    out["perplexity_buckets"] = (
+        f"WITH ppl AS ({out['perplexity']}), "
+        "scored AS (SELECT doc_id, "
+        "CAST((nll_milli * 1000) // n_trigrams AS BIGINT) AS avg_nll_micro "
+        "FROM ppl) "
+        "SELECT doc_id, avg_nll_micro, "
+        "CAST(ntile(3) OVER (ORDER BY avg_nll_micro, doc_id) AS BIGINT) "
+        "AS bucket FROM scored")
     return out

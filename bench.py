@@ -183,7 +183,10 @@ def run_query_suite() -> dict:
              # round-4 additions (appended: earlier keys stay comparable)
              "strip_dup_spans", "contamination", "domain_cap",
              "perplexity_backoff", "media_features_jpeg", "top_terms",
-             "knn_hnsw", "model_filter"]
+             "knn_hnsw", "model_filter",
+             # round-4 session-3 additions
+             "pagerank", "segment_dedup", "cluster_canonical",
+             "inverted_index"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:

@@ -1022,3 +1022,66 @@ def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
     return coarse_partition_apply(triples, fold, key_col="term",
                                   part_col="ii_part", num_parts=64,
                                   nrows=nrows)
+
+
+def perplexity_buckets(ds, *, k: int = 3, text_col: str = "text",
+                       id_col: str = "doc_id", lang_col: str = "lang",
+                       ref_lang: str = "en"):
+    """CCNet's head/middle/tail perplexity binning (Wenzek et al. 2020,
+    public): score every document with the trigram LM
+    (:func:`lm_perplexity`), then assign equal-depth NTILE(k) buckets
+    over ascending average NLL — bucket 1 = head (most reference-like),
+    k = tail. The standard corpus-quality partition consumed by
+    curriculum samplers.
+
+    Integer-exact end to end: the per-doc score is
+    ``avg_nll_micro = (nll_milli * 1000) // n_trigrams`` (int64 floor),
+    and the global tile comes from the house two-pass distributed rank
+    (``ranked_by_value`` — no global sort) over the composite order key
+    ``avg_nll_micro·2^24 + doc_id``, whose ordering equals SQL
+    ``ORDER BY avg_nll_micro, doc_id``; the tile split is DuckDB's
+    larger-buckets-first arithmetic, so the whole operator SQL-replays.
+    The 24-bit id slice is collision-free at test scale but caps at
+    ~16.7M docs — at corpus scale widen the slice (the ``doc_ntile``
+    order-key caveat; ties would still land in the same tile, only the
+    exact equal-depth split drifts).
+
+    Returns (id, avg_nll_micro, bucket) for documents with ≥1 trigram.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ..pipelines.relational import ranked_by_value
+
+    ppl = lm_perplexity(ds, text_col=text_col, id_col=id_col,
+                        lang_col=lang_col, ref_lang=ref_lang).materialize()
+    n = ppl.count()
+
+    def make_ds():
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            avg = ((df["nll_milli"].to_numpy(np.int64) * 1000)
+                   // df["n_trigrams"].to_numpy(np.int64))
+            key = (avg << 24) + df[id_col].to_numpy(np.int64)
+            return pd.DataFrame({id_col: df[id_col],
+                                 "avg_nll_micro": avg,
+                                 "pb_g": np.zeros(len(df), dtype=np.int64),
+                                 "pb_key": key})
+
+        return ppl.map_batches(prep, batch_format="pandas")
+
+    ranked = ranked_by_value(make_ds, group_col="pb_g", value_col="pb_key",
+                             out_cols=[id_col, "avg_nll_micro"], shift=36,
+                             nrows=n)
+    q, r = divmod(n, k)
+    big = (q + 1) * r
+    qq = max(q, 1)
+
+    def to_tile(df: pd.DataFrame) -> pd.DataFrame:
+        rn = df["rnk"].to_numpy(np.int64)
+        tile = np.where(rn <= big, (rn - 1) // (q + 1),
+                        r + (rn - 1 - big) // qq) + 1
+        return pd.DataFrame({id_col: df[id_col],
+                             "avg_nll_micro": df["avg_nll_micro"],
+                             "bucket": tile.astype(np.int64)})
+
+    return ranked.map_batches(to_tile, batch_format="pandas")

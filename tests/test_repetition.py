@@ -207,3 +207,50 @@ class TestSourceMix:
                         "source": pa.array(["mystery", "mystery"])})
         pq.write_table(tbl, tmp_path / "documents.parquet")
         assert source_mix(str(tmp_path), rates={}).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# perplexity_buckets (CCNet head/middle/tail ntile binning)
+# ---------------------------------------------------------------------------
+
+
+def _pb(docs, k=3):
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_parser_ray.stages.textstage import perplexity_buckets
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [d for d, _, _ in docs],
+        "text": [t for _, t, _ in docs],
+        "lang": [lg for _, _, lg in docs]}))
+    return sorted((r["doc_id"], r["avg_nll_micro"], r["bucket"])
+                  for r in perplexity_buckets(ds, k=k).take_all())
+
+
+def test_perplexity_buckets_order_and_split(ray_session):
+    # 'en' docs define the LM; the reference-like doc gets bucket 1, the
+    # out-of-distribution doc bucket k. 7 scored docs at k=3 → 3/2/2.
+    ref = "the quick brown fox jumps over the lazy dog and runs away"
+    docs = [(i, ref, "en") for i in range(5)] + [
+        (5, "zzq xvw qqj zzq xvw", "de"),
+        (6, "the quick brown fox", "fr")]
+    rows = _pb(docs)
+    assert len(rows) == 7
+    sizes = {}
+    for _d, _a, b in rows:
+        sizes[b] = sizes.get(b, 0) + 1
+    assert sizes == {1: 3, 2: 2, 3: 2}   # DuckDB larger-buckets-first
+    by_doc = {d: (a, b) for d, a, b in rows}
+    assert by_doc[5][1] == 3             # OOD text lands in the tail
+    assert by_doc[6][1] <= 2             # reference-like text stays ahead
+    # identical texts tie on score; doc_id breaks the tie deterministically
+    ref_docs = sorted(d for d in range(5))
+    buckets = [by_doc[d][1] for d in ref_docs]
+    assert buckets == sorted(buckets)
+
+
+def test_perplexity_buckets_fewer_rows_than_k(ray_session):
+    docs = [(0, "abcabc", "en"), (1, "abcabc", "en")]
+    rows = _pb(docs, k=3)
+    assert [b for _d, _a, b in rows] == [1, 2]
