@@ -2094,6 +2094,41 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_phash_dedup(sf_dir: str):
+    """Image near-duplicate detection by perceptual hash (stages/media.py:
+    phash_dup_edges): real from-scratch PNG decode → 8×8 average-hash →
+    the shared 4×16-bit hamming band LSH. The fixture plants 8 pixel-
+    identical pairs ENCODED DIFFERENTLY (different PNG filter types), so
+    a byte-level hash would miss every pair — the perceptual path is what
+    links them. Rows-only (PNG inflate is legitimately non-SQL);
+    semantics are pytest-gated (tests/test_media.py)."""
+    import ray.data
+    from pdf_parser_ray.functions.png import decode_png, encode_png
+    from pdf_parser_ray.stages.media import phash_dup_edges, synth_png_table
+
+    tbl = synth_png_table(n=48)
+    refs, payloads = [], []
+    for i in range(8):  # re-encode the same pixels with another filter
+        px = decode_png(tbl.column("payload")[i].as_py())
+        refs.append(f"png://dup/{i}")
+        payloads.append(encode_png(px, filter_type=(i + 1) % 5))
+    dup = pa.table({
+        "media_ref": pa.array(refs, type=pa.string()),
+        "media_type": pa.array(["image"] * 8, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": tbl.column("width")[:8],
+        "height": tbl.column("height")[:8],
+        "duration_ms": tbl.column("duration_ms")[:8],
+    })
+    ds = ray.data.from_arrow(pa.concat_tables([tbl, dup]))
+    edges = phash_dup_edges(ds, decoder="png", nrows=56)
+    df = edges.to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"media_ref": pd.Series(dtype="object"),
+                           "dup_of": pd.Series(dtype="object")})
+    return df.sort_values(["media_ref", "dup_of"]).reset_index(drop=True)
+
+
 def _q_media_features_png(sf_dir: str):
     """REAL image decode: deterministic baseline-PNG payloads decoded by
     the from-scratch stdlib-zlib codec (functions/png.py) inside the
@@ -2718,6 +2753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pq": _q_knn_pq,
         "media_features": _q_media_features,
         "media_features_png": _q_media_features_png,
+        "phash_dedup": _q_phash_dedup,       # rows-only (PNG decode)
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
         "frame_sample_gif": _q_frame_sample_gif,

@@ -595,6 +595,37 @@ def simhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
     """(doc_id, dup_of) edges where hamming(simhash) ≤ max_hamming, found via
     4-band 16-bit LSH (any duplicate within distance 3 shares ≥1 band)."""
 
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        # task-mode (SimHasher is stateless-cheap; no actor pool needed)
+        hasher = SimHasher()
+        sigs = [hasher.signature(t or "")
+                for t in batch.column(text_col).to_pylist()]
+        return batch.append_column("simhash", pa.array(sigs, type=pa.uint64()))
+
+    return hamming_band_edges(
+        ds.map_batches(sketch_batch, batch_format="pyarrow"),
+        id_col=id_col, max_hamming=max_hamming, nrows=nrows)
+
+
+def hamming_band_edges(sketched, *, id_col: str = "doc_id",
+                       sig_col: str = "simhash", max_hamming: int = 3,
+                       nrows: int | None = None):
+    """Generic 64-bit-signature near-dup edges via 4×16-bit band LSH +
+    vectorized hamming verify — the shared back half of
+    ``simhash_dedup_edges`` (text) and image perceptual-hash dedup
+    (stages/media.phash_dup_edges): any pair within hamming distance 3
+    shares at least one of the 4 bands (pigeonhole). ``sketched`` must
+    already carry the uint64 signature in ``sig_col``; rows with a null
+    signature (e.g. undecodable images) are dropped before banding."""
+    if sig_col != "simhash":
+        sketched = sketched.map_batches(
+            lambda b: b.rename_columns(
+                ["simhash" if c == sig_col else c for c in b.column_names]),
+            batch_format="pyarrow")
+    sketched = sketched.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("simhash"))),
+        batch_format="pyarrow")
+
     def partition_edges(g: pd.DataFrame) -> pd.DataFrame:
         # vectorized within-partition (coarse crc32 groupby; see minhash note)
         if len(g) < 2:
@@ -619,14 +650,6 @@ def simhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
         parts = vec_str_buckets(batch.column("band_key").to_pandas(), 64)
         return batch.append_column("band_part", pa.array(parts, type=pa.int64()))
 
-    def sketch_batch(batch: pa.Table) -> pa.Table:
-        # task-mode (SimHasher is stateless-cheap; no actor pool needed)
-        hasher = SimHasher()
-        sigs = [hasher.signature(t or "")
-                for t in batch.column(text_col).to_pylist()]
-        return batch.append_column("simhash", pa.array(sigs, type=pa.uint64()))
-
-    sketched = ds.map_batches(sketch_batch, batch_format="pyarrow")
     bands = sketched.map_batches(simhash_band_explode, batch_format="pyarrow",
                                  fn_kwargs={"id_col": id_col})
     # zero-sort coalesce gate (see _lsh_candidate_pairs). With ``nrows``

@@ -565,3 +565,61 @@ def media_context(ds, *, spans_col: str = "spans", id_col: str = "doc_id",
                         schema=out_schema)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class ImagePHash:
+    """Actor-pool stage: encoded image payload → 64-bit perceptual hash
+    (average-hash/aHash — public algorithm: 8×8 grayscale thumbnail,
+    bit i = pixel_i > image mean). Decoding reuses :class:`ImageDecode`
+    (real from-scratch PNG/JPEG codecs or the deterministic fake), with
+    the resize-to-8×8 folded INTO decode so the full-resolution tensor
+    never exists; undecodable payloads yield a null hash (fail-soft).
+    Integer-exact: grayscale = (r+g+b)//3, mean = sum//64, strict '>' —
+    bit-reproducible anywhere. The payload and pixel columns are DROPPED
+    on output: what leaves the stage is one uint64 per image."""
+
+    def __init__(self, decoder: str = "fake", ref_col: str = "media_ref"):
+        self._decode = ImageDecode(out_h=8, out_w=8, decoder=decoder)
+        self.ref_col = ref_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = self._decode(batch)
+        hashes = []
+        for buf in out.column("pixels").to_pylist():
+            if buf is None:
+                hashes.append(None)
+                continue
+            arr = np.frombuffer(buf, dtype=np.uint8).reshape(8, 8, 3)
+            gray = arr.astype(np.int64).sum(axis=2) // 3
+            bits = (gray > (int(gray.sum()) // 64)).flatten()
+            hashes.append(int.from_bytes(np.packbits(bits).tobytes(), "big"))
+        keep = [c for c in out.column_names
+                if c not in ("payload", "pixels", "pixels_shape")]
+        return out.select(keep).append_column(
+            "phash", pa.array(hashes, type=pa.uint64()))
+
+
+def phash_dup_edges(media_ds, *, decoder: str = "fake",
+                    ref_col: str = "media_ref", max_hamming: int = 3,
+                    concurrency: int = 2, nrows: int | None = None):
+    """Image near-duplicate edges by perceptual hash: decode+hash in an
+    actor pool (codec state warm per actor), then the SHARED 4×16-bit
+    hamming band LSH (stages/dedup.hamming_band_edges — the simhash
+    machinery, signatures swapped for aHashes). Returns (media_ref,
+    dup_of) pairs with hamming(phash) ≤ max_hamming; undecodable images
+    drop out before banding. The exchange carries (band_key, ref, u64)
+    rows only — pixels never shuffle."""
+    from .dedup import hamming_band_edges
+
+    sketched = media_ds.map_batches(
+        ImagePHash, fn_constructor_kwargs={"decoder": decoder,
+                                           "ref_col": ref_col},
+        batch_format="pyarrow", concurrency=concurrency)
+    edges = hamming_band_edges(sketched, id_col=ref_col, sig_col="phash",
+                               max_hamming=max_hamming, nrows=nrows)
+    if ref_col != "doc_id":
+        edges = edges.map_batches(
+            lambda b: b.rename_columns(
+                [ref_col if c == "doc_id" else c for c in b.column_names]),
+            batch_format="pyarrow")
+    return edges

@@ -130,3 +130,55 @@ def test_media_context_clipping(ray_session):
     docs = [("f", [_s("text", ""), _s("image", "", "m://2", 1)])]
     (row,) = _ctx_rows(docs)
     assert row[4] == "" and row[5] == ""
+
+
+# ---------------------------------------------------------------------------
+# ImagePHash / phash_dup_edges (perceptual image dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_phash_links_reencoded_pixels_not_bytes(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_parser_ray.functions.png import encode_png
+    from pdf_parser_ray.stages.media import phash_dup_edges
+
+    rng = np.random.default_rng(7)
+    px_a = rng.integers(0, 256, size=(20, 30, 3), dtype=np.uint8)
+    px_b = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    rows = [
+        ("a0", encode_png(px_a, filter_type=0)),
+        ("a1", encode_png(px_a, filter_type=2)),   # same pixels, new bytes
+        ("b0", encode_png(px_b, filter_type=1)),
+        ("bad", b"not a png"),                      # fail-soft: null hash
+    ]
+    assert rows[0][1] != rows[1][1]                 # bytes really differ
+    tbl = pa.table({"media_ref": [r for r, _ in rows],
+                    "payload": pa.array([p for _, p in rows],
+                                        type=pa.binary())})
+    edges = phash_dup_edges(ray.data.from_arrow(tbl), decoder="png",
+                            nrows=len(rows))
+    got = sorted((r["media_ref"], r["dup_of"]) for r in edges.take_all())
+    assert got == [("a1", "a0")] or got == [("a0", "a1")]
+
+
+def test_imagephash_deterministic_and_null_on_error(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf_parser_ray.functions.png import encode_png
+    from pdf_parser_ray.stages.media import ImagePHash
+
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    px[0, 0] = 255                                  # one bright pixel
+    tbl = pa.table({"media_ref": ["x", "y"],
+                    "payload": pa.array([encode_png(px), b"junk"],
+                                        type=pa.binary())})
+    out = ImagePHash(decoder="png")(tbl)
+    h = out.column("phash").to_pylist()
+    # only the bright pixel exceeds the mean → exactly bit 63 set
+    assert h[0] == 1 << 63
+    assert h[1] is None
+    assert "payload" not in out.column_names        # slim output
