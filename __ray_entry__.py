@@ -2129,6 +2129,37 @@ def _q_phash_dedup(sf_dir: str):
     return df.sort_values(["media_ref", "dup_of"]).reset_index(drop=True)
 
 
+def _q_audio_fp_dedup(sf_dir: str):
+    """Audio near-duplicate detection by energy-contour fingerprint
+    (stages/media.py:audio_dup_edges): real WAV decode → 64-bucket
+    |energy| shape bits → the shared hamming band LSH. The fixture
+    plants 8 HALF-VOLUME re-encodes (different bytes AND different
+    samples), which only a scale-covariant perceptual fingerprint links.
+    Rows-only; semantics pytest-gated (tests/test_media.py)."""
+    import ray.data
+    from pdf_parser_ray.functions.wav import decode_wav, encode_wav
+    from pdf_parser_ray.stages.media import audio_dup_edges, synth_wav_table
+
+    tbl = synth_wav_table(n=32)
+    picks = [0, 1, 2, 3, 4, 5, 6, 8]  # skip the planted-garbage row 7
+    refs, payloads = [], []
+    for i in picks:
+        arr, rate = decode_wav(tbl.column("payload")[i].as_py())
+        refs.append(f"wav://dup/{i}")
+        payloads.append(encode_wav(arr // 2, rate))
+    dup = pa.table({n: tbl.column(n).take(picks) for n in tbl.column_names})
+    dup = dup.set_column(dup.column_names.index("media_ref"), "media_ref",
+                         pa.array(refs, type=pa.string()))
+    dup = dup.set_column(dup.column_names.index("payload"), "payload",
+                         pa.array(payloads, type=pa.binary()))
+    ds = ray.data.from_arrow(pa.concat_tables([tbl, dup]))
+    df = audio_dup_edges(ds, decoder="wav", nrows=40).to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"media_ref": pd.Series(dtype="object"),
+                           "dup_of": pd.Series(dtype="object")})
+    return df.sort_values(["media_ref", "dup_of"]).reset_index(drop=True)
+
+
 def _q_media_features_png(sf_dir: str):
     """REAL image decode: deterministic baseline-PNG payloads decoded by
     the from-scratch stdlib-zlib codec (functions/png.py) inside the
@@ -2754,6 +2785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_features_png": _q_media_features_png,
         "phash_dedup": _q_phash_dedup,       # rows-only (PNG decode)
+        "audio_fp_dedup": _q_audio_fp_dedup,  # rows-only (WAV decode)
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
         "frame_sample_gif": _q_frame_sample_gif,

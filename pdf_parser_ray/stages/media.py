@@ -623,3 +623,69 @@ def phash_dup_edges(media_ds, *, decoder: str = "fake",
                 [ref_col if c == "doc_id" else c for c in b.column_names]),
             batch_format="pyarrow")
     return edges
+
+
+class AudioFingerprint:
+    """Actor-pool stage: encoded audio payload → 64-bit energy-contour
+    fingerprint (a chromaprint-style reduction — public idea: coarse
+    time-bucketed energy shape, hashed to bits). Decode reuses
+    :class:`AudioDecode`; per row: channel-mean mono (int64) → 64 equal
+    time buckets → bucket energy = Σ|x| → bit i = energy_i > total//64.
+    The comparison is scale-covariant, so uniform volume changes leave
+    the fingerprint (nearly) unchanged — the property that makes it
+    PERCEPTUAL rather than byte identity. Undecodable rows yield a null
+    fingerprint; sample/payload columns are dropped (slim output)."""
+
+    def __init__(self, decoder: str = "fake", ref_col: str = "media_ref"):
+        self._decode = AudioDecode(decoder=decoder)
+        self.ref_col = ref_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = self._decode(batch)
+        prints = []
+        for blob, nch in zip(out.column("samples").to_pylist(),
+                             out.column("n_channels").to_pylist()):
+            if blob is None:
+                prints.append(None)
+                continue
+            arr = np.frombuffer(blob, dtype=np.int16).astype(np.int64)
+            if nch and nch > 1:
+                arr = arr.reshape(-1, nch).sum(axis=1) // nch
+            n = len(arr)
+            if n == 0:
+                prints.append(0)
+                continue
+            mag = np.abs(arr)
+            bucket = (np.arange(n, dtype=np.int64) * 64) // n
+            energy = np.bincount(bucket, weights=mag, minlength=64)
+            energy = energy.astype(np.int64)
+            bits = energy > (int(energy.sum()) // 64)
+            prints.append(int.from_bytes(np.packbits(bits).tobytes(), "big"))
+        keep = [c for c in out.column_names
+                if c not in ("payload", "samples")]
+        return out.select(keep).append_column(
+            "afp", pa.array(prints, type=pa.uint64()))
+
+
+def audio_dup_edges(media_ds, *, decoder: str = "fake",
+                    ref_col: str = "media_ref", max_hamming: int = 3,
+                    concurrency: int = 2, nrows: int | None = None):
+    """Audio near-duplicate edges by energy-contour fingerprint — the
+    audio sibling of :func:`phash_dup_edges`, on the same shared 4×16-bit
+    hamming band LSH (stages/dedup.hamming_band_edges). Volume-rescaled
+    copies land within the hamming budget (the fingerprint is
+    scale-covariant); PCM payloads never shuffle."""
+    from .dedup import hamming_band_edges
+
+    sketched = media_ds.map_batches(
+        AudioFingerprint, fn_constructor_kwargs={"decoder": decoder,
+                                                 "ref_col": ref_col},
+        batch_format="pyarrow", concurrency=concurrency)
+    edges = hamming_band_edges(sketched, id_col=ref_col, sig_col="afp",
+                               max_hamming=max_hamming, nrows=nrows)
+    if ref_col != "doc_id":
+        edges = edges.map_batches(
+            lambda b: b.rename_columns(
+                [ref_col if c == "doc_id" else c for c in b.column_names]),
+            batch_format="pyarrow")
+    return edges

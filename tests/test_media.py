@@ -182,3 +182,38 @@ def test_imagephash_deterministic_and_null_on_error(ray_session):
     assert h[0] == 1 << 63
     assert h[1] is None
     assert "payload" not in out.column_names        # slim output
+
+
+def test_audio_fingerprint_volume_invariance(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_parser_ray.functions.wav import encode_wav
+    from pdf_parser_ray.stages.media import AudioFingerprint, audio_dup_edges
+
+    rng = np.random.default_rng(11)
+    t = np.arange(4000) / 8000
+    tone = np.clip(0.8 * np.sin(2 * np.pi * 440 * t) * 32767,
+                   -32768, 32767).astype(np.int16).reshape(-1, 1)
+    other = np.clip(0.8 * np.sin(2 * np.pi * 1700 * t ** 2) * 32767,
+                    -32768, 32767).astype(np.int16).reshape(-1, 1)
+    rows = [("a0", encode_wav(tone, 8000)),
+            ("a1", encode_wav(tone // 2, 8000)),     # half volume
+            ("b0", encode_wav(other, 8000)),
+            ("bad", b"junk")]
+    tbl = pa.table({"media_ref": [r for r, _ in rows],
+                    "payload": pa.array([p for _, p in rows],
+                                        type=pa.binary())})
+    out = AudioFingerprint(decoder="wav")(tbl)
+    h = dict(zip(out.column("media_ref").to_pylist(),
+                 out.column("afp").to_pylist()))
+    assert h["bad"] is None
+    assert bin(h["a0"] ^ h["a1"]).count("1") <= 3    # scale-covariant
+    assert "payload" not in out.column_names and \
+        "samples" not in out.column_names            # slim output
+    edges = audio_dup_edges(ray.data.from_arrow(tbl), decoder="wav",
+                            nrows=len(rows))
+    got = sorted((r["media_ref"], r["dup_of"]) for r in edges.take_all())
+    assert ("a0", "a1") in got or ("a1", "a0") in got
+    assert all({a[:1], b[:1]} != {"a", "b"} for a, b in got)
