@@ -951,9 +951,12 @@ def connected_components(edges_ds, *, a_col: str = "doc_id", b_col: str = "dup_o
 
     sym_edges = edges_ds.map_batches(sym, batch_format="pandas").materialize()
     n_edges = sym_edges.count()
+    # lo=1 (was 8): a sub-block-size edge set runs single-block rounds —
+    # forcing 8 buckets over a handful of keys guarantees empty sort
+    # ranges (schemaless blocks + wasted reduce tasks) every round
     if num_blocks is None:
-        num_blocks = choose_partitions(n_edges, default=8, lo=8, hi=256)
-    join_buckets = choose_partitions(n_edges, default=8, lo=8, hi=256)
+        num_blocks = choose_partitions(n_edges, default=8, lo=1, hi=256)
+    join_buckets = choose_partitions(n_edges, default=8, lo=1, hi=256)
     part_width = 2 * num_blocks
     sym_edges = sym_edges.repartition(num_blocks).materialize()
 
@@ -970,8 +973,12 @@ def connected_components(edges_ds, *, a_col: str = "doc_id", b_col: str = "dup_o
         def kmin(g: pd.DataFrame) -> pd.DataFrame:
             return g.groupby("node", as_index=False).agg(label=("label", "min"))
 
-        return pairs_ds.map_batches(add_part, batch_format="pandas").groupby(
-            "cc_part").map_groups(kmin, batch_format="pandas")
+        # coalesce to the partition width before the sort: one output
+        # range per input block, so surplus blocks over ≤part_width
+        # distinct cc_part values become empty schemaless ranges
+        return (pairs_ds.map_batches(add_part, batch_format="pandas")
+                .repartition(part_width)
+                .groupby("cc_part").map_groups(kmin, batch_format="pandas"))
 
     # init: label(node) = min(node, min direct neighbor)
     def init_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -985,13 +992,15 @@ def connected_components(edges_ds, *, a_col: str = "doc_id", b_col: str = "dup_o
         lab_src = labels.map_batches(
             lambda df: df.rename(columns={"node": "src", "label": "cand"}),
             batch_format="pandas")
-        j = hash_join(sym_edges, lab_src, key="src", num_buckets=join_buckets)
+        j = hash_join(sym_edges, lab_src, key="src", num_buckets=join_buckets,
+                      coalesce_blocks=join_buckets)
         new_labels = group_min_labels(j.map_batches(
             lambda df: pd.DataFrame({"node": df["dst"], "label": df["cand"]}),
             batch_format="pandas")).repartition(num_blocks).materialize()
         # converged when no label changed (labels only ever decrease)
         cmp = hash_join(labels, new_labels, key="node",
-                        num_buckets=join_buckets)
+                        num_buckets=join_buckets,
+                        coalesce_blocks=join_buckets)
         changed = cmp.map_batches(
             lambda df: pd.DataFrame({"n": [int((df["label"] != df["label_r"]).sum())]}),
             batch_format="pandas").sum("n")
