@@ -2129,6 +2129,38 @@ def _q_phash_dedup(sf_dir: str):
     return df.sort_values(["media_ref", "dup_of"]).reset_index(drop=True)
 
 
+def _q_scene_cuts(sf_dir: str):
+    """Shot-boundary detection (stages/media.py:scene_cuts): real GIF
+    decode → integer per-mille frame differencing → one row per cut.
+    The fixture appends two-scene GIFs (constant color A frames, then
+    color B) whose single cut position is known exactly; the random
+    synth animations exercise the general path. Rows-only (LZW decode
+    not SQL); exact cut semantics pytest-gated (tests/test_media.py)."""
+    import ray.data
+    from pdf_parser_ray.functions.gif import encode_gif
+    from pdf_parser_ray.stages.media import scene_cuts, synth_gif_table
+
+    tbl = synth_gif_table(n=24)
+    refs, payloads = [], []
+    for i in range(6):  # planted two-scene clips: cut at frame 3
+        a = np.full((3, 16, 16, 3), 32 * (i + 1), dtype=np.uint8)
+        b = np.full((3, 16, 16, 3), 255 - 32 * i, dtype=np.uint8)
+        refs.append(f"gif://scene/{i}")
+        payloads.append(encode_gif(np.concatenate([a, b]),
+                                   [100, 100, 100, 100, 100, 100]))
+    extra = pa.table({
+        "media_ref": pa.array(refs, type=pa.string()),
+        "media_type": pa.array(["video"] * 6, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": pa.array([16] * 6, type=pa.int32()),
+        "height": pa.array([16] * 6, type=pa.int32()),
+        "duration_ms": pa.array([600] * 6, type=pa.int32()),
+    })
+    ds = ray.data.from_arrow(pa.concat_tables([tbl, extra]))
+    df = scene_cuts(ds).to_pandas()
+    return df.sort_values(["media_ref", "frame_index"]).reset_index(drop=True)
+
+
 def _q_audio_fp_dedup(sf_dir: str):
     """Audio near-duplicate detection by energy-contour fingerprint
     (stages/media.py:audio_dup_edges): real WAV decode → 64-bucket
@@ -2786,6 +2818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_png": _q_media_features_png,
         "phash_dedup": _q_phash_dedup,       # rows-only (PNG decode)
         "audio_fp_dedup": _q_audio_fp_dedup,  # rows-only (WAV decode)
+        "scene_cuts": _q_scene_cuts,          # rows-only (GIF decode)
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
         "frame_sample_gif": _q_frame_sample_gif,

@@ -689,3 +689,69 @@ def audio_dup_edges(media_ds, *, decoder: str = "fake",
                 [ref_col if c == "doc_id" else c for c in b.column_names]),
             batch_format="pyarrow")
     return edges
+
+
+class SceneCuts:
+    """Actor-pool stage: animated-'video' payload → shot-boundary rows
+    (scene-cut detection — the classic frame-differencing algorithm,
+    public since the earliest shot-segmentation literature). Per GIF:
+    decode all frames (from-scratch LZW codec), score every consecutive
+    pair with the INTEGER per-mille mean absolute pixel difference
+    ``diff = (Σ|a−b| · 1000) // (h·w·3·255)``, and emit one row per
+    boundary whose score exceeds ``threshold_permille``.
+
+    Output (flat_map-shaped): (media_ref, frame_index, frame_ts_ms,
+    diff_permille) — frame_index is the FIRST frame of the new scene.
+    Undecodable payloads yield one null row + ``decode_error``
+    (fail-soft, the FrameSample convention). Integer arithmetic end to
+    end — bit-reproducible on any worker."""
+
+    def __init__(self, threshold_permille: int = 120, decoder: str = "gif"):
+        if decoder != "gif":
+            raise NotImplementedError(
+                f"decoder={decoder!r}: compressed video codecs are not "
+                "installed; use the from-scratch 'gif' backend")
+        self.threshold = threshold_permille
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.gif import decode_gif
+
+        refs, idxs, ts, diffs, errors = [], [], [], [], []
+        for ref, payload in zip(batch.column("media_ref").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            try:
+                frames, delays = decode_gif(payload or b"")
+            except Exception as e:
+                refs.append(ref); idxs.append(None); ts.append(None)
+                diffs.append(None)
+                errors.append(f"{type(e).__name__}: {e}")
+                continue
+            starts = np.concatenate([[0], np.cumsum(delays)[:-1]]) \
+                if len(delays) else np.zeros(0, dtype=np.int64)
+            arr = frames.astype(np.int64)
+            denom = arr.shape[1] * arr.shape[2] * arr.shape[3] * 255
+            for i in range(1, arr.shape[0]):
+                d = int(np.abs(arr[i] - arr[i - 1]).sum()) * 1000 // denom
+                if d > self.threshold:
+                    refs.append(ref); idxs.append(i)
+                    ts.append(int(starts[i])); diffs.append(d)
+                    errors.append(None)
+        return pa.table({
+            "media_ref": pa.array(refs, type=pa.string()),
+            "frame_index": pa.array(idxs, type=pa.int32()),
+            "frame_ts_ms": pa.array(ts, type=pa.int32()),
+            "diff_permille": pa.array(diffs, type=pa.int64()),
+            "decode_error": pa.array(errors, type=pa.string()),
+        })
+
+
+def scene_cuts(media_ds, *, threshold_permille: int = 120,
+               concurrency: int = 2, batch_size: int = 16):
+    """Shot-boundary detection over a video (GIF) table — an actor-pool
+    ``map_batches`` of :class:`SceneCuts`; embarrassingly parallel, the
+    payload never shuffles, output is slim boundary rows."""
+    return media_ds.map_batches(
+        SceneCuts, fn_constructor_kwargs={
+            "threshold_permille": threshold_permille},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

@@ -217,3 +217,30 @@ def test_audio_fingerprint_volume_invariance(ray_session):
     got = sorted((r["media_ref"], r["dup_of"]) for r in edges.take_all())
     assert ("a0", "a1") in got or ("a1", "a0") in got
     assert all({a[:1], b[:1]} != {"a", "b"} for a, b in got)
+
+
+def test_scene_cuts_exact_boundary(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_parser_ray.functions.gif import encode_gif
+    from pdf_parser_ray.stages.media import scene_cuts
+
+    a = np.full((3, 8, 8, 3), 10, dtype=np.uint8)
+    b = np.full((2, 8, 8, 3), 200, dtype=np.uint8)
+    two_scene = encode_gif(np.concatenate([a, b]), [50, 50, 50, 50, 50])
+    flat = encode_gif(np.full((4, 8, 8, 3), 99, dtype=np.uint8),
+                      [50, 50, 50, 50])
+    tbl = pa.table({
+        "media_ref": ["cut", "flat", "bad"],
+        "payload": pa.array([two_scene, flat, b"nope"], type=pa.binary())})
+    df = scene_cuts(ray.data.from_arrow(tbl)).to_pandas()
+    cut = df[df["media_ref"] == "cut"]
+    assert list(cut["frame_index"]) == [3]          # first frame of scene B
+    assert list(cut["frame_ts_ms"]) == [150]
+    # |200-10|·1000 // 255 = 745 per mille, every pixel
+    assert list(cut["diff_permille"]) == [745]
+    assert len(df[df["media_ref"] == "flat"]) == 0  # no cut in a still clip
+    bad = df[df["media_ref"] == "bad"]
+    assert len(bad) == 1 and bad["decode_error"].notna().all()
