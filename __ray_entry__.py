@@ -2834,6 +2834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": rel.events_hourly,
         "events_top_users": rel.events_top_users,
         "events_sessions": rel.events_sessions,
+        "funnel": rel.funnel,   # r4 session 3: ordered conversion funnel
         "events_sliding_window": rel.events_sliding_window,
         "knn_hnsw": _q_knn_hnsw,
         "dedup_semi": _q_dedup_semi,
@@ -3123,6 +3124,20 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY lang ORDER BY "
             "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT), "
             "doc_id) AS rn FROM documents) WHERE rn <= 20"
+        ),
+        "funnel": (
+            "WITH v AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "JOIN v ON v.user_id = e.user_id AND e.ts > v.t1 "
+            "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+            "p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+            "JOIN c ON c.user_id = e.user_id AND e.ts > c.t2 "
+            "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+            "SELECT v.user_id, CAST(CASE WHEN p.user_id IS NOT NULL THEN 3 "
+            "WHEN c.user_id IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) "
+            "AS funnel_stage "
+            "FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"
         ),
         "events_sessions": (
             "SELECT user_id, count(*) AS n_events, "

@@ -429,6 +429,52 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30, num_parts: int = 64):
                                   nrows=_table_nrows(sf_dir, "events"))
 
 
+def funnel(sf_dir: str, stages: tuple = ("view", "click", "purchase"),
+           num_parts: int = 64):
+    """Ordered conversion funnel — the classic product-analytics query
+    Ray Data has no primitive for: per user, stage k is reached iff an
+    event of type ``stages[k]`` occurs STRICTLY AFTER the timestamp that
+    reached stage k−1 (stage 0 anchor = the user's earliest
+    ``stages[0]`` event; each later anchor = the earliest qualifying
+    event). Returns one row per user who reached stage ≥ 1:
+    (user_id, funnel_stage) with funnel_stage in 1..len(stages).
+
+    Scale shape: the read prunes to (user_id, ts, event_type) and
+    filters to funnel types only; ONE coarse user-hash exchange (a user
+    never spans partitions), then a vectorized per-partition kernel —
+    per-stage groupby-min + merge, no per-user Python. Ties at equal
+    timestamps do NOT advance the funnel (strict '>'), which keeps the
+    semantics deterministic and exactly SQL-replayable."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    stage_list = list(stages)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("event_type"),
+                                     pa.array(stage_list)))
+
+    def funnel_part(g: pd.DataFrame) -> pd.DataFrame:
+        ts = pd.Series(ts_int_us(g["ts"]), index=g.index)
+        g = pd.DataFrame({"user_id": g["user_id"], "ts": ts,
+                          "event_type": g["event_type"]})
+        anchor = (g.loc[g["event_type"] == stage_list[0]]
+                  .groupby("user_id", as_index=False)["ts"].min()
+                  .rename(columns={"ts": "anchor"}))
+        stage = pd.Series(1, index=anchor["user_id"].to_numpy())
+        for k, ev in enumerate(stage_list[1:], start=2):
+            nxt = g.loc[g["event_type"] == ev].merge(anchor, on="user_id")
+            nxt = nxt.loc[nxt["ts"] > nxt["anchor"]]
+            anchor = (nxt.groupby("user_id", as_index=False)["ts"].min()
+                      .rename(columns={"ts": "anchor"}))
+            stage.loc[anchor["user_id"].to_numpy()] = k
+        return pd.DataFrame({"user_id": stage.index.to_numpy(),
+                             "funnel_stage": stage.to_numpy(np.int64)})
+
+    pruned = ds.map_batches(pre, batch_format="pyarrow")
+    return coarse_partition_apply(pruned, funnel_part, key_col="user_id",
+                                  part_col="fun_part", num_parts=num_parts,
+                                  nrows=_table_nrows(sf_dir, "events"))
+
+
 def _arrow_type(t):
     """Normalize Dataset.schema() entries (numpy dtypes / python types for
     pandas blocks) to Arrow DataTypes."""

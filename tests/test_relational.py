@@ -592,3 +592,38 @@ class TestExchangeSizing:
         assert arr.to_pylist() == list(vec_str_buckets(vals, 16))
         # same value → same bucket across blocks
         assert arr.to_pylist()[0] == arr.to_pylist()[4]
+
+
+def test_funnel_ordering_and_ties(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.relational import funnel
+
+    t = pd.Timestamp("2026-01-01")
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        # u1: full ordered funnel
+        (1, t, "view"), (1, t + s, "click"), (1, t + 2 * s, "purchase"),
+        # u2: purchase BEFORE click → stage 2 only
+        (2, t, "view"), (2, t + s, "purchase"), (2, t + 2 * s, "click"),
+        # u3: click at the SAME ts as view (strict '>' blocks) → stage 1
+        (3, t, "view"), (3, t, "click"),
+        # u4: no view at all → absent from the output
+        (4, t, "click"), (4, t + s, "purchase"),
+        # u5: second click after a too-early first → purchase still counts
+        (5, t + s, "view"), (5, t, "click"), (5, t + 2 * s, "click"),
+        (5, t + 3 * s, "purchase"),
+        # noise types are ignored
+        (1, t + 3 * s, "error"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    df["event_id"] = range(len(df))
+    df["value"] = 0.0
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = {r["user_id"]: r["funnel_stage"]
+           for r in funnel(str(tmp_path)).take_all()}
+    assert out == {1: 3, 2: 2, 3: 1, 5: 3}
