@@ -2835,6 +2835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users": rel.events_top_users,
         "events_sessions": rel.events_sessions,
         "funnel": rel.funnel,   # r4 session 3: ordered conversion funnel
+        "retention": rel.retention,  # r4 session 3: cohort retention
         "events_sliding_window": rel.events_sliding_window,
         "knn_hnsw": _q_knn_hnsw,
         "dedup_semi": _q_dedup_semi,
@@ -3138,6 +3139,17 @@ def oracle_sql() -> dict[str, str]:
             "WHEN c.user_id IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) "
             "AS funnel_stage "
             "FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"
+        ),
+        "retention": (
+            "WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort "
+            "FROM events GROUP BY user_id), "
+            "a AS (SELECT DISTINCT e.user_id, f.cohort, "
+            "date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS off "
+            "FROM events e JOIN f USING (user_id)) "
+            "SELECT CAST(date_diff('day', DATE '1970-01-01', cohort) "
+            "AS BIGINT) AS cohort_day, CAST(off AS BIGINT) AS day_offset, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM a GROUP BY cohort, off"
         ),
         "events_sessions": (
             "SELECT user_id, count(*) AS n_events, "

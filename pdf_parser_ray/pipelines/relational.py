@@ -475,6 +475,50 @@ def funnel(sf_dir: str, stages: tuple = ("view", "click", "purchase"),
                                   nrows=_table_nrows(sf_dir, "events"))
 
 
+def retention(sf_dir: str, num_parts: int = 64):
+    """Cohort retention — the other canonical product-analytics matrix:
+    users cohort by their FIRST active day; for every (cohort, day
+    offset) cell, how many distinct cohort members were active that day.
+
+    Scale shape: one coarse user-hash exchange (a user never spans
+    partitions, so per-user first-day and distinct-active-day are exact
+    per partition); each partition emits tiny (cohort·1e5 + offset,
+    count) partials — bounded by days², not users — which fold through
+    the house group-sum. Days are integer days-since-epoch (ts_int_us //
+    86.4e9), matching DuckDB's CAST(ts AS DATE) truncation, so the whole
+    matrix is SQL-exact. Returns (cohort_day, day_offset, n_users)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    _DAY_US = 86_400_000_000
+
+    def part_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        day = ts_int_us(g["ts"]) // _DAY_US
+        df = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "day": day})
+        df = df.drop_duplicates()
+        first = (df.groupby("user_id", as_index=False)["day"].min()
+                 .rename(columns={"day": "cohort"}))
+        df = df.merge(first, on="user_id")
+        df["off"] = df["day"] - df["cohort"]
+        agg = df.groupby(["cohort", "off"], as_index=False).size()
+        return pd.DataFrame({
+            "ck": (agg["cohort"] * 100_000 + agg["off"]).astype("int64"),
+            "n": agg["size"].astype("int64")})
+
+    partials = coarse_partition_apply(ds, part_kernel, key_col="user_id",
+                                      part_col="ret_part",
+                                      num_parts=num_parts,
+                                      nrows=_table_nrows(sf_dir, "events"))
+    summed = partitioned_group_sum(partials, key="ck",
+                                   sum_cols={"n_users": "n"})
+
+    def decompose(df: pd.DataFrame) -> pd.DataFrame:
+        ck = df["ck"].to_numpy(np.int64)
+        return pd.DataFrame({"cohort_day": ck // 100_000,
+                             "day_offset": ck % 100_000,
+                             "n_users": df["n_users"].astype("int64")})
+
+    return summed.map_batches(decompose, batch_format="pandas")
+
+
 def _arrow_type(t):
     """Normalize Dataset.schema() entries (numpy dtypes / python types for
     pandas blocks) to Arrow DataTypes."""

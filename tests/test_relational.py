@@ -627,3 +627,33 @@ def test_funnel_ordering_and_ties(ray_session, tmp_path):
     out = {r["user_id"]: r["funnel_stage"]
            for r in funnel(str(tmp_path)).take_all()}
     assert out == {1: 3, 2: 2, 3: 1, 5: 3}
+
+
+def test_retention_cohort_matrix(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.relational import retention
+
+    d = lambda day, h=0: pd.Timestamp("2026-01-01") + pd.Timedelta(days=day,
+                                                                   hours=h)
+    rows = [
+        # cohort day 0: users 1, 2. u1 active days 0,1; u2 days 0,2
+        (1, d(0)), (1, d(0, 5)), (1, d(1)),       # same-day dup collapses
+        (2, d(0)), (2, d(2)),
+        # cohort day 1: user 3, active days 1 and 3
+        (3, d(1)), (3, d(3)),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    df["event_id"] = range(len(df))
+    df["event_type"] = "view"
+    df["value"] = 0.0
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = {(r["cohort_day"], r["day_offset"]): r["n_users"]
+           for r in retention(str(tmp_path)).take_all()}
+    epoch0 = (pd.Timestamp("2026-01-01") - pd.Timestamp("1970-01-01")).days
+    assert out == {(epoch0, 0): 2, (epoch0, 1): 1, (epoch0, 2): 1,
+                   (epoch0 + 1, 0): 1, (epoch0 + 1, 2): 1}
