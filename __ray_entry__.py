@@ -1324,6 +1324,40 @@ FROM comp c JOIN scored s USING (doc_id)
 """
 
 
+def _q_triangles(sf_dir: str):
+    """Triangle enumeration over the near-dup graph (stages/graph.py:
+    triangle_count — ordered-wedge self-joins, slim id rows only): the
+    graph clustering signal. ORACLE-GATED: DuckDB replays the md5
+    MinHash edge set and the two-join wedge closure."""
+    from pdf_parser_ray.stages.dedup import minhash_dedup_edges
+    from pdf_parser_ray.stages.graph import triangle_count
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    edges = minhash_dedup_edges(ds, num_perm=32, num_bands=8, threshold=0.8,
+                                sketch="md5")
+    out = triangle_count(edges)
+    df = out.to_pandas()
+    if df.empty:  # typed-empty guard (the embedding_neardup precedent)
+        df = pd.DataFrame({c: pd.Series(dtype="int64")
+                           for c in ("a", "b", "c")})
+    return df.sort_values(["a", "b", "c"]).reset_index(drop=True)
+
+
+def _triangles_sql() -> str:
+    """DuckDB replay of triangle_count over the md5 MinHash edges:
+    canonicalize to (min, max), distinct, ordered-wedge two-join."""
+    return f"""
+WITH e0 AS ({_minhash_md5_sql()}),
+e AS (
+  SELECT DISTINCT least(doc_id, dup_of) AS a, greatest(doc_id, dup_of) AS b
+  FROM e0 WHERE doc_id <> dup_of
+)
+SELECT e1.a, e1.b, e2.b AS c
+FROM e e1 JOIN e e2 ON e2.a = e1.b
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
 def _q_simhash_dedup(sf_dir: str):
     from pdf_parser_ray.stages.dedup import simhash_dedup_edges
 
@@ -2772,6 +2806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_canonical": _q_cluster_canonical,
         "inverted_index": _q_inverted_index,
         "perplexity_buckets": _q_perplexity_buckets,
+        "triangles": _q_triangles,
         "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,          # green r3
         # contamination: green r3; its r4 above-gate tier cannot execute
@@ -2836,6 +2871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": rel.events_sessions,
         "funnel": rel.funnel,   # r4 session 3: ordered conversion funnel
         "retention": rel.retention,  # r4 session 3: cohort retention
+        "event_transitions": rel.event_transitions,  # Markov matrix
         "events_sliding_window": rel.events_sliding_window,
         "knn_hnsw": _q_knn_hnsw,
         "dedup_semi": _q_dedup_semi,
@@ -2922,6 +2958,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_dedup": _segment_dedup_sql(),
         "cluster_canonical": _cluster_canonical_sql(),
         "inverted_index": _inverted_index_sql(),
+        "triangles": _triangles_sql(),
         "strip_dup_spans": _strip_dup_spans_sql(),
         "bm25": _bm25_sql(_BM25_TERMS, _BM25_K1, _BM25_B),
         "contamination": _contamination_sql(),
@@ -3139,6 +3176,14 @@ def oracle_sql() -> dict[str, str]:
             "WHEN c.user_id IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) "
             "AS funnel_stage "
             "FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"
+        ),
+        "event_transitions": (
+            "WITH seq AS (SELECT user_id, event_type, lag(event_type) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "FROM events) "
+            "SELECT prev AS src_type, event_type AS dst_type, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type"
         ),
         "retention": (
             "WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort "

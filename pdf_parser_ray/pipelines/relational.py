@@ -475,6 +475,50 @@ def funnel(sf_dir: str, stages: tuple = ("view", "click", "purchase"),
                                   nrows=_table_nrows(sf_dir, "events"))
 
 
+def event_transitions(sf_dir: str, num_parts: int = 64):
+    """Per-user event-sequence transition counts (the clickstream Markov
+    matrix): order each user's events by (ts, event_id) — the tiebreak
+    makes the sequence, and therefore every count, deterministic — and
+    count corpus-wide (prev_type → type) transitions.
+
+    Scale shape: the read prunes to (user_id, ts, event_id, event_type);
+    one coarse user-hash exchange, then a vectorized sort+shift kernel
+    per partition (a user's sequence never spans partitions, so adjacent
+    pairs are exact); the (src_type, dst_type, n) partials are
+    vocabulary²-bounded and fold through the house group-sum on a
+    composite string key. Returns (src_type, dst_type, n)."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def trans_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"tk": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = np.r_[False, uid[1:] == uid[:-1]]
+        src = np.r_[[""], et[:-1]][same]
+        dst = et[same]
+        df = pd.DataFrame({"tk": pd.Series(src) + "\x1f" + pd.Series(dst)})
+        agg = df.groupby("tk", as_index=False).size()
+        return pd.DataFrame({"tk": agg["tk"],
+                             "n": agg["size"].astype("int64")})
+
+    partials = coarse_partition_apply(ds, trans_part, key_col="user_id",
+                                      part_col="tr_part",
+                                      num_parts=num_parts,
+                                      nrows=_table_nrows(sf_dir, "events"))
+    summed = partitioned_group_sum(partials, key="tk", sum_cols={"n": "n"})
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["tk"].str.split("\x1f", n=1, expand=True)
+        return pd.DataFrame({"src_type": parts[0], "dst_type": parts[1],
+                             "n": df["n"].astype("int64")})
+
+    return summed.map_batches(split, batch_format="pandas")
+
+
 def retention(sf_dir: str, num_parts: int = 64):
     """Cohort retention — the other canonical product-analytics matrix:
     users cohort by their FIRST active day; for every (cohort, day

@@ -167,3 +167,71 @@ def pagerank_sql(edges_sql: str, *, iters: int = 10) -> str:
             f") c ON c.node = n.node)")
     return (", ".join(parts)
             + f" SELECT node, v AS rank_micro FROM pr{iters}")
+
+
+def triangle_count(edges_ds, *, a_col: str = "doc_id", b_col: str = "dup_of",
+                   nrows: int | None = None):
+    """Distributed triangle enumeration over an undirected edge set — the
+    classic graph clustering-signal (and the standard distributed-graph
+    benchmark): emit one row (a, b, c), a < b < c, per triangle.
+
+    The ordered-wedge shape (public algorithm family, cf. node-iterator
+    with vertex ordering): canonicalize every edge to (min, max) and
+    de-dup; join E with itself on the middle vertex — because BOTH sides
+    are low-to-high ordered, each wedge (a < b < c) materializes exactly
+    once; close the wedge with one more join against E on the (a, c)
+    pair. Every exchange ships slim id pairs/triples, never payload; the
+    wedge set is Σ deg(v)² — the algorithm's inherent cost — so hub
+    vertices dominate, which the ordering halves but cannot remove
+    (split hot vertices upstream if a social-scale graph ever lands
+    here; duplicate-cluster graphs are shallow and near-linear).
+
+    Integer ids only (the repo's dup graphs). All joins SQL-replayable.
+    """
+    import pyarrow as pa
+
+    from ..pipelines.relational import (choose_partitions,
+                                        coarse_partition_apply, hash_join)
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[[a_col, b_col]].min(axis=1).astype("int64")
+        b = df[[a_col, b_col]].max(axis=1).astype("int64")
+        out = pd.DataFrame({"a": a, "b": b})
+        out = out[out["a"] != out["b"]].drop_duplicates()
+        out["ab"] = out["a"].astype(str) + ":" + out["b"].astype(str)
+        return out
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["ab"])
+
+    edges = edges_ds.map_batches(canon, batch_format="pandas").materialize()
+    n_edges = nrows if nrows is not None else edges.count()
+    width = choose_partitions(n_edges, default=8, lo=1, hi=256)
+    e = coarse_partition_apply(edges, distinct, key_col="ab",
+                               part_col="tc_part", num_parts=width,
+                               nrows=n_edges).materialize()
+
+    i64, s = pa.int64(), pa.string()
+    mid = e.map_batches(
+        lambda df: pd.DataFrame({"b": df["a"].astype("int64"),
+                                 "c": df["b"].astype("int64")}),
+        batch_format="pandas")
+    wedges = hash_join(
+        e.map_batches(lambda df: df[["a", "b"]], batch_format="pandas"),
+        mid, key="b", num_buckets=width, coalesce_blocks=width,
+        left_types={"a": i64, "b": i64},
+        right_types={"b": i64, "c": i64})
+
+    def wedge_key(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["a", "b", "c"]].copy()
+        out["ab"] = out["a"].astype(str) + ":" + out["c"].astype(str)
+        return out
+
+    closing = e.map_batches(lambda df: df[["ab"]], batch_format="pandas")
+    tri = hash_join(wedges.map_batches(wedge_key, batch_format="pandas"),
+                    closing, key="ab", num_buckets=width,
+                    coalesce_blocks=width,
+                    left_types={"a": i64, "b": i64, "c": i64, "ab": s},
+                    right_types={"ab": s})
+    return tri.map_batches(lambda df: df[["a", "b", "c"]],
+                           batch_format="pandas")

@@ -81,3 +81,35 @@ class TestPagerank:
             "node", ignore_index=True)
         pd.testing.assert_frame_equal(got, exp[got.columns],
                                       check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# triangle_count (ordered-wedge enumeration)
+# ---------------------------------------------------------------------------
+
+
+def _tri(pairs):
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_parser_ray.stages.graph import triangle_count
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([a for a, _ in pairs], type=pa.int64()),
+        "dup_of": pa.array([b for _, b in pairs], type=pa.int64())}))
+    return sorted((r["a"], r["b"], r["c"])
+                  for r in triangle_count(ds).take_all())
+
+
+def test_triangle_k4_and_square(ray_session):
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    assert _tri(k4) == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+    square = [(1, 2), (2, 3), (3, 4), (4, 1)]   # cycle, no chord
+    assert _tri(square) == []
+
+
+def test_triangle_dedup_and_degenerate_edges(ray_session):
+    # reversed duplicates, repeated edges, and self-loops collapse/drop
+    noisy = [(2, 1), (1, 2), (3, 1), (2, 3), (3, 2), (1, 1)]
+    assert _tri(noisy) == [(1, 2, 3)]
+    assert _tri([(5, 5)]) == []

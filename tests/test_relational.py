@@ -657,3 +657,29 @@ def test_retention_cohort_matrix(ray_session, tmp_path):
     epoch0 = (pd.Timestamp("2026-01-01") - pd.Timestamp("1970-01-01")).days
     assert out == {(epoch0, 0): 2, (epoch0, 1): 1, (epoch0, 2): 1,
                    (epoch0 + 1, 0): 1, (epoch0 + 1, 2): 1}
+
+
+def test_event_transitions_order_and_ties(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.relational import event_transitions
+
+    t = pd.Timestamp("2026-01-01")
+    s = pd.Timedelta(seconds=1)
+    # u1: A B A; u2: A B with a TIE on ts broken by event_id (10 < 11)
+    rows = [
+        (1, t, 0, "A"), (1, t + s, 1, "B"), (1, t + 2 * s, 2, "A"),
+        (2, t, 10, "A"), (2, t, 11, "B"),
+        (3, t, 20, "C"),                      # singleton: no transition
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+    df["value"] = 0.0
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = {(r["src_type"], r["dst_type"]): r["n"]
+           for r in event_transitions(str(tmp_path)).take_all()}
+    assert out == {("A", "B"): 2, ("B", "A"): 1}
