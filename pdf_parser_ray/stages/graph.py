@@ -80,13 +80,6 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
         key_col="node", part_col="pr_part", num_parts=width,
         nrows=n_edges * 2).repartition(width).materialize()
 
-    def init_rank(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": df["node"],
-                             "v": pd.Series([_MICRO] * len(df),
-                                            dtype="int64")})
-
-    ranks = nodes.map_batches(init_rank, batch_format="pandas").materialize()
-
     # schema types for the per-round joins (Dataset.schema() on these
     # materialized slim tables is metadata-only). _arrow_type: pandas
     # blocks report numpy dtypes (object for strings) — hash_join's
@@ -98,18 +91,35 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
     import pyarrow as pa
     v_t, d_t = pa.int64(), pa.int64()
 
+    # out-degree is STATIC: fold it into the rank table ONCE (dangling
+    # nodes carry a null d) so each round runs 2 exchanges-with-joins
+    # instead of 3 — the per-round ranks⋈outdeg join would re-ship the
+    # same (node, d) pairs every iteration
+    nodes_d = hash_join(nodes, outdeg, key="node", how="left",
+                        num_buckets=width,
+                        left_types={"node": ntype},
+                        right_types={"node": ntype, "d": d_t},
+                        coalesce_blocks=width).materialize()
+
+    def init_rank(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"],
+                             "v": pd.Series([_MICRO] * len(df),
+                                            dtype="int64"),
+                             "d": df["d"]})
+
+    ranks = nodes_d.map_batches(init_rank,
+                                batch_format="pandas").materialize()
+
     for _ in range(iters):
-        # contrib[u] = v // d, shipped onto edges by src
-        j = hash_join(ranks, outdeg, key="node", num_buckets=width,
-                      left_types={"node": ntype, "v": v_t},
-                      right_types={"node": ntype, "d": d_t},
-                      coalesce_blocks=width)
-
+        # contrib[u] = v // d, computed in place (d rides with the rank)
         def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.loc[df["d"].notna()]
+            d = df["d"].astype("int64")
             return pd.DataFrame({src_col: df["node"],
-                                 "c": (df["v"] // df["d"]).astype("int64")})
+                                 "c": (df["v"] // d).astype("int64")})
 
-        je = hash_join(edges, j.map_batches(contrib, batch_format="pandas"),
+        je = hash_join(edges,
+                       ranks.map_batches(contrib, batch_format="pandas"),
                        key=src_col, num_buckets=width,
                        left_types={src_col: ntype, dst_col: ntype},
                        right_types={src_col: ntype, "c": v_t},
@@ -123,9 +133,9 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
             je.map_batches(to_dst, batch_format="pandas"),
             key="node", sum_cols={"c": "c"}, num_parts=width,
             nrows=n_edges)
-        filled = hash_join(nodes, sums, key="node", how="left",
+        filled = hash_join(nodes_d, sums, key="node", how="left",
                            num_buckets=width,
-                           left_types={"node": ntype},
+                           left_types={"node": ntype, "d": d_t},
                            right_types={"node": ntype, "c": v_t},
                            coalesce_blocks=width)
 
@@ -134,13 +144,14 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
             return pd.DataFrame({
                 "node": df["node"],
                 "v": (_BASE_MICRO
-                      + (_DAMPING_MILLI * c) // 1000).astype("int64")})
+                      + (_DAMPING_MILLI * c) // 1000).astype("int64"),
+                "d": df["d"]})
 
         ranks = filled.map_batches(step, batch_format="pandas").repartition(
             width).materialize()
 
     return ranks.map_batches(
-        lambda df: df.rename(columns={"v": "rank_micro"}),
+        lambda df: df[["node", "v"]].rename(columns={"v": "rank_micro"}),
         batch_format="pandas")
 
 
