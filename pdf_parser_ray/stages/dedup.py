@@ -1877,9 +1877,14 @@ def strip_common_segments(ds, *, text_col: str = "text",
 
     def doc_side(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        # null text coalesces to '' (the broadcast path's `t or ""`):
+        # rebuild() tells the two union sides apart by scs_text nullity,
+        # so a null-text doc row would be misread as a removal row and
+        # the document would vanish from the output
         return pa.table({id_col: batch.column(id_col),
-                         "scs_text": pc.cast(batch.column(text_col),
-                                             pa.string()),
+                         "scs_text": pc.fill_null(
+                             pc.cast(batch.column(text_col), pa.string()),
+                             ""),
                          "seg_no": pa.nulls(n, type=pa.int64())})
 
     def rm_side(batch: pa.Table) -> pa.Table:

@@ -239,9 +239,12 @@ def triangle_count(edges_ds, *, a_col: str = "doc_id", b_col: str = "dup_of",
         return out
 
     closing = e.map_batches(lambda df: df[["ab"]], batch_format="pandas")
+    # no coalesce on the closure join: its left side is the WEDGE set
+    # (Σ deg² — potentially far larger than the edge count the width was
+    # sized from); funneling it through an edge-sized block count would
+    # concentrate the quadratic exchange (hash_join's own wide-side rule)
     tri = hash_join(wedges.map_batches(wedge_key, batch_format="pandas"),
                     closing, key="ab", num_buckets=width,
-                    coalesce_blocks=width,
                     left_types={"a": i64, "b": i64, "c": i64, "ab": s},
                     right_types={"ab": s})
     return tri.map_batches(lambda df: df[["a", "b", "c"]],

@@ -527,13 +527,16 @@ def media_context(ds, *, spans_col: str = "spans", id_col: str = "doc_id",
     after_text), contexts clipped to ``max_chars`` characters (tail of
     the preceding span, head of the following — the caption-proximal
     ends). Spans are processed in list order, which the extraction
-    contract guarantees is reading order."""
-    out_schema = pa.schema([
-        (id_col, pa.string()), ("media_ref", pa.string()),
-        ("span_order", pa.int32()), ("kind", pa.string()),
-        ("before_text", pa.string()), ("after_text", pa.string())])
+    contract guarantees is reading order. The id column keeps the INPUT
+    column's Arrow type (int ids stay ints — a str() coercion would make
+    the output silently unjoinable back to its corpus)."""
 
     def fn(batch: pa.Table) -> pa.Table:
+        id_type = batch.schema.field(id_col).type
+        out_schema = pa.schema([
+            (id_col, id_type), ("media_ref", pa.string()),
+            ("span_order", pa.int32()), ("kind", pa.string()),
+            ("before_text", pa.string()), ("after_text", pa.string())])
         ids, refs, orders, kinds, before, after = [], [], [], [], [], []
         for did, spans in zip(batch.column(id_col).to_pylist(),
                               batch.column(spans_col).to_pylist()):
@@ -543,7 +546,7 @@ def media_context(ds, *, spans_col: str = "spans", id_col: str = "doc_id",
             pending: list[int] = []
             for idx, s in enumerate(spans):
                 if s.get("media_ref"):
-                    ids.append(str(did))
+                    ids.append(did)
                     refs.append(s["media_ref"])
                     orders.append(int(s.get("offset", idx)))
                     kinds.append(s.get("kind") or "")
@@ -556,7 +559,7 @@ def media_context(ds, *, spans_col: str = "spans", id_col: str = "doc_id",
                         after[j] = t[:max_chars]
                     pending.clear()
                     prev_text = t
-        return pa.table({id_col: pa.array(ids, type=pa.string()),
+        return pa.table({id_col: pa.array(ids, type=id_type),
                          "media_ref": pa.array(refs, type=pa.string()),
                          "span_order": pa.array(orders, type=pa.int32()),
                          "kind": pa.array(kinds, type=pa.string()),
@@ -578,9 +581,8 @@ class ImagePHash:
     bit-reproducible anywhere. The payload and pixel columns are DROPPED
     on output: what leaves the stage is one uint64 per image."""
 
-    def __init__(self, decoder: str = "fake", ref_col: str = "media_ref"):
+    def __init__(self, decoder: str = "fake"):
         self._decode = ImageDecode(out_h=8, out_w=8, decoder=decoder)
-        self.ref_col = ref_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = self._decode(batch)
@@ -612,8 +614,7 @@ def phash_dup_edges(media_ds, *, decoder: str = "fake",
     from .dedup import hamming_band_edges
 
     sketched = media_ds.map_batches(
-        ImagePHash, fn_constructor_kwargs={"decoder": decoder,
-                                           "ref_col": ref_col},
+        ImagePHash, fn_constructor_kwargs={"decoder": decoder},
         batch_format="pyarrow", concurrency=concurrency)
     edges = hamming_band_edges(sketched, id_col=ref_col, sig_col="phash",
                                max_hamming=max_hamming, nrows=nrows)
@@ -636,9 +637,8 @@ class AudioFingerprint:
     PERCEPTUAL rather than byte identity. Undecodable rows yield a null
     fingerprint; sample/payload columns are dropped (slim output)."""
 
-    def __init__(self, decoder: str = "fake", ref_col: str = "media_ref"):
+    def __init__(self, decoder: str = "fake"):
         self._decode = AudioDecode(decoder=decoder)
-        self.ref_col = ref_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = self._decode(batch)
@@ -678,8 +678,7 @@ def audio_dup_edges(media_ds, *, decoder: str = "fake",
     from .dedup import hamming_band_edges
 
     sketched = media_ds.map_batches(
-        AudioFingerprint, fn_constructor_kwargs={"decoder": decoder,
-                                                 "ref_col": ref_col},
+        AudioFingerprint, fn_constructor_kwargs={"decoder": decoder},
         batch_format="pyarrow", concurrency=concurrency)
     edges = hamming_band_edges(sketched, id_col=ref_col, sig_col="afp",
                                max_hamming=max_hamming, nrows=nrows)

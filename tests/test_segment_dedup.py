@@ -140,3 +140,27 @@ def test_cluster_canonical_explicit_width(ray_session):
     keep = {d for d, _c, _n, k in rows if k}
     # per residue class the max doc_id wins (score == id)
     assert keep == {36, 37, 38, 39}
+
+
+def test_null_text_survives_both_paths(ray_session):
+    # a null text cell must yield (id, '', 0, 0) on BOTH gate paths —
+    # the above-gate rebuild distinguishes union sides by text nullity,
+    # so an uncoalesced null doc row used to vanish from the output
+    docs = [(0, "a b c a b c"), (1, "a b c z z z"), (2, None), (3, "m n o")]
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_parser_ray.stages.dedup import strip_common_segments
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [d for d, _ in docs],
+        "text": pa.array([t for _, t in docs], type=pa.string())}))
+    for limit in (2_000_000, 0):
+        rows = sorted((r["doc_id"], r["clean_text"], r["n_seg_kept"],
+                       r["n_seg_removed"])
+                      for r in strip_common_segments(
+                          ds, width=3, max_df=1,
+                          broadcast_limit=limit).take_all())
+        assert [r[0] for r in rows] == [0, 1, 2, 3], rows
+        assert rows[2] == (2, "", 0, 0)
+        assert rows[0] == (0, "", 0, 2)          # both 'a b c' copies go
