@@ -545,6 +545,44 @@ FROM nseg n LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _q_dedup_incremental(sf_dir: str):
+    """Cross-run incremental exact dedup (stages/dedup.py:
+    exact_dedup_incremental): the md5-bucket<20 slice plays the PRIOR
+    committed corpus, the rest is the new snapshot, and every new doc
+    whose text hash already occurs in the prior slice is dropped via the
+    bucket-partitioned exact anti-join. ORACLE-GATED: same md5-prefix
+    hash rule on both sides in SQL."""
+    from pdf_parser_ray.stages.dedup import exact_dedup_incremental
+
+    ds = _documents(sf_dir,
+                    columns=["doc_id", "text", "lang", "source", "n_chars"])
+    prior = ds.map_batches(_md5_bucket_split,
+                           fn_kwargs={"want_test": True, "pct": 20},
+                           batch_format="pyarrow")
+    new = ds.map_batches(_md5_bucket_split,
+                         fn_kwargs={"want_test": False, "pct": 20},
+                         batch_format="pyarrow")
+    return exact_dedup_incremental(new, prior)
+
+
+_DEDUP_INCREMENTAL_SQL = """
+WITH b AS (
+  SELECT doc_id, text, lang, source, n_chars,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+      % 100 AS bk
+  FROM documents
+),
+prior AS (
+  SELECT DISTINCT CAST('0x' || substr(md5(text), 1, 16) AS UBIGINT) AS th
+  FROM b WHERE bk < 20
+)
+SELECT doc_id, text, lang, source, n_chars FROM b
+WHERE bk >= 20
+  AND CAST('0x' || substr(md5(text), 1, 16) AS UBIGINT)
+      NOT IN (SELECT th FROM prior)
+"""
+
+
 def _md5_bucket_split(batch: pa.Table, *, want_test: bool,
                       pct: int = 10) -> pa.Table:
     """Deterministic train/test split on the hash_sample md5-bucket rule
@@ -2807,6 +2845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "perplexity_buckets": _q_perplexity_buckets,
         "triangles": _q_triangles,
+        "dedup_incremental": _q_dedup_incremental,
         "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,          # green r3
         # contamination: green r3; its r4 above-gate tier cannot execute
@@ -2959,6 +2998,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_canonical": _cluster_canonical_sql(),
         "inverted_index": _inverted_index_sql(),
         "triangles": _triangles_sql(),
+        "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
         "strip_dup_spans": _strip_dup_spans_sql(),
         "bm25": _bm25_sql(_BM25_TERMS, _BM25_K1, _BM25_B),
         "contamination": _contamination_sql(),

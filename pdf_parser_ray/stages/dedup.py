@@ -1966,3 +1966,44 @@ def cluster_canonical(labels_ds, scores_ds, *, id_col: str = "doc_id",
     return coarse_partition_apply(j, pick, key_col=cluster_col,
                                   part_col="cc_pick", num_parts=width,
                                   nrows=nrows)
+
+
+def exact_dedup_incremental(new_ds, prior_ds, *, text_col: str = "text",
+                            num_buckets: int = 32):
+    """Cross-run incremental exact dedup: keep only the NEW documents
+    whose text does not already occur in a PRIOR corpus — the ingestion
+    step of a continuously-growing 100-TB pipeline (each crawl snapshot
+    dedups against everything committed before it; public practice in
+    every incremental web-corpus build).
+
+    Scale shape: the prior side reduces to per-batch-distinct uint64
+    md5 text hashes (slim — the prior corpus' payload never moves);
+    the new side ships once through the bucket-partitioned exact
+    anti-join (``semi_anti_join``). Hash rule is the house
+    DuckDB-replayable md5-prefix (functions/hashing.md5_u64), so the
+    whole operator is SQL-oracle-checkable; a 64-bit collision would
+    wrongly drop one new doc — the standard trade accepted by every
+    hash-identity dedup at this scale."""
+    from ..functions.hashing import md5_u64
+    from ..pipelines.relational import _arrow_type, semi_anti_join
+
+    def add_th(batch: pa.Table) -> pa.Table:
+        th = md5_u64([v or "" for v in batch.column(text_col).to_pylist()])
+        return batch.append_column("__th", pa.array(th, type=pa.uint64()))
+
+    def prior_th(batch: pa.Table) -> pa.Table:
+        th = np.unique(md5_u64(
+            [v or "" for v in batch.column(text_col).to_pylist()]))
+        return pa.table({"__th": pa.array(th, type=pa.uint64())})
+
+    lschema = new_ds.schema()
+    ltypes = {n: _arrow_type(t)
+              for n, t in zip(lschema.names, lschema.types)}
+    ltypes["__th"] = pa.uint64()
+    out = semi_anti_join(
+        new_ds.map_batches(add_th, batch_format="pyarrow"),
+        prior_ds.map_batches(prior_th, batch_format="pyarrow"),
+        left_key="__th", anti=True, num_buckets=num_buckets,
+        left_types=ltypes)
+    return out.map_batches(lambda b: b.drop_columns(["__th"]),
+                           batch_format="pyarrow")

@@ -164,3 +164,26 @@ def test_null_text_survives_both_paths(ray_session):
         assert [r[0] for r in rows] == [0, 1, 2, 3], rows
         assert rows[2] == (2, "", 0, 0)
         assert rows[0] == (0, "", 0, 2)          # both 'a b c' copies go
+
+
+def test_exact_dedup_incremental_planted(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_parser_ray.stages.dedup import exact_dedup_incremental
+
+    prior = ray.data.from_arrow(pa.table({
+        "doc_id": [100, 101], "text": ["seen before", "also seen"]}))
+    new = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["fresh one", "seen before", "also seen", "fresh two"]}))
+    out = sorted((r["doc_id"], r["text"])
+                 for r in exact_dedup_incremental(new, prior).take_all())
+    assert out == [(1, "fresh one"), (4, "fresh two")]
+    # empty prior: everything survives
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string())}))
+    out = sorted(r["doc_id"]
+                 for r in exact_dedup_incremental(new, empty).take_all())
+    assert out == [1, 2, 3, 4]
