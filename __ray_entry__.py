@@ -2911,6 +2911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": rel.funnel,   # r4 session 3: ordered conversion funnel
         "retention": rel.retention,  # r4 session 3: cohort retention
         "event_transitions": rel.event_transitions,  # Markov matrix
+        "shipping_priority": rel.shipping_priority,  # TPC-H Q3
         "events_sliding_window": rel.events_sliding_window,
         "knn_hnsw": _q_knn_hnsw,
         "dedup_semi": _q_dedup_semi,
@@ -3216,6 +3217,18 @@ def oracle_sql() -> dict[str, str]:
             "WHEN c.user_id IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) "
             "AS funnel_stage "
             "FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"
+        ),
+        "shipping_priority": (
+            "SELECT l_orderkey, CAST(sum(CAST(round(l_extendedprice"
+            "*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "o_orderdate, o_orderpriority "
+            "FROM customer, orders, lineitem "
+            "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
+            "AND l_orderkey = o_orderkey "
+            "AND o_orderdate < TIMESTAMP '1996-06-30' "
+            "AND l_shipdate > TIMESTAMP '1996-06-30' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue_cents DESC, o_orderdate, l_orderkey LIMIT 10"
         ),
         "event_transitions": (
             "WITH seq AS (SELECT user_id, event_type, lag(event_type) "

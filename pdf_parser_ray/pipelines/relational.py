@@ -429,6 +429,194 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30, num_parts: int = 64):
                                   nrows=_table_nrows(sf_dir, "events"))
 
 
+def shipping_priority(sf_dir: str, *, segment: str = "BUILDING",
+                      cutoff: str = "1996-06-30", k: int = 10,
+                      broadcast_limit: int = 2_000_000):
+    """TPC-H Q3 (shipping priority): top-k not-yet-shipped orders by
+    revenue for one market segment — customer ⋈ orders ⋈ lineitem with
+    date filters on both fact sides, grouped by (orderkey, orderdate,
+    orderpriority), ordered by revenue desc / orderdate asc. Revenue is
+    the house integer-cents rule (per-row round → int64 sum, order-free).
+
+    Two paths on the dimension-side row counts (parquet-footer
+    ``_table_nrows`` — no scan), the ``customer_order_revenue`` shape:
+
+    * both sides under the gate: segment custkeys and the date-filtered
+      slim order triples broadcast once via ray.put; the lineitem scan is
+      the only full pass (filter → searchsorted probe → per-orderkey
+      partial sums), combined in a sortless repartition tree, order
+      attributes re-attached from the broadcast arrays, bounded top-k.
+      ZERO sort shuffles.
+    * above the gate (the 10^12-row path): semi-join orders against the
+      segment keys, bucket hash-join the per-orderkey lineitem partials,
+      coarse-partition group-sum, bounded two-level top-k — slim
+      exchanges only, nothing customer- or order-sized on the driver.
+    """
+    cutoff_ts = pd.Timestamp(cutoff)
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_orderpriority"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def li_rev_cents(batch: pa.Table) -> pa.Array:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      batch.column("l_discount")))
+        return _cents(rev)
+
+    n_cust = _table_nrows(sf_dir, "customer")
+    n_orders = _table_nrows(sf_dir, "orders")
+    out_cols = ["l_orderkey", "revenue_cents", "o_orderdate",
+                "o_orderpriority"]
+
+    if n_cust <= broadcast_limit and n_orders <= broadcast_limit:
+        def seg_keys(df: pd.DataFrame) -> pd.DataFrame:
+            return df.loc[df["c_mktsegment"] == segment, ["c_custkey"]]
+
+        ckeys = np.sort(cust.map_batches(seg_keys, batch_format="pandas")
+                        .to_pandas().get("c_custkey",
+                                         pd.Series(dtype="int64"))
+                        .to_numpy(np.int64))
+        cref = ray.put(ckeys)
+
+        def order_slim(df: pd.DataFrame) -> pd.DataFrame:
+            ck = ray.get(cref)
+            df = df.loc[df["o_orderdate"] < cutoff_ts]
+            if len(ck) and len(df):
+                key = df["o_custkey"].to_numpy(np.int64)
+                idx, hit = _ss_match(ck, key)
+                df = df.loc[hit]
+            else:
+                df = df.iloc[0:0]
+            return df[["o_orderkey", "o_orderdate", "o_orderpriority"]]
+
+        odf = (orders.map_batches(order_slim, batch_format="pandas")
+               .to_pandas())
+        if "o_orderkey" not in odf.columns:  # fully-empty loses schema
+            odf = pd.DataFrame({
+                "o_orderkey": pd.Series(dtype="int64"),
+                "o_orderdate": pd.Series(dtype="datetime64[us]"),
+                "o_orderpriority": pd.Series(dtype="object")})
+        odf = odf.sort_values("o_orderkey")
+        oref = ray.put((odf["o_orderkey"].to_numpy(np.int64),
+                        odf["o_orderdate"].to_numpy(),
+                        odf["o_orderpriority"].to_numpy()))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            ok, _, _ = ray.get(oref)
+            ship = batch.column("l_shipdate")
+            batch = batch.filter(pc.greater(
+                ship, pa.scalar(cutoff_ts.to_pydatetime())))
+            if len(ok) == 0 or batch.num_rows == 0:
+                return pa.table({
+                    "l_orderkey": pa.array([], type=pa.int64()),
+                    "revenue_cents": pa.array([], type=pa.int64())})
+            lkey = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            _, hit = _ss_match(ok, lkey)
+            cents = li_rev_cents(batch).to_numpy(zero_copy_only=False)
+            g = pd.DataFrame({"l_orderkey": lkey[hit],
+                              "revenue_cents": cents[hit]}).groupby(
+                "l_orderkey", as_index=False)["revenue_cents"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        def combine(batch: pa.Table) -> pa.Table:
+            g = batch.group_by("l_orderkey").aggregate(
+                [("revenue_cents", "sum")])
+            return pa.table({"l_orderkey": g.column("l_orderkey"),
+                             "revenue_cents": g.column("revenue_cents_sum")})
+
+        partials = li.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=131072)
+        final = (partials.repartition(8)
+                 .map_batches(combine, batch_format="pyarrow",
+                              batch_size=None)
+                 .repartition(1)
+                 .map_batches(combine, batch_format="pyarrow",
+                              batch_size=None))
+
+        def attach_head(df: pd.DataFrame) -> pd.DataFrame:
+            ok, od, op = ray.get(oref)
+            if len(df) == 0:
+                return pd.DataFrame({
+                    "l_orderkey": pd.Series(dtype="int64"),
+                    "revenue_cents": pd.Series(dtype="int64"),
+                    "o_orderdate": pd.Series(dtype="datetime64[us]"),
+                    "o_orderpriority": pd.Series(dtype="object")})
+            idx, hit = _ss_match(ok, df["l_orderkey"].to_numpy(np.int64))
+            out = pd.DataFrame({
+                "l_orderkey": df["l_orderkey"].astype("int64"),
+                "revenue_cents": df["revenue_cents"].astype("int64"),
+                "o_orderdate": pd.Series(od[idx]),
+                "o_orderpriority": pd.Series(op[idx])})
+            return out.sort_values(
+                ["revenue_cents", "o_orderdate", "l_orderkey"],
+                ascending=[False, True, True]).head(k)
+
+        return final.map_batches(attach_head, batch_format="pandas",
+                                 batch_size=None)
+
+    # ABOVE THE GATE — slim-exchange composition
+    def seg_slim(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["c_mktsegment"] == segment, ["c_custkey"]]
+
+    def ord_slim(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["o_orderdate"] < cutoff_ts,
+                      ["o_orderkey", "o_custkey", "o_orderdate",
+                       "o_orderpriority"]]
+
+    orders_f = semi_anti_join(
+        orders.map_batches(ord_slim, batch_format="pandas"),
+        cust.map_batches(seg_slim, batch_format="pandas"),
+        left_key="o_custkey", right_key="c_custkey",
+        num_buckets=choose_partitions(n_orders, default=32),
+        left_types={"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
+                    "o_orderdate": pa.timestamp("us"),
+                    "o_orderpriority": pa.string()})
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(
+            batch.column("l_shipdate"),
+            pa.scalar(cutoff_ts.to_pydatetime())))
+        # keyed o_orderkey: the join key must share its NAME across both
+        # hash_join sides (a differently-named key column would be
+        # dropped by the align step and joined as typed nulls)
+        t = pa.table({"o_orderkey": batch.column("l_orderkey"),
+                      "revenue_cents": li_rev_cents(batch)})
+        g = t.group_by("o_orderkey").aggregate([("revenue_cents", "sum")])
+        return pa.table({"o_orderkey": g.column("o_orderkey"),
+                         "revenue_cents": g.column("revenue_cents_sum")})
+
+    joined = hash_join(
+        orders_f.map_batches(
+            lambda df: df[["o_orderkey", "o_orderdate", "o_orderpriority"]],
+            batch_format="pandas"),
+        li.map_batches(li_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        key="o_orderkey", num_buckets=choose_partitions(n_orders,
+                                                        default=32),
+        left_types={"o_orderkey": pa.int64(),
+                    "o_orderdate": pa.timestamp("us"),
+                    "o_orderpriority": pa.string()},
+        right_types={"o_orderkey": pa.int64(), "revenue_cents": pa.int64()})
+
+    def regroup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"],
+                        as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"))
+        out = out.rename(columns={"o_orderkey": "l_orderkey"})
+        return out.astype({"l_orderkey": "int64",
+                           "revenue_cents": "int64"})[out_cols]
+
+    grouped = coarse_partition_apply(joined, regroup, key_col="o_orderkey",
+                                     part_col="q3_part", num_parts=64,
+                                     nrows=None)
+    return topk(grouped, by=["revenue_cents", "o_orderdate", "l_orderkey"],
+                descending=[True, False, False], k=k)
+
+
 def funnel(sf_dir: str, stages: tuple = ("view", "click", "purchase"),
            num_parts: int = 64):
     """Ordered conversion funnel — the classic product-analytics query

@@ -683,3 +683,23 @@ def test_event_transitions_order_and_ties(ray_session, tmp_path):
     out = {(r["src_type"], r["dst_type"]): r["n"]
            for r in event_transitions(str(tmp_path)).take_all()}
     assert out == {("A", "B"): 2, ("B", "A"): 1}
+
+
+def test_shipping_priority_paths_equal(ray_session):
+    # TPC-H Q3: the broadcast fast path and the above-gate slim-join
+    # composition must produce identical top-10 rows on real sf data
+    from pdf_parser_ray.pipelines.relational import shipping_priority
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["l_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority"]
+
+    def norm(ds):
+        df = ds.to_pandas()
+        if df.empty:
+            return []
+        return [tuple(r) for r in
+                df[cols].sort_values(cols).itertuples(index=False)]
+
+    fast = norm(shipping_priority(sf))
+    slow = norm(shipping_priority(sf, broadcast_limit=0))
+    assert fast == slow and len(fast) > 0
