@@ -2836,6 +2836,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_min": _q_count_min,
         "redact_pii": _q_redact_pii,
         # -------------- below the 50-query driver window --------------
+        # ROUND-5 ROTATION PLAN: move the never-driver-checked oracled
+        # session-3 additions into the window front (segment_dedup,
+        # cluster_canonical, inverted_index, perplexity_buckets,
+        # triangles, dedup_incremental, funnel, retention,
+        # event_transitions, shipping_priority — all locally
+        # oracle-verified via tools/check_oracles.py) plus the rows-only
+        # media_context / phash_dedup / audio_fp_dedup / scene_cuts;
+        # rotate OUT queries that go green in CORRECTNESS_r04 and whose
+        # code is untouched in round 5.
         # minhash_dedup_md5: green r3; same md5 16x4 configuration as the
         # in-window minhash_dedup, so its driver slot went to pagerank
         # segment_dedup: new in r4 session 3, fully oracled — round-5
