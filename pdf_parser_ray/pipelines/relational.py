@@ -718,7 +718,12 @@ def retention(sf_dir: str, num_parts: int = 64):
     count) partials — bounded by days², not users — which fold through
     the house group-sum. Days are integer days-since-epoch (ts_int_us //
     86.4e9), matching DuckDB's CAST(ts AS DATE) truncation, so the whole
-    matrix is SQL-exact. Returns (cohort_day, day_offset, n_users)."""
+    matrix is SQL-exact. Packing bounds are ASSERTED in the kernel:
+    0 ≤ day_offset < 100 000 (a ~274-year span between a user's first
+    and last event) and cohort ≥ 0 (no pre-1970 timestamps) — outside
+    them the ·1e5 pack-and-decompose would silently corrupt cells, so
+    the kernel fails loud instead. Returns (cohort_day, day_offset,
+    n_users)."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
     _DAY_US = 86_400_000_000
 
@@ -731,6 +736,12 @@ def retention(sf_dir: str, num_parts: int = 64):
         df = df.merge(first, on="user_id")
         df["off"] = df["day"] - df["cohort"]
         agg = df.groupby(["cohort", "off"], as_index=False).size()
+        # loud-failure guards for the ·1e5 packing (docstring)
+        if len(agg):
+            assert int(agg["off"].max()) < 100_000, \
+                "retention: day_offset >= 100000 breaks the packed key"
+            assert int(agg["cohort"].min()) >= 0, \
+                "retention: pre-epoch cohort breaks the packed key"
         return pd.DataFrame({
             "ck": (agg["cohort"] * 100_000 + agg["off"]).astype("int64"),
             "n": agg["size"].astype("int64")})

@@ -548,7 +548,10 @@ def media_context(ds, *, spans_col: str = "spans", id_col: str = "doc_id",
                 if s.get("media_ref"):
                     ids.append(did)
                     refs.append(s["media_ref"])
-                    orders.append(int(s.get("offset", idx)))
+                    # offset can be PRESENT but null (nullable int32
+                    # struct field) — fall back to position either way
+                    off = s.get("offset")
+                    orders.append(int(off) if off is not None else idx)
                     kinds.append(s.get("kind") or "")
                     before.append(prev_text[-max_chars:])
                     after.append("")          # patched when text arrives
@@ -578,8 +581,12 @@ class ImagePHash:
     the resize-to-8×8 folded INTO decode so the full-resolution tensor
     never exists; undecodable payloads yield a null hash (fail-soft).
     Integer-exact: grayscale = (r+g+b)//3, mean = sum//64, strict '>' —
-    bit-reproducible anywhere. The payload and pixel columns are DROPPED
-    on output: what leaves the stage is one uint64 per image."""
+    bit-reproducible anywhere. Constant / near-constant thumbnails
+    (gray range ≤ 2) also yield a NULL hash: strict '>' maps every flat
+    image to hash 0 regardless of color, which would cross-link
+    solid-color images of different colors as mutual near-duplicates.
+    The payload and pixel columns are DROPPED on output: what leaves
+    the stage is one uint64 per image."""
 
     def __init__(self, decoder: str = "fake"):
         self._decode = ImageDecode(out_h=8, out_w=8, decoder=decoder)
@@ -593,6 +600,9 @@ class ImagePHash:
                 continue
             arr = np.frombuffer(buf, dtype=np.uint8).reshape(8, 8, 3)
             gray = arr.astype(np.int64).sum(axis=2) // 3
+            if int(gray.max()) - int(gray.min()) <= 2:
+                hashes.append(None)   # flat image: no structure to hash
+                continue
             bits = (gray > (int(gray.sum()) // 64)).flatten()
             hashes.append(int.from_bytes(np.packbits(bits).tobytes(), "big"))
         keep = [c for c in out.column_names

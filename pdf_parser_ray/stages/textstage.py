@@ -1004,8 +1004,11 @@ def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
             terms.extend(cnt.keys())
             ids.extend([i] * len(cnt))
             tfs.extend(cnt.values())
+        # id column typed from the INPUT schema: an all-empty batch would
+        # otherwise emit a null-typed column and a mixed-schema block
         return pa.table({"term": pa.array(terms, type=pa.string()),
-                         id_col: pa.array(ids),
+                         id_col: pa.array(ids,
+                                          type=batch.column(id_col).type),
                          "tf": pa.array(tfs, type=pa.int64())})
 
     triples = ds.map_batches(partials, batch_format="pyarrow")
@@ -1038,13 +1041,14 @@ def perplexity_buckets(ds, *, k: int = 3, text_col: str = "text",
     ``avg_nll_micro = (nll_milli * 1000) // n_trigrams`` (int64 floor),
     and the global tile comes from the house two-pass distributed rank
     (``ranked_by_value`` — no global sort) over the composite order key
-    ``avg_nll_micro·2^24 + doc_id``, whose ordering equals SQL
+    ``avg_nll_micro·2^33 + doc_id``, whose ordering equals SQL
     ``ORDER BY avg_nll_micro, doc_id``; the tile split is DuckDB's
     larger-buckets-first arithmetic, so the whole operator SQL-replays.
-    The 24-bit id slice is collision-free at test scale but caps at
-    ~16.7M docs — at corpus scale widen the slice (the ``doc_ntile``
-    order-key caveat; ties would still land in the same tile, only the
-    exact equal-depth split drifts).
+    Packing bounds are ASSERTED, not assumed: ``doc_id < 2^33`` (~8.6B
+    docs) and ``avg_nll_micro < 2^30`` (~1073 nats/trigram — far above
+    any real LM score), so id bits can never bleed into the score bits
+    and silently mis-order ranks; past 2^33 docs switch the order key to
+    the two-column (score, id) form through a string key.
 
     Returns (id, avg_nll_micro, bucket) for documents with ≥1 trigram.
     """
@@ -1061,7 +1065,15 @@ def perplexity_buckets(ds, *, k: int = 3, text_col: str = "text",
         def prep(df: pd.DataFrame) -> pd.DataFrame:
             avg = ((df["nll_milli"].to_numpy(np.int64) * 1000)
                    // df["n_trigrams"].to_numpy(np.int64))
-            key = (avg << 24) + df[id_col].to_numpy(np.int64)
+            ids = df[id_col].to_numpy(np.int64)
+            # loud-failure guards for the 2^33/2^30 packing (docstring)
+            assert ids.size == 0 or (0 <= ids.min()
+                                     and ids.max() < (1 << 33)), \
+                "perplexity_buckets: doc_id exceeds the 2^33 order-key slice"
+            assert avg.size == 0 or (0 <= avg.min()
+                                     and avg.max() < (1 << 30)), \
+                "perplexity_buckets: avg_nll_micro exceeds 2^30"
+            key = (avg << 33) + ids
             return pd.DataFrame({id_col: df[id_col],
                                  "avg_nll_micro": avg,
                                  "pb_g": np.zeros(len(df), dtype=np.int64),
@@ -1069,8 +1081,10 @@ def perplexity_buckets(ds, *, k: int = 3, text_col: str = "text",
 
         return ppl.map_batches(prep, batch_format="pandas")
 
+    # shift=45 keeps bucket granularity at avg_nll_micro >> 12 (the same
+    # coarse-offset footprint the 2^24 packing had with shift=36)
     ranked = ranked_by_value(make_ds, group_col="pb_g", value_col="pb_key",
-                             out_cols=[id_col, "avg_nll_micro"], shift=36,
+                             out_cols=[id_col, "avg_nll_micro"], shift=45,
                              nrows=n)
     q, r = divmod(n, k)
     big = (q + 1) * r
