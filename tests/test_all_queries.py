@@ -68,6 +68,9 @@ def _names():
         "perplexity_backoff",
         # round-4 rows-only (graph ANN; recall-gated in test_dedup_similarity)
         "knn_hnsw",
+        # round-5 oracle: full BPE train+encode SQL replay (corpus-trained,
+        # no inlined literals — gates at ANY scale, unlike knn_ivf/knn_pq)
+        "bpe_tokens",
         # model_filter is excluded like knn_ivf/knn_pq: its oracle inlines
         # weights trained at the sf0.01 gate scale (test_classifier gates
         # the matched-scale parity)
@@ -96,3 +99,26 @@ class TestDriverContract:
 
     def test_every_oracle_has_a_query(self, entrymod):
         assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
+
+    def test_readme_registry_counts_match(self, entrymod):
+        """README's registry counts are generated claims, not prose: both
+        places that state them must equal the LIVE queries()/oracle_sql()
+        registries (the r4 verdict found them drifted; this pins them)."""
+        import re
+        from pathlib import Path
+
+        n_q = len(entrymod.queries())
+        n_o = len(set(entrymod.oracle_sql()) & set(entrymod.queries()))
+        text = Path(__file__).resolve().parents[1].joinpath(
+            "README.md").read_text()
+        m1 = re.search(r"(\d+) driver-contract queries cover the operator "
+                       r"inventory, (\d+) of them value-gated", text)
+        assert m1, "README line-22-style count sentence missing"
+        assert (int(m1.group(1)), int(m1.group(2))) == (n_q, n_o)
+        m2 = re.search(r"(\d+) driver queries, (\d+) DuckDB-oracle-gated",
+                       text)
+        assert m2, "README summary-bullet count sentence missing"
+        assert (int(m2.group(1)), int(m2.group(2))) == (n_q, n_o)
+        n_rows_only = n_q - n_o
+        m3 = re.search(r"the (\d+) rows-only queries", text)
+        assert m3 and int(m3.group(1)) == n_rows_only
