@@ -55,10 +55,11 @@ class ImageDecode:
         stdlib-zlib codec (functions/png.py) + nearest-neighbor resize +
         RGB normalization. Undecodable payloads yield null pixels plus a
         ``decode_error`` string (per-row fail-soft, B2-style).
-      - ``"jpeg"``: REAL decode of baseline JPEG/JFIF (the dominant web
-        image format) via the from-scratch huffman+IDCT codec
-        (functions/jpeg.py) — 4:4:4 / 4:2:2 / 4:2:0, grayscale, restart
-        intervals; same fail-soft contract.
+      - ``"jpeg"``: REAL decode of baseline AND progressive (SOF2)
+        JPEG/JFIF (the dominant web image format) via the from-scratch
+        huffman+IDCT codec (functions/jpeg.py) — 4:4:4 / 4:2:2 / 4:2:0,
+        grayscale, restart intervals, multi-scan successive
+        approximation; same fail-soft contract.
       - ``"fake"``: deterministic sha256-seeded tensor (schema/determinism
         tests, other media types).
       - anything else (``"pillow"``...): NotImplementedError — those

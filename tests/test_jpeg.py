@@ -102,12 +102,22 @@ class TestErrors:
         with pytest.raises(ValueError):
             decode_jpeg(data[: len(data) // 2])
 
-    def test_progressive_rejected(self):
+    def test_invalid_progressive_script_in_stream(self):
+        # a baseline full-band scan relabeled SOF2 is an invalid
+        # progressive stream (a DC scan must have Se=0)
         img = np.full((8, 8, 3), 10, dtype=np.uint8)
         data = bytearray(encode_jpeg(img))
         i = data.find(b"\xff\xc0")
         data[i + 1] = 0xC2  # SOF0 → SOF2 (progressive)
-        with pytest.raises(ValueError, match="non-baseline"):
+        with pytest.raises(ValueError, match="DC scan"):
+            decode_jpeg(bytes(data))
+
+    def test_arithmetic_rejected(self):
+        img = np.full((8, 8, 3), 10, dtype=np.uint8)
+        data = bytearray(encode_jpeg(img))
+        i = data.find(b"\xff\xc0")
+        data[i + 1] = 0xC9  # SOF9: arithmetic-coded sequential
+        with pytest.raises(ValueError, match="SOF9"):
             decode_jpeg(bytes(data))
 
     def test_bad_encoder_args(self):
@@ -162,3 +172,139 @@ class TestImageDecodeStage:
         data[i:i] = b"\xff\xff"
         out = decode_jpeg(bytes(data))
         assert np.array_equal(out, img)
+
+
+def _fixture_images(seed: int = 7):
+    """Deterministic image zoo: dense-spectrum noise, smooth gradient
+    (long zero runs → ZRL/EOB paths), and a flat field with one patch
+    (EOB runs spanning many blocks)."""
+    rng = np.random.default_rng(seed)
+    noise = rng.integers(0, 256, size=(37, 53, 3), dtype=np.uint8)
+    gradient = (np.add.outer(np.arange(40) * 3, np.arange(64) * 2)[..., None]
+                .repeat(3, axis=2) % 256).astype(np.uint8)
+    flat_patch = np.full((48, 48, 3), 200, np.uint8)
+    flat_patch[20:24, 20:24] = [10, 250, 30]
+    return {"noise": noise, "gradient": gradient, "flat_patch": flat_patch}
+
+
+class TestProgressive:
+    """SOF2 multi-scan decode (spectral selection + successive
+    approximation). The anchor invariant: baseline and progressive
+    encodes share the exact same quantized coefficients, so their
+    decodes must be IDENTICAL uint8 arrays — any drift in the scan
+    accumulation (DC/AC first/refine, EOB runs, correction bits) breaks
+    equality against the independent sequential decode path."""
+
+    @pytest.mark.parametrize("sub", ["444", "420"])
+    @pytest.mark.parametrize("quality", [50, 90])
+    def test_matches_baseline_decode_exactly(self, sub, quality):
+        for name, img in _fixture_images().items():
+            base = decode_jpeg(encode_jpeg(img, quality=quality,
+                                           subsampling=sub))
+            prog = decode_jpeg(encode_jpeg(img, quality=quality,
+                                           subsampling=sub,
+                                           progressive=True))
+            assert np.array_equal(base, prog), (name, sub, quality)
+
+    def test_grayscale(self):
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, size=(33, 41), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=75))
+        prog = decode_jpeg(encode_jpeg(img, quality=75, progressive=True))
+        assert prog.shape == (33, 41, 1)
+        assert np.array_equal(base, prog)
+
+    @pytest.mark.parametrize("rst", [1, 3, 7])
+    def test_restart_intervals(self, rst):
+        img = _fixture_images()["noise"]
+        base = decode_jpeg(encode_jpeg(img, quality=80))
+        prog = decode_jpeg(encode_jpeg(img, quality=80, progressive=True,
+                                       restart_interval=rst))
+        assert np.array_equal(base, prog)
+
+    def test_eob_run_spans_blocks(self):
+        # flat field: every AC-first block is an immediate EOB, so the
+        # encoder accumulates one EOBn run across ALL blocks of the scan
+        # — the stream must actually contain an EOBn symbol with r > 0,
+        # proving the cross-block run path ran (not just per-block EOB0)
+        img = _fixture_images()["flat_patch"]
+        data = encode_jpeg(img, quality=50, progressive=True)
+        base = decode_jpeg(encode_jpeg(img, quality=50))
+        assert np.array_equal(base, decode_jpeg(data))
+        # 36 blocks/component at 48x48: a full-scan EOB run needs r >= 5
+        assert len(data) < len(encode_jpeg(img, quality=50,
+                                           progressive=True,
+                                           restart_interval=1))
+
+    def test_spectral_selection_only_script(self):
+        # no successive approximation at all: DC scan then per-component
+        # band splits at Ah=Al=0
+        script = (
+            ((0, 1, 2), 0, 0, 0, 0),
+            ((0,), 1, 9, 0, 0),
+            ((0,), 10, 63, 0, 0),
+            ((1,), 1, 63, 0, 0),
+            ((2,), 1, 63, 0, 0),
+        )
+        for name, img in _fixture_images().items():
+            base = decode_jpeg(encode_jpeg(img, quality=85))
+            prog = decode_jpeg(encode_jpeg(img, quality=85,
+                                           progressive=True,
+                                           scan_script=script))
+            assert np.array_equal(base, prog), name
+
+    def test_deep_refinement_script(self):
+        # three AC refinement levels for luma (Al 3→0) exercises repeated
+        # correction-bit passes over the same coefficients
+        script = (
+            ((0, 1, 2), 0, 0, 0, 1),
+            ((0, 1, 2), 0, 0, 1, 0),
+            ((0,), 1, 63, 0, 3),
+            ((0,), 1, 63, 3, 2),
+            ((0,), 1, 63, 2, 1),
+            ((0,), 1, 63, 1, 0),
+            ((1,), 1, 63, 0, 0),
+            ((2,), 1, 63, 0, 0),
+        )
+        img = _fixture_images()["noise"]
+        base = decode_jpeg(encode_jpeg(img, quality=90))
+        prog = decode_jpeg(encode_jpeg(img, quality=90, progressive=True,
+                                       scan_script=script))
+        assert np.array_equal(base, prog)
+
+    def test_invalid_scan_scripts(self):
+        img = np.full((8, 8, 3), 10, dtype=np.uint8)
+        bad = [
+            (((0,), 1, 63, 0, 14),),      # Al too deep
+            (((0, 1), 1, 63, 0, 0),),     # multi-component AC scan
+            (((0,), 0, 5, 0, 0),),        # DC scan with Se != 0
+            (((0,), 5, 2, 0, 0),),        # Ss > Se
+            (((0,), 1, 63, 2, 0),),       # Ah != Al + 1
+            (((3,), 1, 63, 0, 0),),       # unknown component
+        ]
+        for script in bad:
+            with pytest.raises(ValueError):
+                encode_jpeg(img, progressive=True, scan_script=script)
+
+    def test_progressive_through_image_decode_stage(self):
+        # the media ImageDecode backend (no Ray needed: call the stage
+        # object directly) now handles SOF2 payloads
+        from pdf_parser_ray.stages.media import ImageDecode
+
+        img = _fixture_images()["gradient"]
+        t = pa.table({
+            "media_ref": pa.array(["m0"], type=pa.string()),
+            "media_type": pa.array(["jpeg"], type=pa.string()),
+            "payload": pa.array([encode_jpeg(img, quality=90,
+                                             progressive=True)],
+                                type=pa.binary()),
+        })
+        out = ImageDecode(decoder="jpeg")(t)
+        assert out.column("decode_error").to_pylist() == [None]
+        assert out.column("pixels").to_pylist()[0] is not None
+
+    def test_truncated_progressive(self):
+        img = _fixture_images()["noise"]
+        data = encode_jpeg(img, quality=80, progressive=True)
+        with pytest.raises(ValueError):
+            decode_jpeg(data[: int(len(data) * 0.4)])
