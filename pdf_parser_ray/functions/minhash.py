@@ -88,6 +88,46 @@ def _word_shingle_hashes(text: str, width: int = 5) -> np.ndarray:
         return (windows * powers).sum(axis=1, dtype=np.uint64)
 
 
+def word_shingle_hashes_batch(texts: list, width: int = 5) -> list[np.ndarray]:
+    """Batch form of ``_word_shingle_hashes``: ONE sliding-window combine
+    over the concatenated word-hash stream of the whole batch instead of
+    a per-doc numpy call chain. Bit-identical output (pytest-pinned);
+    measured 4.4× on the hash stage at sf0.1 — per-doc numpy dispatch
+    overhead, not arithmetic, was the cost (BENCH/TUNING.md round 5).
+    Returns one uint64 hash array per input text (empty for empty docs)."""
+    import zlib
+
+    tok_lists = [(x or "").lower().split() for x in texts]
+    lens = np.array([len(tk) for tk in tok_lists], dtype=np.int64)
+    flat = [zlib.crc32(w.encode("utf-8")) for toks in tok_lists for w in toks]
+    with np.errstate(over="ignore"):
+        wh = (np.array(flat, dtype=np.uint64) + np.uint64(1)) * _WORD_BASE
+        powers = np.empty(width, dtype=np.uint64)
+        acc = np.uint64(1)
+        for i in range(width):
+            powers[width - 1 - i] = acc
+            acc = acc * _WORD_BASE
+        if len(wh) >= width:
+            sw = np.lib.stride_tricks.sliding_window_view(wh, width)
+            winvals = (sw * powers).sum(axis=1, dtype=np.uint64)
+        else:
+            winvals = np.zeros(0, dtype=np.uint64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        out = []
+        for d, n in enumerate(lens):
+            if n == 0:
+                out.append(np.zeros(0, dtype=np.uint64))
+            elif n < width:   # short doc: single hash over all its tokens
+                h = np.uint64(0)
+                for v in wh[starts[d]:ends[d]]:
+                    h = h * _WORD_BASE + v
+                out.append(np.array([h], dtype=np.uint64))
+            else:             # window rows s..e-width of the global stream
+                out.append(winvals[starts[d]: ends[d] - width + 1])
+        return out
+
+
 class MinHasher:
     """Compile-once MinHash sketcher (held by an actor pool at scale)."""
 
@@ -103,6 +143,44 @@ class MinHasher:
         # (num_perm, n_shingles): ((a*x + b) mod p) truncated to 32 bits
         vals = (self.a[:, None] * (h[None, :] & _MERSENNE) + self.b[:, None]) % _MERSENNE
         return (vals & _MAX_U32).min(axis=1)
+
+    def signatures(self, texts: list, *,
+                   chunk_shingles: int = 4096) -> list[np.ndarray]:
+        """Batch sketch: bit-identical to ``[signature(t) for t in texts]``
+        (pytest-pinned) but 1.7× faster at sf0.1 (BENCH/TUNING.md round 5).
+        Two levers: ONE sliding-window shingle-hash combine for the whole
+        batch, and the permutation min-fold applied to cache-sized chunks
+        of the concatenated hash stream with ``np.minimum.reduceat`` at
+        doc offsets — full-batch folding was measured SLOWER (memory-bound
+        (num_perm × total_shingles) temporaries), per-doc folding pays
+        numpy dispatch per doc; ~4096 shingles/fold is the sweet spot."""
+        hl = word_shingle_hashes_batch(texts, self.shingle_width)
+        lens = np.array([len(h) for h in hl], dtype=np.int64)
+        sigs: list = [None] * len(hl)
+        i = 0
+        while i < len(hl):
+            j = i
+            tot = 0
+            idxs = []
+            while j < len(hl) and (tot == 0 or tot + lens[j] <= chunk_shingles):
+                if lens[j] > 0:
+                    idxs.append(j)
+                    tot += lens[j]
+                else:
+                    sigs[j] = np.full(self.num_perm, _MAX_U32, dtype=np.uint64)
+                j += 1
+            if idxs:
+                H = np.concatenate([hl[k] for k in idxs])
+                vals = (self.a[:, None] * (H[None, :] & _MERSENNE)
+                        + self.b[:, None]) % _MERSENNE
+                vals &= _MAX_U32
+                offs = np.zeros(len(idxs), dtype=np.int64)
+                np.cumsum(lens[idxs][:-1], out=offs[1:])
+                mins = np.minimum.reduceat(vals, offs, axis=1)
+                for c, k in enumerate(idxs):
+                    sigs[k] = mins[:, c]
+            i = j
+        return sigs
 
     def band_keys(self, sig: np.ndarray, num_bands: int = 16) -> list[str]:
         """LSH band keys: hash of each band's rows → bucket id strings."""

@@ -236,8 +236,8 @@ def minhash_sketch_batch(batch: pa.Table, *, num_perm: int = 128,
                          text_col: str = "text") -> pa.Table:
     """Task-mode sketch stage (warm per-worker hasher via lru_cache)."""
     hasher = _cached_minhasher(num_perm, shingle_width)
-    sigs = [hasher.signature(t or "").astype(np.uint64).tobytes()
-            for t in batch.column(text_col).to_pylist()]
+    sigs = [s.astype(np.uint64).tobytes() for s in
+            hasher.signatures(batch.column(text_col).to_pylist())]
     return batch.append_column("minhash_sig", pa.array(sigs, type=pa.binary()))
 
 

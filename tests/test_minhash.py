@@ -46,6 +46,31 @@ class TestMinHash:
         h = MinHasher()
         assert h.signature("").shape == (128,)
 
+    def test_batch_signatures_bit_identical_to_per_doc(self):
+        # the batched kernel (one sliding-window combine + chunked
+        # reduceat min-fold) must reproduce the per-doc path EXACTLY —
+        # cover empty, shorter-than-width, unicode-whitespace, and long
+        # docs, plus chunk boundaries straddling docs
+        h = MinHasher()
+        texts = ["", "one", "two words", "a b c d", _doc(3),
+                 "tab\tand nbsp em-space tokens here now",
+                 _doc(50), _doc(200), None or "", _doc(7, offset=3),
+                 " ", _doc(500), _doc(4, offset=99)]
+        per_doc = [h.signature(t) for t in texts]
+        for chunk in (1, 7, 4096):
+            batch = h.signatures(texts, chunk_shingles=chunk)
+            assert all(np.array_equal(x, y)
+                       for x, y in zip(per_doc, batch)), chunk
+
+    def test_batch_hashes_match_per_doc(self):
+        from pdf_parser_ray.functions.minhash import (
+            _word_shingle_hashes, word_shingle_hashes_batch)
+
+        texts = ["", "a", "a b c d e f g", _doc(40), "x y", _doc(3)]
+        batch = word_shingle_hashes_batch(texts, 5)
+        for t, b in zip(texts, batch):
+            assert np.array_equal(_word_shingle_hashes(t, 5), b)
+
 
 class TestSimHash:
     def test_identical(self):
