@@ -21,6 +21,19 @@ import math
 import numpy as np
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public domain constant set) — the vectorized
+    key hash for INTEGER keys. The Bloom key hash is NOT part of any
+    operator contract (filters live within one run and every survivor is
+    exactly re-verified downstream), so integer keys use this numpy path
+    while strings keep per-key md5; only the FP *pattern* differs."""
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
 class BloomFilter:
     def __init__(self, capacity: int, fp_rate: float = 0.01):
         if capacity <= 0:
@@ -41,23 +54,74 @@ class BloomFilter:
         with np.errstate(over="ignore"):
             return (np.uint64(h1) + i * np.uint64(h2)) % np.uint64(self.num_bits)
 
+    @staticmethod
+    def _numeric(keys) -> np.ndarray | None:
+        """uint64 view of an integer key collection, else None. Routing is
+        by the COLLECTION's dtype, and any integer collection of the same
+        key domain resolves to the same uint64 values on both the add and
+        probe side (int64/uint64/python-int lists all wrap identically)."""
+        if isinstance(keys, np.ndarray):
+            arr = keys
+        else:
+            try:
+                arr = np.asarray(keys)
+            except (ValueError, TypeError):
+                return None
+        if arr.ndim == 1 and arr.dtype.kind in "iu":
+            with np.errstate(over="ignore"):
+                return arr.astype(np.uint64, copy=False)
+        return None
+
+    def _pos_matrix(self, arr: np.ndarray) -> np.ndarray:
+        """(num_hashes, n) bit positions for a uint64 key array
+        (Kirsch-Mitzenmacher double hashing, vectorized)."""
+        h1 = _mix64(arr)
+        h2 = _mix64(arr ^ np.uint64(0xA5A5_A5A5_A5A5_A5A5)) | np.uint64(1)
+        i = np.arange(self.num_hashes, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            return (h1[None, :] + i * h2[None, :]) % np.uint64(self.num_bits)
+
     def add(self, key) -> None:
-        pos = self._positions(str(key))
+        if isinstance(key, (int, np.integer)) and not isinstance(key, bool):
+            pos = self._pos_matrix(np.asarray([key]).astype(np.uint64)).ravel()
+        else:
+            pos = self._positions(str(key))
         # ufunc.at: plain fancy |= drops bits when two positions share a word
         np.bitwise_or.at(self.bits, (pos // np.uint64(64)).astype(np.int64),
                          np.uint64(1) << (pos % np.uint64(64)))
 
     def add_many(self, keys) -> None:
+        keys = keys if isinstance(keys, np.ndarray) else list(keys)
+        arr = self._numeric(keys)
+        if arr is not None:
+            if len(arr):
+                pos = self._pos_matrix(arr).ravel()
+                np.bitwise_or.at(self.bits,
+                                 (pos // np.uint64(64)).astype(np.int64),
+                                 np.uint64(1) << (pos % np.uint64(64)))
+            return
         for k in keys:
             self.add(k)
 
     def might_contain(self, key) -> bool:
-        pos = self._positions(str(key))
-        word = self.bits[pos // 64]
+        if isinstance(key, (int, np.integer)) and not isinstance(key, bool):
+            pos = self._pos_matrix(np.asarray([key]).astype(np.uint64)).ravel()
+        else:
+            pos = self._positions(str(key))
+        word = self.bits[(pos // np.uint64(64)).astype(np.int64)]
         return bool(((word >> (pos % np.uint64(64))) & np.uint64(1)).all())
 
     def contains_many(self, keys) -> np.ndarray:
-        return np.array([self.might_contain(k) for k in keys], dtype=bool)
+        keys = keys if isinstance(keys, np.ndarray) else list(keys)
+        arr = self._numeric(keys)
+        if arr is None:
+            return np.array([self.might_contain(k) for k in keys], dtype=bool)
+        if len(arr) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._pos_matrix(arr)
+        words = self.bits[(pos // np.uint64(64)).astype(np.int64)]
+        hit = (words >> (pos % np.uint64(64))) & np.uint64(1)
+        return hit.all(axis=0)
 
     @property
     def nbytes(self) -> int:

@@ -1114,6 +1114,33 @@ def _dup_hash_set(ds, *, text_col: str, width: int, min_count: int):
                                   nrows=partials.count()).materialize()
 
 
+def _exchange_parts(n_est: int) -> int:
+    """Exchange width for an above-gate slim semi-join, sized from a
+    driver-side count estimate (the shared ``choose_partitions`` rule)
+    instead of the historical fixed 64 — 64 ranges over a small forced
+    run scatter the sort into empty partitions and ~7 s of pure task
+    scheduling (measured in the round-5 gates-forced bench), while 64
+    over 100 TB under-spreads. Estimates may undershoot on pathological
+    hot-key corpora (one window duplicated millions of times); those skew
+    ANY hash partitioning and are the documented limitation of the
+    h-partition family, not of the sizing."""
+    from ..pipelines.relational import choose_partitions
+
+    return choose_partitions(max(n_est, 1), default=64, lo=1)
+
+
+def _keyed_groups(both, kernel, part_col: str, npart: int):
+    """``groupby(part_col).map_groups(kernel)`` with the zero-sort
+    coalesce when the exchange is single-partition: kernels passed here
+    are partition-shape-independent (coarse_partition_apply contract),
+    so one coalesced block through one kernel call replaces a sort
+    barrier whose every range but one would be empty."""
+    if npart <= 1:
+        return both.repartition(1).map_batches(kernel, batch_format="pandas",
+                                               batch_size=None)
+    return both.groupby(part_col).map_groups(kernel, batch_format="pandas")
+
+
 def _broadcast_sorted_hashes(dup_ds):
     """Collect a slim hash Dataset's ``h`` column to the driver as a sorted
     uint64 array and pin it once via ray.put — the shared broadcast step of
@@ -1226,6 +1253,9 @@ def _span_rows(ds, dup_ds, *, text_col: str, id_col: str, width: int,
 
     bloom = build_bloom_distributed(dup_ds, "h", capacity=2 * max(n_dup, 1))
     bloom_ref = _ray.put(bloom)
+    # exchange width from the known dup-hash count: position rows ≈
+    # occurrences of duplicated windows ≈ a small multiple of n_dup
+    npart = _exchange_parts(4 * n_dup)
 
     def add_hpart_rows(batch: pa.Table) -> pa.Table:
         bf = _ray.get(bloom_ref)
@@ -1241,14 +1271,14 @@ def _span_rows(ds, dup_ds, *, text_col: str, id_col: str, width: int,
         return pa.table({id_col: pa.array(ids, type=id_type),
                          "pos": pa.array(poss, type=pa.int64()),
                          "h": pa.array(h, type=pa.uint64()),
-                         "h_part": pa.array((h % np.uint64(64)).astype(np.int64))})
+                         "h_part": pa.array((h % np.uint64(npart)).astype(np.int64))})
 
     def add_hpart_dups(batch: pa.Table) -> pa.Table:
         h = batch.column("h").to_numpy(zero_copy_only=False)
         return pa.table({id_col: pa.nulls(len(h), type=id_type),
                          "pos": pa.nulls(len(h), type=pa.int64()),
                          "h": batch.column("h"),
-                         "h_part": pa.array((h % np.uint64(64)).astype(np.int64))})
+                         "h_part": pa.array((h % np.uint64(npart)).astype(np.int64))})
 
     positions = ds.map_batches(add_hpart_rows, batch_format="pyarrow")
     dups = dup_ds.select_columns(["h"]).map_batches(add_hpart_dups,
@@ -1267,8 +1297,7 @@ def _span_rows(ds, dup_ds, *, text_col: str, id_col: str, width: int,
             rows[id_col] = rows[id_col].astype("int64")
         return rows
 
-    marked = positions.union(dups).groupby("h_part").map_groups(
-        semi, batch_format="pandas")
+    marked = _keyed_groups(positions.union(dups), semi, "h_part", npart)
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         out = {k: [] for k in (id_col, "span_start", "span_end",
@@ -1288,9 +1317,12 @@ def _span_rows(ds, dup_ds, *, text_col: str, id_col: str, width: int,
 
     from ..pipelines.relational import coarse_partition_apply
 
+    # marked rows ≤ the position rows the same estimate sized above; the
+    # fold kernel is partition-shape-independent, so the estimate only
+    # steers exchange width / coalesce, never the answer
     return coarse_partition_apply(marked, fold, key_col=id_col,
-                                  part_col="id_part", num_parts=64,
-                                  nrows=None)
+                                  part_col="id_part", num_parts=npart,
+                                  nrows=4 * n_dup)
 
 
 def strip_duplicate_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
@@ -1435,8 +1467,11 @@ def strip_duplicate_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
             df[id_col] = df[id_col].astype("int64")  # but be explicit
         return df
 
+    # num_parts from the known span count; nrows stays None — text rides
+    # this exchange, so the slim-row coalesce gate must NOT collapse it
     return coarse_partition_apply(both, rebuild, key_col=id_col,
-                                  part_col="strip_part", num_parts=64,
+                                  part_col="strip_part",
+                                  num_parts=_exchange_parts(2 * spans.count()),
                                   nrows=None)
 
 
@@ -1500,6 +1535,9 @@ def contamination(train_ds, test_ds, *, text_col: str = "text",
 
     bloom_ref = _ray.put(build_bloom_distributed(
         test_hashes, "h", capacity=2 * max(n_test, 1)))
+    # exchange width from the known test-hash count (candidate rows ≈ a
+    # small multiple of the test windows they must meet)
+    npart = _exchange_parts(4 * n_test)
 
     def emit(batch: pa.Table) -> pa.Table:
         """Per doc: ONE anchor row (side=1, n_windows; h=0 is inert — the
@@ -1523,8 +1561,8 @@ def contamination(train_ds, test_ds, *, text_col: str = "text",
         full_h[cand] = h
         # anchors spread by id hash; candidates co-partition with the
         # test hashes they must meet
-        part = vec_str_buckets([str(v) for v in ids], 64)
-        part[cand] = (h % np.uint64(64)).astype(np.int64)
+        part = vec_str_buckets([str(v) for v in ids], npart)
+        part[cand] = (h % np.uint64(npart)).astype(np.int64)
         return pa.table({id_col: pa.array(ids, type=id_type),
                          "side": pa.array(sides, type=pa.int64()),
                          "n_windows": pa.array(nwins, type=pa.int64()),
@@ -1538,7 +1576,7 @@ def contamination(train_ds, test_ds, *, text_col: str = "text",
                          "side": pa.array(np.full(n, 2, dtype=np.int64)),
                          "n_windows": pa.array(np.zeros(n, dtype=np.int64)),
                          "h": batch.column("h"),
-                         "c_part": pa.array((h % np.uint64(64)).astype(np.int64))})
+                         "c_part": pa.array((h % np.uint64(npart)).astype(np.int64))})
 
     both = train_ds.map_batches(emit, batch_format="pyarrow").union(
         test_hashes.select_columns(["h"]).map_batches(
@@ -1567,11 +1605,15 @@ def contamination(train_ds, test_ds, *, text_col: str = "text",
             out[id_col] = out[id_col].astype("int64")
         return out
 
-    partials = both.groupby("c_part").map_groups(slice_kernel,
-                                                 batch_format="pandas")
+    # materialize the slim partials so the group-sum exchange can be
+    # sized from the real row count (anchors + hit groups) instead of the
+    # fixed default — the same materialize+count pattern as _dup_hash_set
+    partials = _keyed_groups(both, slice_kernel, "c_part", npart).materialize()
+    n_partials = partials.count()
     summed = partitioned_group_sum(
         partials, key=id_col,
-        sum_cols={"n_windows": "n_windows", "n_contaminated": "n_cont"})
+        sum_cols={"n_windows": "n_windows", "n_contaminated": "n_cont"},
+        num_parts=_exchange_parts(n_partials), nrows=n_partials)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -1635,6 +1677,7 @@ def drop_contaminated(train_ds, test_ds, *, text_col: str = "text",
 
     bloom_ref = _ray.put(build_bloom_distributed(
         test_hashes, "h", capacity=2 * max(n_test, 1)))
+    npart = _exchange_parts(4 * n_test)
 
     def cand_rows(batch: pa.Table) -> pa.Table:
         """(text_hash, window_hash, slice) per bloom-hit window — slim,
@@ -1654,7 +1697,7 @@ def drop_contaminated(train_ds, test_ds, *, text_col: str = "text",
         return pa.table({"th": pa.array(th, type=pa.uint64()),
                          "h": pa.array(h, type=pa.uint64()),
                          "side": pa.array(np.zeros(len(th), dtype=np.int64)),
-                         "dc_part": pa.array((h % np.uint64(64)).astype(np.int64))})
+                         "dc_part": pa.array((h % np.uint64(npart)).astype(np.int64))})
 
     def test_side(batch: pa.Table) -> pa.Table:
         h = batch.column("h").to_numpy(zero_copy_only=False)
@@ -1662,7 +1705,7 @@ def drop_contaminated(train_ds, test_ds, *, text_col: str = "text",
         return pa.table({"th": pa.array(np.zeros(n, dtype=np.uint64)),
                          "h": batch.column("h"),
                          "side": pa.array(np.ones(n, dtype=np.int64)),
-                         "dc_part": pa.array((h % np.uint64(64)).astype(np.int64))})
+                         "dc_part": pa.array((h % np.uint64(npart)).astype(np.int64))})
 
     both = train_ds.map_batches(cand_rows, batch_format="pyarrow").union(
         test_hashes.select_columns(["h"]).map_batches(
@@ -1673,8 +1716,7 @@ def drop_contaminated(train_ds, test_ds, *, text_col: str = "text",
                        & g["h"].isin(g.loc[g["side"] == 1, "h"]), "th"]
         return pd.DataFrame({"th": th_hit.unique().astype("uint64")})
 
-    bad_th = both.groupby("dc_part").map_groups(confirmed,
-                                                batch_format="pandas")
+    bad_th = _keyed_groups(both, confirmed, "dc_part", npart)
 
     def add_th(batch: pa.Table) -> pa.Table:
         th = md5_u64(batch.column(text_col).to_pylist())
@@ -1830,6 +1872,7 @@ def strip_common_segments(ds, *, text_col: str = "text",
 
     bloom_ref = _ray.put(build_bloom_distributed(
         dup_ds, "h", capacity=2 * max(n_dup, 1)))
+    npart = _exchange_parts(4 * n_dup)
 
     def cand_rows(batch: pa.Table) -> pa.Table:
         bf = _ray.get(bloom_ref)
@@ -1845,14 +1888,14 @@ def strip_common_segments(ds, *, text_col: str = "text",
         return pa.table({id_col: pa.array(ids, type=id_type),
                          "seg_no": pa.array(segs, type=pa.int64()),
                          "h": pa.array(h, type=pa.uint64()),
-                         "h_part": pa.array((h % np.uint64(64)).astype(np.int64))})
+                         "h_part": pa.array((h % np.uint64(npart)).astype(np.int64))})
 
     def dup_side(batch: pa.Table) -> pa.Table:
         h = batch.column("h").to_numpy(zero_copy_only=False)
         return pa.table({id_col: pa.nulls(len(h), type=id_type),
                          "seg_no": pa.nulls(len(h), type=pa.int64()),
                          "h": batch.column("h"),
-                         "h_part": pa.array((h % np.uint64(64)).astype(np.int64))})
+                         "h_part": pa.array((h % np.uint64(npart)).astype(np.int64))})
 
     id_is_int = pa.types.is_integer(id_type)
 
@@ -1865,10 +1908,11 @@ def strip_common_segments(ds, *, text_col: str = "text",
             rows[id_col] = rows[id_col].astype("int64")
         return rows
 
-    removals = (ds.map_batches(cand_rows, batch_format="pyarrow")
-                .union(dup_ds.select_columns(["h"]).map_batches(
-                    dup_side, batch_format="pyarrow"))
-                .groupby("h_part").map_groups(semi, batch_format="pandas"))
+    removals = _keyed_groups(
+        ds.map_batches(cand_rows, batch_format="pyarrow")
+        .union(dup_ds.select_columns(["h"]).map_batches(
+            dup_side, batch_format="pyarrow")),
+        semi, "h_part", npart)
 
     # ONE text exchange, co-partitioned with the removal rows by id hash
     # (documented partitioning assumption: a doc's text row and all its
@@ -1916,8 +1960,10 @@ def strip_common_segments(ds, *, text_col: str = "text",
             df[id_col] = df[id_col].astype("int64")
         return df
 
+    # width from the dup-segment estimate; nrows stays None — text rides
+    # this exchange, so the slim-row coalesce gate must NOT collapse it
     return coarse_partition_apply(both, rebuild, key_col=id_col,
-                                  part_col="scs_part", num_parts=64,
+                                  part_col="scs_part", num_parts=npart,
                                   nrows=None)
 
 

@@ -412,8 +412,13 @@ def bigram_commonness(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return pa.table({id_col: pa.array(ids, type=id_type),
                          "g": pa.array(gs, type=pa.string())})
 
+    from ..pipelines.relational import choose_partitions
+
+    n_cnt = counts.count()   # free: counts is materialized above
     occ = ds.map_batches(explode, batch_format="pyarrow")
     joined = hash_join(occ, counts, key="g",
+                       num_buckets=choose_partitions(4 * n_cnt, default=32,
+                                                     lo=1),
                        left_types={id_col: id_type, "g": pa.string()},
                        right_types={"g": pa.string(), "c": pa.int64()})
     def to_partial(b: pa.Table) -> pa.Table:
@@ -423,10 +428,16 @@ def bigram_commonness(ds, *, text_col: str = "text", id_col: str = "doc_id",
                          "n_bigrams": pa.array([0] * len(b), type=pa.int64()),
                          "sum_count": pc.cast(b.column("c"), pa.int64())})
 
+    # occurrence rows are data-proportional: do NOT materialize them just
+    # to size the group-sum (an extra object-store pass of the whole occ
+    # set); size from the known distinct-bigram count instead — per-doc
+    # partials are bounded by occurrences but scale with it
     scored = partitioned_group_sum(
         joined.map_batches(to_partial, batch_format="pyarrow"),
         key=id_col, sum_cols={"n_bigrams": "n_bigrams",
-                              "sum_count": "sum_count"})
+                              "sum_count": "sum_count"},
+        num_parts=choose_partitions(8 * n_cnt, default=64, lo=1),
+        nrows=8 * n_cnt)
 
     def zeros(batch: pa.Table) -> pa.Table:
         # derive from _bigrams so the count can never drift from the

@@ -53,3 +53,42 @@ class TestBloom:
         want = {f"k{i}" for i in range(0, 100, 2)}
         assert want <= got  # no false negatives
         assert len(got - want) <= 5  # few FPs
+
+
+class TestNumericPath:
+    def test_int_keys_no_false_negatives_across_collection_types(self):
+        from pdf_parser_ray.functions.bloom import BloomFilter
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        keys = rng.integers(0, 2**63, size=3000, dtype=np.uint64)
+        bf = BloomFilter(capacity=3000)
+        bf.add_many(keys)                               # np array build
+        # probe as np array, python-int list, and scalars — all must hit
+        assert bf.contains_many(keys).all()
+        assert bf.contains_many([int(k) for k in keys[:200]]).all()
+        assert all(bf.might_contain(int(k)) for k in keys[:50])
+        # and a list-built filter must agree with an array-built probe
+        bf2 = BloomFilter(capacity=3000)
+        bf2.add_many([int(k) for k in keys])
+        assert bf2.contains_many(keys).all()
+
+    def test_int_fp_rate_reasonable(self):
+        from pdf_parser_ray.functions.bloom import BloomFilter
+        import numpy as np
+
+        bf = BloomFilter(capacity=5000, fp_rate=0.01)
+        bf.add_many(np.arange(5000, dtype=np.uint64))
+        probes = np.arange(10_000_000, 10_050_000, dtype=np.uint64)
+        fp = bf.contains_many(probes).sum() / len(probes)
+        assert fp < 0.03
+
+    def test_empty_and_string_fallback(self):
+        from pdf_parser_ray.functions.bloom import BloomFilter
+        import numpy as np
+
+        bf = BloomFilter(capacity=10)
+        bf.add_many(["a", "b"])
+        assert bf.contains_many(np.zeros(0, dtype=np.uint64)).shape == (0,)
+        assert bf.contains_many(["a", "b"]).all()
+        assert not bf.might_contain("zz")
