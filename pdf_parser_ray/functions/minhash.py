@@ -316,6 +316,45 @@ class SimHasher:
                 sig |= 1 << i
         return sig
 
+    def signatures(self, texts: list) -> list[int]:
+        """Batch sketch, value-identical to ``[signature(t) for t in
+        texts]`` (pytest-pinned) and 1.75× faster at sf0.1: md5 runs once
+        per DISTINCT token across the batch (vocabulary ≪ instances) and
+        the per-bit majority folds over the concatenated token-hash
+        stream with ONE ``np.add.reduceat`` at doc offsets instead of a
+        per-doc matrix build (BENCH/TUNING.md round 5)."""
+        tok_sets = [sorted({t for t in _ASCII_WS.split((x or "").lower()) if t})
+                    for x in texts]
+        vocab: dict[str, int] = {}
+        for ts in tok_sets:
+            for t in ts:
+                if t not in vocab:
+                    vocab[t] = int.from_bytes(
+                        hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+        lens = np.array([len(ts) for ts in tok_sets], dtype=np.int64)
+        flat = np.array([vocab[t] for ts in tok_sets for t in ts],
+                        dtype=np.uint64)
+        nz = lens > 0
+        if len(flat):
+            bitm = ((flat[:, None] >> np.arange(self.bits, dtype=np.uint64))
+                    & np.uint64(1)).astype(np.int64)
+            ends = np.cumsum(lens)
+            sums = np.add.reduceat(bitm, (ends - lens)[nz], axis=0)
+            accs = 2 * sums - lens[nz][:, None]
+            vals = (((accs > 0).astype(np.uint64)
+                     << np.arange(self.bits, dtype=np.uint64)[None, :])
+                    .sum(axis=1))
+        else:
+            vals = np.zeros(0, dtype=np.uint64)
+        out, j = [], 0
+        for d in range(len(texts)):
+            if nz[d]:
+                out.append(int(vals[j]))
+                j += 1
+            else:
+                out.append(0)
+        return out
+
 
 def hamming_distance(a: int, b: int) -> int:
     return bin(a ^ b).count("1")

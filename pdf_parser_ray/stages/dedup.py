@@ -574,7 +574,7 @@ class SimHashSketch:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.hasher.signature(t or "") for t in batch.column(self.text_col).to_pylist()]
+        sigs = self.hasher.signatures(batch.column(self.text_col).to_pylist())
         return batch.append_column("simhash", pa.array(sigs, type=pa.uint64()))
 
 
@@ -598,8 +598,7 @@ def simhash_dedup_edges(ds, *, text_col: str = "text", id_col: str = "doc_id",
     def sketch_batch(batch: pa.Table) -> pa.Table:
         # task-mode (SimHasher is stateless-cheap; no actor pool needed)
         hasher = SimHasher()
-        sigs = [hasher.signature(t or "")
-                for t in batch.column(text_col).to_pylist()]
+        sigs = hasher.signatures(batch.column(text_col).to_pylist())
         return batch.append_column("simhash", pa.array(sigs, type=pa.uint64()))
 
     return hamming_band_edges(

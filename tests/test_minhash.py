@@ -168,3 +168,11 @@ class TestPermMinP61:
         full = _perm_min_p61(hs, a, b)
         assert (_perm_min_p61(hs, a, b, _chunk=7) == full).all()
         assert (_perm_min_p61(hs, a, b, _chunk=999) == full).all()
+
+    def test_simhash_batch_identical_to_per_doc(self):
+        from pdf_parser_ray.functions.minhash import SimHasher
+
+        h = SimHasher()
+        texts = ["", "one", "a b c", _doc(40), " \t ", _doc(7, offset=9),
+                 "Tab\tmixed CASE case", _doc(300), None or ""]
+        assert h.signatures(texts) == [h.signature(t) for t in texts]
