@@ -1133,11 +1133,25 @@ def _keyed_groups(both, kernel, part_col: str, npart: int):
     coalesce when the exchange is single-partition: kernels passed here
     are partition-shape-independent (coarse_partition_apply contract),
     so one coalesced block through one kernel call replaces a sort
-    barrier whose every range but one would be empty."""
+    barrier whose every range but one would be empty.
+
+    Every caller's input is SLIM by contract (ids/hashes/positions —
+    never text), so above one partition the union first coalesces to
+    ``npart`` blocks: the sort emits one range per input block, and N
+    tiny blocks over npart bucket values would otherwise yield N−npart
+    schemaless empties (the RefBundle schema-drift warning — the r3
+    mechanism, BENCH/TUNING.md)."""
     if npart <= 1:
         return both.repartition(1).map_batches(kernel, batch_format="pandas",
                                                batch_size=None)
-    return both.groupby(part_col).map_groups(kernel, batch_format="pandas")
+    # small exchanges collapse to ~8 buckets per sort range (the
+    # collapse_partials rule): ranges == input blocks, and with one range
+    # per bucket the sampled quantiles on duplicated int keys routinely
+    # leave ranges empty (schema-drift warnings); big exchanges keep full
+    # width — dense keys populate every range
+    blocks = npart if npart > 64 else max(2, -(-npart // 8))
+    return (both.repartition(blocks)
+            .groupby(part_col).map_groups(kernel, batch_format="pandas"))
 
 
 def _broadcast_sorted_hashes(dup_ds):

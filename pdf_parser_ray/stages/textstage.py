@@ -436,8 +436,7 @@ def bigram_commonness(ds, *, text_col: str = "text", id_col: str = "doc_id",
         joined.map_batches(to_partial, batch_format="pyarrow"),
         key=id_col, sum_cols={"n_bigrams": "n_bigrams",
                               "sum_count": "sum_count"},
-        num_parts=choose_partitions(8 * n_cnt, default=64, lo=1),
-        nrows=8 * n_cnt)
+        num_parts=choose_partitions(8 * n_cnt, default=64, lo=1))
 
     def zeros(batch: pa.Table) -> pa.Table:
         # derive from _bigrams so the count can never drift from the
@@ -449,6 +448,9 @@ def bigram_commonness(ds, *, text_col: str = "text", id_col: str = "doc_id",
                          "sum_count": pa.array([0] * len(n_bgs), type=pa.int64())})
 
     base = ds.map_batches(zeros, batch_format="pyarrow")
+    # group-sum combine emits PANDAS blocks; align to Arrow before the
+    # union so the stream doesn't mix block types (schema-drift warning)
+    scored = scored.map_batches(lambda b: b, batch_format="pyarrow")
     merged = partitioned_group_sum(
         base.union(scored), key=id_col,
         sum_cols={"n_bigrams": "n_bigrams", "sum_count": "sum_count"})
