@@ -812,6 +812,100 @@ FROM base b LEFT JOIN sc USING (doc_id)
 """
 
 
+def _q_gopher_quality(sf_dir: str):
+    """Gopher non-repetition quality signals (stages/textstage.py:
+    gopher_quality) — word/line/symbol/stopword rules as integer
+    per-mille ratios + keep flag; stateless one-pass map, no shuffle."""
+    from pdf_parser_ray.stages.textstage import gopher_quality
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return gopher_quality(ds)
+
+
+# DuckDB replay of gopher_quality: raw-text ASCII-whitespace tokens (no
+# lowercasing — codepoint lengths stay stable), '\n' line split (empty
+# text = one empty line), replace-diff symbol counts (non-overlapping,
+# as str.count), lowercased-token stopword membership, integer `//`
+# per-mille ratios.
+_GOPHER_SQL = r"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS tx FROM documents),
+base AS (
+  SELECT doc_id, tx,
+         list_filter(string_split_regex(tx, '[ \t\n\r\f]+'),
+                     x -> x <> '') AS t,
+         string_split(tx, chr(10)) AS L
+  FROM d),
+sig AS (
+  SELECT doc_id, len(t) AS nw,
+    CASE WHEN len(t) > 0
+         THEN 1000 * list_sum(list_transform(t, x -> length(x))) // len(t)
+         ELSE 0 END AS mwl,
+    CASE WHEN len(t) > 0
+         THEN 1000 * ((length(tx) - length(replace(tx, '#', '')))
+              + (length(tx) - length(replace(tx, '...', ''))) // 3) // len(t)
+         ELSE 0 END AS sym,
+    1000 * len(list_filter(L, x -> starts_with(x, '-')
+               OR starts_with(x, '*') OR starts_with(x, '•'))) // len(L)
+      AS bul,
+    1000 * len(list_filter(L, x -> ends_with(x, '...'))) // len(L) AS ell,
+    CASE WHEN len(t) > 0
+         THEN 1000 * len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]')))
+              // len(t)
+         ELSE 0 END AS alp,
+    len(list_filter(['the','be','to','of','and','that','have','with'],
+                    s -> list_contains(list_transform(t, x -> lower(x)), s)))
+      AS sth
+  FROM base)
+SELECT doc_id,
+  CAST(nw AS BIGINT) AS n_words,
+  CAST(mwl AS BIGINT) AS mean_word_len_milli,
+  CAST(sym AS BIGINT) AS symbol_word_milli,
+  CAST(bul AS BIGINT) AS bullet_line_milli,
+  CAST(ell AS BIGINT) AS ellipsis_line_milli,
+  CAST(alp AS BIGINT) AS alpha_word_milli,
+  CAST(sth AS BIGINT) AS stop_hits,
+  (nw BETWEEN 50 AND 100000 AND mwl BETWEEN 3000 AND 10000
+   AND sym <= 100 AND bul <= 900 AND ell <= 300 AND alp >= 800
+   AND sth >= 2) AS gopher_keep
+FROM sig
+"""
+
+
+def _q_source_divergence(sf_dir: str):
+    """Per-source unigram L1 divergence from the corpus blend over the
+    global top-100 terms (stages/textstage.py:source_divergence) — one
+    slim (source, token, count) exchange; text never shuffles."""
+    from pdf_parser_ray.stages.textstage import source_divergence
+
+    ds = _documents(sf_dir, columns=["source", "text"])
+    return source_divergence(ds)
+
+
+# DuckDB replay: same lowercased tokenization; top-100 ties break by
+# term asc (the top_terms rule); per-mille integer `//`; sources with a
+# top-k term absent contribute that term's full corpus per-mille.
+_SOURCE_DIVERGENCE_SQL = r"""
+WITH toks AS (
+  SELECT source, unnest(list_filter(
+    string_split_regex(lower(text), '[ \t\n\r\f]+'), x -> x <> '')) AS tok
+  FROM documents),
+st AS (SELECT source, tok, count(*) AS n FROM toks GROUP BY source, tok),
+g AS (SELECT tok, sum(n) AS gn FROM st GROUP BY tok),
+tk AS (SELECT tok, gn FROM g ORDER BY gn DESC, tok ASC LIMIT 100),
+tt AS (SELECT source, sum(n) AS tot_s FROM st GROUP BY source),
+ta AS (SELECT sum(gn) AS tot FROM g)
+SELECT tt.source,
+  CAST(tt.tot_s AS BIGINT) AS n_tokens,
+  CAST(sum(abs(1000 * COALESCE(stx.n, 0) // tt.tot_s
+               - 1000 * tk.gn // ta.tot)) AS BIGINT) AS l1_milli
+FROM tt CROSS JOIN tk CROSS JOIN ta
+LEFT JOIN st stx ON stx.source = tt.source AND stx.tok = tk.tok
+WHERE tt.tot_s > 0
+GROUP BY tt.source, tt.tot_s
+ORDER BY tt.source
+"""
+
+
 def _q_embedding_centroids(sf_dir: str):
     """Grouped vector aggregate (stages/similarity.py:embedding_centroids):
     per-label centroid of the embedding column, milli fixed-point
@@ -2916,6 +3010,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users": rel.events_top_users,
         "events_sessions": rel.events_sessions,
         "events_sliding_window": rel.events_sliding_window,
+        # new in round 5 (below the window; oracled, locally gated)
+        "gopher_quality": _q_gopher_quality,
+        "source_divergence": _q_source_divergence,
     }
 
 
@@ -3132,6 +3229,8 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": _TOP_TERMS_SQL,
         "repetition_stats": _REPETITION_SQL,
         "bigram_commonness": _BIGRAM_COMMONNESS_SQL,
+        "gopher_quality": _GOPHER_SQL,
+        "source_divergence": _SOURCE_DIVERGENCE_SQL,
         "chunk_documents": _chunk_docs_sql(_CHUNK_TOKENS),
         "source_mix": _source_mix_sql(),
         "corpus_curate": _corpus_curate_sql(),

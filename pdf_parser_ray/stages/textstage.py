@@ -326,6 +326,216 @@ def repetition_stats(ds, *, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len_milli: int = 3000,
+                   max_mean_word_len_milli: int = 10_000,
+                   max_symbol_word_milli: int = 100,
+                   max_bullet_line_milli: int = 900,
+                   max_ellipsis_line_milli: int = 300,
+                   min_alpha_word_milli: int = 800,
+                   min_stop_hits: int = 2, id_type=None):
+    """Gopher quality-filter signals per document — the NON-repetition
+    rules of Rae et al. 2021 §A1.1 (public method; the repetition rules
+    live in ``repetition_stats``), as exact integers so a DuckDB oracle
+    replays them bit-for-bit:
+
+      n_words               ASCII-whitespace token count (raw text — no
+                            lowercasing, so codepoint lengths are stable)
+      mean_word_len_milli   1000·Σlen(word) // n_words   (codepoints)
+      symbol_word_milli     1000·(#'#' + #'...') // n_words  (ellipsis
+                            counted non-overlapping, as str.count does)
+      bullet_line_milli     1000·(lines starting '-' '*' '•') // n_lines
+      ellipsis_line_milli   1000·(lines ending '...') // n_lines
+      alpha_word_milli      1000·(words containing [a-zA-Z]) // n_words
+      stop_hits             how many of the 8 Gopher stopwords (the, be,
+                            to, of, and, that, have, with) appear as
+                            lowercased tokens
+      gopher_keep           all thresholds pass (Gopher's defaults)
+
+    Lines split on '\\n'; empty text is one empty line (both engines
+    agree). Zero-word docs score 0 on every word ratio and never keep.
+    Embarrassingly parallel: one stateless ``map_batches`` pass, no
+    shuffle at any scale — the same shape as ``repetition_stats``.
+    """
+    import pyarrow as pa
+
+    from ..functions.minhash import _ASCII_WS
+
+    id_type = _resolve_id_type(ds, id_col, id_type)
+    stops = _GOPHER_STOPWORDS
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        n_w, mwl, sym, bul, ell, alp, sth, keep = [], [], [], [], [], [], [], []
+        for t in batch.column(text_col).to_pylist():
+            t = t or ""
+            toks = [x for x in _ASCII_WS.split(t) if x]
+            n = len(toks)
+            n_w.append(n)
+            if n:
+                mwl.append(1000 * sum(len(w) for w in toks) // n)
+                sym.append(1000 * (t.count("#") + t.count("...")) // n)
+                alp.append(1000 * sum(
+                    1 for w in toks
+                    if any("a" <= c <= "z" or "A" <= c <= "Z" for c in w)
+                ) // n)
+            else:
+                mwl.append(0)
+                sym.append(0)
+                alp.append(0)
+            lines = t.split("\n")
+            nl = len(lines)
+            bul.append(1000 * sum(
+                1 for L in lines
+                if L.startswith(("-", "*", "•"))) // nl)
+            ell.append(1000 * sum(1 for L in lines
+                                  if L.endswith("...")) // nl)
+            tokset = {w.lower() for w in toks}
+            hits = sum(1 for s in stops if s in tokset)
+            sth.append(hits)
+            keep.append(min_words <= n <= max_words
+                        and min_mean_word_len_milli <= mwl[-1]
+                        <= max_mean_word_len_milli
+                        and sym[-1] <= max_symbol_word_milli
+                        and bul[-1] <= max_bullet_line_milli
+                        and ell[-1] <= max_ellipsis_line_milli
+                        and alp[-1] >= min_alpha_word_milli
+                        and hits >= min_stop_hits)
+        i64 = pa.int64()
+        return pa.table({
+            id_col: batch.column(id_col).cast(id_type),
+            "n_words": pa.array(n_w, type=i64),
+            "mean_word_len_milli": pa.array(mwl, type=i64),
+            "symbol_word_milli": pa.array(sym, type=i64),
+            "bullet_line_milli": pa.array(bul, type=i64),
+            "ellipsis_line_milli": pa.array(ell, type=i64),
+            "alpha_word_milli": pa.array(alp, type=i64),
+            "stop_hits": pa.array(sth, type=i64),
+            "gopher_keep": pa.array(keep, type=pa.bool_()),
+        })
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def source_divergence(ds, *, text_col: str = "text",
+                      source_col: str = "source", k: int = 100):
+    """Per-source vocabulary divergence from the corpus — the
+    domain-mixing diagnostic (which source's unigram distribution sits
+    farthest from the blend): for the global top-``k`` terms, L1
+    distance between the source's per-mille term frequency and the
+    corpus-wide per-mille frequency, kept integer-exact:
+
+      l1_milli(s) = Σ_{t ∈ topk} |1000·n_{s,t} // tot_s − 1000·g_t // tot|
+
+    Output per source: (source, n_tokens, l1_milli), sources with zero
+    tokens dropped, sorted by source. Top-k ties break by term asc (the
+    ``top_terms`` rule).
+
+    Shape: per-batch Counter over (source, token) → ONE slim
+    ``partitioned_group_sum`` exchange on the packed key (a row per
+    distinct (source, token), never per occurrence); global term counts
+    and per-source totals derive from that summed table with two more
+    slim group-sums; the final L1 touches ≤ k·n_sources rows on the
+    driver — bounded regardless of corpus size. No text ever shuffles.
+    """
+    import collections
+
+    import pyarrow as pa
+
+    from ..functions.minhash import _ASCII_WS
+    from ..pipelines.relational import partitioned_group_sum, topk
+
+    SEP = "\x1f"
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cnt: collections.Counter = collections.Counter()
+        for src, t in zip(batch.column(source_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            src = src or ""
+            for x in _ASCII_WS.split((t or "").lower()):
+                if x:
+                    cnt[src + SEP + x] += 1
+        return pa.table({"key": pa.array(list(cnt.keys()), type=pa.string()),
+                         "n": pa.array(list(cnt.values()), type=pa.int64())})
+
+    summed = ds.map_batches(partials, batch_format="pyarrow")
+    summed = partitioned_group_sum(summed, key="key", sum_cols={"n": "n"})
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        parts = pc_.split_pattern(batch.column("key"), SEP, max_splits=1)
+        return pa.table({"source": pc_.list_element(parts, 0),
+                         "term": pc_.list_element(parts, 1),
+                         "n": batch.column("n")})
+
+    # materialize ONCE: st is the slim sufficient statistic (one row per
+    # distinct (source, token) — vocab-bounded, never per-occurrence) and
+    # feeds three downstream reductions; without this each would re-run
+    # the tokenization pass over the full corpus
+    st = summed.map_batches(unpack, batch_format="pyarrow").materialize()
+
+    # global term counts → bounded top-k (ties by term asc)
+    gterms = partitioned_group_sum(
+        st.select_columns(["term", "n"]), key="term", sum_cols={"n": "n"})
+    head = topk(gterms, by=["n", "term"], descending=[True, False],
+                k=k).to_pandas()
+
+    # per-source totals: LOW-cardinality key (n_sources) — vectorized
+    # per-batch Arrow partial sums, collapsed before the sort groupby so
+    # no range comes out empty (the shared schemaless-block rule)
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.relational import collapse_partials
+
+    def tot_partials(b: pa.Table) -> pa.Table:
+        g = b.group_by("source").aggregate([("n", "sum")])
+        return pa.table({"source": g.column("source"),
+                         "n": g.column("n_sum").cast(pa.int64())})
+
+    tp = collapse_partials(
+        st.select_columns(["source", "n"]).map_batches(
+            tot_partials, batch_format="pyarrow"), 64)
+    totals = tp.groupby("source").aggregate(
+        Sum("n", alias_name="n")).to_pandas()
+
+    top_set = set(head["term"]) if len(head) else set()
+    gcount = dict(zip(head["term"], head["n"])) if len(head) else {}
+    tot_all = int(totals["n"].sum()) if len(totals) else 0
+
+    # ≤ k·n_sources rows survive this filter — driver-safe at any scale
+    topk_arr = pa.array(sorted(top_set), type=pa.string())
+
+    def keep_topk(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        return b.filter(pc_.is_in(b.column("term"), value_set=topk_arr))
+
+    sub = st.map_batches(keep_topk, batch_format="pyarrow").to_pandas()
+    per_src: dict[str, dict[str, int]] = {}
+    for src, term, n in zip(sub["source"], sub["term"], sub["n"]):
+        per_src.setdefault(src, {})[term] = int(n)
+
+    rows = []
+    for _, r in totals.sort_values("source").iterrows():
+        src, tot_s = r["source"], int(r["n"])
+        if tot_s <= 0:
+            continue
+        cnts = per_src.get(src, {})
+        l1 = sum(abs(1000 * cnts.get(t, 0) // tot_s
+                     - 1000 * int(gcount[t]) // tot_all)
+                 for t in top_set)
+        rows.append((src, tot_s, l1))
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], type=pa.string()),
+        "n_tokens": pa.array([r[1] for r in rows], type=pa.int64()),
+        "l1_milli": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+
+
 def bigram_commonness(ds, *, text_col: str = "text", id_col: str = "doc_id",
                       broadcast_limit: int = 500_000, id_type=None):
     """Corpus-level bigram "language model" commonness score — the

@@ -71,6 +71,8 @@ def _names():
         # round-5 oracle: full BPE train+encode SQL replay (corpus-trained,
         # no inlined literals — gates at ANY scale, unlike knn_ivf/knn_pq)
         "bpe_tokens",
+        # round-5 quality/mixing oracles
+        "gopher_quality", "source_divergence",
         # model_filter is excluded like knn_ivf/knn_pq: its oracle inlines
         # weights trained at the sf0.01 gate scale (test_classifier gates
         # the matched-scale parity)

@@ -254,3 +254,104 @@ def test_perplexity_buckets_fewer_rows_than_k(ray_session):
     docs = [(0, "abcabc", "en"), (1, "abcabc", "en")]
     rows = _pb(docs, k=3)
     assert [b for _d, _a, b in rows] == [1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGopherQuality:
+    def test_hand_computed_signals(self, ray_session):
+        from pdf_parser_ray.stages.textstage import gopher_quality
+
+        # 20 words, Σlen=56 → mwl 2800; all 8 stopwords present; all alpha
+        doc = ("the cat sat on the mat with a hat and that is all of it "
+               "to be done have fun")
+        out = gopher_quality(_ds([doc])).to_pandas().iloc[0]
+        assert out["n_words"] == 20
+        assert out["mean_word_len_milli"] == 2800
+        assert out["symbol_word_milli"] == 0
+        assert out["bullet_line_milli"] == 0
+        assert out["ellipsis_line_milli"] == 0
+        assert out["alpha_word_milli"] == 1000
+        assert out["stop_hits"] == 8
+        assert not out["gopher_keep"]  # 20 < 50 words
+
+    def test_keep_true_document(self, ray_session):
+        from pdf_parser_ray.stages.textstage import gopher_quality
+
+        # 60 words of mean length exactly 3.000 — every threshold passes
+        doc = ("the cat and dog ran " * 12).strip()
+        out = gopher_quality(_ds([doc])).to_pandas().iloc[0]
+        assert out["n_words"] == 60
+        assert out["mean_word_len_milli"] == 3000
+        assert out["stop_hits"] == 2  # the, and
+        assert out["gopher_keep"]
+
+    def test_lines_symbols_and_alpha(self, ray_session):
+        from pdf_parser_ray.stages.textstage import gopher_quality
+
+        # 3 lines: 2 bullets (666), 1 '...'-terminated (333); 7 tokens of
+        # which 5 alphabetic (714); one '...' occurrence (142); Σlen 28
+        doc = "- bullet one\n- bullet two\nplain..."
+        out = gopher_quality(_ds([doc])).to_pandas().iloc[0]
+        assert out["n_words"] == 7
+        assert out["mean_word_len_milli"] == 4000
+        assert out["symbol_word_milli"] == 142
+        assert out["bullet_line_milli"] == 666
+        assert out["ellipsis_line_milli"] == 333
+        assert out["alpha_word_milli"] == 714
+        assert out["stop_hits"] == 0
+        assert not out["gopher_keep"]
+
+    def test_empty_doc_zeros(self, ray_session):
+        from pdf_parser_ray.stages.textstage import gopher_quality
+
+        out = gopher_quality(_ds([""])).to_pandas().iloc[0]
+        for c in ("n_words", "mean_word_len_milli", "symbol_word_milli",
+                  "bullet_line_milli", "ellipsis_line_milli",
+                  "alpha_word_milli", "stop_hits"):
+            assert out[c] == 0, c
+        assert not out["gopher_keep"]
+
+    def test_hash_and_ellipsis_counting(self, ray_session):
+        from pdf_parser_ray.stages.textstage import gopher_quality
+
+        # '#' ×2 and non-overlapping '...' ×2 (the '....' counts once)
+        # over 4 words → 1000*4//4 = 1000
+        out = gopher_quality(_ds(["a# b# c.... d..."])).to_pandas().iloc[0]
+        assert out["n_words"] == 4
+        assert out["symbol_word_milli"] == 1000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSourceDivergence:
+    def test_hand_computed_l1(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.textstage import source_divergence
+
+        # A: x2 y1 (tot 3), B: x1 z1 (tot 2); global x3 y1 z1 (tot 5)
+        # q_milli: x 600, y 200, z 200
+        # A: |666-600| + |333-200| + |0-200| = 399
+        # B: |500-600| + |0-200| + |500-200| = 600
+        tbl = pa.table({
+            "source": pa.array(["A", "A", "B"], type=pa.string()),
+            "text": pa.array(["x x", "y", "x z"], type=pa.string()),
+        })
+        out = source_divergence(
+            ray.data.from_arrow(tbl).repartition(2)).to_pandas()
+        assert out["source"].tolist() == ["A", "B"]
+        assert out["n_tokens"].tolist() == [3, 2]
+        assert out["l1_milli"].tolist() == [399, 600]
+
+    def test_zero_token_source_dropped(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.textstage import source_divergence
+
+        tbl = pa.table({
+            "source": pa.array(["A", "empty"], type=pa.string()),
+            "text": pa.array(["x y", "   "], type=pa.string()),
+        })
+        out = source_divergence(ray.data.from_arrow(tbl)).to_pandas()
+        assert out["source"].tolist() == ["A"]
+        # identical to the corpus → zero divergence
+        assert out["l1_milli"].tolist() == [0]
