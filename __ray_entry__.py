@@ -2460,6 +2460,34 @@ def _q_jsonl_ingest(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def _q_csv_ingest(sf_dir: str):
+    """CSV ingestion (sources/jsonl.py:read_csv_docs): the sf documents
+    table exported to RFC-4180 CSV once (cached under /tmp, quoted
+    multiline text), re-read through Arrow's streaming CSV reader with
+    the shared doc normalizer, and token-counted — value-gated like
+    jsonl_ingest since the fixture is a deterministic export."""
+    import os
+
+    import duckdb
+
+    from pdf_parser_ray.sources.jsonl import read_csv_docs
+    from pdf_parser_ray.stages.textstage import add_token_counts
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/pdf_parser_ray_csv_{tag}.csv"
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        duckdb.sql(
+            f"COPY (SELECT doc_id, text, lang FROM "
+            f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id) "
+            f"TO '{tmp}' (FORMAT csv, HEADER)")
+        os.replace(tmp, path)
+    ds = read_csv_docs([path], keep_fields=("lang",))
+    out = ds.map_batches(add_token_counts, batch_format="pandas")
+    return out.map_batches(lambda b: b.drop_columns(["text"]),
+                           batch_format="pyarrow")
+
+
 def _q_web_curate(sf_dir: str):
     """Rows-only end-to-end web chain: WARC → robots filter → canonical
     URL dedup → semi-join survivors → DocParse → text features. Each
@@ -3013,6 +3041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in round 5 (below the window; oracled, locally gated)
         "gopher_quality": _q_gopher_quality,
         "source_divergence": _q_source_divergence,
+        "csv_ingest": _q_csv_ingest,
     }
 
 
@@ -3246,6 +3275,14 @@ def oracle_sql() -> dict[str, str]:
         # the JSONL fixture is a deterministic export of documents, so the
         # whole ingest (JSON round-trip + normalization) is value-gated
         "jsonl_ingest": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, "
+            "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+            f"length(regexp_extract_all(text, '{bpe_pat}')) AS n_tokens_bpe "
+            "FROM documents"
+        ),
+        # the CSV fixture is the same deterministic documents export, so
+        # the quoted-multiline CSV round-trip is value-gated identically
+        "csv_ingest": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, "
             "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "
             f"length(regexp_extract_all(text, '{bpe_pat}')) AS n_tokens_bpe "

@@ -23,6 +23,39 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def make_doc_normalizer(*, id_field: str | None = "doc_id",
+                        text_field: str = "text", keep_fields: tuple = (),
+                        what: str = "JSONL"):
+    """Shared batch kernel normalizing any tabular interchange source to
+    the house (doc_id, text, *keep_fields) corpus shape: project/rename,
+    cast ids to string, synthesize ``doc_id = sha256(text)[:32]`` when
+    the data has none (content-addressed — re-ingestion idempotent,
+    exact dedup collapses true duplicates). Used by the JSONL and CSV
+    readers so the two interchange paths can never drift."""
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        names = set(batch.column_names)
+        if text_field not in names:
+            raise ValueError(
+                f"{what} rows have no {text_field!r} field "
+                f"(columns: {sorted(names)})")
+        text = pc.cast(batch.column(text_field), pa.string())
+        if id_field is not None and id_field in names:
+            doc_id = pc.cast(batch.column(id_field), pa.string())
+        else:
+            doc_id = pa.array(
+                [hashlib.sha256((t or "").encode()).hexdigest()[:32]
+                 for t in text.to_pylist()], type=pa.string())
+        cols = {"doc_id": doc_id, "text": text}
+        for f in keep_fields:
+            if f not in names:
+                raise ValueError(f"{what} rows have no {f!r} field")
+            cols[f] = batch.column(f)
+        return pa.table(cols)
+
+    return normalize
+
+
 def read_jsonl(paths, *, id_field: str | None = "doc_id",
                text_field: str = "text", keep_fields: tuple = (),
                **ray_kwargs):
@@ -35,27 +68,32 @@ def read_jsonl(paths, *, id_field: str | None = "doc_id",
     import ray.data
 
     ds = ray.data.read_json(paths, **ray_kwargs)
+    normalize = make_doc_normalizer(id_field=id_field, text_field=text_field,
+                                    keep_fields=keep_fields, what="JSONL")
+    return ds.map_batches(normalize, batch_format="pyarrow")
 
-    def normalize(batch: pa.Table) -> pa.Table:
-        names = set(batch.column_names)
-        if text_field not in names:
-            raise ValueError(
-                f"JSONL rows have no {text_field!r} field "
-                f"(columns: {sorted(names)})")
-        text = pc.cast(batch.column(text_field), pa.string())
-        if id_field is not None and id_field in names:
-            doc_id = pc.cast(batch.column(id_field), pa.string())
-        else:
-            doc_id = pa.array(
-                [hashlib.sha256((t or "").encode()).hexdigest()[:32]
-                 for t in text.to_pylist()], type=pa.string())
-        cols = {"doc_id": doc_id, "text": text}
-        for f in keep_fields:
-            if f not in names:
-                raise ValueError(f"JSONL rows have no {f!r} field")
-            cols[f] = batch.column(f)
-        return pa.table(cols)
 
+def read_csv_docs(paths, *, id_field: str | None = "doc_id",
+                  text_field: str = "text", keep_fields: tuple = (),
+                  **ray_kwargs):
+    """Dataset of (doc_id, text, *keep_fields) rows from RFC-4180 CSV
+    file(s) — the other ubiquitous interchange format. Same normalize
+    contract as ``read_jsonl`` (shared kernel).
+
+    Built on ``ray.data.read_csv`` (Arrow's streaming CSV reader — one
+    file is the read-parallelism unit). ``newlines_in_values`` is ON by
+    default: corpus text routinely embeds newlines, and quoted multiline
+    fields are valid RFC 4180 that Arrow otherwise rejects. Empty quoted
+    strings stay empty strings (Arrow's ``strings_can_be_null`` default),
+    so text round-trips byte-exact."""
+    import ray.data
+    from pyarrow import csv as pa_csv
+
+    parse = ray_kwargs.pop(
+        "parse_options", pa_csv.ParseOptions(newlines_in_values=True))
+    ds = ray.data.read_csv(paths, parse_options=parse, **ray_kwargs)
+    normalize = make_doc_normalizer(id_field=id_field, text_field=text_field,
+                                    keep_fields=keep_fields, what="CSV")
     return ds.map_batches(normalize, batch_format="pyarrow")
 
 

@@ -73,6 +73,8 @@ def _names():
         "bpe_tokens",
         # round-5 quality/mixing oracles
         "gopher_quality", "source_divergence",
+        # round-5 interchange source (value-gated deterministic export)
+        "csv_ingest",
         # model_filter is excluded like knn_ivf/knn_pq: its oracle inlines
         # weights trained at the sf0.01 gate scale (test_classifier gates
         # the matched-scale parity)

@@ -93,3 +93,65 @@ class TestReadJsonl:
             [os.path.join(out_dir, f) for f in os.listdir(out_dir)]
         ).to_pandas().sort_values("doc_id", ignore_index=True)
         assert back["text"].tolist() == [f"doc {i}" for i in range(10)]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReadCsvDocs:
+    def _write(self, tmp_path, text_rows, name="part-0.csv", header=True):
+        import csv as _csv
+
+        p = os.path.join(tmp_path, name)
+        with open(p, "w", newline="") as f:
+            w = _csv.writer(f)
+            if header:
+                w.writerow(["doc_id", "text", "lang"])
+            w.writerows(text_rows)
+        return p
+
+    def test_quoted_multiline_round_trip(self, ray_session, tmp_path):
+        from pdf_parser_ray.sources.jsonl import read_csv_docs
+
+        nasty = 'line one\nline "two", with comma\n\ttab'
+        p = self._write(str(tmp_path),
+                        [["a", nasty, "en"], ["b", "", "fr"]])
+        out = read_csv_docs([p], keep_fields=("lang",)).to_pandas()
+        got = out.set_index("doc_id")
+        assert got.loc["a", "text"] == nasty      # byte-exact through quoting
+        assert got.loc["b", "text"] == ""          # empty string, not null
+        assert got.loc["b", "lang"] == "fr"
+        assert sorted(out.columns) == ["doc_id", "lang", "text"]
+
+    def test_synthesized_ids_when_no_id_column(self, ray_session, tmp_path):
+        import csv as _csv
+        import hashlib
+
+        from pdf_parser_ray.sources.jsonl import read_csv_docs
+
+        p = os.path.join(str(tmp_path), "noid.csv")
+        with open(p, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["text"])
+            w.writerows([["same text"], ["same text"], ["other"]])
+        out = read_csv_docs([p]).to_pandas()
+        want = hashlib.sha256(b"same text").hexdigest()[:32]
+        assert (out["doc_id"] == want).sum() == 2
+
+    def test_integer_ids_cast_to_string(self, ray_session, tmp_path):
+        from pdf_parser_ray.sources.jsonl import read_csv_docs
+
+        p = self._write(str(tmp_path), [[7, "seven", "en"]])
+        out = read_csv_docs([p]).to_pandas()
+        assert out["doc_id"].tolist() == ["7"]
+
+    def test_missing_text_field_raises(self, ray_session, tmp_path):
+        import csv as _csv
+
+        from pdf_parser_ray.sources.jsonl import read_csv_docs
+
+        p = os.path.join(str(tmp_path), "notext.csv")
+        with open(p, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["doc_id", "body"])
+            w.writerow(["x", "no text col"])
+        with pytest.raises(Exception, match="text"):
+            read_csv_docs([p]).to_pandas()
