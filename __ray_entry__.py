@@ -871,6 +871,35 @@ FROM sig
 """
 
 
+def _q_gopher_filter(sf_dir: str):
+    """Filter form of gopher_quality (stages/textstage.py:gopher_filter —
+    shared _gopher_signals kernel, so it cannot drift from the oracle-
+    gated stats): documents surviving every Gopher rule, slim columns.
+    The QUERY relaxes min_stop_hits to 1 (the synthetic corpus is not
+    natural English, so Gopher's ≥2-stopword rule would keep nothing —
+    the operator's defaults stay Gopher's); with it the rule set cuts
+    roughly half the corpus, a meaningful value gate."""
+    from pdf_parser_ray.stages.textstage import gopher_filter
+
+    ds = _documents(sf_dir, columns=["doc_id", "text", "lang", "source"])
+    return gopher_filter(ds, min_stop_hits=1).map_batches(
+        lambda b: b.drop_columns(["text"]), batch_format="pyarrow")
+
+
+# replays the filter over the oracle-gated gopher_quality signal columns
+# with the query's thresholds spelled out (min_stop_hits relaxed to 1)
+_GOPHER_FILTER_SQL = (
+    "WITH gq AS (" + _GOPHER_SQL + ") "
+    "SELECT d.doc_id, d.lang, d.source FROM documents d "
+    "JOIN gq ON d.doc_id = gq.doc_id "
+    "WHERE gq.n_words BETWEEN 50 AND 100000 "
+    "AND gq.mean_word_len_milli BETWEEN 3000 AND 10000 "
+    "AND gq.symbol_word_milli <= 100 AND gq.bullet_line_milli <= 900 "
+    "AND gq.ellipsis_line_milli <= 300 AND gq.alpha_word_milli >= 800 "
+    "AND gq.stop_hits >= 1"
+)
+
+
 def _q_source_divergence(sf_dir: str):
     """Per-source unigram L1 divergence from the corpus blend over the
     global top-100 terms (stages/textstage.py:source_divergence) — one
@@ -3040,6 +3069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": rel.events_sliding_window,
         # new in round 5 (below the window; oracled, locally gated)
         "gopher_quality": _q_gopher_quality,
+        "gopher_filter": _q_gopher_filter,
         "source_divergence": _q_source_divergence,
         "csv_ingest": _q_csv_ingest,
     }
@@ -3259,6 +3289,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _REPETITION_SQL,
         "bigram_commonness": _BIGRAM_COMMONNESS_SQL,
         "gopher_quality": _GOPHER_SQL,
+        "gopher_filter": _GOPHER_FILTER_SQL,
         "source_divergence": _SOURCE_DIVERGENCE_SQL,
         "chunk_documents": _chunk_docs_sql(_CHUNK_TOKENS),
         "source_mix": _source_mix_sql(),

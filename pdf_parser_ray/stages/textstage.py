@@ -329,6 +329,71 @@ def repetition_stats(ds, *, text_col: str = "text", id_col: str = "doc_id",
 _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def _gopher_signals(texts, *, min_words, max_words, min_mean_word_len_milli,
+                    max_mean_word_len_milli, max_symbol_word_milli,
+                    max_bullet_line_milli, max_ellipsis_line_milli,
+                    min_alpha_word_milli, min_stop_hits):
+    """Shared per-doc Gopher quality computation for ``gopher_quality``
+    and ``gopher_filter`` — one source of truth so the filter can never
+    drift from the oracle-gated stats."""
+    from ..functions.minhash import _ASCII_WS
+
+    n_w, mwl, sym, bul, ell, alp, sth, keep = [], [], [], [], [], [], [], []
+    for t in texts:
+        t = t or ""
+        toks = [x for x in _ASCII_WS.split(t) if x]
+        n = len(toks)
+        n_w.append(n)
+        if n:
+            mwl.append(1000 * sum(len(w) for w in toks) // n)
+            sym.append(1000 * (t.count("#") + t.count("...")) // n)
+            alp.append(1000 * sum(
+                1 for w in toks
+                if any("a" <= c <= "z" or "A" <= c <= "Z" for c in w)
+            ) // n)
+        else:
+            mwl.append(0)
+            sym.append(0)
+            alp.append(0)
+        lines = t.split("\n")
+        nl = len(lines)
+        bul.append(1000 * sum(
+            1 for L in lines if L.startswith(("-", "*", "•"))) // nl)
+        ell.append(1000 * sum(1 for L in lines if L.endswith("...")) // nl)
+        tokset = {w.lower() for w in toks}
+        hits = sum(1 for s in _GOPHER_STOPWORDS if s in tokset)
+        sth.append(hits)
+        keep.append(min_words <= n <= max_words
+                    and min_mean_word_len_milli <= mwl[-1]
+                    <= max_mean_word_len_milli
+                    and sym[-1] <= max_symbol_word_milli
+                    and bul[-1] <= max_bullet_line_milli
+                    and ell[-1] <= max_ellipsis_line_milli
+                    and alp[-1] >= min_alpha_word_milli
+                    and hits >= min_stop_hits)
+    return n_w, mwl, sym, bul, ell, alp, sth, keep
+
+
+def gopher_filter(ds, *, text_col: str = "text", **thresholds):
+    """Filter form of ``gopher_quality``: keep only rows passing every
+    Gopher rule, preserving every input column. Same stateless
+    no-shuffle shape; same kernel (``_gopher_signals``)."""
+    import pyarrow as pa
+
+    kw = dict(min_words=50, max_words=100_000,
+              min_mean_word_len_milli=3000, max_mean_word_len_milli=10_000,
+              max_symbol_word_milli=100, max_bullet_line_milli=900,
+              max_ellipsis_line_milli=300, min_alpha_word_milli=800,
+              min_stop_hits=2)
+    kw.update(thresholds)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        *_, keep = _gopher_signals(batch.column(text_col).to_pylist(), **kw)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def gopher_quality(ds, *, text_col: str = "text", id_col: str = "doc_id",
                    min_words: int = 50, max_words: int = 100_000,
                    min_mean_word_len_milli: int = 3000,
@@ -363,47 +428,19 @@ def gopher_quality(ds, *, text_col: str = "text", id_col: str = "doc_id",
     """
     import pyarrow as pa
 
-    from ..functions.minhash import _ASCII_WS
-
     id_type = _resolve_id_type(ds, id_col, id_type)
-    stops = _GOPHER_STOPWORDS
+    kw = dict(min_words=min_words, max_words=max_words,
+              min_mean_word_len_milli=min_mean_word_len_milli,
+              max_mean_word_len_milli=max_mean_word_len_milli,
+              max_symbol_word_milli=max_symbol_word_milli,
+              max_bullet_line_milli=max_bullet_line_milli,
+              max_ellipsis_line_milli=max_ellipsis_line_milli,
+              min_alpha_word_milli=min_alpha_word_milli,
+              min_stop_hits=min_stop_hits)
 
     def kernel(batch: pa.Table) -> pa.Table:
-        n_w, mwl, sym, bul, ell, alp, sth, keep = [], [], [], [], [], [], [], []
-        for t in batch.column(text_col).to_pylist():
-            t = t or ""
-            toks = [x for x in _ASCII_WS.split(t) if x]
-            n = len(toks)
-            n_w.append(n)
-            if n:
-                mwl.append(1000 * sum(len(w) for w in toks) // n)
-                sym.append(1000 * (t.count("#") + t.count("...")) // n)
-                alp.append(1000 * sum(
-                    1 for w in toks
-                    if any("a" <= c <= "z" or "A" <= c <= "Z" for c in w)
-                ) // n)
-            else:
-                mwl.append(0)
-                sym.append(0)
-                alp.append(0)
-            lines = t.split("\n")
-            nl = len(lines)
-            bul.append(1000 * sum(
-                1 for L in lines
-                if L.startswith(("-", "*", "•"))) // nl)
-            ell.append(1000 * sum(1 for L in lines
-                                  if L.endswith("...")) // nl)
-            tokset = {w.lower() for w in toks}
-            hits = sum(1 for s in stops if s in tokset)
-            sth.append(hits)
-            keep.append(min_words <= n <= max_words
-                        and min_mean_word_len_milli <= mwl[-1]
-                        <= max_mean_word_len_milli
-                        and sym[-1] <= max_symbol_word_milli
-                        and bul[-1] <= max_bullet_line_milli
-                        and ell[-1] <= max_ellipsis_line_milli
-                        and alp[-1] >= min_alpha_word_milli
-                        and hits >= min_stop_hits)
+        n_w, mwl, sym, bul, ell, alp, sth, keep = _gopher_signals(
+            batch.column(text_col).to_pylist(), **kw)
         i64 = pa.int64()
         return pa.table({
             id_col: batch.column(id_col).cast(id_type),

@@ -72,7 +72,7 @@ def _names():
         # no inlined literals — gates at ANY scale, unlike knn_ivf/knn_pq)
         "bpe_tokens",
         # round-5 quality/mixing oracles
-        "gopher_quality", "source_divergence",
+        "gopher_quality", "gopher_filter", "source_divergence",
         # round-5 interchange source (value-gated deterministic export)
         "csv_ingest",
         # model_filter is excluded like knn_ivf/knn_pq: its oracle inlines

@@ -311,6 +311,19 @@ class TestGopherQuality:
             assert out[c] == 0, c
         assert not out["gopher_keep"]
 
+    def test_filter_matches_stats_keep(self, ray_session):
+        from pdf_parser_ray.stages.textstage import (gopher_filter,
+                                                     gopher_quality)
+
+        docs = [("the cat and dog ran " * 12).strip(), "short doc", "",
+                "- a\n- b\n- c...", ("word " * 60).strip()]
+        stats = gopher_quality(_ds(docs)).to_pandas()
+        kept = gopher_filter(_ds(docs)).to_pandas()
+        expect = set(stats.loc[stats["gopher_keep"], "doc_id"])
+        assert set(kept["doc_id"]) == expect
+        assert expect  # at least the keep-true doc survives
+        assert list(kept.columns) == ["doc_id", "text"]  # columns preserved
+
     def test_hash_and_ellipsis_counting(self, ray_session):
         from pdf_parser_ray.stages.textstage import gopher_quality
 
