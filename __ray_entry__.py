@@ -3072,6 +3072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": _q_gopher_filter,
         "source_divergence": _q_source_divergence,
         "csv_ingest": _q_csv_ingest,
+        "weighted_sample": rel.weighted_sample,
     }
 
 
@@ -3291,6 +3292,15 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _GOPHER_SQL,
         "gopher_filter": _GOPHER_FILTER_SQL,
         "source_divergence": _SOURCE_DIVERGENCE_SQL,
+        # priority sampling: w/(md5_u64(id)+1) is one correctly-rounded
+        # IEEE-double chain, identical in numpy and DuckDB
+        "weighted_sample": (
+            "SELECT doc_id, n_chars FROM ("
+            "SELECT doc_id, n_chars, CAST(n_chars AS DOUBLE) / "
+            "(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) "
+            "AS UBIGINT) AS DOUBLE) + 1.0) AS pr FROM documents) "
+            "ORDER BY pr DESC, doc_id LIMIT 100"
+        ),
         "chunk_documents": _chunk_docs_sql(_CHUNK_TOKENS),
         "source_mix": _source_mix_sql(),
         "corpus_curate": _corpus_curate_sql(),

@@ -1735,6 +1735,38 @@ def hash_sample(sf_dir: str, pct: int = 10):
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
+def weighted_sample(sf_dir: str, *, k: int = 100,
+                    weight_col: str = "n_chars"):
+    """Weighted sampling without replacement via PRIORITY SAMPLING
+    (Duffield, Lund & Thorup 2007 — public method): each row draws
+    priority = w / u with u = md5_u64(doc_id) + 1 standing in for the
+    uniform draw; the k highest priorities are the sample. Heavier docs
+    are proportionally likelier to be kept, yet the draw is reproducible
+    across runs AND engines (the house md5 rule), unlike random_sample.
+
+    The priority is one correctly-rounded IEEE-double op chain
+    (uint64→double cast, +1.0, divide) identical in numpy and DuckDB, so
+    the oracle replays it bit-for-bit; ties break by doc_id. Shape: slim
+    (id, weight) scan — text never read — vectorized priorities, then
+    the bounded two-level :func:`topk` (per-block top-k, ≤ blocks×k
+    survivors merge once): no shuffle, no full sort, at any scale."""
+    from ..functions.hashing import md5_u64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", weight_col])
+
+    def pri(batch: pa.Table) -> pa.Table:
+        h = md5_u64(batch.column("doc_id").to_pylist()).astype(np.float64)
+        w = batch.column(weight_col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        return batch.append_column(
+            "priority", pa.array(w / (h + 1.0), type=pa.float64()))
+
+    out = topk(ds.map_batches(pri, batch_format="pyarrow"),
+               by=["priority", "doc_id"], descending=[True, False], k=k)
+    return out.map_batches(lambda b: b.drop_columns(["priority"]),
+                           batch_format="pyarrow")
+
+
 def collect_distinct_sorted(ds, *, key: str, value_col: str,
                             out_col: str, sep: str = ",",
                             num_parts: int = 64, nrows: int | None = None):

@@ -75,6 +75,8 @@ def _names():
         "gopher_quality", "gopher_filter", "source_divergence",
         # round-5 interchange source (value-gated deterministic export)
         "csv_ingest",
+        # round-5 priority sampling (IEEE-double parity oracle)
+        "weighted_sample",
         # model_filter is excluded like knn_ivf/knn_pq: its oracle inlines
         # weights trained at the sf0.01 gate scale (test_classifier gates
         # the matched-scale parity)

@@ -703,3 +703,36 @@ def test_shipping_priority_paths_equal(ray_session):
     fast = norm(shipping_priority(sf))
     slow = norm(shipping_priority(sf, broadcast_limit=0))
     assert fast == slow and len(fast) > 0
+
+
+def test_weighted_sample_brute_force_and_bias(ray_session, tmp_path):
+    # priority sampling: top-k of w/(md5_u64(id)+1) — exact brute-force
+    # equivalence, and heavier docs must dominate the selection
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.relational import weighted_sample
+
+    n = 400
+    # ids < 200 are light (weight 1), ids >= 200 heavy (weight 1000)
+    weights = [1] * 200 + [1000] * 200
+    tbl = pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                    "n_chars": pa.array(weights, type=pa.int64())})
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    out = weighted_sample(str(tmp_path), k=50).to_pandas()
+    assert len(out) == 50
+    assert list(out.columns) == ["doc_id", "n_chars"]
+
+    def pr(i, w):
+        h = int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big")
+        # round h to double BEFORE +1.0 — the exact op order of both the
+        # numpy kernel and the DuckDB oracle
+        return float(w) / (float(h) + 1.0)
+
+    brute = sorted(range(n), key=lambda i: (-pr(i, weights[i]), i))[:50]
+    assert sorted(out["doc_id"]) == sorted(brute)
+    # 1000x weight → the heavy half should take nearly every slot
+    assert (out["doc_id"] >= 200).sum() >= 45
