@@ -2359,6 +2359,25 @@ def _q_scene_cuts(sf_dir: str):
     return df.sort_values(["media_ref", "frame_index"]).reset_index(drop=True)
 
 
+def _q_scene_cuts_avi(sf_dir: str):
+    """Shot-boundary detection over COMPRESSED video — MJPEG-in-AVI
+    (stages/media.py:scene_cuts with decoder="avi"): from-scratch RIFF
+    demux (functions/avi.py) → per-frame from-scratch JPEG decode
+    (baseline AND progressive frames mixed in the fixtures) → the same
+    integer per-mille differencing as the GIF path. Every decodable
+    fixture has exactly one planted cut; the expected result is one row
+    per planted boundary plus one fail-soft row per garbage payload.
+    Rows-only (MJPEG decode not SQL); exact cut positions pytest-gated
+    (tests/test_avi.py)."""
+    import ray.data
+    from pdf_parser_ray.stages.media import scene_cuts, synth_avi_table
+
+    tbl = synth_avi_table(n=24).drop_columns(["planted_cut"])
+    ds = ray.data.from_arrow(tbl)
+    df = scene_cuts(ds, decoder="avi").to_pandas()
+    return df.sort_values(["media_ref", "frame_index"]).reset_index(drop=True)
+
+
 def _q_audio_fp_dedup(sf_dir: str):
     """Audio near-duplicate detection by energy-contour fingerprint
     (stages/media.py:audio_dup_edges): real WAV decode → 64-bucket
@@ -2927,7 +2946,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   (c) slot 17: bpe_tokens — newly ORACLED in round 5 via the
     #       literal-inlining recipe (merges trained driver-side, ranks
     #       inlined as SQL literals);
-    #   (d) slots 18-50: the oracled queries whose newest green row is
+    #   (c2) slots 18-23: the six operators ADDED in round 5
+    #       (gopher_quality, gopher_filter, source_divergence, csv_ingest,
+    #       weighted_sample — all oracled — plus rows-only scene_cuts_avi,
+    #       the new compressed-video path) — locally green, zero driver
+    #       evidence, so they outrank refreshing already-green rows;
+    #   (d) slots 24-50: the oracled queries whose newest green row is
     #       oldest (r2/r3) and which are untouched since, refreshing the
     #       stalest evidence first.
     # The 3 permanent no_oracle names (extract_spans, media_features_jpeg,
@@ -2958,6 +2982,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample_gif": _q_frame_sample_gif,
         # --- (c) newly oracled in round 5 ---
         "bpe_tokens": _q_bpe_tokens,
+        # --- (c2) NEW operators added in round 5 (oracled, locally green,
+        #     zero driver evidence yet — they outrank refreshing r2/r3
+        #     rows, so they take window slots 18-22) ---
+        "gopher_quality": _q_gopher_quality,
+        "gopher_filter": _q_gopher_filter,
+        "source_divergence": _q_source_divergence,
+        "csv_ingest": _q_csv_ingest,
+        "weighted_sample": rel.weighted_sample,
+        # compressed video (MJPEG-AVI) — NEW in round 5; rows-only by
+        # nature (MJPEG decode not SQL), planted-cut-exact under pytest
+        "scene_cuts_avi": _q_scene_cuts_avi,
         # --- (d) oracled, stalest green rows (r2/r3), untouched since ---
         "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,
@@ -3067,12 +3102,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users": rel.events_top_users,
         "events_sessions": rel.events_sessions,
         "events_sliding_window": rel.events_sliding_window,
-        # new in round 5 (below the window; oracled, locally gated)
-        "gopher_quality": _q_gopher_quality,
-        "gopher_filter": _q_gopher_filter,
-        "source_divergence": _q_source_divergence,
-        "csv_ingest": _q_csv_ingest,
-        "weighted_sample": rel.weighted_sample,
     }
 
 

@@ -8,8 +8,13 @@ output tensor layout). Decode backends:
     from-scratch huffman+IDCT codec (functions/jpeg.py);
   - audio ``decoder="wav"``: REAL RIFF/PCM WAV decode via the from-scratch
     stdlib-struct codec (functions/wav.py);
+  - video ``decoder="gif"``: REAL animated-GIF decode via the from-scratch
+    LZW codec (functions/gif.py);
+  - video ``decoder="avi"``: REAL compressed video — MJPEG-in-AVI demux
+    (functions/avi.py) with each frame decoded by the from-scratch
+    baseline+progressive JPEG codec (functions/jpeg.py);
   - ``decoder="fake"``: deterministic sha256-seeded stand-in for tests;
-  - ``decoder="pillow"`` / ``"ffmpeg"``-class compressed codecs: those
+  - ``decoder="pillow"`` / ``"ffmpeg"``-class codecs beyond these: those
     libraries are not installed here — honestly ``NotImplementedError``.
     Swap the kernel, keep the stage.
 
@@ -257,6 +262,16 @@ class AudioFeatures:
         return batch.drop_columns(["samples"])
 
 
+def _decode_video(payload: bytes, decoder: str):
+    """Shared video-decode dispatch → (frames (n,h,w,3) uint8, delays ms).
+    Callers (FrameSample/SceneCuts) wrap this in per-row fail-soft."""
+    if decoder == "gif":
+        from ..functions.gif import decode_gif
+        return decode_gif(payload or b"")
+    from ..functions.avi import decode_avi
+    return decode_avi(payload or b"")
+
+
 class FrameSample:
     """Actor-pool stage: 'video' payload → every-nth-frame sampling.
 
@@ -268,25 +283,27 @@ class FrameSample:
         LZW codec (functions/gif.py); frames are composited, then sampled
         at every_ms boundaries against the stream's own frame timestamps.
         Undecodable payloads yield one null row plus ``decode_error``.
+      - ``"avi"``: REAL compressed video — MJPEG-in-AVI demux
+        (functions/avi.py) + the from-scratch JPEG codec per frame; the
+        same tick-sampling and fail-soft semantics as ``"gif"``.
       - ``"fake"``: deterministic sha256 frame stand-ins sized by
         ``duration_ms`` (schema/determinism tests).
-      - anything else (``"ffmpeg"``-class compressed video): honestly
+      - anything else (``"ffmpeg"``-class inter-frame codecs): honestly
         NotImplementedError — those libraries are not installed here.
     """
 
     def __init__(self, every_ms: int = 1000, decoder: str = "fake"):
-        if decoder not in ("fake", "gif"):
+        if decoder not in ("fake", "gif", "avi"):
             raise NotImplementedError(
-                f"decoder={decoder!r}: compressed video codecs are not "
-                "installed; use the from-scratch 'gif' backend or 'fake'")
+                f"decoder={decoder!r}: inter-frame video codecs are not "
+                "installed; use the from-scratch 'gif'/'avi' backends "
+                "or 'fake'")
         self.every_ms = every_ms
         self.decoder = decoder
 
-    def _sample_gif(self, payload: bytes):
-        """Decode one GIF and pick the frame on screen at each every_ms tick."""
-        from ..functions.gif import decode_gif
-
-        frames, delays = decode_gif(payload or b"")
+    def _sample_video(self, payload: bytes):
+        """Decode one stream and pick the frame on screen at each tick."""
+        frames, delays = _decode_video(payload, self.decoder)
         starts = np.concatenate([[0], np.cumsum(delays)[:-1]])
         total = int(starts[-1]) + int(delays[-1]) if delays else 0
         ticks = np.arange(0, max(total, 1), self.every_ms)
@@ -299,9 +316,9 @@ class FrameSample:
         for ref, payload, dur in zip(batch.column("media_ref").to_pylist(),
                                      batch.column("payload").to_pylist(),
                                      batch.column("duration_ms").to_pylist()):
-            if self.decoder == "gif":
+            if self.decoder in ("gif", "avi"):
                 try:
-                    for i, start, frame in self._sample_gif(payload):
+                    for i, start, frame in self._sample_video(payload):
                         refs.append(ref)
                         idxs.append(i)
                         payloads.append(frame.tobytes())
@@ -328,7 +345,7 @@ class FrameSample:
             "frame_index": pa.array(idxs, type=pa.int32()),
             "frame_payload": pa.array(payloads, type=pa.binary()),
         }
-        if self.decoder == "gif":
+        if self.decoder in ("gif", "avi"):
             out["frame_ts_ms"] = pa.array(ts, type=pa.int32())
             out["frame_h"] = pa.array(hs, type=pa.int32())
             out["frame_w"] = pa.array(ws, type=pa.int32())
@@ -419,6 +436,58 @@ def synth_gif_table(n: int = 32, seed: int = 42) -> pa.Table:
         "height": pa.array([0] * n, type=pa.int32()),
         "duration_ms": pa.array(durs, type=pa.int32()),
     })
+
+
+def synth_avi_table(n: int = 16, seed: int = 42) -> pa.Table:
+    """Deterministic table of REAL MJPEG AVIs (via the from-scratch
+    RIFF muxer + JPEG encoder): smooth gradient 'shots' with a PLANTED
+    hard scene cut mid-stream (gradient orientation flips), so scene-cut
+    tests have a known boundary; every 3rd file mixes progressive (SOF2)
+    frames in, every 8th row is deliberately undecodable garbage so the
+    fail-soft path is exercised."""
+    from ..functions.avi import encode_avi_mjpeg
+
+    rng = np.random.default_rng(seed)
+    refs, payloads, durs, cuts = [], [], [], []
+    for i in range(n):
+        h = int(rng.integers(3, 8)) * 8
+        w = int(rng.integers(3, 8)) * 8
+        n_frames = int(rng.integers(4, 9))
+        cut_at = n_frames // 2
+        fps = int(rng.integers(5, 31))
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = np.zeros((n_frames, h, w, 3), np.uint8)
+        base = int(rng.integers(0, 64))
+        for f in range(n_frames):
+            # within a shot: a slowly drifting gradient (tiny diffs);
+            # at the cut: orientation flips AND channels swap (huge diff)
+            g = (xx if f < cut_at else yy)
+            span = w if f < cut_at else h
+            ch = (0, 1) if f < cut_at else (2, 0)
+            drift = (f % cut_at if cut_at else 0) * 2
+            frames[f, :, :, ch[0]] = ((g * 255 // max(span - 1, 1))
+                                      + drift).clip(0, 255).astype(np.uint8)
+            frames[f, :, :, ch[1]] = 255 - frames[f, :, :, ch[0]]
+            frames[f, :, :, 3 - ch[0] - ch[1]] = base
+        payload = (rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
+                   if i % 8 == 7 else
+                   encode_avi_mjpeg(frames, fps=fps, quality=90,
+                                    progressive_every=3 if i % 3 == 0 else 0))
+        refs.append(f"avi://synth/{i}")
+        payloads.append(payload)
+        durs.append(n_frames * 1000 // fps)
+        cuts.append(cut_at)
+    t = pa.table({
+        "media_ref": pa.array(refs, type=pa.string()),
+        "media_type": pa.array(["video"] * n, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": pa.array([0] * n, type=pa.int32()),
+        "height": pa.array([0] * n, type=pa.int32()),
+        "duration_ms": pa.array(durs, type=pa.int32()),
+    })
+    # planted ground truth rides along for tests (dropped by stages,
+    # which select their own columns)
+    return t.append_column("planted_cut", pa.array(cuts, type=pa.int32()))
 
 
 def synth_png_table(n: int = 32, seed: int = 42) -> pa.Table:
@@ -704,9 +773,11 @@ def audio_dup_edges(media_ds, *, decoder: str = "fake",
 class SceneCuts:
     """Actor-pool stage: animated-'video' payload → shot-boundary rows
     (scene-cut detection — the classic frame-differencing algorithm,
-    public since the earliest shot-segmentation literature). Per GIF:
-    decode all frames (from-scratch LZW codec), score every consecutive
-    pair with the INTEGER per-mille mean absolute pixel difference
+    public since the earliest shot-segmentation literature). Per stream
+    (``decoder="gif"``: from-scratch LZW codec; ``decoder="avi"``:
+    MJPEG-in-AVI demux + from-scratch JPEG codec): decode all frames,
+    score every consecutive pair with the INTEGER per-mille mean
+    absolute pixel difference
     ``diff = (Σ|a−b| · 1000) // (h·w·3·255)``, and emit one row per
     boundary whose score exceeds ``threshold_permille``.
 
@@ -714,23 +785,23 @@ class SceneCuts:
     diff_permille) — frame_index is the FIRST frame of the new scene.
     Undecodable payloads yield one null row + ``decode_error``
     (fail-soft, the FrameSample convention). Integer arithmetic end to
-    end — bit-reproducible on any worker."""
+    end — bit-reproducible on any worker (MJPEG decode itself is the
+    repo's own integer-deterministic IDCT path)."""
 
     def __init__(self, threshold_permille: int = 120, decoder: str = "gif"):
-        if decoder != "gif":
+        if decoder not in ("gif", "avi"):
             raise NotImplementedError(
-                f"decoder={decoder!r}: compressed video codecs are not "
-                "installed; use the from-scratch 'gif' backend")
+                f"decoder={decoder!r}: inter-frame video codecs are not "
+                "installed; use the from-scratch 'gif'/'avi' backends")
         self.threshold = threshold_permille
+        self.decoder = decoder
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.gif import decode_gif
-
         refs, idxs, ts, diffs, errors = [], [], [], [], []
         for ref, payload in zip(batch.column("media_ref").to_pylist(),
                                 batch.column("payload").to_pylist()):
             try:
-                frames, delays = decode_gif(payload or b"")
+                frames, delays = _decode_video(payload, self.decoder)
             except Exception as e:
                 refs.append(ref); idxs.append(None); ts.append(None)
                 diffs.append(None)
@@ -756,12 +827,13 @@ class SceneCuts:
 
 
 def scene_cuts(media_ds, *, threshold_permille: int = 120,
+               decoder: str = "gif",
                concurrency: int = 2, batch_size: int = 16):
-    """Shot-boundary detection over a video (GIF) table — an actor-pool
-    ``map_batches`` of :class:`SceneCuts`; embarrassingly parallel, the
-    payload never shuffles, output is slim boundary rows."""
+    """Shot-boundary detection over a video (GIF or MJPEG-AVI) table —
+    an actor-pool ``map_batches`` of :class:`SceneCuts`; embarrassingly
+    parallel, the payload never shuffles, output is slim boundary rows."""
     return media_ds.map_batches(
         SceneCuts, fn_constructor_kwargs={
-            "threshold_permille": threshold_permille},
+            "threshold_permille": threshold_permille, "decoder": decoder},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
