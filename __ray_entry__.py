@@ -2946,12 +2946,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   (c) slot 17: bpe_tokens — newly ORACLED in round 5 via the
     #       literal-inlining recipe (merges trained driver-side, ranks
     #       inlined as SQL literals);
-    #   (c2) slots 18-23: the six operators ADDED in round 5
+    #   (c2) slots 18-24: the seven operators ADDED in round 5
     #       (gopher_quality, gopher_filter, source_divergence, csv_ingest,
-    #       weighted_sample — all oracled — plus rows-only scene_cuts_avi,
-    #       the new compressed-video path) — locally green, zero driver
-    #       evidence, so they outrank refreshing already-green rows;
-    #   (d) slots 24-50: the oracled queries whose newest green row is
+    #       weighted_sample, TPC-H Q5 local_supplier_volume — all oracled
+    #       — plus rows-only scene_cuts_avi, the new compressed-video
+    #       path) — locally green, zero driver evidence, so they outrank
+    #       refreshing already-green rows;
+    #   (d) slots 25-50: the oracled queries whose newest green row is
     #       oldest (r2/r3) and which are untouched since, refreshing the
     #       stalest evidence first.
     # The 3 permanent no_oracle names (extract_spans, media_features_jpeg,
@@ -2993,6 +2994,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # compressed video (MJPEG-AVI) — NEW in round 5; rows-only by
         # nature (MJPEG decode not SQL), planted-cut-exact under pytest
         "scene_cuts_avi": _q_scene_cuts_avi,
+        # TPC-H Q5 — NEW in round 5: the 6-table join chain with the
+        # correlated same-nation predicate; oracled, both tiers
+        # pytest-equal (tests/test_relational.py)
+        "local_supplier_volume": rel.local_supplier_volume,
         # --- (d) oracled, stalest green rows (r2/r3), untouched since ---
         "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,
@@ -3560,6 +3565,18 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1996-06-30' "
             "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
             "ORDER BY revenue_cents DESC, o_orderdate, l_orderkey LIMIT 10"
+        ),
+        "local_supplier_volume": (
+            "SELECT n_name, CAST(sum(CAST(round(l_extendedprice"
+            "*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name ORDER BY revenue_cents DESC, n_name"
         ),
         "event_transitions": (
             "WITH seq AS (SELECT user_id, event_type, lag(event_type) "

@@ -617,6 +617,215 @@ def shipping_priority(sf_dir: str, *, segment: str = "BUILDING",
                 descending=[True, False, False], k=k)
 
 
+def local_supplier_volume(sf_dir: str, *, region: str = "ASIA",
+                          date_from: str = "1996-01-01",
+                          date_to: str = "1997-01-01",
+                          broadcast_limit: int = 2_000_000):
+    """TPC-H Q5 (local supplier volume): revenue per nation from line
+    items where the CUSTOMER and the SUPPLIER sit in the same nation of
+    one region, for one order-date year — the 6-table join chain
+    region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier with the
+    correlated c_nationkey = s_nationkey predicate. Revenue is the house
+    integer-cents rule (per-row round → int64 sum, order-free). Output:
+    (n_name, revenue_cents) sorted revenue desc.
+
+    nation/region are constant-size (25/5 rows) and always fold into a
+    driver-side lookup. Two paths on the remaining dimension sides
+    (parquet-footer ``_table_nrows`` — no scan):
+
+    * customer, orders and supplier all under the gate: three slim
+      sorted key→nationkey arrays broadcast once via ``ray.put`` (the
+      orders triple is pre-filtered by date AND semi-joined to in-region
+      customers while being built), then the lineitem scan is the ONLY
+      full pass — two searchsorted probes per batch, same-nation mask,
+      per-nation partial sums (≤25 groups) combined in one tiny
+      repartition. ZERO all-to-all exchanges.
+    * any side above the gate (the 10^12-row path): slim hash joins
+      only — orders(date-filtered, slim) ⋈ customer(in-region, slim) on
+      custkey, the result ⋈ per-(orderkey,suppkey) lineitem revenue
+      partials on orderkey, the result ⋈ supplier(slim) on suppkey;
+      the same-nation filter and the ≤25-group final sum never move
+      more than (key, nationkey, cents) triples. Skewed orderkeys are
+      the usual hash_join caveat (raise num_buckets / salt). All three
+      joins pass ``coalesce_blocks`` (slim sides) so the sort shuffles
+      don't emit surplus empty ranges; at toy SF one sampled range
+      boundary can still land empty (cosmetic Ray warning, disappears
+      once rows fill the ranges).
+    """
+    lo = pd.Timestamp(date_from).to_pydatetime()
+    hi = pd.Timestamp(date_to).to_pydatetime()
+
+    # constant-size dimensions → driver lookup (5 + 25 rows)
+    nat = _read(sf_dir, "nation").to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    nat = nat[nat["n_regionkey"].isin(rkeys)]
+    nat_names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    out_schema = pa.schema([("n_name", pa.string()),
+                            ("revenue_cents", pa.int64())])
+    if not nat_names:  # unknown region: typed empty, not a schemaless run
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+
+    def li_cents(batch: pa.Table) -> pa.Array:
+        return _cents(pc.multiply(batch.column("l_extendedprice"),
+                                  pc.subtract(pa.scalar(1.0),
+                                              batch.column("l_discount"))))
+
+    def in_region_slim(key_col: str, nat_col: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.loc[df[nat_col].isin(nat_names), [key_col, nat_col]]
+            return df.astype({key_col: "int64", nat_col: "int64"})
+        return fn
+
+    def combine_names(batch: pa.Table) -> pa.Table:
+        """(nationkey, cents) partials → named, summed, revenue-desc."""
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        g = batch.group_by("natkey").aggregate([("revenue_cents", "sum")])
+        df = pd.DataFrame({
+            "n_name": [nat_names[k] for k in g.column("natkey").to_pylist()],
+            "revenue_cents": g.column("revenue_cents_sum").to_pylist()})
+        df = df.sort_values(["revenue_cents", "n_name"],
+                            ascending=[False, True], ignore_index=True)
+        return pa.Table.from_pandas(df, preserve_index=False,
+                                    schema=out_schema)
+
+    n_cust = _table_nrows(sf_dir, "customer")
+    n_orders = _table_nrows(sf_dir, "orders")
+    n_supp = _table_nrows(sf_dir, "supplier")
+
+    if max(n_cust, n_orders, n_supp) <= broadcast_limit:
+        def sorted_pair(ds, keyc, natc):
+            df = (ds.map_batches(in_region_slim(keyc, natc),
+                                 batch_format="pandas").to_pandas())
+            if keyc not in df.columns:
+                return (np.empty(0, np.int64), np.empty(0, np.int64))
+            df = df.sort_values(keyc)
+            return (df[keyc].to_numpy(np.int64),
+                    df[natc].to_numpy(np.int64))
+
+        cref = ray.put(sorted_pair(cust, "c_custkey", "c_nationkey"))
+        sref = ray.put(sorted_pair(supp, "s_suppkey", "s_nationkey"))
+
+        def order_slim(df: pd.DataFrame) -> pd.DataFrame:
+            ck, cn = ray.get(cref)
+            df = df.loc[(df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)]
+            out = pd.DataFrame({
+                "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "natkey": np.empty(len(df), np.int64)})
+            if len(ck) and len(df):
+                idx, hit = _ss_match(ck, df["o_custkey"].to_numpy(np.int64))
+                out["natkey"] = cn[idx]
+                return out.loc[hit]
+            return out.iloc[0:0]
+
+        odf = (orders.map_batches(order_slim, batch_format="pandas")
+               .to_pandas())
+        if "o_orderkey" not in odf.columns:
+            odf = pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                                "natkey": pd.Series(dtype="int64")})
+        odf = odf.sort_values("o_orderkey")
+        oref = ray.put((odf["o_orderkey"].to_numpy(np.int64),
+                        odf["natkey"].to_numpy(np.int64)))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            ok, on = ray.get(oref)
+            sk, sn = ray.get(sref)
+            empty = pa.table({"natkey": pa.array([], type=pa.int64()),
+                              "revenue_cents": pa.array([], type=pa.int64())})
+            if batch.num_rows == 0 or len(ok) == 0 or len(sk) == 0:
+                return empty
+            lkey = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            skey = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+            oi, ohit = _ss_match(ok, lkey)
+            si, shit = _ss_match(sk, skey)
+            keep = ohit & shit & (on[oi] == sn[si])
+            if not keep.any():
+                return empty
+            cents = li_cents(batch).to_numpy(zero_copy_only=False)
+            g = pd.DataFrame({"natkey": on[oi][keep],
+                              "revenue_cents": cents[keep]}).groupby(
+                "natkey", as_index=False)["revenue_cents"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return (li.map_batches(partial, batch_format="pyarrow",
+                               batch_size=131072)
+                .repartition(1)
+                .map_batches(combine_names, batch_format="pyarrow",
+                             batch_size=None))
+
+    # ABOVE THE GATE — slim hash-join composition, nothing broadcast
+    # except the 25-row nation lookup inside closures
+    nb = choose_partitions(max(n_orders, n_cust), default=32)
+
+    def ord_slim(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[(df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi),
+                    ["o_orderkey", "o_custkey"]]
+        return df.rename(columns={"o_custkey": "c_custkey"}).astype(
+            {"o_orderkey": "int64", "c_custkey": "int64"})
+
+    o_c = hash_join(
+        orders.map_batches(ord_slim, batch_format="pandas"),
+        cust.map_batches(in_region_slim("c_custkey", "c_nationkey"),
+                         batch_format="pandas"),
+        key="c_custkey", num_buckets=nb, coalesce_blocks=nb,
+        left_types={"o_orderkey": pa.int64(), "c_custkey": pa.int64()},
+        right_types={"c_custkey": pa.int64(), "c_nationkey": pa.int64()})
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderkey": batch.column("l_orderkey"),
+                      "s_suppkey": batch.column("l_suppkey"),
+                      "revenue_cents": li_cents(batch)})
+        g = t.group_by(["o_orderkey", "s_suppkey"]).aggregate(
+            [("revenue_cents", "sum")])
+        return pa.table({"o_orderkey": g.column("o_orderkey"),
+                         "s_suppkey": g.column("s_suppkey"),
+                         "revenue_cents": g.column("revenue_cents_sum")})
+
+    ol = hash_join(
+        o_c.map_batches(lambda df: df[["o_orderkey", "c_nationkey"]],
+                        batch_format="pandas"),
+        li.map_batches(li_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        key="o_orderkey", num_buckets=nb, coalesce_blocks=nb,
+        left_types={"o_orderkey": pa.int64(), "c_nationkey": pa.int64()},
+        right_types={"o_orderkey": pa.int64(), "s_suppkey": pa.int64(),
+                     "revenue_cents": pa.int64()})
+
+    ols = hash_join(
+        ol.map_batches(
+            lambda df: df[["s_suppkey", "c_nationkey", "revenue_cents"]],
+            batch_format="pandas"),
+        supp.map_batches(in_region_slim("s_suppkey", "s_nationkey"),
+                         batch_format="pandas"),
+        key="s_suppkey",
+        num_buckets=choose_partitions(n_supp, default=16),
+        coalesce_blocks=choose_partitions(n_supp, default=16),
+        left_types={"s_suppkey": pa.int64(), "c_nationkey": pa.int64(),
+                    "revenue_cents": pa.int64()},
+        right_types={"s_suppkey": pa.int64(), "s_nationkey": pa.int64()})
+
+    def same_nation_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["c_nationkey"] == df["s_nationkey"]]
+        g = df.groupby("c_nationkey", as_index=False)["revenue_cents"].sum()
+        return g.rename(columns={"c_nationkey": "natkey"}).astype(
+            {"natkey": "int64", "revenue_cents": "int64"})
+
+    return (ols.map_batches(same_nation_partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(combine_names, batch_format="pyarrow",
+                         batch_size=None))
+
+
 def funnel(sf_dir: str, stages: tuple = ("view", "click", "purchase"),
            num_parts: int = 64):
     """Ordered conversion funnel — the classic product-analytics query

@@ -705,6 +705,39 @@ def test_shipping_priority_paths_equal(ray_session):
     assert fast == slow and len(fast) > 0
 
 
+def test_local_supplier_volume_paths_equal(ray_session):
+    # TPC-H Q5: broadcast searchsorted-probe path vs the above-gate
+    # three-hash-join composition — identical per-nation revenue
+    from pdf_parser_ray.pipelines.relational import local_supplier_volume
+
+    sf = "/root/testdata/sf0.001"
+
+    def norm(ds):
+        return [tuple(r) for r in ds.to_pandas().itertuples(index=False)]
+
+    fast = norm(local_supplier_volume(sf))
+    slow = norm(local_supplier_volume(sf, broadcast_limit=0))
+    assert fast == slow and len(fast) > 0
+    # revenue-desc contract
+    revs = [r[1] for r in fast]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_local_supplier_volume_empty_region(ray_session):
+    # a region filter that matches nothing must yield a typed empty
+    # result on BOTH tiers, not a schema error
+    from pdf_parser_ray.pipelines.relational import local_supplier_volume
+
+    sf = "/root/testdata/sf0.001"
+    for lim in (2_000_000, 0):
+        ds = local_supplier_volume(sf, region="ATLANTIS",
+                                   broadcast_limit=lim)
+        # Dataset-level schema stays typed (ray's to_pandas() drops
+        # columns on a fully-empty dataset, so assert on the Dataset)
+        assert ds.schema().names == ["n_name", "revenue_cents"]
+        assert ds.count() == 0
+
+
 def test_weighted_sample_brute_force_and_bias(ray_session, tmp_path):
     # priority sampling: top-k of w/(md5_u64(id)+1) — exact brute-force
     # equivalence, and heavier docs must dominate the selection
