@@ -2946,13 +2946,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   (c) slot 17: bpe_tokens — newly ORACLED in round 5 via the
     #       literal-inlining recipe (merges trained driver-side, ranks
     #       inlined as SQL literals);
-    #   (c2) slots 18-24: the seven operators ADDED in round 5
+    #   (c2) slots 18-25: the operators ADDED in round 5
     #       (gopher_quality, gopher_filter, source_divergence, csv_ingest,
-    #       weighted_sample, TPC-H Q5 local_supplier_volume — all oracled
-    #       — plus rows-only scene_cuts_avi, the new compressed-video
-    #       path) — locally green, zero driver evidence, so they outrank
-    #       refreshing already-green rows;
-    #   (d) slots 25-50: the oracled queries whose newest green row is
+    #       weighted_sample, TPC-H Q5 local_supplier_volume, α=1/2
+    #       temperature_mix — all oracled — plus rows-only scene_cuts_avi,
+    #       the new compressed-video path) — locally green, zero driver
+    #       evidence, so they outrank refreshing already-green rows;
+    #   (d) slots 26-50: the oracled queries whose newest green row is
     #       oldest (r2/r3) and which are untouched since, refreshing the
     #       stalest evidence first.
     # The 3 permanent no_oracle names (extract_spans, media_features_jpeg,
@@ -2998,6 +2998,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # correlated same-nation predicate; oracled, both tiers
         # pytest-equal (tests/test_relational.py)
         "local_supplier_volume": rel.local_supplier_volume,
+        # temperature (α=1/2) mixture allocation — NEW in round 5;
+        # bit-exact float path (sqrt/·//floor all IEEE-correctly-rounded,
+        # Σ√n order pinned) so the mix is fully value-gated
+        "temperature_mix": rel.temperature_mix,
         # --- (d) oracled, stalest green rows (r2/r3), untouched since ---
         "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,
@@ -3565,6 +3569,25 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1996-06-30' "
             "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
             "ORDER BY revenue_cents DESC, o_orderdate, l_orderkey LIMIT 10"
+        ),
+        "temperature_mix": (
+            # α=1/2 quotas: every float op (sqrt, *, /, floor) is IEEE
+            # correctly-rounded, and the Σ√n accumulation order is pinned
+            # with sum(... ORDER BY lang) to match the engine's
+            # source-sorted left-to-right fold — bit-identical quotas.
+            "WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents WHERE doc_id IS NOT NULL GROUP BY lang), "
+            "w AS (SELECT lang, sqrt(CAST(n_docs AS DOUBLE)) AS wt FROM n), "
+            "t AS (SELECT sum(wt ORDER BY lang) AS tot FROM w), "
+            "q AS (SELECT lang, CAST(floor(CAST(300 AS DOUBLE) * wt "
+            "/ (SELECT tot FROM t)) AS BIGINT) AS quota FROM w), "
+            "r AS (SELECT doc_id, lang, row_number() OVER ("
+            "PARTITION BY lang ORDER BY "
+            "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) "
+            "AS UBIGINT), doc_id) AS rn "
+            "FROM documents WHERE doc_id IS NOT NULL) "
+            "SELECT r.doc_id, r.lang FROM r JOIN q USING (lang) "
+            "WHERE r.rn <= q.quota"
         ),
         "local_supplier_volume": (
             "SELECT n_name, CAST(sum(CAST(round(l_extendedprice"

@@ -2093,6 +2093,93 @@ def source_mix(sf_dir: str, rates: dict[str, int] | None = None,
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
+def temperature_mix(sf_dir: str, *, key: str = "lang",
+                    budget_docs: int = 300):
+    """Temperature-based mixture allocation at α = 1/2 — the standard
+    multilingual/multi-source rebalancing rule (sample source s with
+    probability ∝ n_s^α, α < 1 flattens the natural distribution so
+    small sources are upweighted; the published recipe behind
+    multilingual-corpus and multi-domain training mixes). Source quotas
+    are ``floor(budget · √n_s / Σ√n)`` and each source contributes its
+    quota of documents in deterministic (md5-rank, doc_id) order.
+
+    α is fixed at 1/2 because every operation in the quota formula —
+    sqrt, ·, /, floor — is IEEE-754 correctly-rounded and therefore
+    BIT-IDENTICAL between numpy and DuckDB, which makes the float path
+    value-gateable (general n^α needs pow, whose rounding is not
+    portable). The Σ√n accumulation order is pinned to source-name
+    order on both sides (``sum(w ORDER BY source)`` in the oracle).
+
+    Shape: pass 1 is a slim per-source count (associative partials →
+    one tiny combine — at 100 TB the exchange is n_sources × n_blocks
+    count rows); quotas are computed driver-side over the ≤ dozens of
+    sources and shipped in the task closure. Pass 2 re-scans only
+    (doc_id, source) and runs the bounded two-level select of
+    :func:`stratified_sample`: a per-batch combiner keeps ≤ quota_s per
+    source per batch, so at most n_blocks × budget slim rows reach the
+    single merge task. The text column never leaves the scan; selected
+    ids recover payloads via the house semi-join.
+    """
+    from ..functions.hashing import md5_u64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", key])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        if batch.column("doc_id").null_count:
+            batch = batch.filter(pc.is_valid(batch.column("doc_id")))
+        g = batch.group_by(key).aggregate([("doc_id", "count")])
+        return pa.table({key: g.column(key),
+                         "n_docs": pc.cast(g.column("doc_id_count"),
+                                           pa.int64())})
+
+    def count_combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(key).aggregate([("n_docs", "sum")])
+        return pa.table({key: g.column(key),
+                         "n_docs": g.column("n_docs_sum")})
+
+    counts = (ds.map_batches(count_partial, batch_format="pyarrow")
+              .repartition(1)
+              .map_batches(count_combine, batch_format="pyarrow",
+                           batch_size=None)
+              .to_pandas())  # ≤ n_sources rows — tiny by contract
+    counts = counts.sort_values(key, ignore_index=True)
+
+    w = np.sqrt(counts["n_docs"].to_numpy(np.float64))
+    total = 0.0
+    for x in w:          # fixed left-to-right order == sum(ORDER BY source)
+        total += float(x)
+    if total == 0.0:
+        quotas: dict = {}
+    else:
+        q = np.floor((budget_docs * w) / total).astype(np.int64)
+        quotas = dict(zip(counts[key], q))
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        if batch.column("doc_id").null_count:
+            batch = batch.filter(pc.is_valid(batch.column("doc_id")))
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            key: batch.column(key),
+            "tm_rank": pa.array(md5_u64(ids), type=pa.uint64()),
+        })
+
+    def keep_quota(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, "tm_rank", "doc_id"],
+                            kind="mergesort")
+        rn = df.groupby(key, sort=False).cumcount().to_numpy()
+        lim = df[key].map(quotas).fillna(0).to_numpy(np.int64)
+        return df.loc[rn < lim]
+
+    local = ds.map_batches(add_rank, batch_format="pyarrow").map_batches(
+        keep_quota, batch_format="pandas")
+    merged = local.repartition(1).map_batches(keep_quota,
+                                              batch_format="pandas",
+                                              batch_size=None)
+    return merged.map_batches(lambda b: b.select(["doc_id", key]),
+                              batch_format="pyarrow")
+
+
 def event_type_distinct(sf_dir: str, num_parts: int = 64):
     """Distinct event types per user (set-op/unique operator exercise):
     per-batch dedup combiner → coarse user-hash partition → vectorized

@@ -738,6 +738,48 @@ def test_local_supplier_volume_empty_region(ray_session):
         assert ds.count() == 0
 
 
+def test_temperature_mix_brute_force_and_flattening(ray_session):
+    # α=1/2 mixture: exact brute-force equivalence of quotas + selection,
+    # and the defining property — the dominant group's mix share must be
+    # BELOW its natural share (temperature < 1 flattens)
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from pdf_parser_ray.pipelines.relational import temperature_mix
+
+    sf = "/root/testdata/sf0.001"
+    budget = 120
+    got = (temperature_mix(sf, budget_docs=budget).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    docs = docs[docs["doc_id"].notna()].copy()
+    n = docs.groupby("lang").size().sort_index()
+    w = np.sqrt(n.to_numpy(np.float64))
+    tot = 0.0
+    for x in w:
+        tot += float(x)
+    quota = dict(zip(n.index, np.floor((budget * w) / tot).astype(int)))
+    docs["rank"] = [int.from_bytes(
+        hashlib.md5(str(i).encode()).digest()[:8], "big")
+        for i in docs["doc_id"]]
+    docs = docs.sort_values(["lang", "rank", "doc_id"])
+    docs["rn"] = docs.groupby("lang").cumcount()
+    want = (docs[docs["rn"] < docs["lang"].map(quota)]
+            [["doc_id", "lang"]].sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(got, want)
+
+    # flattening: every group got a quota, and the biggest group's share
+    # of the mix is strictly below its share of the corpus
+    mix = got.groupby("lang").size()
+    big = n.idxmax()
+    assert set(mix.index) == set(n.index)
+    assert mix[big] / mix.sum() < n[big] / n.sum()
+
+
 def test_weighted_sample_brute_force_and_bias(ray_session, tmp_path):
     # priority sampling: top-k of w/(md5_u64(id)+1) — exact brute-force
     # equivalence, and heavier docs must dominate the selection
