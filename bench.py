@@ -186,7 +186,10 @@ def run_query_suite() -> dict:
              "knn_hnsw", "model_filter",
              # round-4 session-3 additions
              "pagerank", "segment_dedup", "cluster_canonical",
-             "inverted_index"]
+             "inverted_index",
+             # round-5 additions
+             "gopher_quality", "weighted_sample", "local_supplier_volume",
+             "temperature_mix", "scene_cuts_avi"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:
