@@ -119,6 +119,51 @@ def _q_extract_spans(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def _q_extraction_manifest(sf_dir: str):
+    """The north rule's checkpoint contract made DRIVER-VISIBLE: run the
+    checkpointed extraction (pipelines/extraction.py:run_extraction) over
+    the interleaved corpus and return the manifest's per-partition
+    lineage + metrics as a table — partition id, fragment-range count,
+    planned docs/bytes (parquet-footer lineage), measured docs/spans/
+    errors, parser version, commit status. Every run re-executes from a
+    fresh out_dir so the numbers are end-to-end, and every column is
+    deterministic (wall-clock metrics dropped). Rows-only by nature
+    (extraction is not SQL); the same manifest's resume semantics —
+    SIGKILL mid-run, byte-identical completion — are pytest-gated
+    (tests/test_resume.py, tests/test_manifest.py)."""
+    import shutil
+    import tempfile
+
+    from pdf_parser_ray.pipelines.extraction import run_extraction
+    from pdf_parser_ray.sources.synth import corpus_path
+    from pdf_parser_ray.state.manifest import Manifest
+
+    corpus = corpus_path(_sf_of(sf_dir))
+    out_dir = tempfile.mkdtemp(prefix="pdf_parser_ray_manifest_q_")
+    try:
+        # small byte budget → several partitions even at toy SF, so the
+        # row set actually exercises the per-partition contract
+        run_extraction(corpus, out_dir, byte_budget=128 << 10,
+                       parse_concurrency=2)
+        recs = Manifest(out_dir).records()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    rows = sorted(
+        ({
+            "partition_id": int(r["partition_id"]),
+            "n_fragments": len(r["fragments"]),
+            "n_docs_planned": int(r["n_docs_planned"]),
+            "n_input_bytes_planned": int(r["n_input_bytes_planned"]),
+            "docs": int(r["metrics"]["docs"]),
+            "spans": int(r["metrics"]["spans"]),
+            "errors": int(r["metrics"]["errors"]),
+            "parser_version": str(r["parser_version"]),
+            "status": str(r["status"]),
+        } for r in recs),
+        key=lambda d: d["partition_id"])
+    return pd.DataFrame(rows)
+
+
 def _q_media_context(sf_dir: str):
     """Caption-candidate mining over the interleaved span sequences
     (stages/media.py:media_context): one row per media span with the
@@ -2946,13 +2991,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   (c) slot 17: bpe_tokens — newly ORACLED in round 5 via the
     #       literal-inlining recipe (merges trained driver-side, ranks
     #       inlined as SQL literals);
-    #   (c2) slots 18-25: the operators ADDED in round 5
+    #   (c2) slots 18-26: the operators ADDED in round 5
     #       (gopher_quality, gopher_filter, source_divergence, csv_ingest,
     #       weighted_sample, TPC-H Q5 local_supplier_volume, α=1/2
-    #       temperature_mix — all oracled — plus rows-only scene_cuts_avi,
-    #       the new compressed-video path) — locally green, zero driver
-    #       evidence, so they outrank refreshing already-green rows;
-    #   (d) slots 26-50: the oracled queries whose newest green row is
+    #       temperature_mix — all oracled — plus rows-only scene_cuts_avi
+    #       (the new compressed-video path) and extraction_manifest (the
+    #       checkpoint lineage/metrics contract made driver-visible)) —
+    #       locally green, zero driver evidence, so they outrank
+    #       refreshing already-green rows;
+    #   (d) slots 27-50: the oracled queries whose newest green row is
     #       oldest (r2/r3) and which are untouched since, refreshing the
     #       stalest evidence first.
     # The 3 permanent no_oracle names (extract_spans, media_features_jpeg,
@@ -2994,6 +3041,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # compressed video (MJPEG-AVI) — NEW in round 5; rows-only by
         # nature (MJPEG decode not SQL), planted-cut-exact under pytest
         "scene_cuts_avi": _q_scene_cuts_avi,
+        # checkpoint lineage+metrics surfaced to the driver — NEW in
+        # round 5; rows-only (extraction not SQL), resume pytest-gated
+        "extraction_manifest": _q_extraction_manifest,
         # TPC-H Q5 — NEW in round 5: the 6-table join chain with the
         # correlated same-nation predicate; oracled, both tiers
         # pytest-equal (tests/test_relational.py)

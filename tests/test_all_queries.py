@@ -77,6 +77,10 @@ def _names():
         "csv_ingest",
         # round-5 priority sampling (IEEE-double parity oracle)
         "weighted_sample",
+        # round-5 joins/mixing oracles
+        "local_supplier_volume", "temperature_mix",
+        # round-5 rows-only: compressed video + checkpoint lineage
+        "scene_cuts_avi", "extraction_manifest",
         # model_filter is excluded like knn_ivf/knn_pq: its oracle inlines
         # weights trained at the sf0.01 gate scale (test_classifier gates
         # the matched-scale parity)
@@ -102,6 +106,21 @@ class TestDriverContract:
         b = sql_df[sorted(sql_df.columns)].sort_values(
             sorted(sql_df.columns), ignore_index=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_extraction_manifest_invariants(self, entrymod):
+        # the lineage/metrics table must reconcile: measured docs equal
+        # footer-planned docs per partition, every partition committed,
+        # and two fresh runs produce identical rows (timing dropped)
+        q = entrymod.queries()["extraction_manifest"]
+        df = q(SF_DIR)
+        # splitting is bounded by row-group granularity: the sf0.001
+        # corpus is one row group → one partition here; at the driver's
+        # sf0.01 the 128 KiB budget yields 4 (verified by hand)
+        assert len(df) >= 1
+        assert (df["docs"] == df["n_docs_planned"]).all()
+        assert (df["status"] == "committed").all()
+        assert df["partition_id"].tolist() == list(range(len(df)))
+        pd.testing.assert_frame_equal(df, q(SF_DIR))
 
     def test_every_oracle_has_a_query(self, entrymod):
         assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
