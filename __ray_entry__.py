@@ -2991,15 +2991,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   (c) slot 17: bpe_tokens — newly ORACLED in round 5 via the
     #       literal-inlining recipe (merges trained driver-side, ranks
     #       inlined as SQL literals);
-    #   (c2) slots 18-26: the operators ADDED in round 5
+    #   (c2) slots 18-27: the operators ADDED in round 5
     #       (gopher_quality, gopher_filter, source_divergence, csv_ingest,
-    #       weighted_sample, TPC-H Q5 local_supplier_volume, α=1/2
-    #       temperature_mix — all oracled — plus rows-only scene_cuts_avi
-    #       (the new compressed-video path) and extraction_manifest (the
-    #       checkpoint lineage/metrics contract made driver-visible)) —
-    #       locally green, zero driver evidence, so they outrank
-    #       refreshing already-green rows;
-    #   (d) slots 27-50: the oracled queries whose newest green row is
+    #       weighted_sample, TPC-H Q5 local_supplier_volume, TPC-H Q10
+    #       returned_item_report, α=1/2 temperature_mix — all oracled —
+    #       plus rows-only scene_cuts_avi (the new compressed-video path)
+    #       and extraction_manifest (the checkpoint lineage/metrics
+    #       contract made driver-visible)) — locally green, zero driver
+    #       evidence, so they outrank refreshing already-green rows;
+    #   (d) slots 28-50: the oracled queries whose newest green row is
     #       oldest (r2/r3) and which are untouched since, refreshing the
     #       stalest evidence first.
     # The 3 permanent no_oracle names (extract_spans, media_features_jpeg,
@@ -3048,6 +3048,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # correlated same-nation predicate; oracled, both tiers
         # pytest-equal (tests/test_relational.py)
         "local_supplier_volume": rel.local_supplier_volume,
+        # TPC-H Q10 — NEW in round 5: the reporting-join shape (attrs
+        # attach AFTER the aggregate, to k rows); oracled, both tiers
+        # pytest-equal
+        "returned_item_report": rel.returned_item_report,
         # temperature (α=1/2) mixture allocation — NEW in round 5;
         # bit-exact float path (sqrt/·//floor all IEEE-correctly-rounded,
         # Σ√n order pinned) so the mix is fully value-gated
@@ -3619,6 +3623,18 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1996-06-30' "
             "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
             "ORDER BY revenue_cents DESC, o_orderdate, l_orderkey LIMIT 10"
+        ),
+        "returned_item_report": (
+            "SELECT c_custkey, c_name, CAST(sum(CAST(round(l_extendedprice"
+            "*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "c_acctbal, n_name "
+            "FROM customer, orders, lineitem, nation "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-04-01' "
+            "AND l_returnflag = 'R' AND c_nationkey = n_nationkey "
+            "GROUP BY c_custkey, c_name, c_acctbal, n_name "
+            "ORDER BY revenue_cents DESC, c_custkey LIMIT 20"
         ),
         "temperature_mix": (
             # α=1/2 quotas: every float op (sqrt, *, /, floor) is IEEE

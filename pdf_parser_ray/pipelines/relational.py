@@ -826,6 +826,182 @@ def local_supplier_volume(sf_dir: str, *, region: str = "ASIA",
                          batch_size=None))
 
 
+def returned_item_report(sf_dir: str, *, date_from: str = "1996-01-01",
+                         date_to: str = "1996-04-01", k: int = 20,
+                         broadcast_limit: int = 2_000_000):
+    """TPC-H Q10 (returned-item reporting): top-k customers by revenue
+    lost to returned line items (l_returnflag = 'R') in one order-date
+    quarter — customer ⋈ orders ⋈ lineitem ⋈ nation, grouped by
+    customer, reported with customer attributes and nation name.
+    Revenue is the house integer-cents rule; ties break on c_custkey so
+    the LIMIT is deterministic on both engines. Output: (c_custkey,
+    c_name, revenue_cents, c_acctbal, n_name).
+
+    The reporting-join shape: attributes attach AFTER the aggregate, to
+    k rows, never to the fact stream. nation is a 25-row driver lookup.
+    Two paths on footer row counts:
+
+    * orders and customer under the gate: the date-filtered
+      (orderkey → custkey) pairs broadcast once; ONE lineitem pass
+      (returnflag filter → searchsorted probe → per-custkey partials),
+      sortless tree combine, bounded top-k, then the k customer
+      attribute rows come from a broadcast custkey→(name, acctbal,
+      nationkey) lookup. ZERO sort shuffles.
+    * above the gate: lineitem per-orderkey partials hash-join the slim
+      date-filtered orders, coarse custkey group-sum, bounded two-level
+      top-k — and the attribute attach is a k-row broadcast semi-probe
+      of customer (k keys ship to every scan task; customer never
+      shuffles). Slim exchanges only.
+    """
+    lo = pd.Timestamp(date_from).to_pydatetime()
+    hi = pd.Timestamp(date_to).to_pydatetime()
+
+    nat = _read(sf_dir, "nation").to_pandas()
+    nat_names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                        "l_discount"])
+
+    out_cols = ["c_custkey", "c_name", "revenue_cents", "c_acctbal",
+                "n_name"]
+
+    def li_filtered(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+
+    def li_cents(batch: pa.Table) -> pa.Array:
+        return _cents(pc.multiply(batch.column("l_extendedprice"),
+                                  pc.subtract(pa.scalar(1.0),
+                                              batch.column("l_discount"))))
+
+    def attach(df: pd.DataFrame, cust_df: pd.DataFrame) -> pd.DataFrame:
+        out = df.merge(cust_df, on="c_custkey", how="left")
+        out["n_name"] = out["c_nationkey"].map(nat_names)
+        out = out.sort_values(["revenue_cents", "c_custkey"],
+                              ascending=[False, True]).head(k)
+        return out[out_cols].astype({"c_custkey": "int64",
+                                     "revenue_cents": "int64"})
+
+    n_cust = _table_nrows(sf_dir, "customer")
+    n_orders = _table_nrows(sf_dir, "orders")
+
+    if max(n_cust, n_orders) <= broadcast_limit:
+        def ord_slim(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.loc[(df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi),
+                        ["o_orderkey", "o_custkey"]]
+            return df.astype({"o_orderkey": "int64", "o_custkey": "int64"})
+
+        odf = (orders.map_batches(ord_slim, batch_format="pandas")
+               .to_pandas())
+        if "o_orderkey" not in odf.columns:
+            odf = pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                                "o_custkey": pd.Series(dtype="int64")})
+        odf = odf.sort_values("o_orderkey")
+        oref = ray.put((odf["o_orderkey"].to_numpy(np.int64),
+                        odf["o_custkey"].to_numpy(np.int64)))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            ok, oc = ray.get(oref)
+            batch = li_filtered(batch)
+            empty = pa.table({
+                "c_custkey": pa.array([], type=pa.int64()),
+                "revenue_cents": pa.array([], type=pa.int64())})
+            if batch.num_rows == 0 or len(ok) == 0:
+                return empty
+            lkey = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            oi, hit = _ss_match(ok, lkey)
+            if not hit.any():
+                return empty
+            cents = li_cents(batch).to_numpy(zero_copy_only=False)
+            g = pd.DataFrame({"c_custkey": oc[oi][hit],
+                              "revenue_cents": cents[hit]}).groupby(
+                "c_custkey", as_index=False)["revenue_cents"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        def combine(batch: pa.Table) -> pa.Table:
+            g = batch.group_by("c_custkey").aggregate(
+                [("revenue_cents", "sum")])
+            return pa.table({"c_custkey": g.column("c_custkey"),
+                             "revenue_cents": g.column("revenue_cents_sum")})
+
+        totals = (li.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=131072)
+                  .repartition(8)
+                  .map_batches(combine, batch_format="pyarrow",
+                               batch_size=None)
+                  .repartition(1)
+                  .map_batches(combine, batch_format="pyarrow",
+                               batch_size=None))
+        head = topk(totals, by=["revenue_cents", "c_custkey"],
+                    descending=[True, False], k=k)
+
+        def cust_slim(df: pd.DataFrame) -> pd.DataFrame:
+            return df[["c_custkey", "c_name", "c_nationkey", "c_acctbal"]]
+
+        cdf = (cust.map_batches(cust_slim, batch_format="pandas")
+               .to_pandas())
+        return head.map_batches(lambda df: attach(df, cdf),
+                                batch_format="pandas", batch_size=None)
+
+    # ABOVE THE GATE — slim joins + k-row attribute probe
+    nb = choose_partitions(n_orders, default=32)
+
+    def ord_slim_a(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[(df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi),
+                    ["o_orderkey", "o_custkey"]]
+        return df.astype({"o_orderkey": "int64", "o_custkey": "int64"})
+
+    def li_partial_a(batch: pa.Table) -> pa.Table:
+        batch = li_filtered(batch)
+        t = pa.table({"o_orderkey": batch.column("l_orderkey"),
+                      "revenue_cents": li_cents(batch)})
+        g = t.group_by("o_orderkey").aggregate([("revenue_cents", "sum")])
+        return pa.table({"o_orderkey": g.column("o_orderkey"),
+                         "revenue_cents": g.column("revenue_cents_sum")})
+
+    joined = hash_join(
+        orders.map_batches(ord_slim_a, batch_format="pandas"),
+        li.map_batches(li_partial_a, batch_format="pyarrow",
+                       batch_size=65536),
+        key="o_orderkey", num_buckets=nb, coalesce_blocks=nb,
+        left_types={"o_orderkey": pa.int64(), "o_custkey": pa.int64()},
+        right_types={"o_orderkey": pa.int64(), "revenue_cents": pa.int64()})
+
+    def regroup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_custkey", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"))
+        return out.rename(columns={"o_custkey": "c_custkey"}).astype(
+            {"c_custkey": "int64", "revenue_cents": "int64"})
+
+    grouped = coarse_partition_apply(joined, regroup, key_col="o_custkey",
+                                     part_col="q10_part", num_parts=64,
+                                     nrows=None)
+    head = topk(grouped, by=["revenue_cents", "c_custkey"],
+                descending=[True, False], k=k)
+    head_df = head.to_pandas()  # ≤ k rows by construction
+    keys = ray.put(np.sort(head_df["c_custkey"].to_numpy(np.int64)))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        want = ray.get(keys)
+        df = df[["c_custkey", "c_name", "c_nationkey", "c_acctbal"]]
+        if not len(want) or not len(df):
+            return df.iloc[0:0]
+        _, hit = _ss_match(want, df["c_custkey"].to_numpy(np.int64))
+        return df.loc[hit]
+
+    cdf = cust.map_batches(probe, batch_format="pandas").to_pandas()
+    if "c_custkey" not in cdf.columns:  # fully-empty loses schema
+        cdf = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                            "c_name": pd.Series(dtype="object"),
+                            "c_nationkey": pd.Series(dtype="int64"),
+                            "c_acctbal": pd.Series(dtype="float64")})
+    return ray.data.from_pandas(attach(head_df, cdf))
+
+
 def funnel(sf_dir: str, stages: tuple = ("view", "click", "purchase"),
            num_parts: int = 64):
     """Ordered conversion funnel — the classic product-analytics query

@@ -78,7 +78,7 @@ def _names():
         # round-5 priority sampling (IEEE-double parity oracle)
         "weighted_sample",
         # round-5 joins/mixing oracles
-        "local_supplier_volume", "temperature_mix",
+        "local_supplier_volume", "returned_item_report", "temperature_mix",
         # round-5 rows-only: compressed video + checkpoint lineage
         "scene_cuts_avi", "extraction_manifest",
         # model_filter is excluded like knn_ivf/knn_pq: its oracle inlines

@@ -738,6 +738,27 @@ def test_local_supplier_volume_empty_region(ray_session):
         assert ds.count() == 0
 
 
+def test_returned_item_report_paths_equal(ray_session):
+    # TPC-H Q10: broadcast path vs the above-gate hash-join + k-row
+    # attribute-probe composition — identical top-20 reports
+    from pdf_parser_ray.pipelines.relational import returned_item_report
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["c_custkey", "c_name", "revenue_cents", "c_acctbal", "n_name"]
+
+    def norm(ds):
+        df = ds.to_pandas()
+        return [tuple(r) for r in df[cols].itertuples(index=False)]
+
+    fast = norm(returned_item_report(sf))
+    slow = norm(returned_item_report(sf, broadcast_limit=0))
+    assert fast == slow and len(fast) > 0
+    revs = [r[2] for r in fast]
+    assert revs == sorted(revs, reverse=True)
+    # attributes really attached: no null names on either side
+    assert all(r[1] and r[4] for r in fast)
+
+
 def test_temperature_mix_brute_force_and_flattening(ray_session):
     # α=1/2 mixture: exact brute-force equivalence of quotas + selection,
     # and the defining property — the dominant group's mix share must be
