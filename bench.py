@@ -189,7 +189,8 @@ def run_query_suite() -> dict:
              "inverted_index",
              # round-5 additions
              "gopher_quality", "weighted_sample", "local_supplier_volume",
-             "temperature_mix", "scene_cuts_avi"]
+             "temperature_mix", "scene_cuts_avi",
+             "returned_item_report", "extraction_manifest"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:
