@@ -2991,15 +2991,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   (c) slot 17: bpe_tokens — newly ORACLED in round 5 via the
     #       literal-inlining recipe (merges trained driver-side, ranks
     #       inlined as SQL literals);
-    #   (c2) slots 18-27: the operators ADDED in round 5
+    #   (c2) slots 18-28: the operators ADDED in round 5
     #       (gopher_quality, gopher_filter, source_divergence, csv_ingest,
     #       weighted_sample, TPC-H Q5 local_supplier_volume, TPC-H Q10
-    #       returned_item_report, α=1/2 temperature_mix — all oracled —
-    #       plus rows-only scene_cuts_avi (the new compressed-video path)
-    #       and extraction_manifest (the checkpoint lineage/metrics
-    #       contract made driver-visible)) — locally green, zero driver
-    #       evidence, so they outrank refreshing already-green rows;
-    #   (d) slots 28-50: the oracled queries whose newest green row is
+    #       returned_item_report, fk_orphans, α=1/2 temperature_mix — all
+    #       oracled — plus rows-only scene_cuts_avi (the new
+    #       compressed-video path) and extraction_manifest (the
+    #       checkpoint lineage/metrics contract made driver-visible)) —
+    #       locally green, zero driver evidence, so they outrank
+    #       refreshing already-green rows;
+    #   (d) slots 29-50: the oracled queries whose newest green row is
     #       oldest (r2/r3) and which are untouched since, refreshing the
     #       stalest evidence first.
     # The 3 permanent no_oracle names (extract_spans, media_features_jpeg,
@@ -3052,6 +3053,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # attach AFTER the aggregate, to k rows); oracled, both tiers
         # pytest-equal
         "returned_item_report": rel.returned_item_report,
+        # referential-integrity audit — NEW in round 5: per-FK orphan
+        # counts (broadcast probe / ids-only anti-join tiers); oracled
+        "fk_orphans": rel.fk_orphans,
         # temperature (α=1/2) mixture allocation — NEW in round 5;
         # bit-exact float path (sqrt/·//floor all IEEE-correctly-rounded,
         # Σ√n order pinned) so the mix is fully value-gated
@@ -3623,6 +3627,25 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1996-06-30' "
             "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
             "ORDER BY revenue_cents DESC, o_orderdate, l_orderkey LIMIT 10"
+        ),
+        "fk_orphans": (
+            # LEFT-JOIN-null orphan counting; every right side is a PK so
+            # the join cannot fan out. Null FKs count as orphans on both
+            # engines (a null never matches).
+            " UNION ALL ".join(
+                f"SELECT '{lt}.{lk}->{rt}.{rk}' AS relation, "
+                f"CAST(count(*) AS BIGINT) AS n_left, "
+                f"CAST(sum(CASE WHEN r.{rk} IS NULL THEN 1 ELSE 0 END) "
+                f"AS BIGINT) AS n_orphans "
+                f"FROM {lt} l LEFT JOIN {rt} r ON l.{lk} = r.{rk}"
+                for lt, lk, rt, rk in (
+                    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+                    ("orders", "o_custkey", "customer", "c_custkey"),
+                    ("customer", "c_nationkey", "nation", "n_nationkey"),
+                    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+                    ("nation", "n_regionkey", "region", "r_regionkey"),
+                    ("events", "user_id", "customer", "c_custkey"),
+                ))
         ),
         "returned_item_report": (
             "SELECT c_custkey, c_name, CAST(sum(CAST(round(l_extendedprice"

@@ -826,6 +826,84 @@ def local_supplier_volume(sf_dir: str, *, region: str = "ASIA",
                          batch_size=None))
 
 
+_FK_RELATIONS = (
+    # (left table, left key, right table, right key) — every right side is
+    # that table's primary key, so LEFT-JOIN-null counting is exact
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+)
+
+
+def fk_orphans(sf_dir: str, *, broadcast_limit: int = 2_000_000):
+    """Referential-integrity audit — the data-quality primitive that runs
+    before any join-heavy pipeline at scale: for each foreign-key
+    relation, count left rows with no match on the right (null keys
+    count as orphans, LEFT-JOIN-null semantics). Output one row per
+    relation: (relation, n_left, n_orphans), sorted by relation name.
+
+    Per relation, two tiers on the RIGHT side's footer row count:
+
+    * right side under the gate: its key column collapses to ONE sorted
+      broadcast array and the left table is scanned once, counting
+      misses with a vectorized searchsorted probe — int partials, no
+      exchange at all.
+    * right side above the gate: ids-only anti semi-join
+      (``semi_anti_join``) — the exchange carries left keys once plus
+      deduplicated right keys, then a metadata count. Nothing
+      payload-sized moves on either tier; n_left itself is free from
+      parquet footers.
+    """
+    rows = []
+    for lt, lk, rt, rk in _FK_RELATIONS:
+        left = _read(sf_dir, lt, columns=[lk])
+        n_left = _table_nrows(sf_dir, lt)
+        n_right = _table_nrows(sf_dir, rt)
+        right = _read(sf_dir, rt, columns=[rk])
+
+        if n_right <= broadcast_limit:
+            keys = np.sort(right.to_pandas()[rk].dropna()
+                           .to_numpy(np.int64))
+            kref = ray.put(keys)
+
+            def miss_partial(batch: pa.Table, _kref=kref,
+                             _lk=lk) -> pa.Table:
+                col = batch.column(_lk)
+                n = batch.num_rows
+                nulls = col.null_count
+                ks = ray.get(_kref)
+                if n == nulls or len(ks) == 0:
+                    miss = n
+                else:
+                    vals = pc.drop_null(col).to_numpy(zero_copy_only=False)
+                    _, hit = _ss_match(ks, vals.astype(np.int64))
+                    miss = nulls + int((~hit).sum())
+                return pa.table({"n_orphans": pa.array([miss],
+                                                       type=pa.int64())})
+
+            n_orphans = int(left.map_batches(
+                miss_partial, batch_format="pyarrow", batch_size=131072)
+                .to_pandas()["n_orphans"].sum())
+        else:
+            def keyed(df: pd.DataFrame, _lk=lk) -> pd.DataFrame:
+                return df[[_lk]]
+
+            orphan_ds = semi_anti_join(
+                left.map_batches(keyed, batch_format="pandas"),
+                right, left_key=lk, right_key=rk, anti=True,
+                num_buckets=choose_partitions(n_left, default=32),
+                left_types={lk: pa.int64()})
+            n_orphans = orphan_ds.count()
+
+        rows.append({"relation": f"{lt}.{lk}->{rt}.{rk}",
+                     "n_left": int(n_left), "n_orphans": int(n_orphans)})
+    out = pd.DataFrame(sorted(rows, key=lambda r: r["relation"]))
+    return out.astype({"n_left": "int64", "n_orphans": "int64"})
+
+
 def returned_item_report(sf_dir: str, *, date_from: str = "1996-01-01",
                          date_to: str = "1996-04-01", k: int = 20,
                          broadcast_limit: int = 2_000_000):

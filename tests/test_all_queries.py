@@ -77,8 +77,9 @@ def _names():
         "csv_ingest",
         # round-5 priority sampling (IEEE-double parity oracle)
         "weighted_sample",
-        # round-5 joins/mixing oracles
+        # round-5 joins/mixing/audit oracles
         "local_supplier_volume", "returned_item_report", "temperature_mix",
+        "fk_orphans",
         # round-5 rows-only: compressed video + checkpoint lineage
         "scene_cuts_avi", "extraction_manifest",
         # model_filter is excluded like knn_ivf/knn_pq: its oracle inlines

@@ -738,6 +738,47 @@ def test_local_supplier_volume_empty_region(ray_session):
         assert ds.count() == 0
 
 
+def test_fk_orphans_planted(ray_session, tmp_path):
+    # plant known referential violations in a scratch table set: the
+    # counts must be exact and identical on both tiers, including a NULL
+    # foreign key (null never matches → orphan)
+    import pandas as pd
+
+    from pdf_parser_ray.pipelines.relational import fk_orphans
+
+    t = {
+        "region": pd.DataFrame({"r_regionkey": [0], "r_name": ["R0"]}),
+        "nation": pd.DataFrame({"n_nationkey": [0, 1],
+                                "n_name": ["N0", "N1"],
+                                "n_regionkey": [0, 7]}),      # 1 orphan
+        "customer": pd.DataFrame({"c_custkey": [10, 11],
+                                  "c_nationkey": [0, 1]}),
+        "supplier": pd.DataFrame({"s_suppkey": [5],
+                                  "s_nationkey": [9]}),       # 1 orphan
+        "orders": pd.DataFrame({"o_orderkey": [100, 101, 102],
+                                "o_custkey": [10, 99, None]}),  # 2 orphans
+        "lineitem": pd.DataFrame({"l_orderkey": [100, 100, 777]}),  # 1
+        "events": pd.DataFrame({"user_id": [10, 10, 11]}),    # 0 orphans
+    }
+    for name, df in t.items():
+        df.to_parquet(tmp_path / f"{name}.parquet")
+
+    want = {
+        "customer.c_nationkey->nation.n_nationkey": 0,
+        "events.user_id->customer.c_custkey": 0,
+        "lineitem.l_orderkey->orders.o_orderkey": 1,
+        "nation.n_regionkey->region.r_regionkey": 1,
+        "orders.o_custkey->customer.c_custkey": 2,
+        "supplier.s_nationkey->nation.n_nationkey": 1,
+    }
+    fast = fk_orphans(str(tmp_path))
+    slow = fk_orphans(str(tmp_path), broadcast_limit=0)
+    assert dict(zip(fast["relation"], fast["n_orphans"])) == want
+    assert fast.equals(slow)
+    assert dict(zip(fast["relation"], fast["n_left"]))[
+        "orders.o_custkey->customer.c_custkey"] == 3
+
+
 def test_returned_item_report_paths_equal(ray_session):
     # TPC-H Q10: broadcast path vs the above-gate hash-join + k-row
     # attribute-probe composition — identical top-20 reports
