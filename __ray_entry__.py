@@ -2991,16 +2991,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   (c) slot 17: bpe_tokens — newly ORACLED in round 5 via the
     #       literal-inlining recipe (merges trained driver-side, ranks
     #       inlined as SQL literals);
-    #   (c2) slots 18-28: the operators ADDED in round 5
+    #   (c2) slots 18-29: the operators ADDED in round 5
     #       (gopher_quality, gopher_filter, source_divergence, csv_ingest,
-    #       weighted_sample, TPC-H Q5 local_supplier_volume, TPC-H Q10
-    #       returned_item_report, fk_orphans, α=1/2 temperature_mix — all
-    #       oracled — plus rows-only scene_cuts_avi (the new
-    #       compressed-video path) and extraction_manifest (the
-    #       checkpoint lineage/metrics contract made driver-visible)) —
-    #       locally green, zero driver evidence, so they outrank
-    #       refreshing already-green rows;
-    #   (d) slots 29-50: the oracled queries whose newest green row is
+    #       weighted_sample, TPC-H Q5 local_supplier_volume, TPC-H Q7
+    #       volume_shipping, TPC-H Q10 returned_item_report, fk_orphans,
+    #       α=1/2 temperature_mix — all oracled — plus rows-only
+    #       scene_cuts_avi (the new compressed-video path) and
+    #       extraction_manifest (the checkpoint lineage/metrics contract
+    #       made driver-visible)) — locally green, zero driver evidence,
+    #       so they outrank refreshing already-green rows;
+    #   (d) slots 30-50: the oracled queries whose newest green row is
     #       oldest (r2/r3) and which are untouched since, refreshing the
     #       stalest evidence first.
     # The 3 permanent no_oracle names (extract_spans, media_features_jpeg,
@@ -3056,6 +3056,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # referential-integrity audit — NEW in round 5: per-FK orphan
         # counts (broadcast probe / ids-only anti-join tiers); oracled
         "fk_orphans": rel.fk_orphans,
+        # TPC-H Q7 — NEW in round 5: the anti-correlated two-nation
+        # variant of Q5 with ship-year grouping; oracled, both tiers
+        # pytest-equal
+        "volume_shipping": rel.volume_shipping,
         # temperature (α=1/2) mixture allocation — NEW in round 5;
         # bit-exact float path (sqrt/·//floor all IEEE-correctly-rounded,
         # Σ√n order pinned) so the mix is fully value-gated
@@ -3627,6 +3631,23 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1996-06-30' "
             "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
             "ORDER BY revenue_cents DESC, o_orderdate, l_orderkey LIMIT 10"
+        ),
+        "volume_shipping": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) "
+            "AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM supplier, lineitem, orders, customer, "
+            "nation n1, nation n2 "
+            "WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey "
+            "AND c_custkey = o_custkey "
+            "AND s_nationkey = n1.n_nationkey "
+            "AND c_nationkey = n2.n_nationkey "
+            "AND ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_7') "
+            "OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_2')) "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
         ),
         "fk_orphans": (
             # LEFT-JOIN-null orphan counting; every right side is a PK so

@@ -904,6 +904,233 @@ def fk_orphans(sf_dir: str, *, broadcast_limit: int = 2_000_000):
     return out.astype({"n_left": "int64", "n_orphans": "int64"})
 
 
+def volume_shipping(sf_dir: str, *, nation_a: str = "NATION_2",
+                    nation_b: str = "NATION_7",
+                    date_from: str = "1996-01-01",
+                    date_to: str = "1998-01-01",
+                    broadcast_limit: int = 2_000_000):
+    """TPC-H Q7 (volume shipping): revenue shipped BETWEEN two specific
+    nations per (supplier nation, customer nation, ship year) — the
+    anti-correlated sibling of Q5's same-nation predicate: keep a line
+    item iff {supplier nation, customer nation} = {A, B} with A ≠ B.
+    Output: (supp_nation, cust_nation, l_year, revenue_cents), sorted by
+    the three keys. Revenue is the house integer-cents rule.
+
+    Shares Q5's two-tier shape (see :func:`local_supplier_volume`):
+    under the gate three broadcast sorted key→nationkey arrays and ONE
+    date-filtered lineitem pass (two searchsorted probes + the pair
+    mask + `pc.year`), partial sums over ≤ 2×n_years groups, one tiny
+    combine — ZERO all-to-all; above the gate the same three slim hash
+    joins with the pair filter and year extraction applied after the
+    supplier join. Only (key, nationkey, cents, year) ever exchanges.
+    """
+    lo = pd.Timestamp(date_from).to_pydatetime()
+    hi = pd.Timestamp(date_to).to_pydatetime()
+
+    nat = _read(sf_dir, "nation").to_pandas()
+    sel = nat[nat["n_name"].isin([nation_a, nation_b])]
+    nat_names = dict(zip(sel["n_nationkey"].astype(int), sel["n_name"]))
+
+    out_schema = pa.schema([("supp_nation", pa.string()),
+                            ("cust_nation", pa.string()),
+                            ("l_year", pa.int64()),
+                            ("revenue_cents", pa.int64())])
+
+    def typed_df(ds) -> pd.DataFrame:
+        """Output is ≤ 2·n_years rows by construction → a pandas return
+        (the fk_orphans precedent). ray's to_pandas drops columns on a
+        fully-empty dataset, so rebuild the typed empty frame."""
+        df = ds.to_pandas() if ds is not None else None
+        if df is None or (df.empty and not len(df.columns)):
+            return out_schema.empty_table().to_pandas()
+        return df
+
+    if len(nat_names) < 2:
+        return typed_df(None)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount", "l_shipdate"])
+
+    def li_cents(batch: pa.Table) -> pa.Array:
+        return _cents(pc.multiply(batch.column("l_extendedprice"),
+                                  pc.subtract(pa.scalar(1.0),
+                                              batch.column("l_discount"))))
+
+    def in_pair_slim(key_col: str, nat_col: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.loc[df[nat_col].isin(nat_names), [key_col, nat_col]]
+            return df.astype({key_col: "int64", nat_col: "int64"})
+        return fn
+
+    def combine_named(batch: pa.Table) -> pa.Table:
+        """(snat, cnat, year, cents) partials → named, summed, sorted."""
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        g = batch.group_by(["snat", "cnat", "l_year"]).aggregate(
+            [("revenue_cents", "sum")])
+        df = pd.DataFrame({
+            "supp_nation": [nat_names[k]
+                            for k in g.column("snat").to_pylist()],
+            "cust_nation": [nat_names[k]
+                            for k in g.column("cnat").to_pylist()],
+            "l_year": g.column("l_year").to_pylist(),
+            "revenue_cents": g.column("revenue_cents_sum").to_pylist()})
+        df = df.sort_values(["supp_nation", "cust_nation", "l_year"],
+                            ignore_index=True)
+        return pa.Table.from_pandas(df, preserve_index=False,
+                                    schema=out_schema)
+
+    n_cust = _table_nrows(sf_dir, "customer")
+    n_orders = _table_nrows(sf_dir, "orders")
+    n_supp = _table_nrows(sf_dir, "supplier")
+
+    if max(n_cust, n_orders, n_supp) <= broadcast_limit:
+        def sorted_pair(ds, keyc, natc):
+            df = (ds.map_batches(in_pair_slim(keyc, natc),
+                                 batch_format="pandas").to_pandas())
+            if keyc not in df.columns:
+                return (np.empty(0, np.int64), np.empty(0, np.int64))
+            df = df.sort_values(keyc)
+            return (df[keyc].to_numpy(np.int64),
+                    df[natc].to_numpy(np.int64))
+
+        ck, cn = sorted_pair(cust, "c_custkey", "c_nationkey")
+        sref = ray.put(sorted_pair(supp, "s_suppkey", "s_nationkey"))
+
+        def order_slim(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "cnat": np.empty(len(df), np.int64)})
+            if len(ck) and len(df):
+                idx, hit = _ss_match(ck, df["o_custkey"].to_numpy(np.int64))
+                out["cnat"] = cn[idx]
+                return out.loc[hit]
+            return out.iloc[0:0]
+
+        odf = (orders.map_batches(order_slim, batch_format="pandas")
+               .to_pandas())
+        if "o_orderkey" not in odf.columns:
+            odf = pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                                "cnat": pd.Series(dtype="int64")})
+        odf = odf.sort_values("o_orderkey")
+        oref = ray.put((odf["o_orderkey"].to_numpy(np.int64),
+                        odf["cnat"].to_numpy(np.int64)))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            ok, ocn = ray.get(oref)
+            sk, sn = ray.get(sref)
+            ship = batch.column("l_shipdate")
+            batch = batch.filter(pc.and_(
+                pc.greater_equal(ship, pa.scalar(lo)),
+                pc.less(ship, pa.scalar(hi))))
+            empty = pa.table({
+                "snat": pa.array([], type=pa.int64()),
+                "cnat": pa.array([], type=pa.int64()),
+                "l_year": pa.array([], type=pa.int64()),
+                "revenue_cents": pa.array([], type=pa.int64())})
+            if batch.num_rows == 0 or len(ok) == 0 or len(sk) == 0:
+                return empty
+            lkey = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            skey = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+            oi, ohit = _ss_match(ok, lkey)
+            si, shit = _ss_match(sk, skey)
+            snat, cnat = sn[si], ocn[oi]
+            keep = ohit & shit & (snat != cnat)  # both ∈ {A,B} already
+            if not keep.any():
+                return empty
+            years = pc.year(batch.column("l_shipdate")).to_numpy(
+                zero_copy_only=False)
+            cents = li_cents(batch).to_numpy(zero_copy_only=False)
+            g = pd.DataFrame({
+                "snat": snat[keep], "cnat": cnat[keep],
+                "l_year": years[keep].astype(np.int64),
+                "revenue_cents": cents[keep]}).groupby(
+                ["snat", "cnat", "l_year"],
+                as_index=False)["revenue_cents"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return typed_df(
+            li.map_batches(partial, batch_format="pyarrow",
+                           batch_size=131072)
+            .repartition(1)
+            .map_batches(combine_named, batch_format="pyarrow",
+                         batch_size=None))
+
+    # ABOVE THE GATE — Q5's slim hash-join composition + pair filter
+    nb = choose_partitions(max(n_orders, n_cust), default=32)
+
+    def ord_slim_a(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"o_custkey": "c_custkey"}).astype(
+            {"o_orderkey": "int64", "c_custkey": "int64"})
+
+    o_c = hash_join(
+        orders.map_batches(ord_slim_a, batch_format="pandas"),
+        cust.map_batches(in_pair_slim("c_custkey", "c_nationkey"),
+                         batch_format="pandas"),
+        key="c_custkey", num_buckets=nb, coalesce_blocks=nb,
+        left_types={"o_orderkey": pa.int64(), "c_custkey": pa.int64()},
+        right_types={"c_custkey": pa.int64(), "c_nationkey": pa.int64()})
+
+    def li_partial_a(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate")
+        batch = batch.filter(pc.and_(
+            pc.greater_equal(ship, pa.scalar(lo)),
+            pc.less(ship, pa.scalar(hi))))
+        t = pa.table({"o_orderkey": batch.column("l_orderkey"),
+                      "s_suppkey": batch.column("l_suppkey"),
+                      "l_year": pc.cast(pc.year(batch.column("l_shipdate")),
+                                        pa.int64()),
+                      "revenue_cents": li_cents(batch)})
+        g = t.group_by(["o_orderkey", "s_suppkey", "l_year"]).aggregate(
+            [("revenue_cents", "sum")])
+        return pa.table({"o_orderkey": g.column("o_orderkey"),
+                         "s_suppkey": g.column("s_suppkey"),
+                         "l_year": g.column("l_year"),
+                         "revenue_cents": g.column("revenue_cents_sum")})
+
+    ol = hash_join(
+        o_c.map_batches(lambda df: df[["o_orderkey", "c_nationkey"]],
+                        batch_format="pandas"),
+        li.map_batches(li_partial_a, batch_format="pyarrow",
+                       batch_size=65536),
+        key="o_orderkey", num_buckets=nb, coalesce_blocks=nb,
+        left_types={"o_orderkey": pa.int64(), "c_nationkey": pa.int64()},
+        right_types={"o_orderkey": pa.int64(), "s_suppkey": pa.int64(),
+                     "l_year": pa.int64(), "revenue_cents": pa.int64()})
+
+    sb = choose_partitions(n_supp, default=16)
+    ols = hash_join(
+        ol.map_batches(
+            lambda df: df[["s_suppkey", "c_nationkey", "l_year",
+                           "revenue_cents"]],
+            batch_format="pandas"),
+        supp.map_batches(in_pair_slim("s_suppkey", "s_nationkey"),
+                         batch_format="pandas"),
+        key="s_suppkey", num_buckets=sb, coalesce_blocks=sb,
+        left_types={"s_suppkey": pa.int64(), "c_nationkey": pa.int64(),
+                    "l_year": pa.int64(), "revenue_cents": pa.int64()},
+        right_types={"s_suppkey": pa.int64(), "s_nationkey": pa.int64()})
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["c_nationkey"] != df["s_nationkey"]]
+        g = df.groupby(["s_nationkey", "c_nationkey", "l_year"],
+                       as_index=False)["revenue_cents"].sum()
+        g = g.rename(columns={"s_nationkey": "snat",
+                              "c_nationkey": "cnat"})
+        return g.astype({"snat": "int64", "cnat": "int64",
+                         "l_year": "int64", "revenue_cents": "int64"})
+
+    return typed_df(
+        ols.map_batches(pair_partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(combine_named, batch_format="pyarrow",
+                     batch_size=None))
+
+
 def returned_item_report(sf_dir: str, *, date_from: str = "1996-01-01",
                          date_to: str = "1996-04-01", k: int = 20,
                          broadcast_limit: int = 2_000_000):

@@ -738,6 +738,36 @@ def test_local_supplier_volume_empty_region(ray_session):
         assert ds.count() == 0
 
 
+def test_volume_shipping_paths_equal(ray_session):
+    # TPC-H Q7: broadcast vs above-gate composition — identical
+    # per-(supp_nation, cust_nation, year) revenue; both directions of
+    # the pair present; the same-nation rows (Q5's keep set) excluded
+    from pdf_parser_ray.pipelines.relational import volume_shipping
+
+    sf = "/root/testdata/sf0.001"
+
+    def norm(df):
+        return [tuple(r) for r in df.itertuples(index=False)]
+
+    # the default NATION_2/7 pair is empty at sf0.001 (10 suppliers);
+    # pick a pair with traffic in the window
+    kw = dict(nation_a="NATION_12", nation_b="NATION_10")
+    fast = norm(volume_shipping(sf, **kw))
+    slow = norm(volume_shipping(sf, broadcast_limit=0, **kw))
+    assert fast == slow and len(fast) > 0
+    dirs = {(r[0], r[1]) for r in fast}
+    assert all(a != b for a, b in dirs)  # anti-correlation held
+
+    # unknown nation pair → typed empty frame; an EMPTY populated-pair
+    # result (both tiers) keeps its columns too
+    for empty in (volume_shipping(sf, nation_a="NOPE"),
+                  volume_shipping(sf),
+                  volume_shipping(sf, broadcast_limit=0)):
+        assert list(empty.columns) == ["supp_nation", "cust_nation",
+                                       "l_year", "revenue_cents"]
+        assert len(empty) == 0
+
+
 def test_fk_orphans_planted(ray_session, tmp_path):
     # plant known referential violations in a scratch table set: the
     # counts must be exact and identical on both tiers, including a NULL
