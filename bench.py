@@ -190,7 +190,8 @@ def run_query_suite() -> dict:
              # round-5 additions
              "gopher_quality", "weighted_sample", "local_supplier_volume",
              "temperature_mix", "scene_cuts_avi",
-             "returned_item_report", "extraction_manifest"]
+             "returned_item_report", "extraction_manifest",
+             "volume_shipping", "fk_orphans"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:
