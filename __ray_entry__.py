@@ -2991,16 +2991,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   (c) slot 17: bpe_tokens — newly ORACLED in round 5 via the
     #       literal-inlining recipe (merges trained driver-side, ranks
     #       inlined as SQL literals);
-    #   (c2) slots 18-29: the operators ADDED in round 5
+    #   (c2) slots 18-30: the operators ADDED in round 5
     #       (gopher_quality, gopher_filter, source_divergence, csv_ingest,
     #       weighted_sample, TPC-H Q5 local_supplier_volume, TPC-H Q7
-    #       volume_shipping, TPC-H Q10 returned_item_report, fk_orphans,
-    #       α=1/2 temperature_mix — all oracled — plus rows-only
-    #       scene_cuts_avi (the new compressed-video path) and
-    #       extraction_manifest (the checkpoint lineage/metrics contract
-    #       made driver-visible)) — locally green, zero driver evidence,
-    #       so they outrank refreshing already-green rows;
-    #   (d) slots 30-50: the oracled queries whose newest green row is
+    #       volume_shipping, TPC-H Q10 returned_item_report, TPC-H Q14
+    #       promo_revenue, fk_orphans, α=1/2 temperature_mix — all oracled
+    #       — plus rows-only scene_cuts_avi (the new compressed-video
+    #       path) and extraction_manifest (the checkpoint lineage/metrics
+    #       contract made driver-visible)) — locally green, zero driver
+    #       evidence, so they outrank refreshing already-green rows;
+    #   (d) slots 31-50: the oracled queries whose newest green row is
     #       oldest (r2/r3) and which are untouched since, refreshing the
     #       stalest evidence first.
     # The 3 permanent no_oracle names (extract_spans, media_features_jpeg,
@@ -3060,6 +3060,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # variant of Q5 with ship-year grouping; oracled, both tiers
         # pytest-equal
         "volume_shipping": rel.volume_shipping,
+        # TPC-H Q14 — NEW in round 5: conditional aggregate over
+        # lineitem ⋈ part (the first query on the part table); oracled,
+        # integer per-mille ratio
+        "promo_revenue": rel.promo_revenue,
         # temperature (α=1/2) mixture allocation — NEW in round 5;
         # bit-exact float path (sqrt/·//floor all IEEE-correctly-rounded,
         # Σ√n order pinned) so the mix is fully value-gated
@@ -3631,6 +3635,21 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1996-06-30' "
             "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
             "ORDER BY revenue_cents DESC, o_orderdate, l_orderkey LIMIT 10"
+        ),
+        "promo_revenue": (
+            # HUGEINT-wide multiply before the integer division so the
+            # permille cannot overflow BIGINT at any corpus scale
+            "WITH j AS (SELECT CAST(round(l_extendedprice*(1-l_discount)"
+            "*100) AS BIGINT) AS cents, p_type "
+            "FROM lineitem, part WHERE l_partkey = p_partkey "
+            "AND l_shipdate >= TIMESTAMP '1996-03-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01') "
+            "SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents "
+            "ELSE 0 END) AS BIGINT) AS promo_revenue_cents, "
+            "CAST(sum(cents) AS BIGINT) AS total_revenue_cents, "
+            "CAST((1000 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents "
+            "ELSE 0 END) AS HUGEINT)) // CAST(sum(cents) AS HUGEINT) "
+            "AS BIGINT) AS promo_permille FROM j"
         ),
         "volume_shipping": (
             "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "

@@ -904,6 +904,132 @@ def fk_orphans(sf_dir: str, *, broadcast_limit: int = 2_000_000):
     return out.astype({"n_left": "int64", "n_orphans": "int64"})
 
 
+def promo_revenue(sf_dir: str, *, promo_type: str = "PROMO",
+                  date_from: str = "1996-03-01",
+                  date_to: str = "1996-04-01",
+                  broadcast_limit: int = 2_000_000):
+    """TPC-H Q14 (promotion effect): the share of one month's revenue
+    coming from promo parts — lineitem ⋈ part with a conditional
+    aggregate. This is the first query over the ``part`` table, closing
+    the one unused table in the driver's view set. Output is ONE row:
+    (promo_revenue_cents, total_revenue_cents, promo_permille) — the
+    ratio is integer per-mille ``(1000·promo) // total`` (HUGEINT-wide
+    in the oracle) so the whole row is hash-gateable; NULL when the
+    month has no revenue.
+
+    Two tiers on the part table's footer row count:
+
+    * under the gate: p_partkey collapses to a sorted broadcast array +
+      promo bitmap; ONE date-filtered lineitem pass emits a (2×int64)
+      partial per batch — ZERO exchange, the degenerate-aggregate shape.
+    * above the gate: per-partkey lineitem revenue partials hash-join
+      the slim (p_partkey, is_promo) side, then the same two-int
+      partials — only (key, cents, bit) triples move.
+    """
+    lo = pd.Timestamp(date_from).to_pydatetime()
+    hi = pd.Timestamp(date_to).to_pydatetime()
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def li_cents(batch: pa.Table) -> pa.Array:
+        return _cents(pc.multiply(batch.column("l_extendedprice"),
+                                  pc.subtract(pa.scalar(1.0),
+                                              batch.column("l_discount"))))
+
+    def date_filter(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate")
+        return batch.filter(pc.and_(
+            pc.greater_equal(ship, pa.scalar(lo)),
+            pc.less(ship, pa.scalar(hi))))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        p = sum(batch.column("promo_revenue_cents").to_pylist() or [0])
+        t = sum(batch.column("total_revenue_cents").to_pylist() or [0])
+        permille = (1000 * p) // t if t else None  # Python int: no overflow
+        return pa.table({
+            "promo_revenue_cents": pa.array([p], type=pa.int64()),
+            "total_revenue_cents": pa.array([t], type=pa.int64()),
+            "promo_permille": pa.array([permille], type=pa.int64()),
+        })
+
+    two_int = pa.schema([("promo_revenue_cents", pa.int64()),
+                         ("total_revenue_cents", pa.int64())])
+
+    def one_row(ds) -> pd.DataFrame:
+        """Exactly ONE output row by contract. When every partial batch
+        is empty (no revenue in the window) ray skips the finish UDF and
+        the dataset comes back schemaless — rebuild the typed zero row."""
+        df = ds.to_pandas()
+        if len(df) == 0 or "promo_revenue_cents" not in df.columns:
+            return finish(two_int.empty_table()).to_pandas()
+        return df
+
+    if _table_nrows(sf_dir, "part") <= broadcast_limit:
+        pdf = part.to_pandas().sort_values("p_partkey")
+        pref = ray.put((pdf["p_partkey"].to_numpy(np.int64),
+                        (pdf["p_type"] == promo_type).to_numpy(bool)))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            pk, promo = ray.get(pref)
+            batch = date_filter(batch)
+            if batch.num_rows == 0 or len(pk) == 0:
+                return two_int.empty_table()
+            key = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            pi, hit = _ss_match(pk, key)
+            cents = li_cents(batch).to_numpy(zero_copy_only=False)
+            tot = int(cents[hit].sum())
+            pro = int(cents[hit & promo[pi]].sum())
+            return pa.table({
+                "promo_revenue_cents": pa.array([pro], type=pa.int64()),
+                "total_revenue_cents": pa.array([tot], type=pa.int64())})
+
+        return one_row(
+            li.map_batches(partial, batch_format="pyarrow",
+                           batch_size=131072)
+            .repartition(1)
+            .map_batches(finish, batch_format="pyarrow",
+                         batch_size=None))
+
+    # ABOVE THE GATE — slim join, then the same degenerate aggregate
+    def li_partial(batch: pa.Table) -> pa.Table:
+        batch = date_filter(batch)
+        t = pa.table({"p_partkey": batch.column("l_partkey"),
+                      "revenue_cents": li_cents(batch)})
+        g = t.group_by("p_partkey").aggregate([("revenue_cents", "sum")])
+        return pa.table({"p_partkey": g.column("p_partkey"),
+                         "revenue_cents": g.column("revenue_cents_sum")})
+
+    def part_slim(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "p_partkey": df["p_partkey"].to_numpy(np.int64),
+            "is_promo": (df["p_type"] == promo_type).astype("int64")})
+        return out
+
+    nb = choose_partitions(_table_nrows(sf_dir, "part"), default=16)
+    joined = hash_join(
+        li.map_batches(li_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        part.map_batches(part_slim, batch_format="pandas"),
+        key="p_partkey", num_buckets=nb, coalesce_blocks=nb,
+        left_types={"p_partkey": pa.int64(), "revenue_cents": pa.int64()},
+        right_types={"p_partkey": pa.int64(), "is_promo": pa.int64()})
+
+    def two_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "promo_revenue_cents": [int(
+                (df["revenue_cents"] * df["is_promo"]).sum())],
+            "total_revenue_cents": [int(df["revenue_cents"].sum())],
+        }).astype("int64")
+
+    return one_row(
+        joined.map_batches(two_sum, batch_format="pandas")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None))
+
+
 def volume_shipping(sf_dir: str, *, nation_a: str = "NATION_2",
                     nation_b: str = "NATION_7",
                     date_from: str = "1996-01-01",

@@ -79,7 +79,7 @@ def _names():
         "weighted_sample",
         # round-5 joins/mixing/audit oracles
         "local_supplier_volume", "returned_item_report", "temperature_mix",
-        "fk_orphans", "volume_shipping",
+        "fk_orphans", "volume_shipping", "promo_revenue",
         # round-5 rows-only: compressed video + checkpoint lineage
         "scene_cuts_avi", "extraction_manifest",
         # model_filter is excluded like knn_ivf/knn_pq: its oracle inlines

@@ -768,6 +768,44 @@ def test_volume_shipping_paths_equal(ray_session):
         assert len(empty) == 0
 
 
+def test_promo_revenue_tiers_and_planted_mix(ray_session, tmp_path):
+    # TPC-H Q14 on a planted mix: 2 promo + 1 regular part, hand-computed
+    # cents and permille; both tiers equal; zero-revenue month → NULL ratio
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.relational import promo_revenue
+
+    pd.DataFrame({"p_partkey": [1, 2, 3],
+                  "p_type": ["PROMO", "PROMO", "STANDARD"]}).to_parquet(
+        tmp_path / "part.parquet")
+    us = pa.timestamp("us")
+    in_win = pd.Timestamp("1996-03-15").to_pydatetime()
+    out_win = pd.Timestamp("1996-05-01").to_pydatetime()
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2, 3, 9, 1], type=pa.int64()),
+        "l_extendedprice": [10.0, 20.0, 30.0, 40.0, 50.0],
+        "l_discount": [0.0, 0.5, 0.0, 0.0, 0.0],
+        "l_shipdate": pa.array([in_win, in_win, in_win, in_win, out_win],
+                               type=us),
+    }), str(tmp_path / "lineitem.parquet"))
+    # in-window matched rows: part1 1000c (promo), part2 1000c (promo),
+    # part3 3000c (std); part 9 is an orphan (inner join drops it);
+    # the 5000c row is outside the window
+    for lim in (2_000_000, 0):
+        df = promo_revenue(str(tmp_path), broadcast_limit=lim)
+        assert df.iloc[0].tolist() == [2000, 5000, 400]
+
+    # empty month → NULL permille, zeros, schema intact (both tiers)
+    for lim in (2_000_000, 0):
+        df = promo_revenue(str(tmp_path), date_from="2011-01-01",
+                           date_to="2011-02-01", broadcast_limit=lim)
+        assert df["promo_revenue_cents"].tolist() == [0]
+        assert df["total_revenue_cents"].tolist() == [0]
+        assert pd.isna(df["promo_permille"].iloc[0])
+
+
 def test_fk_orphans_planted(ray_session, tmp_path):
     # plant known referential violations in a scratch table set: the
     # counts must be exact and identical on both tiers, including a NULL
