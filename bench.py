@@ -191,7 +191,7 @@ def run_query_suite() -> dict:
              "gopher_quality", "weighted_sample", "local_supplier_volume",
              "temperature_mix", "scene_cuts_avi",
              "returned_item_report", "extraction_manifest",
-             "volume_shipping", "fk_orphans"]
+             "volume_shipping", "fk_orphans", "promo_revenue"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:
