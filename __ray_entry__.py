@@ -3068,6 +3068,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bit-exact float path (sqrt/·//floor all IEEE-correctly-rounded,
         # Σ√n order pinned) so the mix is fully value-gated
         "temperature_mix": rel.temperature_mix,
+        # TPC-H Q13 — NEW in round 5 (final session): count-of-counts
+        # distribution with a footer-derived zero bucket (no customer
+        # exchange); oracled, both tiers pytest-equal
+        "customer_distribution": rel.customer_distribution,
+        # TPC-H Q4 shape — NEW in round 5 (final session): EXISTS
+        # semi-join against the outer row collapsed to an associative
+        # per-order MAX; oracled, both tiers pytest-equal
+        "order_priority_check": rel.order_priority_check,
+        # TPC-H Q18 — NEW in round 5 (final session): HAVING-then-
+        # join-back (quantity group-sum first, survivors only join);
+        # oracled, both tiers pytest-equal
+        "large_volume_customers": rel.large_volume_customers,
+        # TPC-H Q22 shape — NEW in round 5 (final session): exact
+        # integer global-average broadcast + recent-order anti-join;
+        # oracled, both tiers pytest-equal
+        "global_sales_opportunity": rel.global_sales_opportunity,
         # --- (d) oracled, stalest green rows (r2/r3), untouched since ---
         "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,
@@ -3729,6 +3745,67 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderdate >= TIMESTAMP '1996-01-01' "
             "AND o_orderdate < TIMESTAMP '1997-01-01' "
             "GROUP BY n_name ORDER BY revenue_cents DESC, n_name"
+        ),
+        "customer_distribution": (
+            # TPC-H Q13: LEFT JOIN so zero-order customers land in the
+            # c_count=0 bucket (the engine derives that bucket from the
+            # parquet footer instead of materializing the join)
+            "WITH c_orders AS (SELECT c_custkey, "
+            "count(o_orderkey) AS c_count "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY c_custkey) "
+            "SELECT CAST(c_count AS BIGINT) AS c_count, "
+            "CAST(count(*) AS BIGINT) AS custdist "
+            "FROM c_orders GROUP BY c_count "
+            "ORDER BY custdist DESC, c_count DESC"
+        ),
+        "order_priority_check": (
+            # TPC-H Q4 shape with late shipment standing in for
+            # commit<receipt (the test lineitem carries no commit/receipt
+            # dates); INTERVAL 90 DAY is exact µs arithmetic on both sides
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late "
+            "FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-07-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey "
+            "AND l_shipdate > o_orderdate + INTERVAL 90 DAY) "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "large_volume_customers": (
+            # TPC-H Q18: l_quantity is integral (1..50) so the BIGINT
+            # sum is exact; price keyed in cents for hash equality
+            "SELECT c_name, c_custkey, o_orderkey, o_orderdate, "
+            "CAST(round(o_totalprice*100) AS BIGINT) AS o_totalprice_cents, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+            "FROM customer, orders, lineitem "
+            "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+            "GROUP BY l_orderkey "
+            "HAVING sum(CAST(l_quantity AS BIGINT)) > 250) "
+            "AND c_custkey = o_custkey AND o_orderkey = l_orderkey "
+            "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, "
+            "o_totalprice_cents "
+            "ORDER BY o_totalprice_cents DESC, o_orderkey LIMIT 100"
+        ),
+        "global_sales_opportunity": (
+            # TPC-H Q22 shape: the above-average predicate is the exact
+            # integer form cents·n > Σcents (HUGEINT product here; the
+            # engine uses the equivalent cents ≥ tot//n + 1), segments
+            # stand in for phone country codes, and idleness is "no
+            # order since 2001-01-01" (no customer is order-free here)
+            "WITH pos AS (SELECT "
+            "CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS HUGEINT) "
+            "AS tot, CAST(count(*) AS HUGEINT) AS n FROM customer "
+            "WHERE CAST(round(c_acctbal*100) AS BIGINT) > 0), "
+            "recent AS (SELECT DISTINCT o_custkey FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '2001-01-01') "
+            "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers, "
+            "CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) "
+            "AS acctbal_cents FROM customer "
+            "WHERE CAST(CAST(round(c_acctbal*100) AS BIGINT) AS HUGEINT) "
+            "* (SELECT n FROM pos) > (SELECT tot FROM pos) "
+            "AND c_custkey NOT IN (SELECT o_custkey FROM recent) "
+            "GROUP BY c_mktsegment ORDER BY c_mktsegment"
         ),
         "event_transitions": (
             "WITH seq AS (SELECT user_id, event_type, lag(event_type) "

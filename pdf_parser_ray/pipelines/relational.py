@@ -3600,3 +3600,455 @@ def custkeys_f_or_o(sf_dir: str):
                   _orders_cust_slice(sf_dir, "O"),
                   key="o_custkey", how="union",
                   nrows=_table_nrows(sf_dir, "orders"))
+
+
+def customer_distribution(sf_dir: str, *, broadcast_limit: int = 2_000_000):
+    """TPC-H Q13 (customer distribution): how many customers placed
+    exactly N orders, for every N — customer LEFT JOIN orders, count per
+    customer, then a count-of-counts. Output (c_count, custdist) sorted
+    custdist DESC, c_count DESC; the zero bucket (customers with no
+    orders) is derived WITHOUT materializing the left join: it is
+    ``n_customers − Σ custdist`` — the parquet footer gives n_customers
+    for free, so no customer-sized exchange ever happens.
+
+    Two tiers on the customer footer row count:
+
+    * under the gate: customer keys broadcast once (sorted int64 array
+      via ray.put); one orders pass emits per-batch (o_custkey, n)
+      partials for FK-valid rows only; ``partitioned_group_sum``
+      combines them into per-customer totals.
+    * above the gate: orders' custkey column semi-joins the customer
+      keys (slim single-column exchange), then the same group-sum.
+
+    The count-of-counts finish is driver-side but bounded: each block
+    contributes at most one row per distinct order count (≲ a few
+    hundred at any corpus scale since orders-per-customer is bounded),
+    so the collected partials stay tiny even at 10^12 orders.
+    """
+    n_cust = _table_nrows(sf_dir, "customer")
+    n_orders = _table_nrows(sf_dir, "orders")
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    out_schema = {"c_count": "int64", "custdist": "int64"}
+
+    if n_cust <= broadcast_limit:
+        cust = _read(sf_dir, "customer", columns=["c_custkey"])
+        ckeys = np.sort(cust.to_pandas()["c_custkey"].to_numpy(np.int64))
+        cref = ray.put(ckeys)
+
+        def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+            ck = ray.get(cref)
+            key = df["o_custkey"].to_numpy(np.int64)
+            if len(ck):
+                _, hit = _ss_match(ck, key)
+                key = key[hit]
+            else:
+                key = key[:0]
+            g = pd.DataFrame({"o_custkey": key}).groupby(
+                "o_custkey", as_index=False).size().rename(
+                columns={"size": "n"})
+            return g.astype({"o_custkey": "int64", "n": "int64"})
+
+        partials = orders.map_batches(count_partial, batch_format="pandas",
+                                      batch_size=131072)
+    else:
+        matched = semi_anti_join(
+            orders, _read(sf_dir, "customer", columns=["c_custkey"]),
+            left_key="o_custkey", right_key="c_custkey",
+            num_buckets=choose_partitions(n_orders, default=32),
+            left_types={"o_custkey": pa.int64()})
+
+        def count_only(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("o_custkey", as_index=False).size().rename(
+                columns={"size": "n"})
+            return g.astype({"o_custkey": "int64", "n": "int64"})
+
+        partials = matched.map_batches(count_only, batch_format="pandas")
+
+    per_cust = partitioned_group_sum(partials, key="o_custkey",
+                                     sum_cols={"c_count": "n"},
+                                     nrows=n_cust)
+
+    def dist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_count", as_index=False).size().rename(
+            columns={"size": "custdist"})
+        return g.astype(out_schema)
+
+    parts = per_cust.map_batches(dist_partial,
+                                 batch_format="pandas").to_pandas()
+    if len(parts) == 0 or "c_count" not in parts.columns:
+        parts = pd.DataFrame({"c_count": pd.Series(dtype="int64"),
+                              "custdist": pd.Series(dtype="int64")})
+    dist = parts.groupby("c_count", as_index=False)["custdist"].sum()
+    n_zero = n_cust - int(dist["custdist"].sum())
+    if n_zero > 0:
+        dist = pd.concat([dist, pd.DataFrame(
+            {"c_count": [0], "custdist": [n_zero]})], ignore_index=True)
+    return (dist.astype(out_schema)
+            .sort_values(["custdist", "c_count"], ascending=[False, False])
+            .reset_index(drop=True))
+
+
+def order_priority_check(sf_dir: str, *, date_from: str = "1996-01-01",
+                         date_to: str = "1996-07-01", grace_days: int = 90,
+                         broadcast_limit: int = 2_000_000):
+    """TPC-H Q4 shape (order priority checking): count orders per
+    priority, in a date window, that have AT LEAST ONE line shipped more
+    than ``grace_days`` after the order date — an EXISTS semi-join whose
+    predicate compares a fact column against the outer row (the test
+    tables carry no l_commitdate/l_receiptdate, so late shipment stands
+    in for Q4's commit<receipt; the plan shape is identical). Output
+    (o_orderpriority, n_late) sorted by priority.
+
+    The EXISTS collapses to an associative MAX: an order is late iff
+    max(l_shipdate) over its lines exceeds its deadline, so lineitem
+    reduces to slim (orderkey, max_ship_us) partials and no line-level
+    rows ever join.
+
+    * under the gate (window orders ≤ limit): the window's (orderkey,
+      deadline_us, priority) broadcast sorted via ray.put; one lineitem
+      pass emits per-batch UNIQUE late orderkeys; group-sum makes them
+      globally distinct; priorities re-attach from the broadcast.
+    * above the gate: per-batch (o_orderkey, ship_us max) partials
+      hash-join the slim window triple, a coarse-partitioned kernel
+      reduces max-vs-deadline per order — only key-width rows move.
+
+    Per-priority counts fold driver-side from ≤5-row block partials.
+    """
+    lo = pd.Timestamp(date_from).to_pydatetime()
+    hi = pd.Timestamp(date_to).to_pydatetime()
+    grace_us = int(grace_days) * 86_400_000_000
+    n_orders = _table_nrows(sf_dir, "orders")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    out_schema = {"o_orderpriority": "object", "n_late": "int64"}
+
+    def window_slim(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate")
+        batch = batch.filter(pc.and_(pc.greater_equal(od, pa.scalar(lo)),
+                                     pc.less(od, pa.scalar(hi))))
+        dl = pc.add(pc.cast(batch.column("o_orderdate"), pa.int64()),
+                    pa.scalar(grace_us, type=pa.int64()))
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "deadline_us": dl,
+                         "o_orderpriority": batch.column("o_orderpriority")})
+
+    def fold(parts: pd.DataFrame) -> pd.DataFrame:
+        if len(parts) == 0 or "o_orderpriority" not in parts.columns:
+            return pd.DataFrame({"o_orderpriority": pd.Series(dtype="object"),
+                                 "n_late": pd.Series(dtype="int64")})
+        out = parts.groupby("o_orderpriority", as_index=False)["n_late"].sum()
+        return (out.astype(out_schema).sort_values("o_orderpriority")
+                .reset_index(drop=True))
+
+    win = orders.map_batches(window_slim, batch_format="pyarrow")
+
+    if n_orders <= broadcast_limit:
+        wdf = win.to_pandas()
+        if "o_orderkey" not in wdf.columns:  # fully-empty loses schema
+            wdf = pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                                "deadline_us": pd.Series(dtype="int64"),
+                                "o_orderpriority": pd.Series(dtype="object")})
+        wdf = wdf.sort_values("o_orderkey")
+        wref = ray.put((wdf["o_orderkey"].to_numpy(np.int64),
+                        wdf["deadline_us"].to_numpy(np.int64),
+                        wdf["o_orderpriority"].to_numpy()))
+
+        def late_partial(batch: pa.Table) -> pa.Table:
+            ok, dl, _ = ray.get(wref)
+            if len(ok) == 0 or batch.num_rows == 0:
+                return pa.table({"o_orderkey": pa.array([], type=pa.int64()),
+                                 "n": pa.array([], type=pa.int64())})
+            key = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            ship = batch.column("l_shipdate").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            idx, hit = _ss_match(ok, key)
+            late = np.unique(key[hit & (ship > dl[idx])])
+            return pa.table({"o_orderkey": pa.array(late, type=pa.int64()),
+                             "n": pa.array(np.ones(len(late), np.int64))})
+
+        distinct = partitioned_group_sum(
+            li.map_batches(late_partial, batch_format="pyarrow",
+                           batch_size=131072),
+            key="o_orderkey", sum_cols={"n": "n"}, nrows=len(wdf))
+
+        def prio_partial(df: pd.DataFrame) -> pd.DataFrame:
+            ok, _, op = ray.get(wref)
+            idx, _ = _ss_match(ok, df["o_orderkey"].to_numpy(np.int64))
+            g = pd.DataFrame({"o_orderpriority": op[idx]}).groupby(
+                "o_orderpriority", as_index=False).size().rename(
+                columns={"size": "n_late"})
+            return g.astype(out_schema)
+
+        return fold(distinct.map_batches(
+            prio_partial, batch_format="pandas").to_pandas())
+
+    # ABOVE THE GATE — slim max partials join the window triple
+    def ship_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "ship_us": ts_int_us(df["l_shipdate"])}).groupby(
+            "o_orderkey", as_index=False)["ship_us"].max()
+        return g.astype({"o_orderkey": "int64", "ship_us": "int64"})
+
+    joined = hash_join(
+        li.map_batches(ship_partial, batch_format="pandas"),
+        win, key="o_orderkey",
+        num_buckets=choose_partitions(n_orders, default=32),
+        left_types={"o_orderkey": pa.int64(), "ship_us": pa.int64()},
+        right_types={"o_orderkey": pa.int64(), "deadline_us": pa.int64(),
+                     "o_orderpriority": pa.string()})
+
+    def reduce_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("o_orderkey", as_index=False).agg(
+            ship_us=("ship_us", "max"), deadline_us=("deadline_us", "first"),
+            o_orderpriority=("o_orderpriority", "first"))
+        late = agg.loc[agg["ship_us"] > agg["deadline_us"]]
+        out = late.groupby("o_orderpriority", as_index=False).size().rename(
+            columns={"size": "n_late"})
+        return out.astype(out_schema)
+
+    parts = coarse_partition_apply(joined, reduce_kernel,
+                                   key_col="o_orderkey", part_col="q4_part",
+                                   num_parts=64, nrows=None)
+    return fold(parts.to_pandas())
+
+
+def large_volume_customers(sf_dir: str, *, min_qty: int = 250, k: int = 100,
+                           broadcast_limit: int = 2_000_000):
+    """TPC-H Q18 (large volume customers): orders whose total line
+    quantity exceeds ``min_qty``, joined back to their order row and
+    customer name, top-k by order value. Output (c_name, c_custkey,
+    o_orderkey, o_orderdate, o_totalprice_cents, sum_qty) sorted
+    o_totalprice_cents DESC, o_orderkey ASC, LIMIT k. l_quantity is
+    integral by schema contract (TPC-H 1..50), so sums are exact int64.
+
+    HAVING-then-join-back shape: the quantity group-sum runs FIRST and
+    its survivor set (a tail fraction: per-order quantity is bounded by
+    lines-per-order × 50) is the only thing that ever joins.
+
+    * under the gate (orders footer ≤ limit): the survivor join reads
+      order attributes from ONE broadcast sorted column set; zero
+      exchange beyond the quantity group-sum's slim partials.
+    * above the gate: survivors hash-join a slim order projection —
+      survivor-width exchange, never line-width.
+
+    The final ≤k rows attach c_name by a broadcast-filtered customer
+    scan (the k custkeys ship to every read task; no customer shuffle).
+    """
+    n_orders = _table_nrows(sf_dir, "orders")
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"])
+    out_cols = ["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice_cents", "sum_qty"]
+
+    def empty_out() -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_name": pd.Series(dtype="object"),
+            "c_custkey": pd.Series(dtype="int64"),
+            "o_orderkey": pd.Series(dtype="int64"),
+            "o_orderdate": pd.Series(dtype="datetime64[us]"),
+            "o_totalprice_cents": pd.Series(dtype="int64"),
+            "sum_qty": pd.Series(dtype="int64")})[out_cols]
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "qty": df["l_quantity"].to_numpy(np.float64).astype(np.int64),
+        }).groupby("o_orderkey", as_index=False)["qty"].sum()
+        return g.astype({"o_orderkey": "int64", "qty": "int64"})
+
+    totals = partitioned_group_sum(
+        li.map_batches(qty_partial, batch_format="pandas",
+                       batch_size=131072),
+        key="o_orderkey", sum_cols={"sum_qty": "qty"}, nrows=n_orders)
+
+    def keep_big(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["sum_qty"] > min_qty]
+
+    survivors = totals.map_batches(keep_big, batch_format="pandas")
+
+    def order_slim(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_custkey": batch.column("o_custkey"),
+            "o_orderdate": batch.column("o_orderdate"),
+            "o_totalprice_cents": _cents(batch.column("o_totalprice"))})
+
+    if n_orders <= broadcast_limit:
+        odf = (orders.map_batches(order_slim, batch_format="pyarrow")
+               .to_pandas().sort_values("o_orderkey"))
+        oref = ray.put((odf["o_orderkey"].to_numpy(np.int64),
+                        odf["o_custkey"].to_numpy(np.int64),
+                        odf["o_orderdate"].to_numpy(),
+                        odf["o_totalprice_cents"].to_numpy(np.int64)))
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            ok, oc, od, op = ray.get(oref)
+            if len(df) == 0 or len(ok) == 0:
+                return empty_out().drop(columns=["c_name"])
+            idx, hit = _ss_match(ok, df["o_orderkey"].to_numpy(np.int64))
+            df = df.loc[hit]
+            idx = idx[hit]
+            return pd.DataFrame({
+                "c_custkey": oc[idx],
+                "o_orderkey": df["o_orderkey"].astype("int64").to_numpy(),
+                "o_orderdate": pd.Series(od[idx]),
+                "o_totalprice_cents": op[idx],
+                "sum_qty": df["sum_qty"].astype("int64").to_numpy()})
+
+        ranked = topk(survivors.map_batches(attach, batch_format="pandas"),
+                      by=["o_totalprice_cents", "o_orderkey"],
+                      descending=[True, False], k=k)
+    else:
+        joined = hash_join(
+            survivors,
+            orders.map_batches(order_slim, batch_format="pyarrow"),
+            key="o_orderkey",
+            num_buckets=choose_partitions(n_orders, default=32),
+            left_types={"o_orderkey": pa.int64(), "sum_qty": pa.int64()},
+            right_types={"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
+                         "o_orderdate": pa.timestamp("us"),
+                         "o_totalprice_cents": pa.int64()})
+
+        def as_cust(df: pd.DataFrame) -> pd.DataFrame:
+            return df.rename(columns={"o_custkey": "c_custkey"})
+
+        ranked = topk(joined.map_batches(as_cust, batch_format="pandas"),
+                      by=["o_totalprice_cents", "o_orderkey"],
+                      descending=[True, False], k=k)
+
+    head = ranked.to_pandas()
+    if len(head) == 0 or "o_orderkey" not in head.columns:
+        return empty_out()
+
+    keys = np.sort(head["c_custkey"].to_numpy(np.int64))
+    kref = ray.put(keys)
+
+    def cust_pick(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(kref)
+        _, hit = _ss_match(ks, df["c_custkey"].to_numpy(np.int64))
+        return df.loc[hit, ["c_custkey", "c_name"]]
+
+    names = (_read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+             .map_batches(cust_pick, batch_format="pandas").to_pandas())
+    if "c_custkey" not in names.columns:
+        names = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                              "c_name": pd.Series(dtype="object")})
+    out = head.merge(names, on="c_custkey", how="inner")
+    out = out.astype({"c_custkey": "int64", "o_orderkey": "int64",
+                      "o_totalprice_cents": "int64", "sum_qty": "int64"})
+    return (out[out_cols]
+            .sort_values(["o_totalprice_cents", "o_orderkey"],
+                         ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+def global_sales_opportunity(sf_dir: str, *, idle_since: str = "2001-01-01",
+                             broadcast_limit: int = 2_000_000):
+    """TPC-H Q22 shape (global sales opportunity): market segments of
+    above-average-balance customers with NO recent orders — a global
+    scalar broadcast into a filter, then an anti-join (the test tables
+    carry no c_phone, so c_mktsegment stands in for the country-code
+    group and "no orders since ``idle_since``" for "no orders ever",
+    which is empty on this corpus). Output (c_mktsegment, n_customers,
+    acctbal_cents) sorted by segment.
+
+    The average is exact integer arithmetic end to end: pass 1 folds
+    per-block (Σ positive cents, count) partials to driver ints, and
+    ``cents > tot/n`` is evaluated as ``cents ≥ tot//n + 1`` — an
+    equivalent integer predicate (cents integral, n > 0) that cannot
+    overflow at any corpus scale, matching the oracle's HUGEINT product
+    form bit for bit.
+
+    * under the gate (orders footer ≤ limit): the recent-order custkeys
+      collect to one sorted broadcast array; one customer pass filters
+      and emits ≤5-row segment partials. Two scans total, zero exchange.
+    * above the gate: the filtered customer slim anti-joins the recent
+      custkeys via ``semi_anti_join`` (unique keys only move), then the
+      same segment partials.
+    """
+    cutoff = pd.Timestamp(idle_since).to_pydatetime()
+    n_orders = _table_nrows(sf_dir, "orders")
+    n_cust = _table_nrows(sf_dir, "customer")
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    out_schema = {"c_mktsegment": "object", "n_customers": "int64",
+                  "acctbal_cents": "int64"}
+
+    def empty_out() -> pd.DataFrame:
+        return pd.DataFrame({"c_mktsegment": pd.Series(dtype="object"),
+                             "n_customers": pd.Series(dtype="int64"),
+                             "acctbal_cents": pd.Series(dtype="int64")})
+
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column("c_acctbal")).to_numpy(
+            zero_copy_only=False)
+        pos = cents > 0
+        return pa.table({"tot": pa.array([int(cents[pos].sum())],
+                                         type=pa.int64()),
+                         "n": pa.array([int(pos.sum())], type=pa.int64())})
+
+    pos = cust.map_batches(pos_partial, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    tot, n = int(pos["tot"].sum()), int(pos["n"].sum())
+    if n == 0:  # NULL average: the predicate selects nothing
+        return empty_out()
+    threshold = tot // n + 1  # cents*n > tot  ⇔  cents ≥ tot//n + 1
+
+    def rich_slim(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column("c_acctbal"))
+        batch = batch.append_column("acctbal_cents", cents)
+        return batch.filter(pc.greater_equal(
+            cents, pa.scalar(threshold, type=pa.int64()))).select(
+            ["c_custkey", "c_mktsegment", "acctbal_cents"])
+
+    def recent_slim(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater_equal(batch.column("o_orderdate"),
+                                              pa.scalar(cutoff)))
+        return pa.table({"o_custkey": pc.unique(batch.column("o_custkey"))})
+
+    rich = cust.map_batches(rich_slim, batch_format="pyarrow",
+                            batch_size=131072)
+    recent = orders.map_batches(recent_slim, batch_format="pyarrow",
+                                batch_size=131072)
+
+    def seg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_customers=("c_custkey", "size"),
+            acctbal_cents=("acctbal_cents", "sum"))
+        return g.astype(out_schema)
+
+    if n_orders <= broadcast_limit:
+        rk = np.sort(recent.to_pandas().get(
+            "o_custkey", pd.Series(dtype="int64")).to_numpy(np.int64))
+        rref = ray.put(rk)
+
+        def idle_partial(df: pd.DataFrame) -> pd.DataFrame:
+            ks = ray.get(rref)
+            if len(ks):
+                _, hit = _ss_match(ks, df["c_custkey"].to_numpy(np.int64))
+                df = df.loc[~hit]
+            return seg_partial(df)
+
+        parts = rich.map_batches(idle_partial,
+                                 batch_format="pandas").to_pandas()
+    else:
+        idle = semi_anti_join(
+            rich, recent, left_key="c_custkey", right_key="o_custkey",
+            anti=True, num_buckets=choose_partitions(n_cust, default=32),
+            left_types={"c_custkey": pa.int64(), "c_mktsegment": pa.string(),
+                        "acctbal_cents": pa.int64()})
+        parts = idle.map_batches(seg_partial,
+                                 batch_format="pandas").to_pandas()
+
+    if len(parts) == 0 or "c_mktsegment" not in parts.columns:
+        return empty_out()
+    out = parts.groupby("c_mktsegment", as_index=False).agg(
+        n_customers=("n_customers", "sum"),
+        acctbal_cents=("acctbal_cents", "sum"))
+    return (out.astype(out_schema).sort_values("c_mktsegment")
+            .reset_index(drop=True))

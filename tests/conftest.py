@@ -1,9 +1,11 @@
 """Shared fixtures. Ray is initialised ONCE per pytest session.
 
-Known transient (2 sightings across ~40 full-suite runs, 2026-08-18/19,
+Known transient (3 sightings across ~45 full-suite runs, 2026-08-18/19,
 never reproducible in isolation, under induced CPU load, or on immediate
-rerun): a single test_dedup_similarity case fails once in a full-suite
-run (different test each time). Suspected Ray worker churn on the shared
+rerun; the 3rd — TestSemDedup::test_matches_bruteforce_both_paths —
+passed in isolation AND in an immediate full-suite rerun with full
+tracebacks enabled): a single test_dedup_similarity case fails once in a
+full-suite run (different test each time). Suspected Ray worker churn on the shared
 4-CPU session while the host is contended — not an algorithmic
 nondeterminism (all kernels are partition-shape-independent and the same
 inputs replay bit-identically). If it recurs, rerun the file alone and

@@ -941,3 +941,165 @@ def test_weighted_sample_brute_force_and_bias(ray_session, tmp_path):
     assert sorted(out["doc_id"]) == sorted(brute)
     # 1000x weight → the heavy half should take nearly every slot
     assert (out["doc_id"] >= 200).sum() >= 45
+
+
+def test_customer_distribution_tiers_and_planted(ray_session, tmp_path):
+    # TPC-H Q13: both tiers equal at sf0.001 and the distribution must
+    # account for every customer; planted case exercises the
+    # footer-derived zero bucket and orphan-order exclusion
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.relational import customer_distribution
+
+    sf = "/root/testdata/sf0.001"
+    fast = customer_distribution(sf)
+    slow = customer_distribution(sf, broadcast_limit=0)
+    assert fast.values.tolist() == slow.values.tolist() and len(fast) > 0
+    n_cust = pq.read_metadata(f"{sf}/customer.parquet").num_rows
+    assert int(fast["custdist"].sum()) == n_cust
+    # sorted custdist DESC then c_count DESC
+    keys = list(zip(-fast["custdist"], -fast["c_count"]))
+    assert keys == sorted(keys)
+
+    # planted: cust1 has 2 orders, cust2 has 1, cust3 none; custkey 99
+    # is an orphan (no customer row) and must not create a bucket
+    pd.DataFrame({"c_custkey": [1, 2, 3]}).to_parquet(
+        tmp_path / "customer.parquet")
+    pd.DataFrame({"o_custkey": [1, 1, 2, 99, 99, 99]}).to_parquet(
+        tmp_path / "orders.parquet")
+    for lim in (2_000_000, 0):
+        df = customer_distribution(str(tmp_path), broadcast_limit=lim)
+        assert df.values.tolist() == [[2, 1], [1, 1], [0, 1]]
+
+
+def test_order_priority_check_tiers_and_planted(ray_session, tmp_path):
+    # TPC-H Q4 shape: tier equality at sf0.001; planted case pins the
+    # strict > deadline (order date + 90 days, exact µs arithmetic)
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.relational import order_priority_check
+
+    sf = "/root/testdata/sf0.001"
+    fast = order_priority_check(sf)
+    slow = order_priority_check(sf, broadcast_limit=0)
+    assert fast.values.tolist() == slow.values.tolist() and len(fast) > 0
+
+    us = pa.timestamp("us")
+
+    def ts(s):
+        return pd.Timestamp(s).to_pydatetime()
+
+    # 1996-02-01 + 90 days = 1996-05-01 (leap year): a line shipped
+    # exactly ON the deadline is NOT late; one day past is
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "o_orderdate": pa.array([ts("1996-02-01"), ts("1996-03-01"),
+                                 ts("1995-01-01"), ts("1996-01-15")],
+                                type=us),
+        "o_orderpriority": ["A", "B", "A", "A"],
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3, 4], type=pa.int64()),
+        "l_shipdate": pa.array([ts("1996-04-01"), ts("1996-05-01"),
+                                ts("1996-09-01"), ts("1999-01-01"),
+                                ts("1996-12-01")], type=us),
+    }), str(tmp_path / "lineitem.parquet"))
+    # order 1: on-deadline only → not late; order 3: late line but the
+    # order is outside the window; orders 2 and 4: late
+    for lim in (2_000_000, 0):
+        df = order_priority_check(str(tmp_path), broadcast_limit=lim)
+        assert df.values.tolist() == [["A", 1], ["B", 1]]
+
+
+def test_large_volume_customers_tiers_and_planted(ray_session, tmp_path):
+    # TPC-H Q18: tier equality at sf0.001; planted case pins the strict
+    # > threshold and the cents/qty arithmetic end to end
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.relational import large_volume_customers
+
+    sf = "/root/testdata/sf0.001"
+    fast = large_volume_customers(sf)
+    slow = large_volume_customers(sf, broadcast_limit=0)
+    assert fast.values.tolist() == slow.values.tolist() and len(fast) > 0
+    assert (fast["sum_qty"] > 250).all()
+
+    us = pa.timestamp("us")
+    d1 = pd.Timestamp("1996-01-01").to_pydatetime()
+    d2 = pd.Timestamp("1997-06-15").to_pydatetime()
+    pd.DataFrame({"c_custkey": [10, 20],
+                  "c_name": ["X", "Y"]}).to_parquet(
+        tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], type=pa.int64()),
+        "o_custkey": pa.array([10, 20], type=pa.int64()),
+        "o_orderdate": pa.array([d1, d2], type=us),
+        "o_totalprice": [10.0, 55.55],
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2], type=pa.int64()),
+        "l_quantity": [100.0, 150.0, 200.0, 51.0],
+    }), str(tmp_path / "lineitem.parquet"))
+    # order 1 sums to exactly 250 → excluded (strict >); order 2 → 251
+    for lim in (2_000_000, 0):
+        df = large_volume_customers(str(tmp_path), broadcast_limit=lim)
+        assert df.drop(columns="o_orderdate").values.tolist() == [
+            ["Y", 20, 2, 5555, 251]]
+        assert df["o_orderdate"].iloc[0] == pd.Timestamp("1997-06-15")
+
+    # raising the bar past every order → typed empty frame, both tiers
+    for lim in (2_000_000, 0):
+        df = large_volume_customers(str(tmp_path), min_qty=1000,
+                                    broadcast_limit=lim)
+        assert len(df) == 0
+        assert list(df.columns) == ["c_name", "c_custkey", "o_orderkey",
+                                    "o_orderdate", "o_totalprice_cents",
+                                    "sum_qty"]
+
+
+def test_global_sales_opportunity_tiers_and_planted(ray_session, tmp_path):
+    # TPC-H Q22 shape: tier equality at sf0.001; planted case pins the
+    # exact integer average predicate (cents ≥ tot//n + 1) and the
+    # recent-order anti-join
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.relational import global_sales_opportunity
+
+    sf = "/root/testdata/sf0.001"
+    fast = global_sales_opportunity(sf)
+    slow = global_sales_opportunity(sf, broadcast_limit=0)
+    assert fast.values.tolist() == slow.values.tolist() and len(fast) > 0
+
+    us = pa.timestamp("us")
+    old = pd.Timestamp("2000-01-01").to_pydatetime()
+    new = pd.Timestamp("2001-06-01").to_pydatetime()
+    # positive cents: 10000, 5000, 8000 → tot 23000, n 3, threshold
+    # 23000//3+1 = 7667; rich = c1 (10000) and c5 (8000); c5 ordered
+    # recently → only c1 survives. Negative/zero balances never count.
+    pd.DataFrame({"c_custkey": [1, 2, 3, 5],
+                  "c_mktsegment": ["S1", "S1", "S2", "S2"],
+                  "c_acctbal": [100.0, 50.0, -10.0, 80.0]}).to_parquet(
+        tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 5], type=pa.int64()),
+        "o_orderdate": pa.array([old, new], type=us),
+    }), str(tmp_path / "orders.parquet"))
+    for lim in (2_000_000, 0):
+        df = global_sales_opportunity(str(tmp_path), broadcast_limit=lim)
+        assert df.values.tolist() == [["S1", 1, 10000]]
+
+    # no positive balance anywhere → NULL average → typed empty frame
+    pd.DataFrame({"c_custkey": [1], "c_mktsegment": ["S1"],
+                  "c_acctbal": [-5.0]}).to_parquet(
+        tmp_path / "customer.parquet")
+    df = global_sales_opportunity(str(tmp_path))
+    assert len(df) == 0
+    assert list(df.columns) == ["c_mktsegment", "n_customers",
+                                "acctbal_cents"]
