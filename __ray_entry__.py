@@ -3084,6 +3084,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer global-average broadcast + recent-order anti-join;
         # oracled, both tiers pytest-equal
         "global_sales_opportunity": rel.global_sales_opportunity,
+        # TPC-H Q11 shape — NEW in round 5 (final session): group sums
+        # filtered against a global-total fraction from the same pass;
+        # oracled, both tiers pytest-equal
+        "supplier_nation_share": rel.supplier_nation_share,
+        # TPC-H Q15 — NEW in round 5 (final session): argmax-with-ties
+        # join-back over a windowed group-sum; oracled, planted-tie
+        # pytest
+        "top_supplier": rel.top_supplier,
+        # TPC-H Q16 shape — NEW in round 5 (final session):
+        # COUNT(DISTINCT) through a join, distinct-pair-width exchange;
+        # oracled, both tiers pytest-equal
+        "brand_supplier_count": rel.brand_supplier_count,
         # --- (d) oracled, stalest green rows (r2/r3), untouched since ---
         "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,
@@ -3806,6 +3818,43 @@ def oracle_sql() -> dict[str, str]:
             "* (SELECT n FROM pos) > (SELECT tot FROM pos) "
             "AND c_custkey NOT IN (SELECT o_custkey FROM recent) "
             "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "supplier_nation_share": (
+            # TPC-H Q11 shape: the 1/25-of-global filter and the
+            # permille are HUGEINT-exact (the engine folds the ≤25-row
+            # partials in Python ints)
+            "WITH rev AS (SELECT n_name, sum(CAST(round(l_extendedprice"
+            "*(1-l_discount)*100) AS BIGINT)) AS cents "
+            "FROM lineitem, supplier, nation "
+            "WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey "
+            "GROUP BY n_name), "
+            "tot AS (SELECT CAST(sum(cents) AS HUGEINT) AS t FROM rev) "
+            "SELECT n_name, CAST(cents AS BIGINT) AS revenue_cents, "
+            "CAST((1000 * CAST(cents AS HUGEINT)) // (SELECT t FROM tot) "
+            "AS BIGINT) AS share_permille "
+            "FROM rev WHERE 25 * CAST(cents AS HUGEINT) > "
+            "(SELECT t FROM tot) ORDER BY n_name"
+        ),
+        "top_supplier": (
+            # TPC-H Q15: ties kept via the scalar-max equality, exactly
+            # the engine's argmax-with-ties semantics
+            "WITH rev AS (SELECT l_suppkey AS s_suppkey, "
+            "CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) "
+            "AS BIGINT)) AS BIGINT) AS revenue_cents FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+            "SELECT s.s_suppkey, s.s_name, r.revenue_cents "
+            "FROM supplier s, rev r WHERE s.s_suppkey = r.s_suppkey "
+            "AND r.revenue_cents = (SELECT max(revenue_cents) FROM rev) "
+            "ORDER BY s.s_suppkey"
+        ),
+        "brand_supplier_count": (
+            # TPC-H Q16 shape: COUNT(DISTINCT) through the part join,
+            # restricted to high-quantity lines so brands discriminate
+            "SELECT p_brand, CAST(count(DISTINCT l_suppkey) AS BIGINT) "
+            "AS supplier_cnt FROM lineitem, part "
+            "WHERE l_partkey = p_partkey AND l_quantity >= 48.0 "
+            "GROUP BY p_brand ORDER BY p_brand"
         ),
         "event_transitions": (
             "WITH seq AS (SELECT user_id, event_type, lag(event_type) "

@@ -191,7 +191,10 @@ def run_query_suite() -> dict:
              "gopher_quality", "weighted_sample", "local_supplier_volume",
              "temperature_mix", "scene_cuts_avi",
              "returned_item_report", "extraction_manifest",
-             "volume_shipping", "fk_orphans", "promo_revenue"]
+             "volume_shipping", "fk_orphans", "promo_revenue",
+             # round-5 final-session additions
+             "customer_distribution", "order_priority_check",
+             "large_volume_customers", "global_sales_opportunity"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:

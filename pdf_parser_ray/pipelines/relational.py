@@ -4052,3 +4052,285 @@ def global_sales_opportunity(sf_dir: str, *, idle_since: str = "2001-01-01",
         acctbal_cents=("acctbal_cents", "sum"))
     return (out.astype(out_schema).sort_values("c_mktsegment")
             .reset_index(drop=True))
+
+
+def supplier_nation_share(sf_dir: str, *, frac_num: int = 1,
+                          frac_den: int = 25,
+                          broadcast_limit: int = 2_000_000):
+    """TPC-H Q11 shape (important stock): supplier nations whose revenue
+    exceeds ``frac_num/frac_den`` of GLOBAL revenue — group sums and the
+    global scalar they are filtered against come out of the SAME pass.
+    Output (n_name, revenue_cents, share_permille) sorted by nation;
+    share_permille = 1000·cents // total. The share predicate and the
+    permille are evaluated in Python ints on the ≤|nations|-row driver
+    fold — exact and unbounded, matching the oracle's HUGEINT forms.
+
+    nation is always driver-read (25 rows at any scale). Two tiers on
+    the supplier footer row count:
+
+    * under the gate: (s_suppkey → nation code) broadcast sorted; ONE
+      lineitem pass emits ≤|nations|-row int64 partials. Zero exchange.
+    * above the gate: per-suppkey cents partials hash-join the slim
+      (s_suppkey, n_name) projection — supplier-width exchange only —
+      then the same per-nation partials.
+    """
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    n_supp = _table_nrows(sf_dir, "supplier")
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    out_schema = {"n_name": "object", "revenue_cents": "int64",
+                  "share_permille": "int64"}
+
+    def li_cents(batch: pa.Table) -> np.ndarray:
+        return _cents(pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        ).to_numpy(zero_copy_only=False)
+
+    def nation_partial(names: np.ndarray, cents: np.ndarray) -> pd.DataFrame:
+        g = pd.DataFrame({"n_name": names, "cents": cents}).groupby(
+            "n_name", as_index=False)["cents"].sum()
+        return g.astype({"n_name": "object", "cents": "int64"})
+
+    if n_supp <= broadcast_limit:
+        sdf = supp.to_pandas().sort_values("s_suppkey")
+        sref = ray.put((sdf["s_suppkey"].to_numpy(np.int64),
+                        sdf["s_nationkey"].map(nmap).to_numpy()))
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            sk, sn = ray.get(sref)
+            if len(sk) == 0 or batch.num_rows == 0:
+                return pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                                     "cents": pd.Series(dtype="int64")})
+            key = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+            idx, hit = _ss_match(sk, key)
+            return nation_partial(sn[idx][hit], li_cents(batch)[hit])
+
+        parts = li.map_batches(partial, batch_format="pyarrow",
+                               batch_size=131072).to_pandas()
+    else:
+        def supp_partial(df: pd.DataFrame) -> pd.DataFrame:
+            g = pd.DataFrame({
+                "s_suppkey": df["l_suppkey"].to_numpy(np.int64),
+                "cents": df["cents"].to_numpy(np.int64)}).groupby(
+                "s_suppkey", as_index=False)["cents"].sum()
+            return g.astype({"s_suppkey": "int64", "cents": "int64"})
+
+        def with_cents(batch: pa.Table) -> pd.DataFrame:
+            return supp_partial(pd.DataFrame({
+                "l_suppkey": batch.column("l_suppkey").to_numpy(
+                    zero_copy_only=False),
+                "cents": li_cents(batch)}))
+
+        def supp_slim(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "s_suppkey": df["s_suppkey"].to_numpy(np.int64),
+                "n_name": df["s_nationkey"].map(nmap)})
+
+        joined = hash_join(
+            li.map_batches(with_cents, batch_format="pyarrow",
+                           batch_size=131072),
+            supp.map_batches(supp_slim, batch_format="pandas"),
+            key="s_suppkey",
+            num_buckets=choose_partitions(n_supp, default=32),
+            left_types={"s_suppkey": pa.int64(), "cents": pa.int64()},
+            right_types={"s_suppkey": pa.int64(), "n_name": pa.string()})
+
+        def fold_block(df: pd.DataFrame) -> pd.DataFrame:
+            return nation_partial(df["n_name"].to_numpy(),
+                                  df["cents"].to_numpy(np.int64))
+
+        parts = joined.map_batches(fold_block,
+                                   batch_format="pandas").to_pandas()
+
+    if len(parts) == 0 or "n_name" not in parts.columns:
+        return pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                             "revenue_cents": pd.Series(dtype="int64"),
+                             "share_permille": pd.Series(dtype="int64")})
+    rev = parts.groupby("n_name", as_index=False)["cents"].sum()
+    total = int(rev["cents"].sum())  # Python int from here: exact forever
+    keep = [(n, int(c)) for n, c in zip(rev["n_name"], rev["cents"])
+            if frac_den * int(c) > frac_num * total]
+    out = pd.DataFrame({
+        "n_name": [n for n, _ in keep],
+        "revenue_cents": pd.array([c for _, c in keep], dtype="int64"),
+        "share_permille": pd.array([(1000 * c) // total for _, c in keep],
+                                   dtype="int64")})
+    return (out.astype(out_schema).sort_values("n_name")
+            .reset_index(drop=True))
+
+
+def top_supplier(sf_dir: str, *, date_from: str = "1996-01-01",
+                 date_to: str = "1996-04-01"):
+    """TPC-H Q15 (top supplier): the supplier(s) with MAXIMUM revenue in
+    a window, ties kept — an argmax-with-ties join-back. Output
+    (s_suppkey, s_name, revenue_cents) sorted by s_suppkey.
+
+    Single scale path (no broadcast gate needed): the windowed lineitem
+    pass reduces to per-suppkey cents partials and a
+    ``partitioned_group_sum`` — supplier-width, the only exchange. That
+    slim aggregate is materialized ONCE (bounded by supplier count, not
+    lineitem count) because it is consumed twice: a per-block max fold
+    to the driver scalar, then the equality filter. The ≤ties survivors
+    attach s_name via a broadcast-filtered supplier scan — the winner
+    keys ship to every read task; supplier itself never shuffles.
+    """
+    lo = pd.Timestamp(date_from).to_pydatetime()
+    hi = pd.Timestamp(date_to).to_pydatetime()
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+    out_cols = ["s_suppkey", "s_name", "revenue_cents"]
+
+    def empty_out() -> pd.DataFrame:
+        return pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                             "s_name": pd.Series(dtype="object"),
+                             "revenue_cents": pd.Series(dtype="int64")})
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ship = batch.column("l_shipdate")
+        batch = batch.filter(pc.and_(
+            pc.greater_equal(ship, pa.scalar(lo)),
+            pc.less(ship, pa.scalar(hi))))
+        cents = _cents(pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount"))))
+        g = pd.DataFrame({
+            "s_suppkey": batch.column("l_suppkey").to_numpy(
+                zero_copy_only=False),
+            "cents": cents.to_numpy(zero_copy_only=False)}).groupby(
+            "s_suppkey", as_index=False)["cents"].sum()
+        return g.astype({"s_suppkey": "int64", "cents": "int64"})
+
+    rev = partitioned_group_sum(
+        li.map_batches(partial, batch_format="pyarrow", batch_size=131072),
+        key="s_suppkey", sum_cols={"revenue_cents": "cents"},
+        nrows=_table_nrows(sf_dir, "supplier")).materialize()
+
+    def max_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"m": pd.Series(dtype="int64")})
+        return pd.DataFrame({"m": [int(df["revenue_cents"].max())]})
+
+    mx = rev.map_batches(max_partial, batch_format="pandas").to_pandas()
+    if len(mx) == 0 or "m" not in mx.columns:
+        return empty_out()
+    m = int(mx["m"].max())
+
+    winners = rev.map_batches(
+        lambda df, _m=m: df.loc[df["revenue_cents"] == _m],
+        batch_format="pandas").to_pandas()
+    if len(winners) == 0 or "s_suppkey" not in winners.columns:
+        return empty_out()
+
+    keys = np.sort(winners["s_suppkey"].to_numpy(np.int64))
+    kref = ray.put(keys)
+
+    def supp_pick(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(kref)
+        _, hit = _ss_match(ks, df["s_suppkey"].to_numpy(np.int64))
+        return df.loc[hit, ["s_suppkey", "s_name"]]
+
+    names = (_read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+             .map_batches(supp_pick, batch_format="pandas").to_pandas())
+    if "s_suppkey" not in names.columns:
+        return empty_out()
+    out = winners.merge(names, on="s_suppkey", how="inner")
+    out = out.astype({"s_suppkey": "int64", "revenue_cents": "int64"})
+    return (out[out_cols].sort_values("s_suppkey").reset_index(drop=True))
+
+
+def brand_supplier_count(sf_dir: str, *, min_qty: float = 48.0,
+                         broadcast_limit: int = 2_000_000):
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    count per part brand, restricted to high-quantity lines — a
+    COUNT(DISTINCT) through a join. Output (p_brand, supplier_cnt)
+    sorted by brand.
+
+    The distinct runs on (brand, suppkey) PAIRS, never on line-level
+    rows: every batch pre-dedups its pairs before anything moves, so the
+    exchange is distinct-pair-width. Pairs then coarse-partition by
+    suppkey — a supplier's pairs land in exactly one partition, so a
+    per-partition dedup is a GLOBAL dedup — and each partition emits
+    ≤|brands| partial counts folded on the driver.
+
+    * under the gate: (p_partkey → brand) broadcast sorted via ray.put;
+      one lineitem pass emits the deduped pairs.
+    * above the gate: per-batch distinct (l_partkey, l_suppkey) pairs
+      hash-join the slim (p_partkey, p_brand) projection first.
+    """
+    n_part = _table_nrows(sf_dir, "part")
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity"])
+    out_schema = {"p_brand": "object", "supplier_cnt": "int64"}
+
+    def qty_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("l_quantity"),
+                                             pa.scalar(float(min_qty))))
+
+    if n_part <= broadcast_limit:
+        pdf = part.to_pandas().sort_values("p_partkey")
+        pref = ray.put((pdf["p_partkey"].to_numpy(np.int64),
+                        pdf["p_brand"].to_numpy()))
+
+        def pair_partial(batch: pa.Table) -> pd.DataFrame:
+            pk, pb = ray.get(pref)
+            batch = qty_filter(batch)
+            if len(pk) == 0 or batch.num_rows == 0:
+                return pd.DataFrame({"p_brand": pd.Series(dtype="object"),
+                                     "l_suppkey": pd.Series(dtype="int64")})
+            key = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            idx, hit = _ss_match(pk, key)
+            pairs = pd.DataFrame({
+                "p_brand": pb[idx][hit],
+                "l_suppkey": batch.column("l_suppkey").to_numpy(
+                    zero_copy_only=False)[hit]}).drop_duplicates()
+            return pairs.astype({"p_brand": "object", "l_suppkey": "int64"})
+
+        pairs = li.map_batches(pair_partial, batch_format="pyarrow",
+                               batch_size=131072)
+    else:
+        def li_pairs(batch: pa.Table) -> pd.DataFrame:
+            batch = qty_filter(batch)
+            pairs = pd.DataFrame({
+                "p_partkey": batch.column("l_partkey").to_numpy(
+                    zero_copy_only=False),
+                "l_suppkey": batch.column("l_suppkey").to_numpy(
+                    zero_copy_only=False)}).drop_duplicates()
+            return pairs.astype({"p_partkey": "int64", "l_suppkey": "int64"})
+
+        joined = hash_join(
+            li.map_batches(li_pairs, batch_format="pyarrow",
+                           batch_size=131072),
+            part, key="p_partkey",
+            num_buckets=choose_partitions(n_part, default=32),
+            left_types={"p_partkey": pa.int64(), "l_suppkey": pa.int64()},
+            right_types={"p_partkey": pa.int64(), "p_brand": pa.string()})
+        pairs = joined.map_batches(
+            lambda df: df[["p_brand", "l_suppkey"]].drop_duplicates(),
+            batch_format="pandas")
+
+    def count_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["p_brand", "l_suppkey"]].drop_duplicates()
+        out = d.groupby("p_brand", as_index=False).size().rename(
+            columns={"size": "supplier_cnt"})
+        return out.astype(out_schema)
+
+    # exchange width sized from the part footer (already read above):
+    # distinct pairs scale with parts x suppliers-per-part, and the
+    # supplier table itself is never an input of this query, so its
+    # footer must not be required (planted fixtures omit it)
+    parts = coarse_partition_apply(
+        pairs, count_kernel, key_col="l_suppkey", part_col="q16_part",
+        num_parts=choose_partitions(n_part, default=32),
+        nrows=None).to_pandas()
+    if len(parts) == 0 or "p_brand" not in parts.columns:
+        return pd.DataFrame({"p_brand": pd.Series(dtype="object"),
+                             "supplier_cnt": pd.Series(dtype="int64")})
+    out = parts.groupby("p_brand", as_index=False)["supplier_cnt"].sum()
+    return (out.astype(out_schema).sort_values("p_brand")
+            .reset_index(drop=True))

@@ -1103,3 +1103,100 @@ def test_global_sales_opportunity_tiers_and_planted(ray_session, tmp_path):
     assert len(df) == 0
     assert list(df.columns) == ["c_mktsegment", "n_customers",
                                 "acctbal_cents"]
+
+
+def test_supplier_nation_share_tiers_and_planted(ray_session, tmp_path):
+    # TPC-H Q11 shape: tier equality at sf0.001; planted case pins the
+    # STRICT > fraction boundary and the integer permille
+    import pandas as pd
+
+    from pdf_parser_ray.pipelines.relational import supplier_nation_share
+
+    sf = "/root/testdata/sf0.001"
+    fast = supplier_nation_share(sf)
+    slow = supplier_nation_share(sf, broadcast_limit=0)
+    assert fast.values.tolist() == slow.values.tolist() and len(fast) > 0
+
+    pd.DataFrame({"n_nationkey": [0, 1],
+                  "n_name": ["NA", "NB"]}).to_parquet(
+        tmp_path / "nation.parquet")
+    pd.DataFrame({"s_suppkey": [1, 2],
+                  "s_nationkey": [0, 1]}).to_parquet(
+        tmp_path / "supplier.parquet")
+    # NA: 75.00 → 7500c; NB: 25.00 → 2500c; total 10000c. At 1/4, NB is
+    # exactly AT the fraction (4·2500 = 10000) → strict > excludes it
+    pd.DataFrame({"l_suppkey": [1, 1, 2],
+                  "l_extendedprice": [50.0, 25.0, 25.0],
+                  "l_discount": [0.0, 0.0, 0.0]}).to_parquet(
+        tmp_path / "lineitem.parquet")
+    for lim in (2_000_000, 0):
+        df = supplier_nation_share(str(tmp_path), frac_num=1, frac_den=4,
+                                   broadcast_limit=lim)
+        assert df.values.tolist() == [["NA", 7500, 750]]
+
+
+def test_top_supplier_ties_and_window(ray_session, tmp_path):
+    # TPC-H Q15: planted two-way tie at the max — BOTH winners kept —
+    # and an out-of-window line that must not count
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.relational import top_supplier
+
+    sf = "/root/testdata/sf0.001"
+    live = top_supplier(sf)
+    assert len(live) >= 1
+    assert list(live.columns) == ["s_suppkey", "s_name", "revenue_cents"]
+    assert live["revenue_cents"].nunique() == 1  # ties all at the max
+
+    us = pa.timestamp("us")
+    inside = pd.Timestamp("1996-02-01").to_pydatetime()
+    outside = pd.Timestamp("1996-05-01").to_pydatetime()
+    pd.DataFrame({"s_suppkey": [1, 2, 3],
+                  "s_name": ["SA", "SB", "SC"]}).to_parquet(
+        tmp_path / "supplier.parquet")
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([1, 2, 2, 3, 1], type=pa.int64()),
+        "l_extendedprice": [100.0, 60.0, 40.0, 10.0, 500.0],
+        "l_discount": [0.0] * 5,
+        "l_shipdate": pa.array([inside, inside, inside, inside, outside],
+                               type=us),
+    }), str(tmp_path / "lineitem.parquet"))
+    # in-window: s1=10000c, s2=6000+4000=10000c (tie), s3=1000c; the
+    # 500.0 line is outside the window
+    df = top_supplier(str(tmp_path))
+    assert df.values.tolist() == [[1, "SA", 10000], [2, "SB", 10000]]
+
+    # empty window → typed empty frame
+    df = top_supplier(str(tmp_path), date_from="2050-01-01",
+                      date_to="2050-02-01")
+    assert len(df) == 0
+    assert list(df.columns) == ["s_suppkey", "s_name", "revenue_cents"]
+
+
+def test_brand_supplier_count_tiers_and_planted(ray_session, tmp_path):
+    # TPC-H Q16 shape: tier equality at sf0.001; planted case pins the
+    # pair dedup (repeat lines count once) and the >= qty boundary
+    import pandas as pd
+
+    from pdf_parser_ray.pipelines.relational import brand_supplier_count
+
+    sf = "/root/testdata/sf0.001"
+    fast = brand_supplier_count(sf)
+    slow = brand_supplier_count(sf, broadcast_limit=0)
+    assert fast.values.tolist() == slow.values.tolist() and len(fast) > 0
+
+    pd.DataFrame({"p_partkey": [1, 2, 3],
+                  "p_brand": ["B1", "B1", "B2"]}).to_parquet(
+        tmp_path / "part.parquet")
+    # B1 sees suppliers {7, 8} (supplier 7 twice, via parts 1 AND 2 —
+    # still one distinct); B2 sees {7} but only via a qty-47.9 line
+    # (excluded: >= 48) plus one exactly-48 line (included)
+    pd.DataFrame({"l_partkey": [1, 1, 2, 2, 3, 3],
+                  "l_suppkey": [7, 7, 7, 8, 7, 9],
+                  "l_quantity": [48.0, 50.0, 49.0, 48.0, 47.9, 48.0],
+                  }).to_parquet(tmp_path / "lineitem.parquet")
+    for lim in (2_000_000, 0):
+        df = brand_supplier_count(str(tmp_path), broadcast_limit=lim)
+        assert df.values.tolist() == [["B1", 2], ["B2", 1]]
