@@ -3096,6 +3096,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # COUNT(DISTINCT) through a join, distinct-pair-width exchange;
         # oracled, both tiers pytest-equal
         "brand_supplier_count": rel.brand_supplier_count,
+        # TPC-H Q17 shape — NEW in round 5 (final session): per-part
+        # average-quantity threshold join-back, integer-exact boundary;
+        # oracled, both tiers pytest-equal
+        "small_qty_revenue": rel.small_qty_revenue,
         # --- (d) oracled, stalest green rows (r2/r3), untouched since ---
         "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,
@@ -3855,6 +3859,22 @@ def oracle_sql() -> dict[str, str]:
             "AS supplier_cnt FROM lineitem, part "
             "WHERE l_partkey = p_partkey AND l_quantity >= 48.0 "
             "GROUP BY p_brand ORDER BY p_brand"
+        ),
+        "small_qty_revenue": (
+            # TPC-H Q17 shape: the 0.2*avg(qty) threshold is replayed
+            # integer-exactly as 5*cnt*q < sum(q) (quantities are
+            # integral), so no float summation-order drift
+            "WITH j AS (SELECT p_brand, l_partkey, "
+            "CAST(round(l_quantity) AS BIGINT) AS q, "
+            "CAST(round(l_extendedprice*100) AS BIGINT) AS cents "
+            "FROM lineitem, part WHERE l_partkey = p_partkey "
+            "AND p_brand IN ('Brand#1','Brand#2','Brand#3')), "
+            "agg AS (SELECT l_partkey, CAST(sum(q) AS HUGEINT) AS qs, "
+            "CAST(count(*) AS HUGEINT) AS cnt FROM j GROUP BY l_partkey) "
+            "SELECT p_brand, CAST(sum(cents) // 7 AS BIGINT) "
+            "AS avg_yearly_cents, CAST(count(*) AS BIGINT) AS n_lines "
+            "FROM j, agg WHERE j.l_partkey = agg.l_partkey "
+            "AND 5 * cnt * q < qs GROUP BY p_brand ORDER BY p_brand"
         ),
         "event_transitions": (
             "WITH seq AS (SELECT user_id, event_type, lag(event_type) "

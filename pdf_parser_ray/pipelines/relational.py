@@ -4334,3 +4334,118 @@ def brand_supplier_count(sf_dir: str, *, min_qty: float = 48.0,
     out = parts.groupby("p_brand", as_index=False)["supplier_cnt"].sum()
     return (out.astype(out_schema).sort_values("p_brand")
             .reset_index(drop=True))
+
+
+def small_qty_revenue(sf_dir: str, *,
+                      brands: tuple = ("Brand#1", "Brand#2", "Brand#3"),
+                      broadcast_limit: int = 2_000_000):
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue from
+    lines whose quantity is below 20% of their part's OWN average — a
+    per-group-average join-back (the correlated-subquery sibling of
+    global_sales_opportunity's global average). Output
+    (p_brand, avg_yearly_cents, n_lines) per brand, sorted by brand;
+    avg_yearly_cents = qualifying extendedprice cents // 7.
+
+    The threshold test is integer-exact: quantities are integral, so
+    ``q < 0.2 * avg(q)`` is evaluated as ``5 * cnt * q < sum(q)`` in
+    int64 — no float summation-order drift against the oracle.
+
+    The ``brands`` filter is the scale lever (real Q17 filters to one
+    brand+container for the same reason): only the selected brands'
+    lines ever leave their read tasks. Those survivors
+    coarse-partition by l_partkey — a part's lines land in ONE
+    partition, so the per-partition average is the global per-part
+    average — and each partition emits ≤|brands| partial rows.
+
+    * under the gate: (p_partkey → brand) broadcast sorted, filtered to
+      ``brands`` BEFORE the put, so the probe side is |brands|/|brands
+      universe| of the part table; one lineitem pass attaches brands.
+    * above the gate: slim (l_partkey, q, cents) triples hash-join the
+      brand-filtered part projection, then the same partkey partition.
+    """
+    n_part = _table_nrows(sf_dir, "part")
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    out_schema = {"p_brand": "object", "avg_yearly_cents": "int64",
+                  "n_lines": "int64"}
+    brand_set = set(brands)
+
+    def part_slim(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["p_brand"].isin(brand_set), ["p_partkey", "p_brand"]]
+        return df.astype({"p_partkey": "int64", "p_brand": "object"})
+
+    def li_slim(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_partkey": batch.column("l_partkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "q": pc.cast(pc.round(batch.column("l_quantity")),
+                         pa.int64()).to_numpy(zero_copy_only=False),
+            "cents": _cents(batch.column("l_extendedprice")).to_numpy(
+                zero_copy_only=False)})
+
+    if n_part <= broadcast_limit:
+        pdf = part.map_batches(part_slim,
+                               batch_format="pandas").to_pandas()
+        if "p_partkey" not in pdf.columns:
+            pdf = pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
+                                "p_brand": pd.Series(dtype="object")})
+        pdf = pdf.sort_values("p_partkey")
+        pref = ray.put((pdf["p_partkey"].to_numpy(np.int64),
+                        pdf["p_brand"].to_numpy()))
+
+        def attach(batch: pa.Table) -> pd.DataFrame:
+            pk, pb = ray.get(pref)
+            sl = li_slim(batch)
+            if len(pk) == 0 or len(sl) == 0:
+                return pd.DataFrame({
+                    "p_brand": pd.Series(dtype="object"),
+                    "l_partkey": pd.Series(dtype="int64"),
+                    "q": pd.Series(dtype="int64"),
+                    "cents": pd.Series(dtype="int64")})
+            idx, hit = _ss_match(pk, sl["l_partkey"].to_numpy(np.int64))
+            sl = sl.loc[hit].assign(p_brand=pb[idx][hit])
+            return sl[["p_brand", "l_partkey", "q", "cents"]]
+
+        lines = li.map_batches(attach, batch_format="pyarrow",
+                               batch_size=131072)
+    else:
+        def part_keyed(df: pd.DataFrame) -> pd.DataFrame:
+            return part_slim(df).rename(columns={"p_partkey": "l_partkey"})
+
+        lines = hash_join(
+            li.map_batches(li_slim, batch_format="pyarrow",
+                           batch_size=131072),
+            part.map_batches(part_keyed, batch_format="pandas"),
+            key="l_partkey",
+            num_buckets=choose_partitions(n_part, default=32),
+            left_types={"l_partkey": pa.int64(), "q": pa.int64(),
+                        "cents": pa.int64()},
+            right_types={"l_partkey": pa.int64(), "p_brand": pa.string()})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["p_brand", "l_partkey", "q", "cents"]]
+        agg = g.groupby("l_partkey")["q"].agg(["sum", "count"])
+        qs = agg["sum"].reindex(g["l_partkey"]).to_numpy(np.int64)
+        cnt = agg["count"].reindex(g["l_partkey"]).to_numpy(np.int64)
+        keep = 5 * cnt * g["q"].to_numpy(np.int64) < qs
+        out = g.loc[keep].groupby("p_brand", as_index=False).agg(
+            cents=("cents", "sum"), n_lines=("cents", "size"))
+        return out.astype({"p_brand": "object", "cents": "int64",
+                           "n_lines": "int64"})
+
+    parts = coarse_partition_apply(
+        lines, kernel, key_col="l_partkey", part_col="q17_part",
+        num_parts=choose_partitions(n_part, default=32),
+        nrows=None).to_pandas()
+    if len(parts) == 0 or "p_brand" not in parts.columns:
+        return pd.DataFrame({"p_brand": pd.Series(dtype="object"),
+                             "avg_yearly_cents": pd.Series(dtype="int64"),
+                             "n_lines": pd.Series(dtype="int64")})
+    agg = parts.groupby("p_brand", as_index=False).agg(
+        cents=("cents", "sum"), n_lines=("n_lines", "sum"))
+    out = pd.DataFrame({"p_brand": agg["p_brand"],
+                        "avg_yearly_cents": agg["cents"] // 7,
+                        "n_lines": agg["n_lines"]})
+    return (out.astype(out_schema).sort_values("p_brand")
+            .reset_index(drop=True))

@@ -1200,3 +1200,33 @@ def test_brand_supplier_count_tiers_and_planted(ray_session, tmp_path):
     for lim in (2_000_000, 0):
         df = brand_supplier_count(str(tmp_path), broadcast_limit=lim)
         assert df.values.tolist() == [["B1", 2], ["B2", 1]]
+
+
+def test_small_qty_revenue_tiers_and_planted(ray_session, tmp_path):
+    # TPC-H Q17 shape: tier equality at sf0.001; planted case pins the
+    # STRICT < boundary of the integer threshold and the //7 division
+    import pandas as pd
+
+    from pdf_parser_ray.pipelines.relational import small_qty_revenue
+
+    sf = "/root/testdata/sf0.001"
+    fast = small_qty_revenue(sf)
+    slow = small_qty_revenue(sf, broadcast_limit=0)
+    assert fast.values.tolist() == slow.values.tolist() and len(fast) > 0
+
+    pd.DataFrame({"p_partkey": [1, 2, 3],
+                  "p_brand": ["B1", "B1", "B9"]}).to_parquet(
+        tmp_path / "part.parquet")
+    # part 1: q=[3,27] → sum 30, cnt 2 → 5*2*3 = 30 NOT < 30: boundary
+    #   line excluded (strict <)
+    # part 2: q=[1,30] → sum 31, cnt 2 → 5*2*1 = 10 < 31: the q=1 line
+    #   (price 140.00 → 14000c) qualifies; 14000 // 7 = 2000
+    # part 3: brand B9 not in the filter → dropped at the read
+    pd.DataFrame({"l_partkey": [1, 1, 2, 2, 3],
+                  "l_quantity": [3.0, 27.0, 1.0, 30.0, 1.0],
+                  "l_extendedprice": [10.0, 10.0, 140.0, 10.0, 10.0],
+                  }).to_parquet(tmp_path / "lineitem.parquet")
+    for lim in (2_000_000, 0):
+        df = small_qty_revenue(str(tmp_path), brands=("B1", "B2"),
+                               broadcast_limit=lim)
+        assert df.values.tolist() == [["B1", 2000, 1]]
