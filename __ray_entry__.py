@@ -3100,6 +3100,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # average-quantity threshold join-back, integer-exact boundary;
         # oracled, both tiers pytest-equal
         "small_qty_revenue": rel.small_qty_revenue,
+        # TPC-H Q19 shape — NEW in round 5 (final session): disjunctive
+        # (brand, qty-range, size-range) predicate join with both-side
+        # pushdown; oracled, both tiers pytest-equal
+        "disjunctive_revenue": rel.disjunctive_revenue,
         # --- (d) oracled, stalest green rows (r2/r3), untouched since ---
         "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,
@@ -3875,6 +3879,23 @@ def oracle_sql() -> dict[str, str]:
             "AS avg_yearly_cents, CAST(count(*) AS BIGINT) AS n_lines "
             "FROM j, agg WHERE j.l_partkey = agg.l_partkey "
             "AND 5 * cnt * q < qs GROUP BY p_brand ORDER BY p_brand"
+        ),
+        "disjunctive_revenue": (
+            # TPC-H Q19 shape: OR of (brand, qty BETWEEN, size BETWEEN)
+            # conjunctions; quantities are integral so the inclusive
+            # integer bounds replay exactly
+            "SELECT p_brand, "
+            "CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) "
+            "AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "CAST(count(*) AS BIGINT) AS n_lines "
+            "FROM lineitem, part WHERE l_partkey = p_partkey AND ("
+            "(p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 "
+            "AND p_size BETWEEN 1 AND 5) OR "
+            "(p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 "
+            "AND p_size BETWEEN 1 AND 10) OR "
+            "(p_brand = 'Brand#4' AND l_quantity BETWEEN 20 AND 30 "
+            "AND p_size BETWEEN 1 AND 15)) "
+            "GROUP BY p_brand ORDER BY p_brand"
         ),
         "event_transitions": (
             "WITH seq AS (SELECT user_id, event_type, lag(event_type) "

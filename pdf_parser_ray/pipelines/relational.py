@@ -4449,3 +4449,144 @@ def small_qty_revenue(sf_dir: str, *,
                         "n_lines": agg["n_lines"]})
     return (out.astype(out_schema).sort_values("p_brand")
             .reset_index(drop=True))
+
+
+def disjunctive_revenue(sf_dir: str, *,
+                        clauses: tuple = (("Brand#12", 1, 11, 1, 5),
+                                          ("Brand#23", 10, 20, 1, 10),
+                                          ("Brand#4", 20, 30, 1, 15)),
+                        broadcast_limit: int = 2_000_000):
+    """TPC-H Q19 shape (discounted revenue): revenue from lines matching
+    an OR of (brand, quantity-range, size-range) conjunctions — the
+    disjunctive-predicate join. Each ``clauses`` entry is
+    (p_brand, qty_lo, qty_hi, size_lo, size_hi), all bounds INCLUSIVE
+    (SQL BETWEEN). Output (p_brand, revenue_cents, n_lines) per clause
+    brand, sorted by brand; revenue is the house integer-cents rule on
+    extendedprice*(1-discount).
+
+    Predicate pushdown is the whole point of the shape: the part-side
+    conjuncts (brand ∈ clauses, size in the clause's range) prune the
+    BUILD side before anything is broadcast or exchanged, and the
+    line-side conjunct (the global qty envelope, then the exact
+    per-clause qty range after the match) prunes the PROBE side inside
+    the read task. Clause brands must be distinct (asserted): the OR
+    then partitions by brand and a per-brand group-sum is the answer.
+
+    * under the gate: broadcast sorted (p_partkey → clause index); one
+      lineitem pass probes, range-checks qty against the clause's
+      bounds, and emits ≤|clauses| partial rows per batch. No exchange.
+    * above the gate: qty-envelope-filtered slim lines hash-join the
+      clause-pruned part projection, then the same per-clause mask.
+    """
+    brands = [c[0] for c in clauses]
+    assert len(set(brands)) == len(brands), \
+        "disjunctive_revenue: clause brands must be distinct"
+    qlo = np.array([c[1] for c in clauses], np.int64)
+    qhi = np.array([c[2] for c in clauses], np.int64)
+    env_lo, env_hi = float(qlo.min()), float(qhi.max())
+    by_brand = {c[0]: i for i, c in enumerate(clauses)}
+
+    n_part = _table_nrows(sf_dir, "part")
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+    out_schema = {"p_brand": "object", "revenue_cents": "int64",
+                  "n_lines": "int64"}
+
+    def part_prune(df: pd.DataFrame) -> pd.DataFrame:
+        ci = df["p_brand"].map(by_brand)
+        keep = ci.notna()
+        if keep.any():
+            idx = ci[keep].to_numpy(np.int64)
+            sz = df.loc[keep, "p_size"].to_numpy(np.int64)
+            slo = np.array([c[3] for c in clauses], np.int64)[idx]
+            shi = np.array([c[4] for c in clauses], np.int64)[idx]
+            good = (sz >= slo) & (sz <= shi)
+            out = pd.DataFrame({
+                "l_partkey": df.loc[keep, "p_partkey"].to_numpy(
+                    np.int64)[good],
+                "clause": idx[good]})
+        else:
+            out = pd.DataFrame({"l_partkey": [], "clause": []})
+        return out.astype({"l_partkey": "int64", "clause": "int64"})
+
+    def li_slim(batch: pa.Table) -> pa.Table:
+        qty = batch.column("l_quantity")
+        batch = batch.filter(pc.and_(
+            pc.greater_equal(qty, pa.scalar(env_lo)),
+            pc.less_equal(qty, pa.scalar(env_hi))))
+        return pa.table({
+            "l_partkey": pc.cast(batch.column("l_partkey"), pa.int64()),
+            "q": pc.cast(pc.round(batch.column("l_quantity")), pa.int64()),
+            "cents": _cents(pc.multiply(
+                batch.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount"))))})
+
+    def clause_fold(ci: np.ndarray, q: np.ndarray,
+                    cents: np.ndarray) -> pd.DataFrame:
+        good = (q >= qlo[ci]) & (q <= qhi[ci])
+        g = pd.DataFrame({"clause": ci[good], "cents": cents[good]}).groupby(
+            "clause", as_index=False).agg(revenue_cents=("cents", "sum"),
+                                          n_lines=("cents", "size"))
+        return g.astype({"clause": "int64", "revenue_cents": "int64",
+                         "n_lines": "int64"})
+
+    if n_part <= broadcast_limit:
+        pdf = part.map_batches(part_prune,
+                               batch_format="pandas").to_pandas()
+        if "l_partkey" not in pdf.columns:
+            pdf = pd.DataFrame({"l_partkey": pd.Series(dtype="int64"),
+                                "clause": pd.Series(dtype="int64")})
+        pdf = pdf.sort_values("l_partkey")
+        pref = ray.put((pdf["l_partkey"].to_numpy(np.int64),
+                        pdf["clause"].to_numpy(np.int64)))
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            pk, pc_idx = ray.get(pref)
+            t = li_slim(batch)
+            if len(pk) == 0 or t.num_rows == 0:
+                return pd.DataFrame({
+                    "clause": pd.Series(dtype="int64"),
+                    "revenue_cents": pd.Series(dtype="int64"),
+                    "n_lines": pd.Series(dtype="int64")})
+            key = t.column("l_partkey").to_numpy(zero_copy_only=False)
+            idx, hit = _ss_match(pk, key)
+            return clause_fold(
+                pc_idx[idx][hit],
+                t.column("q").to_numpy(zero_copy_only=False)[hit],
+                t.column("cents").to_numpy(zero_copy_only=False)[hit])
+
+        parts = li.map_batches(partial, batch_format="pyarrow",
+                               batch_size=131072).to_pandas()
+    else:
+        joined = hash_join(
+            li.map_batches(li_slim, batch_format="pyarrow",
+                           batch_size=131072),
+            part.map_batches(part_prune, batch_format="pandas"),
+            key="l_partkey",
+            num_buckets=choose_partitions(n_part, default=32),
+            left_types={"l_partkey": pa.int64(), "q": pa.int64(),
+                        "cents": pa.int64()},
+            right_types={"l_partkey": pa.int64(), "clause": pa.int64()})
+
+        def fold_block(df: pd.DataFrame) -> pd.DataFrame:
+            return clause_fold(df["clause"].to_numpy(np.int64),
+                               df["q"].to_numpy(np.int64),
+                               df["cents"].to_numpy(np.int64))
+
+        parts = joined.map_batches(fold_block,
+                                   batch_format="pandas").to_pandas()
+
+    if len(parts) == 0 or "clause" not in parts.columns:
+        return pd.DataFrame({"p_brand": pd.Series(dtype="object"),
+                             "revenue_cents": pd.Series(dtype="int64"),
+                             "n_lines": pd.Series(dtype="int64")})
+    agg = parts.groupby("clause", as_index=False).agg(
+        revenue_cents=("revenue_cents", "sum"), n_lines=("n_lines", "sum"))
+    out = pd.DataFrame({
+        "p_brand": [clauses[int(i)][0] for i in agg["clause"]],
+        "revenue_cents": agg["revenue_cents"],
+        "n_lines": agg["n_lines"]})
+    return (out.astype(out_schema).sort_values("p_brand")
+            .reset_index(drop=True))

@@ -1230,3 +1230,36 @@ def test_small_qty_revenue_tiers_and_planted(ray_session, tmp_path):
         df = small_qty_revenue(str(tmp_path), brands=("B1", "B2"),
                                broadcast_limit=lim)
         assert df.values.tolist() == [["B1", 2000, 1]]
+
+
+def test_disjunctive_revenue_tiers_and_planted(ray_session, tmp_path):
+    # TPC-H Q19 shape: tier equality at sf0.001; planted case pins the
+    # inclusive BETWEEN bounds on qty AND size and the brand partition
+    import pandas as pd
+
+    from pdf_parser_ray.pipelines.relational import disjunctive_revenue
+
+    sf = "/root/testdata/sf0.001"
+    fast = disjunctive_revenue(sf)
+    slow = disjunctive_revenue(sf, broadcast_limit=0)
+    assert fast.values.tolist() == slow.values.tolist() and len(fast) > 0
+
+    clauses = (("B1", 5, 10, 1, 3), ("B2", 20, 30, 2, 4))
+    pd.DataFrame({"p_partkey": [1, 2, 3, 4],
+                  "p_brand": ["B1", "B1", "B2", "B9"],
+                  "p_size": [3, 4, 2, 2]}).to_parquet(
+        tmp_path / "part.parquet")
+    # part 1 (B1, size 3 = hi bound, in): qty 5 (lo bound, in → 100c),
+    #   qty 10 (hi bound, in → 200c), qty 11 (out)
+    # part 2 (B1, size 4 > 3): excluded entirely despite qty in range
+    # part 3 (B2, size 2): qty 20 (in → 400c), qty 19 (out)
+    # part 4 (B9): no clause
+    pd.DataFrame({"l_partkey": [1, 1, 1, 2, 3, 3, 4],
+                  "l_quantity": [5.0, 10.0, 11.0, 7.0, 20.0, 19.0, 25.0],
+                  "l_extendedprice": [1.0, 2.0, 9.0, 9.0, 4.0, 9.0, 9.0],
+                  "l_discount": [0.0] * 7}).to_parquet(
+        tmp_path / "lineitem.parquet")
+    for lim in (2_000_000, 0):
+        df = disjunctive_revenue(str(tmp_path), clauses=clauses,
+                                 broadcast_limit=lim)
+        assert df.values.tolist() == [["B1", 300, 2], ["B2", 400, 1]]
