@@ -3104,6 +3104,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (brand, qty-range, size-range) predicate join with both-side
         # pushdown; oracled, both tiers pytest-equal
         "disjunctive_revenue": rel.disjunctive_revenue,
+        # TPC-H Q8 shape — NEW in round 5 (final session): one nation's
+        # revenue share within a region's orders per year, conditional
+        # numerator + unconditional denominator from one pass; oracled,
+        # both tiers pytest-equal
+        "market_share": rel.market_share,
         # --- (d) oracled, stalest green rows (r2/r3), untouched since ---
         "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,
@@ -3896,6 +3901,31 @@ def oracle_sql() -> dict[str, str]:
             "(p_brand = 'Brand#4' AND l_quantity BETWEEN 20 AND 30 "
             "AND p_size BETWEEN 1 AND 15)) "
             "GROUP BY p_brand ORDER BY p_brand"
+        ),
+        "market_share": (
+            # TPC-H Q8 shape: numerator = target-nation supplier
+            # revenue, denominator = all revenue of the region's orders
+            # in the window; permille folded HUGEINT-exactly
+            "WITH l AS (SELECT date_part('year', o_orderdate) AS o_year, "
+            "CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT) "
+            "AS cents, "
+            "CASE WHEN sn.n_name = 'NATION_2' THEN 1 ELSE 0 END AS tgt "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+            "JOIN region ON cn.n_regionkey = r_regionkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+            "WHERE r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01') "
+            "SELECT CAST(o_year AS BIGINT) AS o_year, "
+            "CAST(sum(cents) AS BIGINT) AS total_cents, "
+            "CAST(sum(cents * tgt) AS BIGINT) AS nation_cents, "
+            "CAST((1000 * CAST(sum(cents * tgt) AS HUGEINT)) "
+            "// CAST(sum(cents) AS HUGEINT) AS BIGINT) AS share_permille "
+            "FROM l GROUP BY o_year HAVING sum(cents) > 0 ORDER BY o_year"
         ),
         "event_transitions": (
             "WITH seq AS (SELECT user_id, event_type, lag(event_type) "

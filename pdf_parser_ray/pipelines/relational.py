@@ -4590,3 +4590,227 @@ def disjunctive_revenue(sf_dir: str, *,
         "n_lines": agg["n_lines"]})
     return (out.astype(out_schema).sort_values("p_brand")
             .reset_index(drop=True))
+
+
+def market_share(sf_dir: str, *, region: str = "ASIA",
+                 nation: str = "NATION_2",
+                 date_from: str = "1996-01-01", date_to: str = "1998-01-01",
+                 broadcast_limit: int = 2_000_000):
+    """TPC-H Q8 shape (national market share): within one region's
+    customers' orders in a date window, the share of revenue supplied
+    by ONE nation, per order year — a conditional-numerator /
+    unconditional-denominator ratio from a single pass. Output
+    (o_year, total_cents, nation_cents, share_permille) sorted by year;
+    share_permille = 1000·nation_cents // total_cents, folded in Python
+    ints on the ≤n_years-row driver side (exact at any magnitude).
+
+    nation/region are driver-read (25/5 rows at any scale). Tier gate is
+    volume_shipping's: max(n_cust, n_orders, n_supp) vs the limit.
+
+    * under the gate: three broadcast sorted arrays — in-region custkeys,
+      (in-region, in-window orderkey → year), target-nation suppkeys —
+      and ONE lineitem pass emitting ≤n_years partials. Zero exchange.
+    * above the gate: orders semi-join the in-region custkeys (keys-only
+      exchange), per-batch (orderkey, suppkey) revenue partials hash-join
+      the surviving orders, then re-aggregate to (year, suppkey) —
+      bounded by years×|supplier|, NOT by line count — before a left
+      join against the target-nation suppkey projection attaches the
+      numerator flag. Lines cross the wire once.
+    """
+    lo = pd.Timestamp(date_from).to_pydatetime()
+    hi = pd.Timestamp(date_to).to_pydatetime()
+
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"].astype(int))
+    region_nk = set(nat.loc[nat["n_regionkey"].isin(rkeys),
+                            "n_nationkey"].astype(int))
+    target_nk = set(nat.loc[nat["n_name"] == nation,
+                            "n_nationkey"].astype(int))
+    out_schema = {"o_year": "int64", "total_cents": "int64",
+                  "nation_cents": "int64", "share_permille": "int64"}
+
+    def empty_out() -> pd.DataFrame:
+        return pd.DataFrame({k: pd.Series(dtype=v)
+                             for k, v in out_schema.items()})
+
+    if not rkeys or not target_nk:
+        return empty_out()
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+    n_cust = _table_nrows(sf_dir, "customer")
+    n_orders = _table_nrows(sf_dir, "orders")
+    n_supp = _table_nrows(sf_dir, "supplier")
+
+    def cust_slim(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["c_nationkey"].isin(region_nk), ["c_custkey"]]
+        return df.astype({"c_custkey": "int64"})
+
+    def supp_slim(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["s_nationkey"].isin(target_nk), ["s_suppkey"]]
+        return df.astype({"s_suppkey": "int64"})
+
+    def ord_window(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        batch = batch.filter(pc.and_(pc.greater_equal(d, pa.scalar(lo)),
+                                     pc.less(d, pa.scalar(hi))))
+        return pa.table({
+            "o_orderkey": pc.cast(batch.column("o_orderkey"), pa.int64()),
+            "o_custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
+            "o_year": pc.cast(pc.year(batch.column("o_orderdate")),
+                              pa.int64())})
+
+    def li_cents(batch: pa.Table) -> pa.Array:
+        return _cents(pc.multiply(batch.column("l_extendedprice"),
+                                  pc.subtract(pa.scalar(1.0),
+                                              batch.column("l_discount"))))
+
+    def fold(parts: pd.DataFrame) -> pd.DataFrame:
+        if len(parts) == 0 or "o_year" not in parts.columns:
+            return empty_out()
+        agg = parts.groupby("o_year", as_index=False).agg(
+            total_cents=("total_cents", "sum"),
+            nation_cents=("nation_cents", "sum"))
+        rows = []
+        for y, t, nc in zip(agg["o_year"], agg["total_cents"],
+                            agg["nation_cents"]):
+            t, nc = int(t), int(nc)
+            if t > 0:
+                rows.append((int(y), t, nc, (1000 * nc) // t))
+        out = pd.DataFrame(rows, columns=list(out_schema))
+        return (out.astype(out_schema).sort_values("o_year")
+                .reset_index(drop=True))
+
+    if max(n_cust, n_orders, n_supp) <= broadcast_limit:
+        cdf = cust.map_batches(cust_slim, batch_format="pandas").to_pandas()
+        ck = (np.sort(cdf["c_custkey"].to_numpy(np.int64))
+              if "c_custkey" in cdf.columns else np.empty(0, np.int64))
+        sdf = supp.map_batches(supp_slim, batch_format="pandas").to_pandas()
+        sk = (np.sort(sdf["s_suppkey"].to_numpy(np.int64))
+              if "s_suppkey" in sdf.columns else np.empty(0, np.int64))
+
+        def ord_slim(batch: pa.Table) -> pd.DataFrame:
+            t = ord_window(batch)
+            okey = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            if len(ck) and t.num_rows:
+                _, hit = _ss_match(ck, okey)
+                t = t.filter(pa.array(hit))
+            else:
+                t = t.slice(0, 0)
+            return pd.DataFrame({
+                "o_orderkey": t.column("o_orderkey").to_numpy(
+                    zero_copy_only=False),
+                "o_year": t.column("o_year").to_numpy(
+                    zero_copy_only=False)})
+
+        odf = (orders.map_batches(ord_slim, batch_format="pyarrow")
+               .to_pandas())
+        if "o_orderkey" not in odf.columns:
+            odf = pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                                "o_year": pd.Series(dtype="int64")})
+        odf = odf.sort_values("o_orderkey")
+        oref = ray.put((odf["o_orderkey"].to_numpy(np.int64),
+                        odf["o_year"].to_numpy(np.int64),
+                        sk))
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            ok, oy, tk = ray.get(oref)
+            empty = pd.DataFrame({
+                "o_year": pd.Series(dtype="int64"),
+                "total_cents": pd.Series(dtype="int64"),
+                "nation_cents": pd.Series(dtype="int64")})
+            if batch.num_rows == 0 or len(ok) == 0:
+                return empty
+            lkey = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            oi, ohit = _ss_match(ok, lkey)
+            if not ohit.any():
+                return empty
+            cents = li_cents(batch).to_numpy(zero_copy_only=False)[ohit]
+            years = oy[oi][ohit]
+            skey = batch.column("l_suppkey").to_numpy(
+                zero_copy_only=False)[ohit]
+            if len(tk):
+                _, flag = _ss_match(tk, skey)
+            else:
+                flag = np.zeros(len(skey), bool)
+            g = pd.DataFrame({
+                "o_year": years, "total_cents": cents,
+                "nation_cents": np.where(flag, cents, 0)}).groupby(
+                "o_year", as_index=False).sum()
+            return g.astype({"o_year": "int64", "total_cents": "int64",
+                             "nation_cents": "int64"})
+
+        return fold(li.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=131072).to_pandas())
+
+    # ABOVE THE GATE — keys-only semi, one line-level exchange, then the
+    # (year, suppkey)-bounded numerator join
+    nb = choose_partitions(max(n_orders, n_cust), default=32)
+    orders_f = semi_anti_join(
+        orders.map_batches(ord_window, batch_format="pyarrow"),
+        cust.map_batches(cust_slim, batch_format="pandas"),
+        left_key="o_custkey", right_key="c_custkey", num_buckets=nb,
+        left_types={"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
+                    "o_year": pa.int64()})
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderkey": pc.cast(batch.column("l_orderkey"),
+                                            pa.int64()),
+                      "s_suppkey": pc.cast(batch.column("l_suppkey"),
+                                           pa.int64()),
+                      "cents": li_cents(batch)})
+        g = t.group_by(["o_orderkey", "s_suppkey"]).aggregate(
+            [("cents", "sum")])
+        return pa.table({"o_orderkey": g.column("o_orderkey"),
+                         "s_suppkey": g.column("s_suppkey"),
+                         "cents": g.column("cents_sum")})
+
+    ol = hash_join(
+        li.map_batches(li_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        orders_f.map_batches(
+            lambda df: df[["o_orderkey", "o_year"]].astype(
+                {"o_orderkey": "int64", "o_year": "int64"}),
+            batch_format="pandas"),
+        key="o_orderkey", num_buckets=nb, coalesce_blocks=nb,
+        left_types={"o_orderkey": pa.int64(), "s_suppkey": pa.int64(),
+                    "cents": pa.int64()},
+        right_types={"o_orderkey": pa.int64(), "o_year": pa.int64()})
+
+    def ys_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["o_year", "s_suppkey"],
+                       as_index=False)["cents"].sum()
+        return g.astype({"o_year": "int64", "s_suppkey": "int64",
+                         "cents": "int64"})
+
+    sb = choose_partitions(n_supp, default=16)
+    ysn = hash_join(
+        ol.map_batches(ys_partial, batch_format="pandas"),
+        supp.map_batches(
+            lambda df: supp_slim(df).assign(is_target=np.int64(1)),
+            batch_format="pandas"),
+        key="s_suppkey", how="left", num_buckets=sb, coalesce_blocks=sb,
+        left_types={"o_year": pa.int64(), "s_suppkey": pa.int64(),
+                    "cents": pa.int64()},
+        right_types={"s_suppkey": pa.int64(), "is_target": pa.int64()})
+
+    def year_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flag = df["is_target"].fillna(0).to_numpy(np.int64) == 1
+        cents = df["cents"].to_numpy(np.int64)
+        g = pd.DataFrame({
+            "o_year": df["o_year"].to_numpy(np.int64),
+            "total_cents": cents,
+            "nation_cents": np.where(flag, cents, 0)}).groupby(
+            "o_year", as_index=False).sum()
+        return g.astype({"o_year": "int64", "total_cents": "int64",
+                         "nation_cents": "int64"})
+
+    return fold(ysn.map_batches(year_partial,
+                                batch_format="pandas").to_pandas())

@@ -1263,3 +1263,66 @@ def test_disjunctive_revenue_tiers_and_planted(ray_session, tmp_path):
         df = disjunctive_revenue(str(tmp_path), clauses=clauses,
                                  broadcast_limit=lim)
         assert df.values.tolist() == [["B1", 300, 2], ["B2", 400, 1]]
+
+
+def test_market_share_tiers_and_planted(ray_session, tmp_path):
+    # TPC-H Q8 shape: tier equality at sf0.001; planted case pins the
+    # region filter on CUSTOMER nation, the numerator on SUPPLIER
+    # nation, the window bound, and the integer permille
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.relational import market_share
+
+    sf = "/root/testdata/sf0.001"
+    fast = market_share(sf)
+    slow = market_share(sf, broadcast_limit=0)
+    assert fast.values.tolist() == slow.values.tolist() and len(fast) > 0
+    assert list(fast.columns) == ["o_year", "total_cents", "nation_cents",
+                                  "share_permille"]
+
+    pd.DataFrame({"r_regionkey": [0, 1],
+                  "r_name": ["R_IN", "R_OUT"]}).to_parquet(
+        tmp_path / "region.parquet")
+    pd.DataFrame({"n_nationkey": [0, 1, 2],
+                  "n_name": ["N_TGT", "N_OTH", "N_FAR"],
+                  "n_regionkey": [0, 0, 1]}).to_parquet(
+        tmp_path / "nation.parquet")
+    # customers: c1 in-region (nation N_TGT), c2 in-region (N_OTH),
+    # c3 out-of-region
+    pd.DataFrame({"c_custkey": [1, 2, 3],
+                  "c_nationkey": [0, 1, 2]}).to_parquet(
+        tmp_path / "customer.parquet")
+    # suppliers: s1 target nation, s2 other
+    pd.DataFrame({"s_suppkey": [1, 2],
+                  "s_nationkey": [0, 1]}).to_parquet(
+        tmp_path / "supplier.parquet")
+    us = pa.timestamp("us")
+    d96 = pd.Timestamp("1996-06-01").to_pydatetime()
+    d97 = pd.Timestamp("1997-06-01").to_pydatetime()
+    dout = pd.Timestamp("1998-01-01").to_pydatetime()  # = hi, excluded
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 20, 30, 40], type=pa.int64()),
+        "o_custkey": pa.array([1, 2, 3, 1], type=pa.int64()),
+        "o_orderdate": pa.array([d96, d97, d96, dout], type=us)}),
+        str(tmp_path / "orders.parquet"))
+    # o10 (1996, in-region): s1 30.00 target + s2 10.00 → 4000c/3000c
+    #   → permille 750
+    # o20 (1997, in-region): s2 20.00 → 2000c/0c → permille 0
+    # o30: out-of-region customer, excluded; o40: at hi bound, excluded
+    pd.DataFrame({"l_orderkey": [10, 10, 20, 30, 40],
+                  "l_suppkey": [1, 2, 2, 1, 1],
+                  "l_extendedprice": [30.0, 10.0, 20.0, 99.0, 99.0],
+                  "l_discount": [0.0] * 5}).to_parquet(
+        tmp_path / "lineitem.parquet")
+    for lim in (2_000_000, 0):
+        df = market_share(str(tmp_path), region="R_IN", nation="N_TGT",
+                          broadcast_limit=lim)
+        assert df.values.tolist() == [[1996, 4000, 3000, 750],
+                                      [1997, 2000, 0, 0]]
+
+    # unknown region/nation → typed empty
+    df = market_share(str(tmp_path), region="NOPE", nation="N_TGT")
+    assert len(df) == 0 and list(df.columns) == [
+        "o_year", "total_cents", "nation_cents", "share_permille"]
