@@ -3109,6 +3109,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # numerator + unconditional denominator from one pass; oracled,
         # both tiers pytest-equal
         "market_share": rel.market_share,
+        # TPC-H Q12 shape (adapted to the testdata's columns) — NEW in
+        # round 5 (final session): late-shipment conditional two-way
+        # counts through the orders join; oracled, both tiers
+        # pytest-equal
+        "late_shipments": rel.late_shipments,
         # --- (d) oracled, stalest green rows (r2/r3), untouched since ---
         "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,
@@ -3926,6 +3931,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST((1000 * CAST(sum(cents * tgt) AS HUGEINT)) "
             "// CAST(sum(cents) AS HUGEINT) AS BIGINT) AS share_permille "
             "FROM l GROUP BY o_year HAVING sum(cents) > 0 ORDER BY o_year"
+        ),
+        "late_shipments": (
+            # TPC-H Q12 shape adapted (no l_shipmode/l_commitdate in
+            # the testdata): strict > with a day interval, priority
+            # split as conditional counts
+            "SELECT l_returnflag, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+            "FROM lineitem, orders WHERE l_orderkey = o_orderkey "
+            "AND l_shipdate > o_orderdate + INTERVAL 60 DAY "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         "event_transitions": (
             "WITH seq AS (SELECT user_id, event_type, lag(event_type) "

@@ -4814,3 +4814,116 @@ def market_share(sf_dir: str, *, region: str = "ASIA",
 
     return fold(ysn.map_batches(year_partial,
                                 batch_format="pandas").to_pandas())
+
+
+def late_shipments(sf_dir: str, *, lag_days: int = 60,
+                   high_priorities: tuple = ("1-URGENT", "2-HIGH"),
+                   broadcast_limit: int = 2_000_000):
+    """TPC-H Q12 shape (shipping-mode priority, adapted): lines shipped
+    LATE — more than ``lag_days`` after their order date — counted per
+    l_returnflag, split into high- vs low-priority order counts (the
+    testdata carries no l_shipmode/l_commitdate, so the group key is
+    l_returnflag and lateness is shipdate vs orderdate; same
+    join + date-arithmetic + conditional two-way count shape).
+    Output (l_returnflag, high_line_count, low_line_count) sorted by
+    flag. The lateness test is integer-µs exact:
+    ship_us > order_us + lag_days·86400e6, matching the oracle's
+    ``> o_orderdate + INTERVAL`` comparison bit-for-bit.
+
+    * under the gate: broadcast sorted (o_orderkey → order_µs, is_high);
+      one lineitem pass emits ≤|flags| partial count rows per batch.
+    * above the gate: slim (orderkey, ship_µs, returnflag) triples
+      hash-join the (orderkey, order_µs, is_high) projection — the one
+      line-level exchange — then the same mask and partial counts.
+    """
+    lag_us = int(lag_days) * 86_400_000_000
+    hi_set = set(high_priorities)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_shipdate", "l_returnflag"])
+    n_orders = _table_nrows(sf_dir, "orders")
+    out_schema = {"l_returnflag": "object", "high_line_count": "int64",
+                  "low_line_count": "int64"}
+
+    def ts_us(col) -> np.ndarray:
+        return pc.cast(pc.cast(col, options=pc.CastOptions(
+            target_type=pa.timestamp("us"), allow_time_truncate=True)),
+            pa.int64()).to_numpy(zero_copy_only=False)
+
+    def ord_slim(batch: pa.Table) -> pd.DataFrame:
+        prio = batch.column("o_orderpriority").to_pylist()
+        return pd.DataFrame({
+            "o_orderkey": batch.column("o_orderkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "order_us": ts_us(batch.column("o_orderdate")),
+            "is_high": np.array([p in hi_set for p in prio], np.int64)})
+
+    def count_fold(flags: np.ndarray, high: np.ndarray) -> pd.DataFrame:
+        g = pd.DataFrame({"l_returnflag": flags,
+                          "high_line_count": high,
+                          "low_line_count": 1 - high}).groupby(
+            "l_returnflag", as_index=False).sum()
+        return g.astype(out_schema)
+
+    if n_orders <= broadcast_limit:
+        odf = orders.map_batches(ord_slim,
+                                 batch_format="pyarrow").to_pandas()
+        if "o_orderkey" not in odf.columns:
+            odf = pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                                "order_us": pd.Series(dtype="int64"),
+                                "is_high": pd.Series(dtype="int64")})
+        odf = odf.sort_values("o_orderkey")
+        oref = ray.put((odf["o_orderkey"].to_numpy(np.int64),
+                        odf["order_us"].to_numpy(np.int64),
+                        odf["is_high"].to_numpy(np.int64)))
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            ok, ous, ohigh = ray.get(oref)
+            if batch.num_rows == 0 or len(ok) == 0:
+                return pd.DataFrame(
+                    {k: pd.Series(dtype=v) for k, v in out_schema.items()})
+            lkey = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            oi, hit = _ss_match(ok, lkey)
+            late = hit & (ts_us(batch.column("l_shipdate"))
+                          > ous[oi] + lag_us)
+            flags = np.asarray(batch.column("l_returnflag").to_pylist(),
+                               dtype=object)[late]
+            return count_fold(flags, ohigh[oi][late])
+
+        parts = li.map_batches(partial, batch_format="pyarrow",
+                               batch_size=131072).to_pandas()
+    else:
+        def li_slim(batch: pa.Table) -> pd.DataFrame:
+            return pd.DataFrame({
+                "o_orderkey": batch.column("l_orderkey").to_numpy(
+                    zero_copy_only=False).astype(np.int64),
+                "ship_us": ts_us(batch.column("l_shipdate")),
+                "l_returnflag": batch.column("l_returnflag").to_pylist()})
+
+        joined = hash_join(
+            li.map_batches(li_slim, batch_format="pyarrow",
+                           batch_size=131072),
+            orders.map_batches(ord_slim, batch_format="pyarrow"),
+            key="o_orderkey",
+            num_buckets=choose_partitions(n_orders, default=32),
+            left_types={"o_orderkey": pa.int64(), "ship_us": pa.int64(),
+                        "l_returnflag": pa.string()},
+            right_types={"o_orderkey": pa.int64(), "order_us": pa.int64(),
+                         "is_high": pa.int64()})
+
+        def fold_block(df: pd.DataFrame) -> pd.DataFrame:
+            late = (df["ship_us"].to_numpy(np.int64)
+                    > df["order_us"].to_numpy(np.int64) + lag_us)
+            return count_fold(df["l_returnflag"].to_numpy()[late],
+                              df["is_high"].to_numpy(np.int64)[late])
+
+        parts = joined.map_batches(fold_block,
+                                   batch_format="pandas").to_pandas()
+
+    if len(parts) == 0 or "l_returnflag" not in parts.columns:
+        return pd.DataFrame({k: pd.Series(dtype=v)
+                             for k, v in out_schema.items()})
+    out = parts.groupby("l_returnflag", as_index=False).sum()
+    return (out.astype(out_schema).sort_values("l_returnflag")
+            .reset_index(drop=True))

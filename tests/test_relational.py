@@ -1326,3 +1326,41 @@ def test_market_share_tiers_and_planted(ray_session, tmp_path):
     df = market_share(str(tmp_path), region="NOPE", nation="N_TGT")
     assert len(df) == 0 and list(df.columns) == [
         "o_year", "total_cents", "nation_cents", "share_permille"]
+
+
+def test_late_shipments_tiers_and_planted(ray_session, tmp_path):
+    # TPC-H Q12 shape (adapted): tier equality at sf0.001; planted case
+    # pins the STRICT > lateness boundary and the priority split
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.relational import late_shipments
+
+    sf = "/root/testdata/sf0.001"
+    fast = late_shipments(sf)
+    slow = late_shipments(sf, broadcast_limit=0)
+    assert fast.values.tolist() == slow.values.tolist() and len(fast) > 0
+    assert list(fast.columns) == ["l_returnflag", "high_line_count",
+                                  "low_line_count"]
+
+    us = pa.timestamp("us")
+    base = pd.Timestamp("1996-01-01")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], type=pa.int64()),
+        "o_orderdate": pa.array([base.to_pydatetime()] * 2, type=us),
+        "o_orderpriority": ["1-URGENT", "5-LOW"]}),
+        str(tmp_path / "orders.parquet"))
+    # lag 10 days: +10d is NOT late (strict >), +10d+1µs IS
+    at10 = (base + pd.Timedelta(days=10)).to_pydatetime()
+    late = (base + pd.Timedelta(days=10, microseconds=1)).to_pydatetime()
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2], type=pa.int64()),
+        "l_shipdate": pa.array([at10, late, late, late], type=us),
+        "l_returnflag": ["A", "A", "A", "B"]}),
+        str(tmp_path / "lineitem.parquet"))
+    for lim in (2_000_000, 0):
+        df = late_shipments(str(tmp_path), lag_days=10,
+                            broadcast_limit=lim)
+        # A: one late high (o1) + one late low (o2); B: one late low
+        assert df.values.tolist() == [["A", 1, 1], ["B", 0, 1]]
