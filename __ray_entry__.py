@@ -3114,6 +3114,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # counts through the orders join; oracled, both tiers
         # pytest-equal
         "late_shipments": rel.late_shipments,
+        # TPC-H Q9 shape (adapted: no partsupp) — NEW in round 5 (final
+        # session): part-name containment filter, group keys from two
+        # dimension joins (supplier nation x order year); oracled, both
+        # tiers pytest-equal
+        "product_type_profit": rel.product_type_profit,
         # --- (d) oracled, stalest green rows (r2/r3), untouched since ---
         "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,
@@ -3931,6 +3936,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST((1000 * CAST(sum(cents * tgt) AS HUGEINT)) "
             "// CAST(sum(cents) AS HUGEINT) AS BIGINT) AS share_permille "
             "FROM l GROUP BY o_year HAVING sum(cents) > 0 ORDER BY o_year"
+        ),
+        "product_type_profit": (
+            # TPC-H Q9 shape adapted (no partsupp → discounted-revenue
+            # profit); substring containment on p_name
+            "SELECT n_name, "
+            "CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) "
+            "AS BIGINT)) AS BIGINT) AS profit_cents "
+            "FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE p_name LIKE '%red%' "
+            "GROUP BY n_name, o_year ORDER BY n_name, o_year"
         ),
         "late_shipments": (
             # TPC-H Q12 shape adapted (no l_shipmode/l_commitdate in

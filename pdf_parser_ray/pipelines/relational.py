@@ -4927,3 +4927,178 @@ def late_shipments(sf_dir: str, *, lag_days: int = 60,
     out = parts.groupby("l_returnflag", as_index=False).sum()
     return (out.astype(out_schema).sort_values("l_returnflag")
             .reset_index(drop=True))
+
+
+def product_type_profit(sf_dir: str, *, name_contains: str = "red",
+                        broadcast_limit: int = 2_000_000):
+    """TPC-H Q9 shape (product-type profit, adapted): revenue from lines
+    whose PART NAME contains a substring, grouped by (supplier nation,
+    order year) — group keys drawn from TWO different dimension joins
+    plus a string-containment build-side filter (the testdata carries no
+    partsupp, so profit is the discounted-revenue rule rather than
+    revenue − ps_supplycost·qty). Output (n_name, o_year, profit_cents)
+    sorted by (nation, year).
+
+    nation is driver-read. Tier gate is volume_shipping's:
+    max(n_part, n_orders, n_supp) vs the limit.
+
+    * under the gate: three broadcast sorted arrays — matching partkeys
+      (keys only: the name filter runs once on the part scan, matches
+      never re-ship), (suppkey → nationkey), (orderkey → year) — and
+      ONE lineitem pass emitting ≤|nations|·n_years partials. Zero
+      exchange.
+    * above the gate: lines semi-join the matching partkeys (the part
+      side ships deduped keys only), per-batch (orderkey, suppkey)
+      revenue partials hash-join orders for the year, re-aggregate to
+      (year, suppkey) — years×|supplier| bound — then the supplier join
+      attaches the nation. Lines cross the wire twice (semi + orderkey
+      join); the nation join never sees line-level rows.
+    """
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    out_schema = {"n_name": "object", "o_year": "int64",
+                  "profit_cents": "int64"}
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"])
+    n_part = _table_nrows(sf_dir, "part")
+    n_orders = _table_nrows(sf_dir, "orders")
+    n_supp = _table_nrows(sf_dir, "supplier")
+
+    def part_match(batch: pa.Table) -> pd.DataFrame:
+        m = pc.match_substring(batch.column("p_name"),
+                               pattern=name_contains)
+        keep = batch.filter(m)
+        return pd.DataFrame({"p_partkey": keep.column("p_partkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)})
+
+    def ord_slim(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": batch.column("o_orderkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "o_year": pc.cast(pc.year(batch.column("o_orderdate")),
+                              pa.int64()).to_numpy(zero_copy_only=False)})
+
+    def li_cents(batch: pa.Table) -> pa.Array:
+        return _cents(pc.multiply(batch.column("l_extendedprice"),
+                                  pc.subtract(pa.scalar(1.0),
+                                              batch.column("l_discount"))))
+
+    def fold(parts: pd.DataFrame) -> pd.DataFrame:
+        if len(parts) == 0 or "nkey" not in parts.columns:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in out_schema.items()})
+        agg = parts.groupby(["nkey", "o_year"],
+                            as_index=False)["profit_cents"].sum()
+        out = pd.DataFrame({
+            "n_name": agg["nkey"].map(nmap),
+            "o_year": agg["o_year"],
+            "profit_cents": agg["profit_cents"]})
+        return (out.astype(out_schema)
+                .sort_values(["n_name", "o_year"]).reset_index(drop=True))
+
+    if max(n_part, n_orders, n_supp) <= broadcast_limit:
+        pk = np.sort(part.map_batches(
+            part_match, batch_format="pyarrow").to_pandas().get(
+            "p_partkey", pd.Series(dtype="int64")).to_numpy(np.int64))
+        sdf = supp.to_pandas().sort_values("s_suppkey")
+        odf = (orders.map_batches(ord_slim, batch_format="pyarrow")
+               .to_pandas().sort_values("o_orderkey"))
+        bref = ray.put((pk,
+                        sdf["s_suppkey"].to_numpy(np.int64),
+                        sdf["s_nationkey"].to_numpy(np.int64),
+                        odf["o_orderkey"].to_numpy(np.int64),
+                        odf["o_year"].to_numpy(np.int64)))
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            mk, sk, sn, ok, oy = ray.get(bref)
+            empty = pd.DataFrame({"nkey": pd.Series(dtype="int64"),
+                                  "o_year": pd.Series(dtype="int64"),
+                                  "profit_cents": pd.Series(dtype="int64")})
+            if batch.num_rows == 0 or not (len(mk) and len(sk) and len(ok)):
+                return empty
+            _, phit = _ss_match(mk, batch.column("l_partkey").to_numpy(
+                zero_copy_only=False))
+            if not phit.any():
+                return empty
+            si, shit = _ss_match(sk, batch.column("l_suppkey").to_numpy(
+                zero_copy_only=False))
+            oi, ohit = _ss_match(ok, batch.column("l_orderkey").to_numpy(
+                zero_copy_only=False))
+            keep = phit & shit & ohit
+            g = pd.DataFrame({
+                "nkey": sn[si][keep], "o_year": oy[oi][keep],
+                "profit_cents": li_cents(batch).to_numpy(
+                    zero_copy_only=False)[keep]}).groupby(
+                ["nkey", "o_year"], as_index=False).sum()
+            return g.astype({"nkey": "int64", "o_year": "int64",
+                             "profit_cents": "int64"})
+
+        return fold(li.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=131072).to_pandas())
+
+    # ABOVE THE GATE
+    nb = choose_partitions(max(n_orders, n_part), default=32)
+
+    def li_slim(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_partkey": pc.cast(batch.column("l_partkey"),
+                                           pa.int64()),
+                      "o_orderkey": pc.cast(batch.column("l_orderkey"),
+                                            pa.int64()),
+                      "s_suppkey": pc.cast(batch.column("l_suppkey"),
+                                           pa.int64()),
+                      "cents": li_cents(batch)})
+        return t
+
+    li_f = semi_anti_join(
+        li.map_batches(li_slim, batch_format="pyarrow", batch_size=131072),
+        part.map_batches(part_match, batch_format="pyarrow"),
+        left_key="l_partkey", right_key="p_partkey", num_buckets=nb,
+        left_types={"l_partkey": pa.int64(), "o_orderkey": pa.int64(),
+                    "s_suppkey": pa.int64(), "cents": pa.int64()})
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["o_orderkey", "s_suppkey"],
+                       as_index=False)["cents"].sum()
+        return g.astype({"o_orderkey": "int64", "s_suppkey": "int64",
+                         "cents": "int64"})
+
+    ol = hash_join(
+        li_f.map_batches(li_partial, batch_format="pandas"),
+        orders.map_batches(ord_slim, batch_format="pyarrow"),
+        key="o_orderkey", num_buckets=nb, coalesce_blocks=nb,
+        left_types={"o_orderkey": pa.int64(), "s_suppkey": pa.int64(),
+                    "cents": pa.int64()},
+        right_types={"o_orderkey": pa.int64(), "o_year": pa.int64()})
+
+    def ys_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["o_year", "s_suppkey"],
+                       as_index=False)["cents"].sum()
+        return g.astype({"o_year": "int64", "s_suppkey": "int64",
+                         "cents": "int64"})
+
+    sb = choose_partitions(n_supp, default=16)
+    ysn = hash_join(
+        ol.map_batches(ys_partial, batch_format="pandas"),
+        supp.map_batches(
+            lambda df: df[["s_suppkey", "s_nationkey"]].astype("int64"),
+            batch_format="pandas"),
+        key="s_suppkey", num_buckets=sb, coalesce_blocks=sb,
+        left_types={"o_year": pa.int64(), "s_suppkey": pa.int64(),
+                    "cents": pa.int64()},
+        right_types={"s_suppkey": pa.int64(), "s_nationkey": pa.int64()})
+
+    def block_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.rename(columns={"s_nationkey": "nkey",
+                               "cents": "profit_cents"}).groupby(
+            ["nkey", "o_year"], as_index=False)["profit_cents"].sum()
+        return g.astype({"nkey": "int64", "o_year": "int64",
+                         "profit_cents": "int64"})
+
+    return fold(ysn.map_batches(block_fold,
+                                batch_format="pandas").to_pandas())

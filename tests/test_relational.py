@@ -1364,3 +1364,53 @@ def test_late_shipments_tiers_and_planted(ray_session, tmp_path):
                             broadcast_limit=lim)
         # A: one late high (o1) + one late low (o2); B: one late low
         assert df.values.tolist() == [["A", 1, 1], ["B", 0, 1]]
+
+
+def test_product_type_profit_tiers_and_planted(ray_session, tmp_path):
+    # TPC-H Q9 shape (adapted): tier equality at sf0.001; planted case
+    # pins the substring match and the two-dimension group keys
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.relational import product_type_profit
+
+    sf = "/root/testdata/sf0.001"
+    fast = product_type_profit(sf)
+    slow = product_type_profit(sf, broadcast_limit=0)
+    assert fast.values.tolist() == slow.values.tolist() and len(fast) > 0
+    assert list(fast.columns) == ["n_name", "o_year", "profit_cents"]
+
+    pd.DataFrame({"n_nationkey": [0, 1],
+                  "n_name": ["NA", "NB"]}).to_parquet(
+        tmp_path / "nation.parquet")
+    pd.DataFrame({"s_suppkey": [1, 2],
+                  "s_nationkey": [0, 1]}).to_parquet(
+        tmp_path / "supplier.parquet")
+    # 'red widget' and 'bored bolt' both contain 'red' (substring, not
+    # word); 'blue bolt' does not
+    pd.DataFrame({"p_partkey": [1, 2, 3],
+                  "p_name": ["red widget", "bored bolt", "blue bolt"],
+                  }).to_parquet(tmp_path / "part.parquet")
+    us = pa.timestamp("us")
+    d96 = pd.Timestamp("1996-06-01").to_pydatetime()
+    d97 = pd.Timestamp("1997-06-01").to_pydatetime()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 20], type=pa.int64()),
+        "o_orderdate": pa.array([d96, d97], type=us)}),
+        str(tmp_path / "orders.parquet"))
+    # (NA,1996): part1 via s1 on o10 → 1000c; (NB,1996): part2 via s2
+    # on o10 → 2000c; (NA,1997): part2 via s1 on o20 → 400c;
+    # part3 line excluded by the name filter
+    pd.DataFrame({"l_orderkey": [10, 10, 20, 10],
+                  "l_partkey": [1, 2, 2, 3],
+                  "l_suppkey": [1, 2, 1, 1],
+                  "l_extendedprice": [10.0, 20.0, 4.0, 99.0],
+                  "l_discount": [0.0] * 4}).to_parquet(
+        tmp_path / "lineitem.parquet")
+    for lim in (2_000_000, 0):
+        df = product_type_profit(str(tmp_path), name_contains="red",
+                                 broadcast_limit=lim)
+        assert df.values.tolist() == [["NA", 1996, 1000],
+                                      ["NA", 1997, 400],
+                                      ["NB", 1996, 2000]]
