@@ -194,7 +194,11 @@ def run_query_suite() -> dict:
              "volume_shipping", "fk_orphans", "promo_revenue",
              # round-5 final-session additions
              "customer_distribution", "order_priority_check",
-             "large_volume_customers", "global_sales_opportunity"]
+             "large_volume_customers", "global_sales_opportunity",
+             "supplier_nation_share", "top_supplier",
+             "brand_supplier_count", "small_qty_revenue",
+             "disjunctive_revenue", "market_share", "late_shipments",
+             "product_type_profit"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:
