@@ -3119,6 +3119,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dimension joins (supplier nation x order year); oracled, both
         # tiers pytest-equal
         "product_type_profit": rel.product_type_profit,
+        # TPC-H Q6 — NEW in round 5 (final session): pure
+        # filter-aggregate, zero-exchange; oracled
+        "forecast_revenue": rel.forecast_revenue,
         # --- (d) oracled, stalest green rows (r2/r3), untouched since ---
         "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,
@@ -3936,6 +3939,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST((1000 * CAST(sum(cents * tgt) AS HUGEINT)) "
             "// CAST(sum(cents) AS HUGEINT) AS BIGINT) AS share_permille "
             "FROM l GROUP BY o_year HAVING sum(cents) > 0 ORDER BY o_year"
+        ),
+        "forecast_revenue": (
+            # TPC-H Q6: the discount band runs on exact integer
+            # percents (corpus discounts are exact hundredths)
+            "WITH f AS (SELECT CAST(round(l_discount*100) AS BIGINT) "
+            "AS discount_pct, "
+            "CAST(round(l_extendedprice*l_discount*100) AS BIGINT) "
+            "AS cents FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 4 AND 6 "
+            "AND l_quantity < 24.0) "
+            "SELECT discount_pct, CAST(sum(cents) AS BIGINT) "
+            "AS revenue_cents, CAST(count(*) AS BIGINT) AS n_lines "
+            "FROM f GROUP BY discount_pct ORDER BY discount_pct"
         ),
         "product_type_profit": (
             # TPC-H Q9 shape adapted (no partsupp → discounted-revenue

@@ -5102,3 +5102,61 @@ def product_type_profit(sf_dir: str, *, name_contains: str = "red",
 
     return fold(ysn.map_batches(block_fold,
                                 batch_format="pandas").to_pandas())
+
+
+def forecast_revenue(sf_dir: str, *, date_from: str = "1996-01-01",
+                     date_to: str = "1997-01-01", pct_center: int = 5,
+                     pct_tol: int = 1, max_qty: float = 24.0):
+    """TPC-H Q6 shape (forecast revenue change): revenue that WOULD have
+    been kept had discounts in a band been waived — a pure
+    filter-aggregate, the cheapest possible distributed query: one
+    column-pruned lineitem pass, ≤(2·tol+1)-row partials, no exchange.
+    Output (discount_pct, revenue_cents, n_lines) per discount percent
+    in the band, sorted by pct; revenue is extendedprice·discount cents
+    (grouping by pct keeps the output hash-discriminating where real
+    Q6's single scalar would be one opaque number).
+
+    Discounts in the corpus are exact hundredths, so the band test runs
+    on round(discount·100) ints — no float-tolerance fudge (real Q6's
+    ``BETWEEN 0.05 - 0.01 AND 0.05 + 0.01`` exists to dodge exactly the
+    binary-representation issue this sidesteps).
+    """
+    lo = pd.Timestamp(date_from).to_pydatetime()
+    hi = pd.Timestamp(date_to).to_pydatetime()
+    p_lo, p_hi = pct_center - pct_tol, pct_center + pct_tol
+    li = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_discount", "l_quantity",
+                        "l_extendedprice"])
+    out_schema = {"discount_pct": "int64", "revenue_cents": "int64",
+                  "n_lines": "int64"}
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ship = batch.column("l_shipdate")
+        pct = pc.cast(pc.round(pc.multiply(batch.column("l_discount"),
+                                           pa.scalar(100.0))), pa.int64())
+        keep = pc.and_(pc.and_(
+            pc.greater_equal(ship, pa.scalar(lo)),
+            pc.less(ship, pa.scalar(hi))), pc.and_(
+            pc.and_(pc.greater_equal(pct, pa.scalar(p_lo)),
+                    pc.less_equal(pct, pa.scalar(p_hi))),
+            pc.less(batch.column("l_quantity"), pa.scalar(float(max_qty)))))
+        pctk = pct.filter(keep).to_numpy(zero_copy_only=False)
+        kept = batch.filter(keep)
+        cents = _cents(pc.multiply(kept.column("l_extendedprice"),
+                                   kept.column("l_discount"))).to_numpy(
+            zero_copy_only=False)
+        g = pd.DataFrame({"discount_pct": pctk,
+                          "revenue_cents": cents}).groupby(
+            "discount_pct", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"),
+            n_lines=("revenue_cents", "size"))
+        return g.astype(out_schema)
+
+    parts = li.map_batches(partial, batch_format="pyarrow",
+                           batch_size=131072).to_pandas()
+    if len(parts) == 0 or "discount_pct" not in parts.columns:
+        return pd.DataFrame({k: pd.Series(dtype=v)
+                             for k, v in out_schema.items()})
+    out = parts.groupby("discount_pct", as_index=False).sum()
+    return (out.astype(out_schema).sort_values("discount_pct")
+            .reset_index(drop=True))

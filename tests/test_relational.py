@@ -1414,3 +1414,35 @@ def test_product_type_profit_tiers_and_planted(ray_session, tmp_path):
         assert df.values.tolist() == [["NA", 1996, 1000],
                                       ["NA", 1997, 400],
                                       ["NB", 1996, 2000]]
+
+
+def test_forecast_revenue_planted(ray_session, tmp_path):
+    # TPC-H Q6: planted case pins the inclusive pct band, the exclusive
+    # qty bound, and the date window half-open interval
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.relational import forecast_revenue
+
+    sf = "/root/testdata/sf0.001"
+    live = forecast_revenue(sf)
+    assert len(live) > 0
+    assert list(live.columns) == ["discount_pct", "revenue_cents",
+                                  "n_lines"]
+
+    us = pa.timestamp("us")
+    d_in = pd.Timestamp("1996-06-01").to_pydatetime()
+    d_out = pd.Timestamp("1997-01-01").to_pydatetime()  # = hi, excluded
+    pq.write_table(pa.table({
+        "l_shipdate": pa.array([d_in] * 5 + [d_out], type=us),
+        # pct 4 (lo bound, in), 6 (hi bound, in), 7 (out), 5 with qty at
+        # the exclusive bound (out), 5 in, then a date-excluded 5
+        "l_discount": [0.04, 0.06, 0.07, 0.05, 0.05, 0.05],
+        "l_quantity": [10.0, 10.0, 10.0, 24.0, 23.0, 10.0],
+        "l_extendedprice": [100.0, 200.0, 999.0, 999.0, 40.0, 999.0]}),
+        str(tmp_path / "lineitem.parquet"))
+    df = forecast_revenue(str(tmp_path))
+    # pct4: 100*0.04 = 4.00 → 400c; pct5: 40*0.05 = 2.00 → 200c;
+    # pct6: 200*0.06 = 12.00 → 1200c
+    assert df.values.tolist() == [[4, 400, 1], [5, 200, 1], [6, 1200, 1]]
