@@ -3122,6 +3122,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q6 — NEW in round 5 (final session): pure
         # filter-aggregate, zero-exchange; oracled
         "forecast_revenue": rel.forecast_revenue,
+        # TPC-H Q2 shape (adapted: lineitem pairs as the supply
+        # relation, max acctbal for min supplycost) — NEW in round 5
+        # (final session): argmax-per-group through a join; oracled,
+        # both tiers pytest-equal
+        "best_supplier_per_part": rel.best_supplier_per_part,
         # --- (d) oracled, stalest green rows (r2/r3), untouched since ---
         "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,
@@ -3939,6 +3944,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST((1000 * CAST(sum(cents * tgt) AS HUGEINT)) "
             "// CAST(sum(cents) AS HUGEINT) AS BIGINT) AS share_permille "
             "FROM l GROUP BY o_year HAVING sum(cents) > 0 ORDER BY o_year"
+        ),
+        "best_supplier_per_part": (
+            # TPC-H Q2 shape adapted: distinct lineitem pairs are the
+            # supply relation; per-part winner = max acctbal then min
+            # suppkey; deterministic top-100 by (acctbal DESC, partkey)
+            "WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey "
+            "FROM lineitem), "
+            "s AS (SELECT s_suppkey, s_name, n_name, "
+            "CAST(round(s_acctbal*100) AS BIGINT) AS acctbal_cents "
+            "FROM supplier, nation, region "
+            "WHERE s_nationkey = n_nationkey "
+            "AND n_regionkey = r_regionkey AND r_name = 'ASIA'), "
+            "cand AS (SELECT p_partkey, s_suppkey, s_name, n_name, "
+            "acctbal_cents, row_number() OVER (PARTITION BY p_partkey "
+            "ORDER BY acctbal_cents DESC, s_suppkey) AS rn "
+            "FROM part, supply, s WHERE p_partkey = l_partkey "
+            "AND l_suppkey = s_suppkey AND p_size = 3) "
+            "SELECT p_partkey, s_suppkey, s_name, n_name, acctbal_cents "
+            "FROM cand WHERE rn = 1 "
+            "ORDER BY acctbal_cents DESC, p_partkey LIMIT 100"
         ),
         "forecast_revenue": (
             # TPC-H Q6: the discount band runs on exact integer

@@ -5160,3 +5160,165 @@ def forecast_revenue(sf_dir: str, *, date_from: str = "1996-01-01",
     out = parts.groupby("discount_pct", as_index=False).sum()
     return (out.astype(out_schema).sort_values("discount_pct")
             .reset_index(drop=True))
+
+
+def best_supplier_per_part(sf_dir: str, *, size: int = 3,
+                           region: str = "ASIA", k: int = 100,
+                           broadcast_limit: int = 2_000_000):
+    """TPC-H Q2 shape (min-cost supplier, adapted): for every part of a
+    given size, the best in-region supplier that actually shipped it —
+    an argmax-per-group THROUGH a join (the testdata carries no
+    partsupp, so distinct (l_partkey, l_suppkey) pairs from lineitem are
+    the supply relation and max s_acctbal stands in for min
+    ps_supplycost). Ties break to the smallest s_suppkey; output is the
+    deterministic top-``k`` rows (p_partkey, s_suppkey, s_name, n_name,
+    acctbal_cents) ordered by (acctbal_cents DESC, p_partkey).
+
+    nation/region are driver-read. The supply pairs are deduped PER
+    BATCH before anything moves, and both filters (part size, supplier
+    region) land before the pair exchange, so only qualifying distinct
+    pairs ever ship.
+
+    * under the gate: broadcast sorted size-matched partkeys and the
+      in-region supplier attributes; per-batch argmax partials fold on
+      the driver (bounded by matched parts — driver-safe exactly when
+      the gate holds).
+    * above the gate: filtered pairs coarse-partition by l_partkey — a
+      part's candidates land in ONE partition, so the per-partition
+      argmax is global — then a ≤1-row-per-part top-k fold.
+    """
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"].astype(int))
+    nat_in = nat.loc[nat["n_regionkey"].isin(rkeys)]
+    nmap = dict(zip(nat_in["n_nationkey"].astype(int), nat_in["n_name"]))
+    out_schema = {"p_partkey": "int64", "s_suppkey": "int64",
+                  "s_name": "object", "n_name": "object",
+                  "acctbal_cents": "int64"}
+
+    def empty_out() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in out_schema.items()})
+
+    if not nmap:
+        return empty_out()
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_size"])
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    n_part = _table_nrows(sf_dir, "part")
+    n_supp = _table_nrows(sf_dir, "supplier")
+
+    def part_match(batch: pa.Table) -> pd.DataFrame:
+        keep = batch.filter(pc.equal(batch.column("p_size"),
+                                     pa.scalar(int(size))))
+        return pd.DataFrame({"p_partkey": keep.column("p_partkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)})
+
+    supp_types = {"s_suppkey": "int64", "s_name": "object",
+                  "n_name": "object", "acctbal_cents": "int64"}
+
+    def supp_slim(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["s_nationkey"].isin(nmap)]
+        if len(df) == 0:  # typed empty: a mapped empty object column
+            return pd.DataFrame({c: pd.Series(dtype=t)  # confuses Ray's
+                                 for c, t in supp_types.items()})  # sizer
+        out = pd.DataFrame({
+            "s_suppkey": df["s_suppkey"].to_numpy(np.int64),
+            "s_name": df["s_name"].to_numpy(),
+            "n_name": df["s_nationkey"].map(nmap).to_numpy(),
+            "acctbal_cents": _cents(pa.array(
+                df["s_acctbal"], type=pa.float64())).to_numpy(
+                zero_copy_only=False)})
+        return out.astype(supp_types)
+
+    def argmax_per_part(df: pd.DataFrame) -> pd.DataFrame:
+        """One winner row per part: max acctbal, ties → min suppkey.
+        Shape-independent: sorts and groups by the real key."""
+        if len(df) == 0:
+            return empty_out()
+        df = df.sort_values(["p_partkey", "acctbal_cents", "s_suppkey"],
+                            ascending=[True, False, True])
+        df = df.drop_duplicates("p_partkey", keep="first")
+        return df[list(out_schema)].astype(out_schema)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = argmax_per_part(df)
+        df = df.sort_values(["acctbal_cents", "p_partkey"],
+                            ascending=[False, True]).head(k)
+        return df.reset_index(drop=True)
+
+    if max(n_part, n_supp) <= broadcast_limit:
+        pk = np.sort(part.map_batches(
+            part_match, batch_format="pyarrow").to_pandas().get(
+            "p_partkey", pd.Series(dtype="int64")).to_numpy(np.int64))
+        sdf = (supp.map_batches(supp_slim, batch_format="pandas")
+               .to_pandas())
+        if "s_suppkey" not in sdf.columns:
+            return empty_out()
+        sdf = sdf.sort_values("s_suppkey").reset_index(drop=True)
+        bref = ray.put((pk, sdf["s_suppkey"].to_numpy(np.int64),
+                        sdf["acctbal_cents"].to_numpy(np.int64),
+                        sdf["s_name"].to_numpy(), sdf["n_name"].to_numpy()))
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            mk, sk, sb, sn, nn = ray.get(bref)
+            if batch.num_rows == 0 or len(mk) == 0 or len(sk) == 0:
+                return empty_out()
+            lp = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            ls = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+            _, phit = _ss_match(mk, lp)
+            si, shit = _ss_match(sk, ls)
+            keep = phit & shit
+            cand = pd.DataFrame({
+                "p_partkey": lp[keep], "s_suppkey": ls[keep],
+                "s_name": sn[si][keep], "n_name": nn[si][keep],
+                "acctbal_cents": sb[si][keep]}).drop_duplicates(
+                ["p_partkey", "s_suppkey"])
+            return argmax_per_part(cand)
+
+        parts = li.map_batches(partial, batch_format="pyarrow",
+                               batch_size=131072).to_pandas()
+        if len(parts) == 0 or "p_partkey" not in parts.columns:
+            return empty_out()
+        return final(parts)
+
+    # ABOVE THE GATE — pair dedup per batch, then partkey co-location
+    def li_pairs(batch: pa.Table) -> pd.DataFrame:
+        pairs = pd.DataFrame({
+            "l_partkey": batch.column("l_partkey").to_numpy(
+                zero_copy_only=False),
+            "s_suppkey": batch.column("l_suppkey").to_numpy(
+                zero_copy_only=False)}).drop_duplicates()
+        return pairs.astype({"l_partkey": "int64", "s_suppkey": "int64"})
+
+    pairs_f = semi_anti_join(
+        li.map_batches(li_pairs, batch_format="pyarrow",
+                       batch_size=131072),
+        part.map_batches(part_match, batch_format="pyarrow"),
+        left_key="l_partkey", right_key="p_partkey",
+        num_buckets=choose_partitions(n_part, default=32),
+        left_types={"l_partkey": pa.int64(), "s_suppkey": pa.int64()})
+
+    cand = hash_join(
+        pairs_f, supp.map_batches(supp_slim, batch_format="pandas"),
+        key="s_suppkey",
+        num_buckets=choose_partitions(n_supp, default=16),
+        left_types={"l_partkey": pa.int64(), "s_suppkey": pa.int64()},
+        right_types={"s_suppkey": pa.int64(), "s_name": pa.string(),
+                     "n_name": pa.string(), "acctbal_cents": pa.int64()})
+
+    winners = coarse_partition_apply(
+        cand.map_batches(
+            lambda df: df.rename(columns={"l_partkey": "p_partkey"}),
+            batch_format="pandas"),
+        lambda g: argmax_per_part(g.drop_duplicates(
+            ["p_partkey", "s_suppkey"])),
+        key_col="p_partkey", part_col="q2_part",
+        num_parts=choose_partitions(n_part, default=32),
+        nrows=None).to_pandas()
+    if len(winners) == 0 or "p_partkey" not in winners.columns:
+        return empty_out()
+    return final(winners)

@@ -1446,3 +1446,45 @@ def test_forecast_revenue_planted(ray_session, tmp_path):
     # pct4: 100*0.04 = 4.00 → 400c; pct5: 40*0.05 = 2.00 → 200c;
     # pct6: 200*0.06 = 12.00 → 1200c
     assert df.values.tolist() == [[4, 400, 1], [5, 200, 1], [6, 1200, 1]]
+
+
+def test_best_supplier_per_part_tiers_and_planted(ray_session, tmp_path):
+    # TPC-H Q2 shape (adapted): tier equality at sf0.001; planted case
+    # pins the argmax tie-break (min suppkey), the region filter, and
+    # pair dedup through the supply relation
+    import pandas as pd
+
+    from pdf_parser_ray.pipelines.relational import best_supplier_per_part
+
+    sf = "/root/testdata/sf0.001"
+    fast = best_supplier_per_part(sf)
+    slow = best_supplier_per_part(sf, broadcast_limit=0)
+    assert fast.values.tolist() == slow.values.tolist() and len(fast) > 0
+
+    pd.DataFrame({"r_regionkey": [0, 1],
+                  "r_name": ["R_IN", "R_OUT"]}).to_parquet(
+        tmp_path / "region.parquet")
+    pd.DataFrame({"n_nationkey": [0, 1],
+                  "n_name": ["NA", "NB"],
+                  "n_regionkey": [0, 1]}).to_parquet(
+        tmp_path / "nation.parquet")
+    # s1/s2 in-region with EQUAL acctbal (tie → s1); s3 out-of-region
+    # with the highest acctbal (must not win); s4 in-region lower
+    pd.DataFrame({"s_suppkey": [1, 2, 3, 4],
+                  "s_name": ["SA", "SB", "SC", "SD"],
+                  "s_nationkey": [0, 0, 1, 0],
+                  "s_acctbal": [50.0, 50.0, 99.0, 10.0]}).to_parquet(
+        tmp_path / "supplier.parquet")
+    pd.DataFrame({"p_partkey": [1, 2, 3],
+                  "p_size": [7, 7, 8]}).to_parquet(
+        tmp_path / "part.parquet")
+    # part1 shipped by s1 (twice: dedup), s2, s3; part2 by s4 only;
+    # part3 wrong size
+    pd.DataFrame({"l_partkey": [1, 1, 1, 1, 2, 3],
+                  "l_suppkey": [1, 1, 2, 3, 4, 1]}).to_parquet(
+        tmp_path / "lineitem.parquet")
+    for lim in (2_000_000, 0):
+        df = best_supplier_per_part(str(tmp_path), size=7, region="R_IN",
+                                    broadcast_limit=lim)
+        assert df.values.tolist() == [[1, 1, "SA", "NA", 5000],
+                                      [2, 4, "SD", "NA", 1000]]
