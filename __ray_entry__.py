@@ -3127,6 +3127,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (final session): argmax-per-group through a join; oracled,
         # both tiers pytest-equal
         "best_supplier_per_part": rel.best_supplier_per_part,
+        # TPC-H Q21 shape (adapted: lateness = shipdate vs orderdate)
+        # — NEW in round 5 (final session): exists/not-exists inside
+        # per-order groups, sole-late-supplier verdict; oracled, both
+        # tiers pytest-equal
+        "waiting_suppliers": rel.waiting_suppliers,
         # --- (d) oracled, stalest green rows (r2/r3), untouched since ---
         "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,
@@ -3944,6 +3949,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST((1000 * CAST(sum(cents * tgt) AS HUGEINT)) "
             "// CAST(sum(cents) AS HUGEINT) AS BIGINT) AS share_permille "
             "FROM l GROUP BY o_year HAVING sum(cents) > 0 ORDER BY o_year"
+        ),
+        "waiting_suppliers": (
+            # TPC-H Q21 shape adapted: a pair is late iff ANY of its
+            # lines is late; winner = the unique late supplier on a
+            # >=2-supplier order; nation filter on the winner only
+            "WITH p AS (SELECT l_orderkey AS ok, l_suppkey AS sk, "
+            "max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY "
+            "THEN 1 ELSE 0 END) AS late "
+            "FROM lineitem, orders WHERE l_orderkey = o_orderkey "
+            "GROUP BY l_orderkey, l_suppkey), "
+            "po AS (SELECT ok, count(*) AS ns, sum(late) AS nl, "
+            "min(CASE WHEN late = 1 THEN sk END) AS wsk "
+            "FROM p GROUP BY ok) "
+            "SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) "
+            "AS numwait FROM po, supplier, nation "
+            "WHERE ns >= 2 AND nl = 1 AND wsk = s_suppkey "
+            "AND s_nationkey = n_nationkey AND n_name = 'NATION_2' "
+            "GROUP BY s_suppkey, s_name "
+            "ORDER BY numwait DESC, s_suppkey LIMIT 100"
         ),
         "best_supplier_per_part": (
             # TPC-H Q2 shape adapted: distinct lineitem pairs are the

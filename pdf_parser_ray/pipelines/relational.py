@@ -5322,3 +5322,171 @@ def best_supplier_per_part(sf_dir: str, *, size: int = 3,
     if len(winners) == 0 or "p_partkey" not in winners.columns:
         return empty_out()
     return final(winners)
+
+
+def waiting_suppliers(sf_dir: str, *, nation: str = "NATION_2",
+                      lag_days: int = 60, k: int = 100,
+                      broadcast_limit: int = 2_000_000):
+    """TPC-H Q21 shape (suppliers who kept orders waiting, adapted):
+    suppliers in one nation who were the ONLY late supplier on a
+    multi-supplier order — EXISTS (another supplier on the order) plus
+    NOT EXISTS (another LATE supplier) evaluated inside per-order
+    groups (lateness is shipdate > orderdate + ``lag_days``; the
+    testdata has no l_commitdate/l_receiptdate). Output
+    (s_suppkey, s_name, numwait) — numwait = qualifying orders — top
+    ``k`` by (numwait DESC, s_suppkey), deterministic.
+
+    All lines of an order must be judged together, so lines
+    coarse-partition by l_orderkey (each order lands whole in one
+    partition; the kernel's per-order verdict is global). The verdict
+    is vectorized: per order, the distinct-supplier count and the
+    distinct-LATE-supplier set; exactly-one-late × ≥2-suppliers wins.
+    The nation filter applies to the WINNER only (other suppliers on
+    the order may be anywhere), so it lands after the kernel, on
+    ≤1-row-per-order partials.
+
+    * under the gate: (o_orderkey → order_µs) broadcast attaches
+      lateness inside the lineitem read; only (orderkey, suppkey, late)
+      triples — deduped per batch — enter the one exchange.
+    * above the gate: the same triples hash-join the orders projection
+      first, then the identical partition + kernel.
+    """
+    lag_us = int(lag_days) * 86_400_000_000
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    target_nk = set(nat.loc[nat["n_name"] == nation,
+                            "n_nationkey"].astype(int))
+    out_schema = {"s_suppkey": "int64", "s_name": "object",
+                  "numwait": "int64"}
+
+    def empty_out() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in out_schema.items()})
+
+    if not target_nk:
+        return empty_out()
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_name", "s_nationkey"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    n_orders = _table_nrows(sf_dir, "orders")
+
+    def ts_us(col) -> np.ndarray:
+        return pc.cast(pc.cast(col, options=pc.CastOptions(
+            target_type=pa.timestamp("us"), allow_time_truncate=True)),
+            pa.int64()).to_numpy(zero_copy_only=False)
+
+    def ord_slim(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": batch.column("o_orderkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "order_us": ts_us(batch.column("o_orderdate"))})
+
+    if n_orders <= broadcast_limit:
+        odf = (orders.map_batches(ord_slim, batch_format="pyarrow")
+               .to_pandas())
+        if "o_orderkey" not in odf.columns:
+            return empty_out()
+        odf = odf.sort_values("o_orderkey")
+        oref = ray.put((odf["o_orderkey"].to_numpy(np.int64),
+                        odf["order_us"].to_numpy(np.int64)))
+
+        def triple(batch: pa.Table) -> pd.DataFrame:
+            ok, ous = ray.get(oref)
+            empty = pd.DataFrame({"l_orderkey": pd.Series(dtype="int64"),
+                                  "l_suppkey": pd.Series(dtype="int64"),
+                                  "late": pd.Series(dtype="int64")})
+            if batch.num_rows == 0 or len(ok) == 0:
+                return empty
+            key = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            oi, hit = _ss_match(ok, key)
+            t = pd.DataFrame({
+                "l_orderkey": key[hit],
+                "l_suppkey": batch.column("l_suppkey").to_numpy(
+                    zero_copy_only=False)[hit],
+                "late": (ts_us(batch.column("l_shipdate"))[hit]
+                         > ous[oi][hit] + lag_us).astype(np.int64)})
+            # max-dedup: a (order, supplier) pair is late iff ANY of its
+            # lines is late; keeping one row per pair per batch bounds
+            # the exchange by distinct pairs, not line count
+            t = t.groupby(["l_orderkey", "l_suppkey"],
+                          as_index=False)["late"].max()
+            return t.astype({"l_orderkey": "int64", "l_suppkey": "int64",
+                             "late": "int64"})
+
+        triples = li.map_batches(triple, batch_format="pyarrow",
+                                 batch_size=131072)
+    else:
+        def li_slim(batch: pa.Table) -> pd.DataFrame:
+            return pd.DataFrame({
+                "o_orderkey": batch.column("l_orderkey").to_numpy(
+                    zero_copy_only=False).astype(np.int64),
+                "l_suppkey": batch.column("l_suppkey").to_numpy(
+                    zero_copy_only=False).astype(np.int64),
+                "ship_us": ts_us(batch.column("l_shipdate"))})
+
+        joined = hash_join(
+            li.map_batches(li_slim, batch_format="pyarrow",
+                           batch_size=131072),
+            orders.map_batches(ord_slim, batch_format="pyarrow"),
+            key="o_orderkey",
+            num_buckets=choose_partitions(n_orders, default=32),
+            left_types={"o_orderkey": pa.int64(), "l_suppkey": pa.int64(),
+                        "ship_us": pa.int64()},
+            right_types={"o_orderkey": pa.int64(), "order_us": pa.int64()})
+
+        def to_triple(df: pd.DataFrame) -> pd.DataFrame:
+            t = pd.DataFrame({
+                "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+                "late": (df["ship_us"].to_numpy(np.int64)
+                         > df["order_us"].to_numpy(np.int64)
+                         + lag_us).astype(np.int64)})
+            t = t.groupby(["l_orderkey", "l_suppkey"],
+                          as_index=False)["late"].max()
+            return t.astype({"l_orderkey": "int64", "l_suppkey": "int64",
+                             "late": "int64"})
+
+        triples = joined.map_batches(to_triple, batch_format="pandas")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        """Per order: ≥2 distinct suppliers, exactly one late → +1 for
+        that supplier. Pairs may repeat across input batches, so re-max
+        per (order, supplier) first; shape-independent by orderkey."""
+        if len(g) == 0:
+            return pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                                 "numwait": pd.Series(dtype="int64")})
+        p = g.groupby(["l_orderkey", "l_suppkey"],
+                      as_index=False)["late"].max()
+        agg = p.groupby("l_orderkey").agg(
+            ns=("l_suppkey", "size"), nl=("late", "sum"))
+        good = set(agg.index[(agg["ns"] >= 2) & (agg["nl"] == 1)])
+        w = p.loc[(p["late"] == 1) & p["l_orderkey"].isin(good)]
+        out = w.groupby("l_suppkey", as_index=False).size().rename(
+            columns={"l_suppkey": "s_suppkey", "size": "numwait"})
+        return out.astype({"s_suppkey": "int64", "numwait": "int64"})
+
+    parts = coarse_partition_apply(
+        triples, kernel, key_col="l_orderkey", part_col="q21_part",
+        num_parts=choose_partitions(n_orders, default=32),
+        nrows=None).to_pandas()
+    if len(parts) == 0 or "s_suppkey" not in parts.columns:
+        return empty_out()
+    wait = parts.groupby("s_suppkey", as_index=False)["numwait"].sum()
+
+    def supp_pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["s_nationkey"].isin(target_nk),
+                    ["s_suppkey", "s_name"]]
+        return df.astype({"s_suppkey": "int64", "s_name": "object"})
+
+    names = (supp.map_batches(supp_pick, batch_format="pandas")
+             .to_pandas())
+    if "s_suppkey" not in names.columns:
+        return empty_out()
+    out = wait.merge(names, on="s_suppkey", how="inner")
+    out = out.sort_values(["numwait", "s_suppkey"],
+                          ascending=[False, True]).head(k)
+    return (out[list(out_schema)].astype(out_schema)
+            .reset_index(drop=True))

@@ -1488,3 +1488,50 @@ def test_best_supplier_per_part_tiers_and_planted(ray_session, tmp_path):
                                     broadcast_limit=lim)
         assert df.values.tolist() == [[1, 1, "SA", "NA", 5000],
                                       [2, 4, "SD", "NA", 1000]]
+
+
+def test_waiting_suppliers_tiers_and_planted(ray_session, tmp_path):
+    # TPC-H Q21 shape (adapted): tier equality at sf0.001; planted case
+    # pins the sole-late verdict, the >=2-supplier requirement, the
+    # any-line-late pair semantics, and the winner-only nation filter
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.relational import waiting_suppliers
+
+    sf = "/root/testdata/sf0.001"
+    fast = waiting_suppliers(sf)
+    slow = waiting_suppliers(sf, broadcast_limit=0)
+    assert fast.values.tolist() == slow.values.tolist()
+
+    pd.DataFrame({"n_nationkey": [0, 1],
+                  "n_name": ["N_TGT", "N_OTH"]}).to_parquet(
+        tmp_path / "nation.parquet")
+    pd.DataFrame({"s_suppkey": [1, 2, 3],
+                  "s_name": ["SA", "SB", "SC"],
+                  "s_nationkey": [0, 0, 1]}).to_parquet(
+        tmp_path / "supplier.parquet")
+    us = pa.timestamp("us")
+    base = pd.Timestamp("1996-01-01")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "o_orderdate": pa.array([base.to_pydatetime()] * 4, type=us)}),
+        str(tmp_path / "orders.parquet"))
+    ok = (base + pd.Timedelta(days=5)).to_pydatetime()
+    late = (base + pd.Timedelta(days=11)).to_pydatetime()
+    # o1: s1 has an on-time AND a late line (pair late), s2 on time →
+    #   s1 sole late on a 2-supplier order → counts
+    # o2: s1 late, s2 late → two late suppliers → nobody counts
+    # o3: s1 late alone on a 1-supplier order → fails ns>=2
+    # o4: s3 sole late (2 suppliers) but s3 is out-of-nation → filtered
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 2, 2, 3, 4, 4], type=pa.int64()),
+        "l_suppkey": pa.array([1, 1, 2, 1, 2, 1, 3, 1], type=pa.int64()),
+        "l_shipdate": pa.array([ok, late, ok, late, late, late, late, ok],
+                               type=us)}),
+        str(tmp_path / "lineitem.parquet"))
+    for lim in (2_000_000, 0):
+        df = waiting_suppliers(str(tmp_path), nation="N_TGT", lag_days=10,
+                               broadcast_limit=lim)
+        assert df.values.tolist() == [[1, "SA", 1]]
