@@ -3132,6 +3132,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-order groups, sole-late-supplier verdict; oracled, both
         # tiers pytest-equal
         "waiting_suppliers": rel.waiting_suppliers,
+        # TPC-H Q20 shape (adapted: shipped-quantity threshold for the
+        # partsupp availqty test) — NEW in round 5 (final session):
+        # nested EXISTS through a two-key group-sum; oracled, both
+        # tiers pytest-equal
+        "part_promotion_suppliers": rel.part_promotion_suppliers,
         # --- (d) oracled, stalest green rows (r2/r3), untouched since ---
         "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,
@@ -3949,6 +3954,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST((1000 * CAST(sum(cents * tgt) AS HUGEINT)) "
             "// CAST(sum(cents) AS HUGEINT) AS BIGINT) AS share_permille "
             "FROM l GROUP BY o_year HAVING sum(cents) > 0 ORDER BY o_year"
+        ),
+        "part_promotion_suppliers": (
+            # TPC-H Q20 shape adapted: EXISTS a prefix-matched part the
+            # supplier shipped more than min_qty of, in the window
+            "WITH sq AS (SELECT l_suppkey, l_partkey, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) "
+            "AS q FROM lineitem, part WHERE l_partkey = p_partkey "
+            "AND p_name LIKE 'small%' "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY l_suppkey, l_partkey) "
+            "SELECT s_suppkey, s_name FROM supplier, nation "
+            "WHERE s_nationkey = n_nationkey AND n_name = 'NATION_2' "
+            "AND s_suppkey IN (SELECT l_suppkey FROM sq WHERE q > 50) "
+            "ORDER BY s_suppkey"
         ),
         "waiting_suppliers": (
             # TPC-H Q21 shape adapted: a pair is late iff ANY of its

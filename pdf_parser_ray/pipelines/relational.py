@@ -5490,3 +5490,148 @@ def waiting_suppliers(sf_dir: str, *, nation: str = "NATION_2",
                           ascending=[False, True]).head(k)
     return (out[list(out_schema)].astype(out_schema)
             .reset_index(drop=True))
+
+
+def part_promotion_suppliers(sf_dir: str, *, name_prefix: str = "small",
+                             nation: str = "NATION_2",
+                             date_from: str = "1996-01-01",
+                             date_to: str = "1997-01-01",
+                             min_qty: int = 50,
+                             broadcast_limit: int = 2_000_000):
+    """TPC-H Q20 shape (potential part promotion, adapted): suppliers in
+    one nation who shipped MORE than ``min_qty`` total units of SOME
+    part whose name starts with ``name_prefix``, inside a date window —
+    a nested EXISTS through a two-key group-sum (the testdata has no
+    partsupp, so "shipped > threshold" stands in for "availqty > half
+    of shipped"). Output (s_suppkey, s_name) sorted by suppkey.
+
+    The per-(supplier, part) quantity must be global before the
+    threshold test, so window+prefix-filtered (suppkey, partkey, qty)
+    partials — pre-summed per batch — coarse-partition by l_suppkey:
+    all of a supplier's pairs land in one partition, the per-partition
+    pair sums are global, and each partition emits its qualifying
+    DISTINCT suppkeys only (≤1 row per supplier leaves the kernel).
+    The nation filter and the name attach ride the supplier scan with
+    the winner set broadcast — supplier never shuffles.
+
+    * under the gate: matching partkeys broadcast sorted (keys only).
+    * above the gate: the filtered partials semi-join the matching
+      partkeys first (keys-only exchange), then the same partition.
+    """
+    lo = pd.Timestamp(date_from).to_pydatetime()
+    hi = pd.Timestamp(date_to).to_pydatetime()
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    target_nk = set(nat.loc[nat["n_name"] == nation,
+                            "n_nationkey"].astype(int))
+    out_schema = {"s_suppkey": "int64", "s_name": "object"}
+
+    def empty_out() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in out_schema.items()})
+
+    if not target_nk:
+        return empty_out()
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_name", "s_nationkey"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity",
+                        "l_shipdate"])
+    n_part = _table_nrows(sf_dir, "part")
+    n_supp = _table_nrows(sf_dir, "supplier")
+
+    def part_match(batch: pa.Table) -> pd.DataFrame:
+        keep = batch.filter(pc.starts_with(batch.column("p_name"),
+                                           pattern=name_prefix))
+        return pd.DataFrame({"p_partkey": keep.column("p_partkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)})
+
+    def li_window(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate")
+        return batch.filter(pc.and_(
+            pc.greater_equal(ship, pa.scalar(lo)),
+            pc.less(ship, pa.scalar(hi))))
+
+    def pair_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_suppkey", "l_partkey"],
+                       as_index=False)["q"].sum()
+        return g.astype({"l_suppkey": "int64", "l_partkey": "int64",
+                         "q": "int64"})
+
+    if n_part <= broadcast_limit:
+        pk = np.sort(part.map_batches(
+            part_match, batch_format="pyarrow").to_pandas().get(
+            "p_partkey", pd.Series(dtype="int64")).to_numpy(np.int64))
+        pref = ray.put(pk)
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            mk = ray.get(pref)
+            batch = li_window(batch)
+            if batch.num_rows == 0 or len(mk) == 0:
+                return pd.DataFrame({
+                    "l_suppkey": pd.Series(dtype="int64"),
+                    "l_partkey": pd.Series(dtype="int64"),
+                    "q": pd.Series(dtype="int64")})
+            lp = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            _, hit = _ss_match(mk, lp)
+            return pair_sum(pd.DataFrame({
+                "l_suppkey": batch.column("l_suppkey").to_numpy(
+                    zero_copy_only=False)[hit],
+                "l_partkey": lp[hit],
+                "q": pc.cast(pc.round(batch.column("l_quantity")),
+                             pa.int64()).to_numpy(
+                    zero_copy_only=False)[hit]}))
+
+        pairs = li.map_batches(partial, batch_format="pyarrow",
+                               batch_size=131072)
+    else:
+        def li_slim(batch: pa.Table) -> pd.DataFrame:
+            batch = li_window(batch)
+            return pair_sum(pd.DataFrame({
+                "l_suppkey": batch.column("l_suppkey").to_numpy(
+                    zero_copy_only=False).astype(np.int64),
+                "l_partkey": batch.column("l_partkey").to_numpy(
+                    zero_copy_only=False).astype(np.int64),
+                "q": pc.cast(pc.round(batch.column("l_quantity")),
+                             pa.int64()).to_numpy(zero_copy_only=False)}))
+
+        pairs = semi_anti_join(
+            li.map_batches(li_slim, batch_format="pyarrow",
+                           batch_size=131072),
+            part.map_batches(part_match, batch_format="pyarrow"),
+            left_key="l_partkey", right_key="p_partkey",
+            num_buckets=choose_partitions(n_part, default=32),
+            left_types={"l_suppkey": pa.int64(), "l_partkey": pa.int64(),
+                        "q": pa.int64()})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = pair_sum(g[["l_suppkey", "l_partkey", "q"]])
+        win = g.loc[g["q"] > int(min_qty), "l_suppkey"].drop_duplicates()
+        return pd.DataFrame({"s_suppkey": win.to_numpy(np.int64)})
+
+    winners = coarse_partition_apply(
+        pairs, kernel, key_col="l_suppkey", part_col="q20_part",
+        num_parts=choose_partitions(n_supp, default=32),
+        nrows=None).to_pandas()
+    if len(winners) == 0 or "s_suppkey" not in winners.columns:
+        return empty_out()
+    wk = np.sort(winners["s_suppkey"].drop_duplicates().to_numpy(np.int64))
+    wref = ray.put(wk)
+
+    def supp_pick(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(wref)
+        df = df.loc[df["s_nationkey"].isin(target_nk)]
+        if len(df) == 0 or len(ks) == 0:
+            return empty_out()
+        _, hit = _ss_match(ks, df["s_suppkey"].to_numpy(np.int64))
+        out = df.loc[hit, ["s_suppkey", "s_name"]]
+        return out.astype(out_schema)
+
+    names = (supp.map_batches(supp_pick, batch_format="pandas")
+             .to_pandas())
+    if "s_suppkey" not in names.columns:
+        return empty_out()
+    return (names.astype(out_schema).sort_values("s_suppkey")
+            .reset_index(drop=True))

@@ -1535,3 +1535,50 @@ def test_waiting_suppliers_tiers_and_planted(ray_session, tmp_path):
         df = waiting_suppliers(str(tmp_path), nation="N_TGT", lag_days=10,
                                broadcast_limit=lim)
         assert df.values.tolist() == [[1, "SA", 1]]
+
+
+def test_part_promotion_suppliers_tiers_and_planted(ray_session, tmp_path):
+    # TPC-H Q20 shape (adapted): tier equality at sf0.001; planted case
+    # pins the PER-PART threshold (sums must not pool across parts),
+    # the strict >, the prefix match, and the window
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.relational import part_promotion_suppliers
+
+    sf = "/root/testdata/sf0.001"
+    fast = part_promotion_suppliers(sf)
+    slow = part_promotion_suppliers(sf, broadcast_limit=0)
+    assert fast.values.tolist() == slow.values.tolist()
+
+    pd.DataFrame({"n_nationkey": [0, 1],
+                  "n_name": ["N_TGT", "N_OTH"]}).to_parquet(
+        tmp_path / "nation.parquet")
+    pd.DataFrame({"s_suppkey": [1, 2, 3, 4],
+                  "s_name": ["SA", "SB", "SC", "SD"],
+                  "s_nationkey": [0, 0, 0, 1]}).to_parquet(
+        tmp_path / "supplier.parquet")
+    # 'smallish bolt' matches prefix 'small'; 'big small' does NOT
+    pd.DataFrame({"p_partkey": [1, 2, 3],
+                  "p_name": ["small ring", "smallish bolt", "big small"],
+                  }).to_parquet(tmp_path / "part.parquet")
+    us = pa.timestamp("us")
+    d_in = pd.Timestamp("1996-06-01").to_pydatetime()
+    d_out = pd.Timestamp("1997-06-01").to_pydatetime()
+    pq.write_table(pa.table({
+        # s1: 30+31=61 of part1 → qualifies (61 > 50 on ONE part)
+        # s2: 40 of part1 + 40 of part2 → 80 pooled but ≤50 per part
+        # s3: 60 of part1 but out of window
+        # s4: 70 of part2 (qualifies) but wrong nation
+        "l_partkey": pa.array([1, 1, 1, 2, 1, 2], type=pa.int64()),
+        "l_suppkey": pa.array([1, 1, 2, 2, 3, 4], type=pa.int64()),
+        "l_quantity": [30.0, 31.0, 40.0, 40.0, 60.0, 70.0],
+        "l_shipdate": pa.array([d_in, d_in, d_in, d_in, d_out, d_in],
+                               type=us)}),
+        str(tmp_path / "lineitem.parquet"))
+    for lim in (2_000_000, 0):
+        df = part_promotion_suppliers(str(tmp_path), name_prefix="small",
+                                      nation="N_TGT", min_qty=50,
+                                      broadcast_limit=lim)
+        assert df.values.tolist() == [[1, "SA"]]
