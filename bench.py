@@ -198,7 +198,9 @@ def run_query_suite() -> dict:
              "supplier_nation_share", "top_supplier",
              "brand_supplier_count", "small_qty_revenue",
              "disjunctive_revenue", "market_share", "late_shipments",
-             "product_type_profit"]
+             "product_type_profit", "forecast_revenue",
+             "best_supplier_per_part", "waiting_suppliers",
+             "part_promotion_suppliers"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:
