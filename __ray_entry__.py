@@ -1792,6 +1792,41 @@ def _count_min_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     return count_min_sql("documents", _cm_terms(sf_dir))
 
 
+def _q_hll_distinct_users(sf_dir: str):
+    """HyperLogLog cardinality sketch (stages/sketch.py:hll_registers):
+    per-block constant-size register partials (256 int64s at p=8) fold by
+    elementwise max — idempotent/commutative/associative, so any merge
+    tree and any partitioning give the identical table. ORACLE-GATED on
+    the integer register table itself (register, max_rank): the md5-u64
+    hash, top-8-bit register split, and leading-zero rank all replay
+    exactly in SQL (length(bin(suffix)) is bit_length), with no float in
+    the gated output. The float estimate is a driver-side view of the
+    table (hll_estimate), tolerance-tested in pytest."""
+    import ray.data
+
+    from pdf_parser_ray.stages.sketch import hll_registers
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    return hll_registers(ds, "user_id", p=8)
+
+
+def _q_heavy_hitters(sf_dir: str):
+    """Exact phi-heavy hitters (stages/sketch.py:heavy_hitters): two-pass
+    pigeonhole prefilter — a token with global share >= phi must be
+    phi-heavy in at least one block, so pass 1 ships only <= phi_den
+    candidate tokens + one int64 per block and pass 2 counts just the
+    candidates; the token stream itself never shuffles and the result is
+    the EXACT (term, cnt) answer for any partitioning. ORACLE-GATED: the
+    oracle needs no sketch (exact GROUP BY + the same integer-rational
+    threshold). phi = 1/1000 splits the synth corpus's 31-token vocab
+    30-in / 1-out (the planted rare token)."""
+    from pdf_parser_ray.stages.sketch import heavy_hitters
+
+    return heavy_hitters(
+        lambda: _documents(sf_dir, columns=["text"]))
+
+
 def _q_redact_pii(sf_dir: str):
     """PII masking (stages/textstage.redact_pii): sequential count +
     sentinel replacement of emails / bare IPv4s / international phones
@@ -3137,6 +3172,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # nested EXISTS through a two-key group-sum; oracled, both
         # tiers pytest-equal
         "part_promotion_suppliers": rel.part_promotion_suppliers,
+        # HyperLogLog distinct-users — NEW in round 5 (final session):
+        # constant-size register partials, elementwise-max merge; gated
+        # on the integer register table (no float in the output)
+        "hll_distinct_users": _q_hll_distinct_users,
+        # exact phi-heavy hitters — NEW in round 5 (final session):
+        # two-pass pigeonhole prefilter, bounded candidate exchange,
+        # exact integer output; oracled by a plain GROUP BY
+        "heavy_hitters": _q_heavy_hitters,
         # --- (d) oracled, stalest green rows (r2/r3), untouched since ---
         "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,
@@ -4370,6 +4413,10 @@ def oracle_sql() -> dict[str, str]:
     except (FileNotFoundError, OSError):
         pass
     out["knn_lsh"] = _knn_lsh_sql()
+    from pdf_parser_ray.stages.sketch import (heavy_hitters_sql,
+                                              hll_registers_sql)
+    out["hll_distinct_users"] = hll_registers_sql("events", "user_id", p=8)
+    out["heavy_hitters"] = heavy_hitters_sql("documents")
     out["badwords"] = _badwords_sql()
     from pdf_parser_ray.stages.textstage import redact_pii_sql
     out["redact_pii"] = redact_pii_sql()

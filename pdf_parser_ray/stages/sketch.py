@@ -329,3 +329,217 @@ SELECT t.term, e.est_count,
 FROM terms_ t JOIN est e ON e.term = t.term
 LEFT JOIN exact x ON x.term = t.term
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007): the industry-standard mergeable
+# cardinality sketch. Each block reduces to ONE constant-size register
+# vector (2^p small ints) regardless of input size; vectors merge with an
+# elementwise max — idempotent, commutative, associative — so re-executed
+# blocks and arbitrary merge trees cannot change the answer. Complements
+# the KMV sketch above: KMV state is k hashes (k × 8 B, estimate exact in
+# integer arithmetic), HLL state is 2^p ranks (256 B at p=8) with a lower
+# relative error per byte (~1.04/sqrt(2^p)).
+# ---------------------------------------------------------------------------
+
+def _hll_partial(hashes: np.ndarray, p: int) -> np.ndarray:
+    """Register vector (len 2^p) of max ranks for a uint64 hash batch.
+
+    register = top ``p`` hash bits; rank = 1 + leading-zero count of the
+    remaining ``64-p`` bits (all-zero suffix → rank ``64-p+1``). bit_length
+    is computed by searchsorted against exact power-of-two boundaries —
+    integer comparisons only, no float log2 (exact above 2^53 too).
+    """
+    q = 64 - p
+    regs = (hashes >> np.uint64(q)).astype(np.int64)
+    sfx = hashes & np.uint64((1 << q) - 1)
+    pows = (np.uint64(1) << np.arange(q, dtype=np.uint64))  # 2^0 .. 2^(q-1)
+    ranks = q + 1 - np.searchsorted(pows, sfx, side="right")
+    out = np.zeros(1 << p, dtype=np.int64)
+    np.maximum.at(out, regs, ranks)
+    return out
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    """Raw HLL estimate ``alpha_m * m^2 / sum(2^-r)`` with the standard
+    small-range (linear counting) correction. Float output — tests bound
+    its relative error; the value-gated query returns the integer
+    register table instead, which is exact and order-free."""
+    m = len(registers)
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / np.sum(np.exp2(-registers.astype(np.float64)))
+    zeros = int(np.sum(registers == 0))
+    if est <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_registers(ds, col: str, *, p: int = 8) -> pd.DataFrame:
+    """Distributed HyperLogLog over ``col``: one streaming pass, per-batch
+    constant-size register partials (2^p int64s as a single list row),
+    elementwise-max fold on the driver — a bounded scalar collect exactly
+    like count_min's grid fold (≤ n_blocks rows of 2^p ints; the values
+    themselves never leave their block). Nulls are skipped, matching the
+    SQL replay's ``WHERE col IS NOT NULL``.
+
+    Output (exact, deterministic for ANY partitioning): the full register
+    table ``(register, max_rank)`` — 2^p rows of integers, including
+    zero registers. The float estimate is a driver-side view of this
+    table (:func:`hll_estimate`); gating the integer registers instead of
+    the float keeps the oracle comparison exact (no cross-engine libm /
+    summation-order drift).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = [v for v in batch.column(col).to_pylist() if v is not None]
+        regs = (_hll_partial(md5_u64(vals), p) if vals
+                else np.zeros(1 << p, dtype=np.int64))
+        return pa.table({"regs": pa.array([regs.tolist()],
+                                          type=pa.list_(pa.int64()))})
+
+    merged = np.zeros(1 << p, dtype=np.int64)
+    for part in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for r in part.column("regs").to_pylist():
+            np.maximum(merged, np.asarray(r, dtype=np.int64), out=merged)
+    return pd.DataFrame({
+        "register": pd.Series(np.arange(1 << p), dtype="int64"),
+        "max_rank": pd.Series(merged, dtype="int64")})
+
+
+def hll_registers_sql(table: str, col: str, *, p: int = 8) -> str:
+    """DuckDB replay of :func:`hll_registers`: same md5-uint64 hash rule,
+    register = ``h // 2^(64-p)``, rank via ``length(bin(suffix))`` (bin()
+    prints UBIGINTs unpadded, so its length IS bit_length for x > 0),
+    zero registers restored by a LEFT JOIN against ``range(0, 2^p)``."""
+    q = 64 - p
+    two_q = 1 << q
+    return f"""
+WITH h AS (
+  SELECT CAST(concat('0x', substr(md5(CAST({col} AS VARCHAR)), 1, 16))
+              AS UBIGINT) AS h
+  FROM {table} WHERE {col} IS NOT NULL),
+rr AS (
+  SELECT CAST(h // {two_q} AS BIGINT) AS register, h % {two_q} AS sfx
+  FROM h),
+ranks AS (
+  SELECT register,
+         max(CASE WHEN sfx = 0 THEN {q + 1}
+                  ELSE {q + 1} - length(bin(sfx)) END) AS max_rank
+  FROM rr GROUP BY register)
+SELECT g.register, CAST(COALESCE(r.max_rank, 0) AS BIGINT) AS max_rank
+FROM (SELECT unnest(range(0, {1 << p})) AS register) g
+LEFT JOIN ranks r ON r.register = g.register
+ORDER BY g.register
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact phi-heavy hitters with a pigeonhole prefilter (the two-pass exact
+# variant of Misra-Gries / SpaceSaving): any token with global count
+# >= phi * N must have local count >= phi * N_b in at least one block
+# (otherwise summing the strict inequalities contradicts the global
+# bound), so the union of per-block phi-heavy tokens is a guaranteed
+# superset of the true heavy hitters. Pass 1 ships only that bounded
+# candidate set (<= phi_den/phi_num tokens per block) plus block token
+# totals; pass 2 counts ONLY the candidates exactly. The output is the
+# EXACT answer — the sketch bounds the exchange, it never approximates.
+# ---------------------------------------------------------------------------
+
+def heavy_hitters(ds_factory, *, text_col: str = "text",
+                  phi_num: int = 1, phi_den: int = 1000) -> pd.DataFrame:
+    """All tokens whose corpus frequency is >= phi = phi_num/phi_den of the
+    total token count, with their EXACT counts — deterministic for any
+    partitioning (the prefilter only bounds what is shipped, the final
+    threshold test uses exact global integers throughout; no floats).
+
+    ``ds_factory`` is a zero-arg callable returning a fresh Dataset over
+    the same input — the canonical two-pass stream shape (pass 1 candidate
+    discovery, pass 2 candidate counting; perplexity_buckets' two-pass
+    ntile has the same contract). Each pass tokenizes once; at 100 TB
+    that is the textbook trade for never shuffling the token stream:
+    pass-1 partials are <= phi_den/phi_num candidate strings + one int64
+    per block, pass-2 partials are |candidates| ints per block, both
+    driver-foldable like count_min's grids. The candidate set broadcasts
+    into pass 2 as a frozenset in the closure (a few KB at phi=1/1000;
+    the ray.put handle variant applies above ~10^6 candidates).
+
+    Output: (term, cnt) sorted by cnt desc, term asc.
+    """
+    from ..functions.minhash import _ASCII_WS
+
+    if phi_num <= 0 or phi_den <= 0:
+        raise ValueError("phi must be a positive rational")
+
+    def _tokens(text: str):
+        return [t for t in _ASCII_WS.split((text or "").lower()) if t]
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        import collections
+
+        cnt: collections.Counter = collections.Counter()
+        for text in batch.column(text_col).to_pylist():
+            cnt.update(_tokens(text))
+        n_b = sum(cnt.values())
+        cands = [t for t, c in cnt.items() if c * phi_den >= phi_num * n_b]
+        return pa.table({
+            "cand": pa.array([cands], type=pa.list_(pa.string())),
+            "n_tokens": pa.array([n_b], type=pa.int64())})
+
+    candidates: set = set()
+    n_total = 0
+    for part in (ds_factory().map_batches(pass1, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow")):
+        for cs in part.column("cand").to_pylist():
+            candidates.update(cs)
+        n_total += int(pa.compute.sum(part.column("n_tokens")).as_py() or 0)
+
+    cand_list = sorted(candidates)
+    cand_idx = {t: i for i, t in enumerate(cand_list)}
+
+    def pass2(batch: pa.Table) -> pa.Table:
+        import collections
+
+        cnt: collections.Counter = collections.Counter()
+        for text in batch.column(text_col).to_pylist():
+            cnt.update(t for t in _tokens(text) if t in cand_idx)
+        vec = np.zeros(len(cand_list), dtype=np.int64)
+        for t, c in cnt.items():
+            vec[cand_idx[t]] = c
+        return pa.table({"cnts": pa.array([vec.tolist()],
+                                          type=pa.list_(pa.int64()))})
+
+    totals = np.zeros(len(cand_list), dtype=np.int64)
+    if cand_list:
+        for part in (ds_factory().map_batches(pass2, batch_format="pyarrow")
+                     .iter_batches(batch_format="pyarrow")):
+            for v in part.column("cnts").to_pylist():
+                totals += np.asarray(v, dtype=np.int64)
+
+    keep = [(t, int(c)) for t, c in zip(cand_list, totals)
+            if c * phi_den >= phi_num * n_total]
+    keep.sort(key=lambda tc: (-tc[1], tc[0]))
+    return pd.DataFrame({
+        "term": pd.Series([t for t, _ in keep], dtype="object"),
+        "cnt": pd.Series([c for _, c in keep], dtype="int64")})
+
+
+def heavy_hitters_sql(table: str, *, text_col: str = "text",
+                      phi_num: int = 1, phi_den: int = 1000) -> str:
+    """DuckDB replay of :func:`heavy_hitters` — the oracle needs no
+    sketch: exact counts, same house tokenizer, same integer-rational
+    threshold (``cnt * phi_den >= phi_num * N``)."""
+    return f"""
+WITH occ AS (
+  SELECT unnest(list_filter(
+    string_split_regex(lower({text_col}), '[ \t\n\r\f]+'),
+    x -> x <> '')) AS g
+  FROM {table}),
+tot AS (SELECT count(*) AS n FROM occ),
+c AS (SELECT g AS term, count(*) AS cnt FROM occ GROUP BY g)
+SELECT term, CAST(cnt AS BIGINT) AS cnt FROM c, tot
+WHERE cnt * {phi_den} >= {phi_num} * n
+ORDER BY cnt DESC, term ASC
+"""

@@ -288,3 +288,109 @@ class TestCountMin:
             "term", ignore_index=True)
         pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
         assert (got["est_count"] >= got["exact_count"]).all()
+
+
+class TestHllRegisters:
+    def test_partial_rank_rule(self):
+        from pdf_parser_ray.stages.sketch import _hll_partial
+
+        p = 8
+        # hash with register 3 and suffix 2^55 (bit_length 56) → rank 1
+        h1 = (np.uint64(3) << np.uint64(56)) | np.uint64(1 << 55)
+        # suffix 1 → bit_length 1 → rank 56; suffix 0 → rank 57
+        h2 = (np.uint64(5) << np.uint64(56)) | np.uint64(1)
+        h3 = np.uint64(7) << np.uint64(56)
+        regs = _hll_partial(np.array([h1, h2, h3], dtype=np.uint64), p)
+        assert regs[3] == 1 and regs[5] == 56 and regs[7] == 57
+        assert regs.sum() == 1 + 56 + 57  # everything else zero
+
+    def test_partition_invariant_and_estimate(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.sketch import hll_estimate, hll_registers
+
+        rows = [{"v": f"user-{i % 500}"} for i in range(3000)]
+        a = hll_registers(ray.data.from_items(rows), "v")
+        b = hll_registers(ray.data.from_items(rows).repartition(11), "v")
+        pd.testing.assert_frame_equal(a, b)
+        est = hll_estimate(a["max_rank"].to_numpy())
+        # p=8 → sigma ~6.5%; allow 4 sigma
+        assert abs(est - 500) / 500 < 0.26
+
+    def test_nulls_skipped(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.sketch import hll_registers
+
+        with_null = hll_registers(
+            ray.data.from_items([{"v": "a"}, {"v": None}, {"v": "b"}]), "v")
+        without = hll_registers(
+            ray.data.from_items([{"v": "a"}, {"v": "b"}]), "v")
+        pd.testing.assert_frame_equal(with_null, without)
+
+    def test_sql_parity(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        got = entry._q_hll_distinct_users(sf)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{sf}/events.parquet')")
+        exp = con.execute(
+            entry.oracle_sql()["hll_distinct_users"]).fetchdf()
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
+                                      check_dtype=False)
+
+
+class TestHeavyHitters:
+    def _mk(self, ray_session):
+        import ray.data
+
+        # 'hot' 60x, 'warm' 20x, tail 1x each over 100 docs
+        rows = ([{"text": "hot hot hot warm"}] * 20
+                + [{"text": f"tail{i}"} for i in range(40)])
+        return lambda: ray.data.from_items(rows)
+
+    def test_exact_counts_and_threshold(self, ray_session):
+        from pdf_parser_ray.stages.sketch import heavy_hitters
+
+        f = self._mk(ray_session)
+        # N = 20*4 + 40 = 120; phi=1/10 → threshold 12 → hot(60), warm(20)
+        out = heavy_hitters(f, phi_num=1, phi_den=10)
+        assert out.values.tolist() == [["hot", 60], ["warm", 20]]
+
+    def test_partition_invariant(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.sketch import heavy_hitters
+
+        rows = ([{"text": "hot hot hot warm"}] * 20
+                + [{"text": f"tail{i}"} for i in range(40)])
+        a = heavy_hitters(lambda: ray.data.from_items(rows), phi_den=10)
+        b = heavy_hitters(
+            lambda: ray.data.from_items(rows).repartition(13), phi_den=10)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_tail_included_at_loose_phi(self, ray_session):
+        from pdf_parser_ray.stages.sketch import heavy_hitters
+
+        f = self._mk(ray_session)
+        # threshold 1 → every token qualifies
+        out = heavy_hitters(f, phi_num=1, phi_den=1000)
+        assert len(out) == 42 and out.iloc[0]["term"] == "hot"
+
+    def test_sql_parity(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        got = entry._q_heavy_hitters(sf)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        exp = con.execute(entry.oracle_sql()["heavy_hitters"]).fetchdf()
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
+                                      check_dtype=False)
