@@ -1827,6 +1827,32 @@ def _q_heavy_hitters(sf_dir: str):
         lambda: _documents(sf_dir, columns=["text"]))
 
 
+def _q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (stages/cdc.py:cdc_chunks): stateless
+    polynomial-window cut rule, zero exchange, one output row per chunk
+    carrying offsets + the md5-u64 chunk hash (never the chunk text).
+    ORACLE-GATED: the window hash, cut filter and boundary assembly all
+    replay in a SQL list comprehension (HUGEINT per-term mod 2^64 ==
+    numpy uint64 wraparound)."""
+    from pdf_parser_ray.stages.cdc import cdc_chunks
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return cdc_chunks(ds)
+
+
+def _q_cdc_dup_chunks(sf_dir: str):
+    """Chunk-level exact dedup signal (stages/cdc.py:cdc_dup_chunks):
+    chunks shared by >= 2 distinct docs with exact doc/occurrence counts.
+    Per-batch (hash, n_docs, n_occ) partials — docs never span batches,
+    so partial doc counts sum exactly — merged by the house
+    hash-partitioned kernel. ORACLE-GATED via the same chunker CTE +
+    GROUP BY HAVING."""
+    from pdf_parser_ray.stages.cdc import cdc_dup_chunks
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return cdc_dup_chunks(ds)
+
+
 def _q_redact_pii(sf_dir: str):
     """PII masking (stages/textstage.redact_pii): sequential count +
     sentinel replacement of emails / bare IPv4s / international phones
@@ -3180,6 +3206,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # two-pass pigeonhole prefilter, bounded candidate exchange,
         # exact integer output; oracled by a plain GROUP BY
         "heavy_hitters": _q_heavy_hitters,
+        # content-defined chunking — NEW in round 5 (final session):
+        # stateless CDC cut rule (zero exchange) + chunk-level dedup
+        # signal (slim hash partials, house hash-partitioned merge);
+        # both fully SQL-replayed
+        "cdc_chunks": _q_cdc_chunks,
+        "cdc_dup_chunks": _q_cdc_dup_chunks,
         # --- (d) oracled, stalest green rows (r2/r3), untouched since ---
         "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,
@@ -4417,6 +4449,9 @@ def oracle_sql() -> dict[str, str]:
                                               hll_registers_sql)
     out["hll_distinct_users"] = hll_registers_sql("events", "user_id", p=8)
     out["heavy_hitters"] = heavy_hitters_sql("documents")
+    from pdf_parser_ray.stages.cdc import cdc_chunks_sql, cdc_dup_chunks_sql
+    out["cdc_chunks"] = cdc_chunks_sql("documents")
+    out["cdc_dup_chunks"] = cdc_dup_chunks_sql("documents")
     out["badwords"] = _badwords_sql()
     from pdf_parser_ray.stages.textstage import redact_pii_sql
     out["redact_pii"] = redact_pii_sql()
