@@ -1827,6 +1827,38 @@ def _q_heavy_hitters(sf_dir: str):
         lambda: _documents(sf_dir, columns=["text"]))
 
 
+def _q_value_histogram(sf_dir: str):
+    """Fixed-bin histogram (stages/sketch.py:value_histogram) — the
+    reproducible one-pass distributed-quantile path (merge-order-
+    dependent sketches like GK/KLL/t-digest can't be value-gated; a
+    fixed binning can): per-batch constant-size int64 count vectors,
+    one zero-key coalesce merge. ORACLE-GATED: the IEEE divide+floor
+    bin rule replays exactly; zero bins restored on both sides."""
+    from pdf_parser_ray.stages.sketch import value_histogram
+
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    return value_histogram(ds, "value")
+
+
+def _q_key_skew_profile(sf_dir: str):
+    """Key-skew diagnostic (stages/sketch.py:key_skew_profile): group-
+    size distribution of events.user_id as a log2 histogram — the
+    pre-shuffle signal choose_partitions/salting decisions consume.
+    Exchange = pre-aggregated (key, count) partials then <=64-row
+    per-partition summaries. ORACLE-GATED: exact group sizes, bucket
+    via bit_length (length(bin(c))-1), integer-only output."""
+    from pdf_parser_ray.stages.sketch import key_skew_profile
+
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    return key_skew_profile(ds, "user_id")
+
+
 def _q_cdc_chunks(sf_dir: str):
     """Content-defined chunking (stages/cdc.py:cdc_chunks): stateless
     polynomial-window cut rule, zero exchange, one output row per chunk
@@ -3212,6 +3244,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # both fully SQL-replayed
         "cdc_chunks": _q_cdc_chunks,
         "cdc_dup_chunks": _q_cdc_dup_chunks,
+        # fixed-bin histogram — NEW in round 5 (final session): the
+        # reproducible one-pass quantile path (constant-size partials)
+        "value_histogram": _q_value_histogram,
+        # key-skew diagnostic — NEW in round 5 (final session): log2
+        # group-size histogram, the pre-shuffle planning signal
+        "key_skew_profile": _q_key_skew_profile,
         # --- (d) oracled, stalest green rows (r2/r3), untouched since ---
         "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,
@@ -4452,6 +4490,10 @@ def oracle_sql() -> dict[str, str]:
     from pdf_parser_ray.stages.cdc import cdc_chunks_sql, cdc_dup_chunks_sql
     out["cdc_chunks"] = cdc_chunks_sql("documents")
     out["cdc_dup_chunks"] = cdc_dup_chunks_sql("documents")
+    from pdf_parser_ray.stages.sketch import (key_skew_profile_sql,
+                                              value_histogram_sql)
+    out["value_histogram"] = value_histogram_sql("events", "value")
+    out["key_skew_profile"] = key_skew_profile_sql("events", "user_id")
     out["badwords"] = _badwords_sql()
     from pdf_parser_ray.stages.textstage import redact_pii_sql
     out["redact_pii"] = redact_pii_sql()

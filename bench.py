@@ -200,7 +200,11 @@ def run_query_suite() -> dict:
              "disjunctive_revenue", "market_share", "late_shipments",
              "product_type_profit", "forecast_revenue",
              "best_supplier_per_part", "waiting_suppliers",
-             "part_promotion_suppliers"]
+             "part_promotion_suppliers",
+             # round-5 final-session sketch/chunking additions
+             "hll_distinct_users", "heavy_hitters",
+             "cdc_chunks", "cdc_dup_chunks",
+             "value_histogram", "key_skew_profile"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:

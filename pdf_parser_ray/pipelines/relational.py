@@ -1606,6 +1606,15 @@ def _bucket_array(kv, num_buckets: int) -> pa.Array:
     types crc32 their str form."""
     import zlib
 
+    if pa.types.is_null(kv.type):
+        # an entirely-null block arrives as the Arrow null TYPE (no value
+        # type at all). Such blocks only come from schemaless sources
+        # (from_items and friends), where the column's typed blocks are
+        # string/object — so bucket exactly as the string path buckets a
+        # null VALUE, keeping the null group in ONE partition.
+        return pa.array(vec_str_buckets(
+            pd.Series([None] * len(kv), dtype="object"), num_buckets),
+            type=pa.int64())
     if pa.types.is_integer(kv.type):
         # null-safe: fill nulls with 0 BEFORE the numpy cast (NaN→int64 is
         # undefined); all null keys land deterministically in bucket(0)

@@ -543,3 +543,152 @@ SELECT term, CAST(cnt AS BIGINT) AS cnt FROM c, tot
 WHERE cnt * {phi_den} >= {phi_num} * n
 ORDER BY cnt DESC, term ASC
 """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram: the practical distributed quantile path. Mergeable
+# sketches with provable quantile error (GK, KLL, t-digest) are
+# merge-order-dependent, so their outputs are not reproducible across
+# partitionings; a FIXED binning is — each block reduces to one constant-
+# size int64 count vector, vectors add associatively, and any quantile is
+# then bounded to one bin width. (The repo's exact-percentile queries do
+# a second pass instead; this is the one-pass bounded-state alternative.)
+# ---------------------------------------------------------------------------
+
+def value_histogram(ds, col: str, *, lo: float = 0.0, width: float = 50.0,
+                    n_bins: int = 16):
+    """Fixed-bin histogram of a numeric column: bucket = floor((v-lo)/width)
+    clamped to [-1, n_bins] (one underflow and one overflow bucket), nulls
+    skipped. Per-batch partial = ONE (n_bins+2)-long int64 count vector
+    (np.bincount), folded by a single zero-key coalesce merge — 100 TB of
+    values becomes n_blocks tiny rows, and the result is identical for any
+    partitioning (integer vector addition is associative-commutative).
+    The float bin rule is one correctly-rounded IEEE divide + floor,
+    identical in numpy and the SQL replay.
+
+    Output: (bucket, n) for every bucket in [-1, n_bins], zeros included.
+    """
+    n_slots = n_bins + 2  # [-1 .. n_bins] shifted by +1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        v = v[~np.isnan(v)]
+        b = np.clip(np.floor((v - lo) / width), -1, n_bins).astype(np.int64)
+        counts = np.bincount(b + 1, minlength=n_slots).astype(np.int64)
+        return pa.table({"counts": pa.array([counts.tolist()],
+                                            type=pa.list_(pa.int64()))})
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        total = np.zeros(n_slots, dtype=np.int64)
+        for row in part["counts"]:
+            total += np.asarray(row, dtype=np.int64)
+        return pd.DataFrame({
+            "bucket": pd.Series(np.arange(-1, n_bins + 1), dtype="int64"),
+            "n": pd.Series(total, dtype="int64")})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(merge, batch_format="pandas", batch_size=None))
+
+
+def value_histogram_sql(table: str, col: str, *, lo: float = 0.0,
+                        width: float = 50.0, n_bins: int = 16) -> str:
+    """DuckDB replay of :func:`value_histogram` — same IEEE bin rule,
+    zero bins restored via a range() LEFT JOIN."""
+    return f"""
+WITH b AS (
+  SELECT CAST(least(greatest(floor(({col} - {lo!r}) / {width!r}), -1),
+              {n_bins}) AS BIGINT) AS bucket
+  FROM {table} WHERE {col} IS NOT NULL),
+c AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket)
+SELECT g.bucket, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM (SELECT unnest(range(-1, {n_bins + 1})) AS bucket) g
+LEFT JOIN c ON c.bucket = g.bucket
+ORDER BY g.bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profile: the diagnostic run BEFORE choosing a shuffle plan.
+# groupby/sort/join cost at scale is set by the heaviest keys; this
+# reports the group-size distribution as a log2 histogram — exact
+# integers, bounded output (<= 64 buckets), computed with the same
+# exchange a pre-aggregated groupby would use (per-batch (key, count)
+# partials; values never move).
+# ---------------------------------------------------------------------------
+
+def key_skew_profile(ds, col: str, *, num_parts: int = 32,
+                     nrows: int | None = None):
+    """Group-size distribution of ``col`` as a log2 histogram: for each
+    bucket ``gs_log2 = bit_length(group_size) - 1`` the number of
+    distinct keys and total rows in groups of that size. A hot key shows
+    up as a lone high bucket; a uniform key as one tight band — exactly
+    the signal choose_partitions/salting decisions need. Null keys count
+    as a real group (SQL GROUP BY semantics).
+
+    Exchange shape: per-batch (key, partial_count) rows (the standard
+    combiner — this is what any pre-aggregated groupby ships), then
+    per-partition constant-size (bucket, n_keys, n_rows) partials into
+    one tiny coalesce merge. bit_length is searchsorted against exact
+    power-of-two boundaries — no float log2.
+
+    Output: (gs_log2, n_keys, n_rows) sorted by gs_log2, nonzero
+    buckets only.
+    """
+    from ..pipelines.relational import coarse_partition_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"k": batch.column(col).to_pylist()})
+        g = df.groupby("k", sort=False, dropna=False).size().reset_index(
+            name="c")
+        # pandas surfaces the null GROUP as NaN; normalize back to None
+        # before retyping to the input's Arrow type
+        keys = [None if (v is None or (isinstance(v, float)
+                                       and np.isnan(v))) else v
+                for v in g["k"]]
+        return pa.table({
+            "k": pa.array(keys, type=batch.schema.field(col).type),
+            "c": pa.array(g["c"].to_numpy(dtype=np.int64))})
+
+    pows = (np.uint64(1) << np.arange(63, dtype=np.uint64))
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        tot = part.groupby("k", sort=False, dropna=False)["c"].sum()
+        sizes = tot.to_numpy(dtype=np.uint64)
+        buckets = np.searchsorted(pows, sizes, side="right") - 1
+        out = pd.DataFrame({"gs_log2": buckets.astype(np.int64),
+                            "c": sizes.astype(np.int64)})
+        g = out.groupby("gs_log2", sort=True).agg(
+            n_keys=("c", "size"), n_rows=("c", "sum")).reset_index()
+        return g.astype({"gs_log2": "int64", "n_keys": "int64",
+                         "n_rows": "int64"})
+
+    per_key = coarse_partition_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), per_part,
+        key_col="k", part_col="skew_part", num_parts=num_parts,
+        nrows=nrows)
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("gs_log2", sort=True).agg(
+            n_keys=("n_keys", "sum"), n_rows=("n_rows", "sum")).reset_index()
+        return g.astype({"gs_log2": "int64", "n_keys": "int64",
+                         "n_rows": "int64"})
+
+    # per-partition partials are <= 64 rows each — coalesce and fold once
+    return per_key.repartition(1).map_batches(final, batch_format="pandas",
+                                              batch_size=None)
+
+
+def key_skew_profile_sql(table: str, col: str) -> str:
+    """DuckDB replay of :func:`key_skew_profile`: exact group sizes,
+    bucket via length(bin(size)) - 1 == bit_length - 1."""
+    return f"""
+WITH c AS (SELECT {col} AS k, count(*) AS c FROM {table} GROUP BY {col}),
+b AS (SELECT CAST(length(bin(CAST(c AS UBIGINT))) - 1 AS BIGINT)
+               AS gs_log2, c
+      FROM c)
+SELECT gs_log2, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS n_rows
+FROM b GROUP BY gs_log2 ORDER BY gs_log2
+"""

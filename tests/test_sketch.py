@@ -394,3 +394,86 @@ class TestHeavyHitters:
         exp = con.execute(entry.oracle_sql()["heavy_hitters"]).fetchdf()
         pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
                                       check_dtype=False)
+
+
+class TestValueHistogram:
+    def test_bins_underflow_overflow_nulls(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.sketch import value_histogram
+
+        rows = [{"v": x} for x in
+                [-3.0, 0.0, 49.9, 50.0, 120.0, 1e9, None, 799.99]]
+        out = value_histogram(ray.data.from_items(rows), "v",
+                              lo=0.0, width=50.0, n_bins=16).to_pandas()
+        assert out["bucket"].tolist() == list(range(-1, 17))
+        got = dict(zip(out["bucket"], out["n"]))
+        assert got[-1] == 1          # -3.0 underflows
+        assert got[0] == 2           # 0.0, 49.9
+        assert got[1] == 1           # 50.0 (boundary goes up)
+        assert got[2] == 1           # 120.0
+        assert got[15] == 1          # 799.99 → floor(15.9998)
+        assert got[16] == 1          # 1e9 overflows
+        assert out["n"].sum() == 7   # null skipped
+
+    def test_partition_invariant(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.sketch import value_histogram
+
+        rng = np.random.default_rng(17)
+        rows = [{"v": float(x)} for x in rng.uniform(-10, 900, 500)]
+        a = value_histogram(ray.data.from_items(rows), "v").to_pandas()
+        b = value_histogram(ray.data.from_items(rows).repartition(9),
+                            "v").to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+        assert a["n"].sum() == 500
+
+
+class TestKeySkewProfile:
+    def test_exact_buckets(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.sketch import key_skew_profile
+
+        # key sizes: a→1 (bucket 0), b→3 (bucket 1), c→8 (bucket 3)
+        rows = ([{"k": "a"}] + [{"k": "b"}] * 3 + [{"k": "c"}] * 8)
+        out = key_skew_profile(
+            ray.data.from_items(rows), "k").to_pandas().sort_values(
+            "gs_log2", ignore_index=True)
+        assert out.values.tolist() == [[0, 1, 1], [1, 1, 3], [3, 1, 8]]
+
+    def test_partition_invariant_and_null_group(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.sketch import key_skew_profile
+
+        rows = ([{"k": None}] * 4 + [{"k": "x"}] * 4
+                + [{"k": f"t{i}"} for i in range(5)])
+        a = key_skew_profile(ray.data.from_items(rows),
+                             "k").to_pandas().sort_values(
+            "gs_log2", ignore_index=True)
+        b = key_skew_profile(ray.data.from_items(rows).repartition(5),
+                             "k").to_pandas().sort_values(
+            "gs_log2", ignore_index=True)
+        pd.testing.assert_frame_equal(a, b)
+        # null is a real group of 4 → bucket 2 holds null + 'x'
+        assert a.set_index("gs_log2").loc[2, "n_keys"] == 2
+        assert a["n_rows"].sum() == 13
+
+    def test_sql_parity_both(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{sf}/events.parquet')")
+        for name in ("value_histogram", "key_skew_profile"):
+            got = entry.queries()[name](sf).to_pandas()
+            exp = con.execute(entry.oracle_sql()[name]).fetchdf()
+            cols = sorted(got.columns)
+            a = got[cols].sort_values(cols, ignore_index=True)
+            b = exp[cols].sort_values(cols, ignore_index=True)
+            pd.testing.assert_frame_equal(a, b, check_dtype=False)
