@@ -1827,6 +1827,20 @@ def _q_heavy_hitters(sf_dir: str):
         lambda: _documents(sf_dir, columns=["text"]))
 
 
+def _q_heavy_hitters_by_source(sf_dir: str):
+    """Per-group exact heavy hitters (stages/sketch.py:heavy_hitters_by):
+    per-source hot tokens at phi = 1/1000 of each source's token count.
+    Same two-pass pigeonhole shape as heavy_hitters, per group — the
+    per-domain hot-term report a mixing/curation pass consumes.
+    ORACLE-GATED: exact per-group GROUP BY + integer-rational
+    threshold."""
+    from pdf_parser_ray.stages.sketch import heavy_hitters_by
+
+    return heavy_hitters_by(
+        lambda: _documents(sf_dir, columns=["source", "text"]),
+        group_col="source")
+
+
 def _q_value_histogram(sf_dir: str):
     """Fixed-bin histogram (stages/sketch.py:value_histogram) — the
     reproducible one-pass distributed-quantile path (merge-order-
@@ -3250,6 +3264,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # key-skew diagnostic — NEW in round 5 (final session): log2
         # group-size histogram, the pre-shuffle planning signal
         "key_skew_profile": _q_key_skew_profile,
+        # per-source exact heavy hitters — NEW in round 5 (final
+        # session): the grouped variant of the pigeonhole prefilter
+        "heavy_hitters_by_source": _q_heavy_hitters_by_source,
         # --- (d) oracled, stalest green rows (r2/r3), untouched since ---
         "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,
@@ -4494,6 +4511,9 @@ def oracle_sql() -> dict[str, str]:
                                               value_histogram_sql)
     out["value_histogram"] = value_histogram_sql("events", "value")
     out["key_skew_profile"] = key_skew_profile_sql("events", "user_id")
+    from pdf_parser_ray.stages.sketch import heavy_hitters_by_sql
+    out["heavy_hitters_by_source"] = heavy_hitters_by_sql(
+        "documents", group_col="source")
     out["badwords"] = _badwords_sql()
     from pdf_parser_ray.stages.textstage import redact_pii_sql
     out["redact_pii"] = redact_pii_sql()

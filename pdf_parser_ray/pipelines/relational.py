@@ -4333,10 +4333,16 @@ def brand_supplier_count(sf_dir: str, *, min_qty: float = 48.0,
     # distinct pairs scale with parts x suppliers-per-part, and the
     # supplier table itself is never an input of this query, so its
     # footer must not be required (planted fixtures omit it)
+    n_exchange = choose_partitions(n_part, default=32)
+    # merge away zero-row pair blocks (a fully-filtered batch) before the
+    # keyed exchange: a downstream task whose inputs are all empty emits a
+    # schemaless empty block — the RefBundle schema-drift warning. The
+    # split/merge repartition is not a key exchange and its block count
+    # tracks the exchange width, so it stays cluster-sized at scale.
     parts = coarse_partition_apply(
-        pairs, count_kernel, key_col="l_suppkey", part_col="q16_part",
-        num_parts=choose_partitions(n_part, default=32),
-        nrows=None).to_pandas()
+        pairs.repartition(n_exchange), count_kernel,
+        key_col="l_suppkey", part_col="q16_part",
+        num_parts=n_exchange, nrows=None).to_pandas()
     if len(parts) == 0 or "p_brand" not in parts.columns:
         return pd.DataFrame({"p_brand": pd.Series(dtype="object"),
                              "supplier_cnt": pd.Series(dtype="int64")})

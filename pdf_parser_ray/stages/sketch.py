@@ -692,3 +692,109 @@ SELECT gs_log2, CAST(count(*) AS BIGINT) AS n_keys,
        CAST(sum(c) AS BIGINT) AS n_rows
 FROM b GROUP BY gs_log2 ORDER BY gs_log2
 """
+
+
+def heavy_hitters_by(ds_factory, *, group_col: str, text_col: str = "text",
+                     phi_num: int = 1, phi_den: int = 1000) -> pd.DataFrame:
+    """Per-group exact phi-heavy hitters: for every group (e.g. source
+    domain), all tokens with >= phi of THAT group's token count — the
+    per-domain hot-term report. The pigeonhole guarantee holds per group
+    (a group-wise heavy token must be phi-heavy in at least one block's
+    slice of that group), so pass 1 ships <= phi_den/phi_num candidates
+    per (block, group) plus one total per (block, group), and pass 2
+    ships (group, term, count) partials for candidates only. Exact
+    integer output for any partitioning, like :func:`heavy_hitters`.
+    Null group keys form a real group (SQL GROUP BY semantics).
+
+    Output: (group_col, term, cnt) sorted by (group, cnt desc, term).
+    """
+    from ..functions.minhash import _ASCII_WS
+
+    if phi_num <= 0 or phi_den <= 0:
+        raise ValueError("phi must be a positive rational")
+
+    def _tokens(text: str):
+        return [t for t in _ASCII_WS.split((text or "").lower()) if t]
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        import collections
+
+        per_group: dict = {}
+        for g, text in zip(batch.column(group_col).to_pylist(),
+                           batch.column(text_col).to_pylist()):
+            per_group.setdefault(g, collections.Counter()).update(
+                _tokens(text))
+        groups, cands, totals = [], [], []
+        for g, cnt in per_group.items():
+            n_b = sum(cnt.values())
+            groups.append(g)
+            totals.append(n_b)
+            cands.append([t for t, c in cnt.items()
+                          if c * phi_den >= phi_num * n_b])
+        return pa.table({
+            "g": pa.array(groups, type=batch.schema.field(group_col).type),
+            "cand": pa.array(cands, type=pa.list_(pa.string())),
+            "n_tokens": pa.array(totals, type=pa.int64())})
+
+    cand_by_group: dict = {}
+    total_by_group: dict = {}
+    for part in (ds_factory().map_batches(pass1, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow")):
+        for g, cs, n in zip(part.column("g").to_pylist(),
+                            part.column("cand").to_pylist(),
+                            part.column("n_tokens").to_pylist()):
+            cand_by_group.setdefault(g, set()).update(cs)
+            total_by_group[g] = total_by_group.get(g, 0) + int(n)
+
+    def pass2(batch: pa.Table) -> pa.Table:
+        import collections
+
+        cnt: collections.Counter = collections.Counter()
+        for g, text in zip(batch.column(group_col).to_pylist(),
+                           batch.column(text_col).to_pylist()):
+            cset = cand_by_group.get(g)
+            if not cset:
+                continue
+            cnt.update((g, t) for t in _tokens(text) if t in cset)
+        groups = [g for g, _ in cnt]
+        return pa.table({
+            "g": pa.array(groups, type=batch.schema.field(group_col).type),
+            "term": pa.array([t for _, t in cnt], type=pa.string()),
+            "c": pa.array(list(cnt.values()), type=pa.int64())})
+
+    agg: dict = {}
+    if cand_by_group:
+        for part in (ds_factory().map_batches(pass2, batch_format="pyarrow")
+                     .iter_batches(batch_format="pyarrow")):
+            for g, t, c in zip(part.column("g").to_pylist(),
+                               part.column("term").to_pylist(),
+                               part.column("c").to_pylist()):
+                agg[(g, t)] = agg.get((g, t), 0) + int(c)
+
+    rows = [(g, t, c) for (g, t), c in agg.items()
+            if c * phi_den >= phi_num * total_by_group[g]]
+    rows.sort(key=lambda r: (str(r[0]), -r[2], r[1]))
+    return pd.DataFrame({
+        group_col: pd.Series([r[0] for r in rows], dtype="object"),
+        "term": pd.Series([r[1] for r in rows], dtype="object"),
+        "cnt": pd.Series([r[2] for r in rows], dtype="int64")})
+
+
+def heavy_hitters_by_sql(table: str, *, group_col: str,
+                         text_col: str = "text", phi_num: int = 1,
+                         phi_den: int = 1000) -> str:
+    """DuckDB replay of :func:`heavy_hitters_by` — exact group counts,
+    same tokenizer, same integer-rational per-group threshold."""
+    return f"""
+WITH occ AS (
+  SELECT {group_col} AS g, unnest(list_filter(
+    string_split_regex(lower({text_col}), '[ \t\n\r\f]+'),
+    x -> x <> '')) AS tok
+  FROM {table}),
+tot AS (SELECT g, count(*) AS n FROM occ GROUP BY g),
+c AS (SELECT g, tok AS term, count(*) AS cnt FROM occ GROUP BY g, tok)
+SELECT c.g AS {group_col}, c.term, CAST(c.cnt AS BIGINT) AS cnt
+FROM c JOIN tot ON tot.g = c.g
+WHERE c.cnt * {phi_den} >= {phi_num} * tot.n
+ORDER BY c.g, c.cnt DESC, c.term ASC
+"""

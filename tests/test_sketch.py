@@ -477,3 +477,55 @@ class TestKeySkewProfile:
             a = got[cols].sort_values(cols, ignore_index=True)
             b = exp[cols].sort_values(cols, ignore_index=True)
             pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+class TestHeavyHittersBy:
+    def test_per_group_thresholds_independent(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.sketch import heavy_hitters_by
+
+        # group A: 'hot' 9/12 tokens; group B: 'hot' 1/12 tokens — the
+        # same token passes in A and fails in B
+        rows = ([{"g": "A", "text": "hot hot hot"}] * 3
+                + [{"g": "A", "text": "a b c"}]
+                + [{"g": "B", "text": "hot"}]
+                + [{"g": "B", "text": f"x{i} y{i} z{i}"} for i in range(4)])
+        out = heavy_hitters_by(lambda: ray.data.from_items(rows),
+                               group_col="g", phi_num=1, phi_den=3)
+        assert out.values.tolist() == [["A", "hot", 9]]
+
+    def test_partition_invariant(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.sketch import heavy_hitters_by
+
+        rng = np.random.default_rng(23)
+        rows = [{"g": f"s{int(i % 3)}",
+                 "text": " ".join(f"w{int(x)}"
+                                  for x in rng.integers(0, 12, 20))}
+                for i in range(60)]
+        a = heavy_hitters_by(lambda: ray.data.from_items(rows),
+                             group_col="g", phi_den=12)
+        b = heavy_hitters_by(
+            lambda: ray.data.from_items(rows).repartition(9),
+            group_col="g", phi_den=12)
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 0
+
+    def test_sql_parity(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        got = entry._q_heavy_hitters_by_source(sf)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        exp = con.execute(
+            entry.oracle_sql()["heavy_hitters_by_source"]).fetchdf()
+        cols = sorted(got.columns)
+        a = got[cols].sort_values(cols, ignore_index=True)
+        b = exp[cols].sort_values(cols, ignore_index=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
