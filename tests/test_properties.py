@@ -230,3 +230,107 @@ class TestQuantileRuleProperties:
             idx = min(max(math.ceil(q * n) - 1, 0), n - 1)
             via_hist = int(uniq[np.searchsorted(cum, idx + 1)])
             assert via_hist == int(arr[idx])
+
+
+class TestFinalSessionSketchProperties:
+    """Pure-kernel properties of the round-5 final-session operators —
+    no Ray session needed (the Dataset-level partition-invariance tests
+    live in test_sketch / test_cdc)."""
+
+    @given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                    min_size=0, max_size=300),
+           st.integers(min_value=2, max_value=8))
+    @settings(max_examples=60, deadline=None)
+    def test_hll_partial_merge_invariant(self, raw, nparts):
+        """max-merge of per-part register vectors == the whole-input
+        vector — the property that makes HLL exact under ANY merge tree
+        (idempotent, commutative, associative)."""
+        from pdf_parser_ray.stages.sketch import _hll_partial
+
+        hs = np.array(raw, dtype=np.uint64)
+        whole = _hll_partial(hs, 8)
+        merged = np.zeros(256, dtype=np.int64)
+        for i in range(nparts):
+            np.maximum(merged, _hll_partial(hs[i::nparts], 8), out=merged)
+        assert np.array_equal(whole, merged)
+
+    @given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                    min_size=1, max_size=200))
+    @settings(max_examples=60, deadline=None)
+    def test_hll_rank_rule_matches_bit_length(self, raw):
+        """rank = 57 - bit_length(low 56 bits) (0 suffix → 57), the exact
+        value the SQL length(bin(sfx)) replay computes."""
+        from pdf_parser_ray.stages.sketch import _hll_partial
+
+        hs = np.array(raw, dtype=np.uint64)
+        regs = _hll_partial(hs, 8)
+        want = np.zeros(256, dtype=np.int64)
+        for h in raw:
+            r, sfx = h >> 56, h & ((1 << 56) - 1)
+            want[r] = max(want[r], 57 - sfx.bit_length() if sfx else 57)
+        assert np.array_equal(regs, want)
+
+    @given(st.lists(st.text(alphabet="abcdef", min_size=1, max_size=3),
+                    min_size=0, max_size=400),
+           st.integers(min_value=2, max_value=6),
+           st.integers(min_value=2, max_value=5))
+    @settings(max_examples=60, deadline=None)
+    def test_pigeonhole_prefilter_superset(self, toks, nparts, den):
+        """The heavy-hitters guarantee: every token with global count*den
+        >= N is locally heavy in at least one slice — the candidate union
+        can never lose a true heavy hitter."""
+        import collections
+
+        n = len(toks)
+        globally_heavy = {t for t, c in collections.Counter(toks).items()
+                          if c * den >= n}
+        cands = set()
+        for i in range(nparts):
+            part = toks[i::nparts]
+            cnt = collections.Counter(part)
+            nb = len(part)
+            cands.update(t for t, c in cnt.items() if c * den >= nb)
+        assert globally_heavy <= cands
+
+    @given(st.text(alphabet=string.ascii_lowercase + " 0123456789",
+                   max_size=400))
+    @settings(max_examples=80, deadline=None)
+    def test_cdc_chunks_partition_text_exactly(self, text):
+        from pdf_parser_ray.stages.cdc import cdc_chunk_rows
+
+        rows = cdc_chunk_rows(text)
+        assert "".join(c for _, _, c in rows) == text
+        if text:
+            assert all(n > 0 for _, n, _ in rows)
+        starts = [s for s, _, _ in rows]
+        assert starts == sorted(starts) and starts[0] == 0
+
+    @given(st.text(alphabet=string.ascii_lowercase + " ",
+                   min_size=50, max_size=300),
+           st.text(alphabet=string.ascii_lowercase, min_size=1,
+                   max_size=20))
+    @settings(max_examples=60, deadline=None)
+    def test_cdc_suffix_chunks_realign_after_prefix_edit(self, body, edit):
+        """Content-defined property: past the window span, the chunk
+        sequences of `body` and `edit+body` become identical suffixes."""
+        from pdf_parser_ray.stages.cdc import CDC_WINDOW, cdc_chunk_rows
+
+        a = [c for _, _, c in cdc_chunk_rows(body)]
+        b = [c for _, _, c in cdc_chunk_rows(edit + body)]
+        # compare chunk lists from the first boundary beyond the edit's
+        # influence: all chunks fully inside body[window:] must realign
+        tail_a, tail_b = [], []
+        pos = 0
+        for c in a:
+            if pos >= CDC_WINDOW:
+                tail_a.append(c)
+            pos += len(c)
+        pos = 0
+        for c in b:
+            if pos >= len(edit) + CDC_WINDOW:
+                tail_b.append(c)
+            pos += len(c)
+        # the two tails agree on their common suffix
+        k = min(len(tail_a), len(tail_b))
+        if k:
+            assert tail_a[-k:] == tail_b[-k:]
