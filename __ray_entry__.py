@@ -1878,13 +1878,17 @@ def _q_key_skew_profile(sf_dir: str):
     Exchange = pre-aggregated (key, count) partials then <=64-row
     per-partition summaries. ORACLE-GATED: exact group sizes, bucket
     via bit_length (length(bin(c))-1), integer-only output."""
+    from pdf_parser_ray.pipelines.relational import _table_nrows
     from pdf_parser_ray.stages.sketch import key_skew_profile
 
     import ray.data
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id"])
-    return key_skew_profile(ds, "user_id")
+    # the events footer row count is a sound bound on the (key, count)
+    # partial stream, so the merge can take the coalesce gate
+    return key_skew_profile(ds, "user_id",
+                            nrows=_table_nrows(sf_dir, "events"))
 
 
 def _q_cdc_chunks(sf_dir: str):

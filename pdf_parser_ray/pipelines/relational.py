@@ -4449,10 +4449,13 @@ def small_qty_revenue(sf_dir: str, *,
         return out.astype({"p_brand": "object", "cents": "int64",
                            "n_lines": "int64"})
 
+    # lineitem's footer row count is a sound bound on the slim `lines`
+    # stream (one row per surviving line), so the coalesce gate can
+    # engage below the limit — above it the exchange is unchanged
     parts = coarse_partition_apply(
         lines, kernel, key_col="l_partkey", part_col="q17_part",
         num_parts=choose_partitions(n_part, default=32),
-        nrows=None).to_pandas()
+        nrows=_table_nrows(sf_dir, "lineitem")).to_pandas()
     if len(parts) == 0 or "p_brand" not in parts.columns:
         return pd.DataFrame({"p_brand": pd.Series(dtype="object"),
                              "avg_yearly_cents": pd.Series(dtype="int64"),

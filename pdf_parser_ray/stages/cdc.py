@@ -176,6 +176,11 @@ def cdc_dup_chunks(ds, *, text_col: str = "text", id_col: str = "doc_id",
             "n_occ": out["n_occ"].astype("int64")})
 
     partials = chunks.map_batches(partial, batch_format="pyarrow")
+    # nrows is unknowable from footers (chunk count tracks text length,
+    # not doc count), so the merge always shuffles; at small SF Ray's
+    # sampled sort over the low-cardinality part key leaves some ranges
+    # empty and logs a cosmetic schemaless-empty-block warning (values
+    # unaffected — oracle-gated; see BASELINE.md bench-hygiene note)
     return coarse_partition_apply(partials, merge, key_col="chunk_hash",
                                   part_col="cdc_part",
                                   num_parts=num_parts, nrows=nrows)
