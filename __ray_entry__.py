@@ -2091,6 +2091,48 @@ def _q_ngram_jaccard(sf_dir: str):
     return df.astype({"doc_id": "int64", "dup_of": "int64"})
 
 
+def _q_editdist_neardup(sf_dir: str):
+    """PassJoin edit-distance near-dup edges over the doc's first-3-words
+    key (typo-level key dedup, the sixth near-dup family —
+    stages/dedup.py editdist_dedup_edges). ORACLE-GATED against DuckDB's
+    own levenshtein() brute-force self-join: unlike the LSH families the
+    candidate step is pigeonhole-COMPLETE, so the pipeline's output must
+    equal the exact all-pairs answer, and the oracle checks precisely
+    that completeness claim."""
+    from pdf_parser_ray.stages.dedup import editdist_dedup_edges
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        keys = [" ".join((t or "").split(" ")[:3])
+                for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "key": pa.array(keys, type=pa.string())})
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    df = editdist_dedup_edges(keyed, key_col="key", id_col="doc_id",
+                              max_dist=2).to_pandas()
+    if df.empty or "doc_id" not in df.columns:
+        df = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                           "dup_of": pd.Series(dtype="int64")})
+    return df.astype({"doc_id": "int64", "dup_of": "int64"})
+
+
+_EDITDIST_SQL = """
+WITH k AS (
+  SELECT doc_id,
+         array_to_string((string_split(coalesce(text, ''), ' '))[1:3], ' ')
+           AS key
+  FROM documents
+)
+SELECT a.doc_id AS doc_id, b.doc_id AS dup_of
+FROM k a JOIN k b
+  ON a.doc_id < b.doc_id
+ AND abs(length(a.key) - length(b.key)) <= 2
+ AND levenshtein(a.key, b.key) <= 2
+"""
+
+
 def _q_events_sessions_stream(sf_dir: str):
     """The INCREMENTAL actor-state streaming sessionizer, aggregated to the
     same per-user contract as events_sessions — gated by the SAME SQL
@@ -3370,6 +3412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "model_filter": _q_model_filter,
         "ngram_jaccard": _q_ngram_jaccard,
+        "editdist_neardup": _q_editdist_neardup,
         "neardup_clusters": _q_neardup_clusters,
         "pagerank": _q_pagerank,
         "corpus_curate": _q_corpus_curate,
@@ -3637,6 +3680,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curate": _corpus_curate_sql(),
         "embedding_centroids": _EMBEDDING_CENTROIDS_SQL,
         "ngram_jaccard": _ngram_jaccard_sql(),
+        "editdist_neardup": _EDITDIST_SQL,
         "corpus_prep_neardup": _corpus_prep_neardup_sql(),
         "token_counts": (
             "SELECT doc_id, "

@@ -563,6 +563,140 @@ def ngram_jaccard_dedup_edges(ds, *, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# Edit-distance near-dup (PassJoin)
+# ---------------------------------------------------------------------------
+
+def _bucket_all_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """ALL (a < b) pairs within each band bucket of a coarse partition —
+    the PassJoin candidate step needs every co-bucketed pair (unlike the
+    LSH families' min-id-anchor pairing, whose missing pairs are recovered
+    by connected components downstream; here the output contract is the
+    full ed≤d pair set, so candidates must be complete)."""
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype=g["doc_id"].dtype),
+                          "dup_of": pd.Series([], dtype=g["doc_id"].dtype)})
+    if len(g) < 2:
+        return empty
+    g = g.sort_values(["band_key", "doc_id"], kind="mergesort").reset_index(drop=True)
+    keys = g["band_key"].to_numpy()
+    ids = g["doc_id"].to_numpy()
+    change = np.r_[True, keys[1:] != keys[:-1]]
+    starts = np.flatnonzero(change)
+    ends = np.r_[starts[1:], len(g)]
+    a_parts, b_parts = [], []
+    for st, en in zip(starts, ends):
+        m = en - st
+        if m < 2:
+            continue
+        iu, ju = np.triu_indices(m, k=1)
+        a_parts.append(ids[iu + st])
+        b_parts.append(ids[ju + st])
+    if not a_parts:
+        return empty
+    return pd.DataFrame(
+        {"doc_id": pd.Series(np.concatenate(a_parts), dtype=g["doc_id"].dtype),
+         "dup_of": pd.Series(np.concatenate(b_parts), dtype=g["doc_id"].dtype)})
+
+
+def editdist_dedup_edges(ds, *, key_col: str = "text", id_col: str = "doc_id",
+                         max_dist: int = 2, concurrency=None,
+                         broadcast_limit: int = 200_000):
+    """ALL (doc_id, dup_of) pairs (doc_id < dup_of) whose ``key_col``
+    strings are within Levenshtein distance ``max_dist`` — the sixth
+    near-dup family (typo-level key dedup), PassJoin-style.
+
+    Candidates-then-verify like the LSH families, but the candidate step
+    is EXACT-COMPLETE, not probabilistic: ``passjoin_buckets`` pigeonhole
+    keys guarantee any pair within distance d shares a bucket
+    (functions/editdist.py), so the output equals the brute-force
+    all-pairs answer — which is exactly what the DuckDB
+    ``levenshtein()`` oracle replays. No all-pairs comparison ever runs:
+    the quadratic is confined to co-bucketed docs (same substring, same
+    position class). Verify pool carries only the short keys and is
+    Bloom-prefiltered + broadcast under ``broadcast_limit``, bucket
+    hash-joins above it (the ngram_jaccard two-tier shape)."""
+    from ..functions.editdist import levenshtein_leq, passjoin_buckets
+    from ..pipelines.relational import hash_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        keys = batch.column(key_col).to_pylist()
+        out_ids, out_keys = [], []
+        for i, s in zip(ids, keys):
+            for bk in passjoin_buckets(s or "", max_dist):
+                out_ids.append(i)
+                out_keys.append(bk)
+        return pa.table({id_col: pa.array(out_ids, type=batch.column(id_col).type),
+                         "band_key": pa.array(out_keys, type=pa.string())})
+
+    kw = {"concurrency": concurrency} if concurrency else {}
+    bands = ds.select_columns([id_col, key_col]).map_batches(
+        explode, batch_format="pyarrow", **kw).materialize()
+
+    if bands.count() == 0:
+        return bands
+    if bands.count() <= _COALESCE_BAND_LIMIT:
+        cands = bands.repartition(1).map_batches(
+            lambda g: _bucket_all_pairs(g).drop_duplicates(["doc_id", "dup_of"]),
+            batch_format="pandas", batch_size=None).materialize()
+    else:
+        def add_part(batch: pa.Table) -> pa.Table:
+            from ..pipelines.relational import vec_str_buckets
+
+            parts = vec_str_buckets(batch.column("band_key").to_pandas(), 64)
+            return batch.append_column("band_part",
+                                       pa.array(parts, type=pa.int64()))
+
+        parts = bands.map_batches(add_part, batch_format="pyarrow")
+        cands = _distinct_edges(
+            parts.groupby("band_part").map_groups(
+                lambda g: _bucket_all_pairs(g), batch_format="pandas"),
+            id_col="doc_id")
+    if cands.count() == 0:
+        return cands
+
+    import ray as _ray
+
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    key_pool = _bloom_filtered_pool(ds, cands, id_col=id_col,
+                                    value_col=key_col)
+
+    if key_pool.count() <= broadcast_limit:
+        kdf = key_pool.to_pandas()
+        lookup_ref = _ray.put(dict(zip(kdf[id_col], kdf[key_col])))
+
+        def verify_broadcast(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return df.reindex(columns=["doc_id", "dup_of"])
+            lk = _ray.get(lookup_ref)
+            keep = [levenshtein_leq(lk[a] or "", lk[b] or "", max_dist)
+                    for a, b in zip(df["doc_id"], df["dup_of"])]
+            return df.loc[keep, ["doc_id", "dup_of"]]
+
+        return cands.map_batches(verify_broadcast, batch_format="pandas")
+
+    keys_a = key_pool.map_batches(
+        lambda b: b.rename_columns(["doc_id", "key_a"]), batch_format="pyarrow")
+    keys_b = key_pool.map_batches(
+        lambda b: b.rename_columns(["dup_of", "key_b"]), batch_format="pyarrow")
+    cand_types = {"doc_id": id_type, "dup_of": id_type}
+    j1 = hash_join(cands, keys_a, key="doc_id", num_buckets=16,
+                   left_types=cand_types,
+                   right_types={"doc_id": id_type, "key_a": pa.string()})
+    j2 = hash_join(j1, keys_b, key="dup_of", num_buckets=16,
+                   left_types={**cand_types, "key_a": pa.string()},
+                   right_types={"dup_of": id_type, "key_b": pa.string()})
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.reindex(columns=["doc_id", "dup_of"])
+        keep = [levenshtein_leq(a or "", b or "", max_dist)
+                for a, b in zip(df["key_a"], df["key_b"])]
+        return df.loc[keep, ["doc_id", "dup_of"]]
+
+    return j2.map_batches(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 
