@@ -2091,6 +2091,58 @@ def _q_ngram_jaccard(sf_dir: str):
     return df.astype({"doc_id": "int64", "dup_of": "int64"})
 
 
+def _q_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means over the full embeddings table
+    (stages/similarity.py kmeans_assignments): integer-exact fixed-point
+    arithmetic end to end, so the oracle replays ALL five iterations —
+    init, per-iteration argmin assignment, trunc-div centroid update —
+    as unrolled DuckDB CTEs (the pagerank recipe applied to clustering).
+    ORACLE-GATED per (vec_id, cluster) row."""
+    from pdf_parser_ray.stages.similarity import kmeans_assignments
+
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    df = kmeans_assignments(ds, k=8, iters=5).to_pandas()
+    return df.astype({"vec_id": "int64", "cluster": "int64"})
+
+
+def _kmeans_sql(k: int = 8, iters: int = 5, dim: int = 64,
+                scale: int = 1000) -> str:
+    """Unrolled-CTE DuckDB replay of kmeans_assignments: same floor(scale·x)
+    quantization, same lowest-cid tie-break (ORDER BY dist, cid), same
+    trunc-toward-zero centroid division (DuckDB //), same keep-previous
+    rule for emptied clusters (LEFT JOIN + COALESCE)."""
+    qcols = ", ".join(
+        f"CAST(FLOOR({scale}.0 * CAST(embedding[{j + 1}] AS DOUBLE)) "
+        f"AS BIGINT) AS q{j}" for j in range(dim))
+    parts = [f"q AS (SELECT vec_id, {qcols} FROM embeddings)"]
+    dsel = ", ".join(f"q{j} AS d{j}" for j in range(dim))
+    parts.append(
+        f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, "
+        f"{dsel} FROM q ORDER BY vec_id LIMIT {k})")
+    dist = " + ".join(f"(q.q{j} - c.d{j})*(q.q{j} - c.d{j})"
+                      for j in range(dim))
+    assign = ("SELECT q.vec_id, c.cid, ROW_NUMBER() OVER "
+              f"(PARTITION BY q.vec_id ORDER BY {dist} ASC, c.cid ASC) AS rn "
+              "FROM q, {cent} c")
+    for t in range(1, iters):
+        parts.append(f"a{t} AS (SELECT vec_id, cid FROM "
+                     f"({assign.format(cent=f'c{t - 1}')}) WHERE rn = 1)")
+        ssel = ", ".join(f"CAST(SUM(q.q{j}) AS BIGINT) AS s{j}"
+                         for j in range(dim))
+        parts.append(f"s{t} AS (SELECT a{t}.cid, COUNT(*) AS cnt, {ssel} "
+                     f"FROM a{t} JOIN q USING (vec_id) GROUP BY a{t}.cid)")
+        csel = ", ".join(f"COALESCE(s.s{j} // s.cnt, p.d{j}) AS d{j}"
+                         for j in range(dim))
+        parts.append(f"c{t} AS (SELECT p.cid, {csel} FROM c{t - 1} p "
+                     f"LEFT JOIN s{t} s USING (cid))")
+    return ("WITH " + ",\n".join(parts) +
+            "\nSELECT vec_id, cid AS cluster FROM "
+            f"({assign.format(cent=f'c{iters - 1}')}) WHERE rn = 1")
+
+
 def _q_editdist_neardup(sf_dir: str):
     """PassJoin edit-distance near-dup edges over the doc's first-3-words
     key (typo-level key dedup, the sixth near-dup family —
@@ -3367,6 +3419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": _q_text_normalize,
         "corpus_prep": _q_corpus_prep,
         "corpus_prep_neardup": _q_corpus_prep_neardup,
+        "kmeans": _q_kmeans,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_ivf": _q_knn_ivf,
         "knn_pq": _q_knn_pq,
@@ -3781,6 +3834,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id > b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.30"
         ),
+        "kmeans": _kmeans_sql(),
         "knn_bruteforce": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings "
             "WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)), "

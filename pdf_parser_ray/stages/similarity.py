@@ -601,3 +601,115 @@ def embedding_centroids(ds, *, vec_col: str = "embedding",
     return coarse_partition_apply(keyed, combine, key_col="gd_key",
                                   part_col="gd_part", num_parts=num_parts,
                                   nrows=nrows)
+
+
+def _trunc_div(s: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+    """Elementwise integer division truncated TOWARD ZERO — DuckDB's ``//``
+    semantics (numpy's ``//`` floors, which differs on negatives)."""
+    return np.sign(s) * (np.abs(s) // cnt)
+
+
+def kmeans_assignments(ds, *, vec_col: str = "embedding",
+                       id_col: str = "vec_id", k: int = 8, iters: int = 5,
+                       scale: int = 1000):
+    """Distributed Lloyd's k-means over the FULL embedding table,
+    INTEGER-EXACT so an unrolled-CTE DuckDB oracle replays every iteration
+    bit-for-bit (the pagerank recipe applied to clustering). Returns
+    (id_col, cluster) for every row.
+
+    Fixed-point contract (shared with embedding_centroids): components are
+    quantized once as floor(scale·x) in float64 — the same IEEE ops DuckDB
+    performs — then ALL distances/sums/means are int64 arithmetic, which
+    commutes, so the result is independent of partitioning and merge
+    order. Centroid update is trunc-toward-zero division (DuckDB ``//``);
+    a cluster that loses all points keeps its previous centroid; distance
+    ties resolve to the lowest cluster id (numpy argmin ≡ ORDER BY dist,
+    cid). Init: the k smallest-id vectors.
+
+    Scale shape: the slim (id, qvec) projection is materialized ONCE and
+    rescanned per iteration (the payload table is read a single time);
+    each iteration broadcasts the k×dim centroid matrix via ``ray.put``
+    and emits ≤ k·(dim+2)-value partial sums PER BATCH, tree-reduced
+    through a bounded repartition — no all-to-all exchange anywhere, and
+    assignments are only materialized on the final pass. At 10^12 rows the
+    per-iteration exchange is (#blocks × k) tiny rows; everything else is
+    embarrassingly parallel."""
+    import pyarrow as pa
+
+    from ..pipelines.relational import topk
+
+    def quantize(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "qvec": pd.Series(dtype=object)})
+        mat = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        q = np.floor(scale * mat).astype(np.int64)
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                             "qvec": list(q)})
+
+    slim = ds.select_columns([id_col, vec_col]).map_batches(
+        quantize, batch_format="pandas").materialize()
+
+    seed = topk(slim, by=[id_col], descending=[False], k=k).to_pandas()
+    seed = seed.sort_values(id_col).reset_index(drop=True)
+    centroids = np.stack(seed["qvec"].to_numpy()).astype(np.int64)
+    dim = centroids.shape[1]
+
+    def assign_ids(qmat: np.ndarray, cents: np.ndarray) -> np.ndarray:
+        # (n,k,dim) int64 broadcast diff; argmin's first-min rule IS the
+        # lowest-cid tie-break
+        d2 = ((qmat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return d2.argmin(axis=1)
+
+    sum_cols = [f"s{j}" for j in range(dim)]
+
+    for _ in range(max(0, iters - 1)):
+        cents_ref = ray.put(centroids)
+
+        def partial_sums(batch: pd.DataFrame) -> pd.DataFrame:
+            cols = {"cluster": pd.Series(dtype="int64"),
+                    "cnt": pd.Series(dtype="int64"),
+                    **{c: pd.Series(dtype="int64") for c in sum_cols}}
+            if not len(batch):
+                return pd.DataFrame(cols)
+            cents = ray.get(cents_ref)
+            qmat = np.stack(batch["qvec"].to_numpy()).astype(np.int64)
+            cid = assign_ids(qmat, cents)
+            rows = []
+            for c in np.unique(cid):
+                sub = qmat[cid == c]
+                rows.append([int(c), sub.shape[0], *sub.sum(axis=0).tolist()])
+            return pd.DataFrame(rows, columns=["cluster", "cnt", *sum_cols])
+
+        def combine(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return df
+            return df.groupby("cluster", as_index=False).sum()
+
+        partials = slim.map_batches(partial_sums, batch_format="pandas")
+        # bounded tree reduce: k rows/batch → 8 blocks → 1 block → driver
+        # (integer sums commute, so the tree shape can't change the result)
+        sums = (partials.repartition(8)
+                .map_batches(combine, batch_format="pandas", batch_size=None)
+                .repartition(1)
+                .map_batches(combine, batch_format="pandas", batch_size=None)
+                .to_pandas())
+        new_cents = centroids.copy()
+        for _, row in sums.iterrows():
+            c = int(row["cluster"])
+            s = row[sum_cols].to_numpy().astype(np.int64)
+            new_cents[c] = _trunc_div(s, np.int64(row["cnt"]))
+        centroids = new_cents
+
+    final_ref = ray.put(centroids)
+
+    def final_assign(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "cluster": pd.Series(dtype="int64")})
+        cents = ray.get(final_ref)
+        qmat = np.stack(batch["qvec"].to_numpy()).astype(np.int64)
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                             "cluster": assign_ids(qmat, cents).astype(np.int64)})
+
+    return slim.map_batches(final_assign, batch_format="pandas")
