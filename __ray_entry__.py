@@ -2772,6 +2772,49 @@ def _q_jsonl_ingest(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def _q_tar_ingest(sf_dir: str):
+    """WebDataset tar-shard ingestion (sources/tar.py): the sf documents
+    table exported once to deterministic tar shards (200 samples each:
+    {id}.txt + {id}.json metadata, zeroed mtimes), re-read through
+    read_tar_samples (one shard = one decode task — the WebDataset scale
+    contract), metadata fields pulled from the JSON member. Value-gated
+    like csv/jsonl_ingest since the fixture is a deterministic export."""
+    import os
+
+    import duckdb
+
+    from pdf_parser_ray.sources.tar import read_tar_samples, write_tar_shards
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = f"/tmp/pdf_parser_ray_tar_{tag}"
+    done = os.path.join(out_dir, ".complete")
+    if not os.path.exists(done):
+        df = duckdb.sql(
+            f"SELECT doc_id, text, lang, source FROM "
+            f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+        ).df()
+        write_tar_shards(df, out_dir, shard_size=200,
+                         meta_fields=("lang", "source"))
+        open(done, "w").close()
+    import glob
+
+    paths = sorted(glob.glob(f"{out_dir}/shard-*.tar"))
+    ds = read_tar_samples(paths, meta_fields=("lang", "source"))
+
+    def project(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "source": batch.column("source"),
+            "n_chars": pa.array([len(t or "") for t in texts],
+                                type=pa.int64()),
+            "n_media": pc.cast(batch.column("n_media"), pa.int64()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def _q_csv_ingest(sf_dir: str):
     """CSV ingestion (sources/jsonl.py:read_csv_docs): the sf documents
     table exported to RFC-4180 CSV once (cached under /tmp, quoted
@@ -3264,6 +3307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": _q_gopher_filter,
         "source_divergence": _q_source_divergence,
         "csv_ingest": _q_csv_ingest,
+        "tar_ingest": _q_tar_ingest,
         "weighted_sample": rel.weighted_sample,
         # compressed video (MJPEG-AVI) — NEW in round 5; rows-only by
         # nature (MJPEG decode not SQL), planted-cut-exact under pytest
@@ -3755,6 +3799,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, "
             "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "
             f"length(regexp_extract_all(text, '{bpe_pat}')) AS n_tokens_bpe "
+            "FROM documents"
+        ),
+        # the tar fixture is text-only, so n_media is identically 0 — the
+        # column is still value-gated to pin the schema contract
+        "tar_ingest": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, source, "
+            "length(text) AS n_chars, CAST(0 AS BIGINT) AS n_media "
             "FROM documents"
         ),
         "quality": (
