@@ -204,7 +204,9 @@ def run_query_suite() -> dict:
              # round-5 final-session sketch/chunking additions
              "hll_distinct_users", "heavy_hitters",
              "cdc_chunks", "cdc_dup_chunks",
-             "value_histogram", "key_skew_profile", "heavy_hitters_by_source", "cdc_neardup"]
+             "value_histogram", "key_skew_profile", "heavy_hitters_by_source", "cdc_neardup",
+             # round-5 continuation additions
+             "editdist_neardup", "kmeans", "tar_ingest"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:
