@@ -2143,6 +2143,25 @@ def _kmeans_sql(k: int = 8, iters: int = 5, dim: int = 64,
             f"({assign.format(cent=f'c{iters - 1}')}) WHERE rn = 1")
 
 
+def _q_dup_stats(sf_dir: str):
+    """Exact-dup cluster-size distribution (stages/dedup.py
+    dup_cluster_stats): the curation report behind every dedup decision.
+    ORACLE-GATED: sha256-group sizes → size histogram in plain SQL."""
+    from pdf_parser_ray.stages.dedup import dup_cluster_stats
+
+    ds = _documents(sf_dir, columns=["text"])
+    return dup_cluster_stats(ds, nrows=_documents_nrows(sf_dir))
+
+
+_DUP_STATS_SQL = """
+WITH c AS (SELECT sha256(text) AS h, count(*) AS cluster_size
+           FROM documents GROUP BY 1)
+SELECT cluster_size, count(*) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM c GROUP BY cluster_size
+"""
+
+
 def _q_editdist_neardup(sf_dir: str):
     """PassJoin edit-distance near-dup edges over the doc's first-3-words
     key (typo-level key dedup, the sixth near-dup family —
@@ -3510,6 +3529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "model_filter": _q_model_filter,
         "ngram_jaccard": _q_ngram_jaccard,
         "editdist_neardup": _q_editdist_neardup,
+        "dup_stats": _q_dup_stats,
         "neardup_clusters": _q_neardup_clusters,
         "pagerank": _q_pagerank,
         "corpus_curate": _q_corpus_curate,
@@ -3778,6 +3798,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": _EMBEDDING_CENTROIDS_SQL,
         "ngram_jaccard": _ngram_jaccard_sql(),
         "editdist_neardup": _EDITDIST_SQL,
+        "dup_stats": _DUP_STATS_SQL,
         "corpus_prep_neardup": _corpus_prep_neardup_sql(),
         "token_counts": (
             "SELECT doc_id, "

@@ -562,6 +562,58 @@ def ngram_jaccard_dedup_edges(ds, *, text_col: str = "text",
     return j2.map_batches(verify, batch_format="pandas")
 
 
+def dup_cluster_stats(ds, *, text_col: str = "text", num_parts: int = 64,
+                      nrows: int | None = None):
+    """Exact-duplicate cluster-size distribution — the standard curation
+    report ("how much of the corpus is copies"): one row per cluster size
+    with (cluster_size, n_clusters, n_docs).
+
+    Two bounded reduces, payload never shuffles: per-batch (hash, n)
+    partial counts → house partitioned group-sum on the hash (slim rows,
+    one per distinct hash per batch) → per-block size-histogram partials
+    coalesced to one block (distinct sizes are at most the max cluster
+    size — a handful of rows at any corpus scale)."""
+    from ..pipelines.relational import partitioned_group_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        vals = batch.column(text_col).to_pylist()
+        c = Counter(hashlib.sha256((v or "").encode("utf-8")).hexdigest()
+                    for v in vals)
+        return pa.table({
+            "content_hash": pa.array(list(c.keys()), type=pa.string()),
+            "n": pa.array(list(c.values()), type=pa.int64())})
+
+    partials = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow")
+    sizes = partitioned_group_sum(partials, key="content_hash",
+                                  sum_cols={"cluster_size": "n"},
+                                  num_parts=num_parts, nrows=nrows)
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"cluster_size": pd.Series(dtype="int64"),
+                                 "n_clusters": pd.Series(dtype="int64")})
+        agg = df.groupby("cluster_size", as_index=False).agg(
+            n_clusters=("cluster_size", "size"))
+        return agg.astype({"cluster_size": "int64", "n_clusters": "int64"})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"cluster_size": pd.Series(dtype="int64"),
+                                 "n_clusters": pd.Series(dtype="int64"),
+                                 "n_docs": pd.Series(dtype="int64")})
+        agg = df.groupby("cluster_size", as_index=False).agg(
+            n_clusters=("n_clusters", "sum"))
+        agg["n_docs"] = agg["cluster_size"] * agg["n_clusters"]
+        return agg.astype("int64")
+
+    return (sizes.map_batches(hist_partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(merge, batch_format="pandas", batch_size=None))
+
+
 # ---------------------------------------------------------------------------
 # Edit-distance near-dup (PassJoin)
 # ---------------------------------------------------------------------------
