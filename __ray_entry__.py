@@ -2162,6 +2162,70 @@ FROM c GROUP BY cluster_size
 """
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """Crawl-to-crawl snapshot delta (stages/dedup.py snapshot_diff): the
+    "new" snapshot is derived from documents by the house md5-bucket rule
+    (bucket<10 dropped → removed; 10–19 text-suffixed → changed; ≥90
+    re-emitted under id+10⁷ → added), so the whole old/new/diff chain is
+    ORACLE-GATED in one SQL statement. Both sides slim to (id, sha256)
+    before the single outer exchange."""
+    from pdf_parser_ray.functions.hashing import md5_bucket_100
+    from pdf_parser_ray.stages.dedup import snapshot_diff
+
+    old = _documents(sf_dir, columns=["doc_id", "text"])
+
+    def derive_new(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = [t or "" for t in batch.column("text").to_pylist()]
+        bks = md5_bucket_100(ids)
+        out_ids, out_texts = [], []
+        for i, t, b in zip(ids, texts, bks):
+            if b < 10:
+                continue
+            out_ids.append(i)
+            out_texts.append(t + " [v2]" if b < 20 else t)
+        for i, t, b in zip(ids, texts, bks):
+            if b >= 90:
+                out_ids.append(i + 10_000_000)
+                out_texts.append("new " + t)
+        return pa.table({"doc_id": pa.array(out_ids, type=pa.int64()),
+                         "text": pa.array(out_texts, type=pa.string())})
+
+    new = _documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        derive_new, batch_format="pyarrow")
+    out = snapshot_diff(old, new, id_type=pa.int64(),
+                        nrows=2 * _documents_nrows(sf_dir))
+    df = out.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "status": pd.Series(dtype="object")})
+    return df.astype({"doc_id": "int64"})
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH b AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) % 100 AS bk
+  FROM documents
+),
+new AS (
+  SELECT doc_id,
+         CASE WHEN bk < 20 THEN text || ' [v2]' ELSE text END AS text
+  FROM b WHERE bk >= 10
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, 'new ' || text AS text
+  FROM b WHERE bk >= 90
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM b o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text
+"""
+
+
 def _q_editdist_neardup(sf_dir: str):
     """PassJoin edit-distance near-dup edges over the doc's first-3-words
     key (typo-level key dedup, the sixth near-dup family —
@@ -3530,6 +3594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "editdist_neardup": _q_editdist_neardup,
         "dup_stats": _q_dup_stats,
+        "snapshot_diff": _q_snapshot_diff,
         "neardup_clusters": _q_neardup_clusters,
         "pagerank": _q_pagerank,
         "corpus_curate": _q_corpus_curate,
@@ -3799,6 +3864,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _ngram_jaccard_sql(),
         "editdist_neardup": _EDITDIST_SQL,
         "dup_stats": _DUP_STATS_SQL,
+        "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "corpus_prep_neardup": _corpus_prep_neardup_sql(),
         "token_counts": (
             "SELECT doc_id, "

@@ -614,6 +614,60 @@ def dup_cluster_stats(ds, *, text_col: str = "text", num_parts: int = 64,
             .map_batches(merge, batch_format="pandas", batch_size=None))
 
 
+def snapshot_diff(ds_old, ds_new, *, id_col: str = "doc_id",
+                  text_col: str = "text", id_type=None,
+                  num_buckets: int = 32, nrows: int | None = None):
+    """Crawl-to-crawl corpus delta: one (id, status) row per id that is
+    ``added`` (only in new), ``removed`` (only in old) or ``changed``
+    (in both, different content); unchanged ids are dropped. Assumes
+    ``id_col`` is unique within each snapshot (the corpus-table contract).
+
+    Both snapshots slim to (id, sha256) before the ONE bucketed outer
+    exchange — payload text never shuffles, so diffing two 100-TB crawls
+    moves ~50 bytes/doc. This is the set-level companion of
+    ``incremental_dedup`` (content-level novelty): diff answers "what
+    happened to each id", incremental answers "which content is new"."""
+    from ..pipelines.relational import choose_partitions, hash_join
+
+    # nrows (combined snapshot row bound, e.g. from parquet footers) sizes
+    # the exchange so a small diff doesn't scatter into empty range blocks
+    num_buckets = choose_partitions(nrows, default=num_buckets)
+    if id_type is None:
+        id_type = dict(zip(ds_old.schema().names, ds_old.schema().types))[id_col]
+
+    def make_slim(out_col: str):
+        def slim(batch: pa.Table) -> pa.Table:
+            texts = batch.column(text_col).to_pylist()
+            hs = [hashlib.sha256((t or "").encode("utf-8")).hexdigest()
+                  for t in texts]
+            return pa.table({id_col: batch.column(id_col),
+                             out_col: pa.array(hs, type=pa.string())})
+        return slim
+
+    old = ds_old.map_batches(make_slim("h_old"), batch_format="pyarrow")
+    new = ds_new.map_batches(make_slim("h_new"), batch_format="pyarrow")
+    # both sides are slim (id, hash) — coalesce the union to the exchange
+    # width so the sort never plans empty (schemaless) range blocks
+    j = hash_join(old, new, key=id_col, how="outer",
+                  num_buckets=num_buckets, coalesce_blocks=num_buckets,
+                  left_types={id_col: id_type, "h_old": pa.string()},
+                  right_types={id_col: id_type, "h_new": pa.string()})
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series(dtype="object"),
+                                 "status": pd.Series(dtype="object")})
+        status = np.where(
+            df["h_old"].isna(), "added",
+            np.where(df["h_new"].isna(), "removed",
+                     np.where(df["h_old"] != df["h_new"], "changed",
+                              "unchanged")))
+        out = pd.DataFrame({id_col: df[id_col], "status": status})
+        return out.loc[out["status"] != "unchanged"]
+
+    return j.map_batches(classify, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Edit-distance near-dup (PassJoin)
 # ---------------------------------------------------------------------------

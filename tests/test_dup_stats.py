@@ -39,3 +39,35 @@ class TestDupStats:
     def test_all_unique(self, ray_session):
         got = _run([f"t{i}" for i in range(7)])
         assert got.to_numpy().tolist() == [[1, 7, 7]]
+
+
+def _diff(old_rows, new_rows, **kwargs) -> set:
+    import ray.data
+
+    from pdf_parser_ray.stages.dedup import snapshot_diff
+
+    out = snapshot_diff(ray.data.from_items(old_rows),
+                        ray.data.from_items(new_rows), **kwargs).to_pandas()
+    if out.empty:
+        return set()
+    return set(map(tuple, out[["doc_id", "status"]].to_numpy()))
+
+
+class TestSnapshotDiff:
+    def test_planted_delta(self, ray_session):
+        old = [{"doc_id": 1, "text": "a"}, {"doc_id": 2, "text": "b"},
+               {"doc_id": 3, "text": "c"}]
+        new = [{"doc_id": 2, "text": "b"}, {"doc_id": 3, "text": "c2"},
+               {"doc_id": 4, "text": "d"}]
+        assert _diff(old, new, nrows=6) == {(1, "removed"), (3, "changed"),
+                                            (4, "added")}
+
+    def test_identical_snapshots_empty(self, ray_session):
+        rows = [{"doc_id": i, "text": f"t{i}"} for i in range(10)]
+        assert _diff(rows, rows, nrows=20) == set()
+
+    def test_null_text_equals_empty(self, ray_session):
+        old = [{"doc_id": 1, "text": None}]
+        new = [{"doc_id": 1, "text": ""}]
+        # None hashes as "" on both sides → unchanged → no row
+        assert _diff(old, new, nrows=2) == set()
