@@ -3601,6 +3601,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity": _q_perplexity,
         "fingerprint": _q_fingerprint,
         "domain_cap": rel.domain_cap,
+        "zorder_layout": rel.zorder_layout,
+        "event_anomalies": rel.event_anomalies,
         "perplexity_backoff": _q_perplexity_backoff,
         "jsonl_ingest": _q_jsonl_ingest,
         "semdedup": _q_semdedup,
@@ -4574,6 +4576,39 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(coalesce(lp.milli, (SELECT milli FROM oov))) AS BIGINT) "
             "AS nll_milli FROM dtri LEFT JOIN lp USING (g) GROUP BY doc_id"
         ),
+        # the z-score test cross-multiplied into integers: no float enters
+        "event_anomalies": """
+WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+                  count(*) AS n_events
+           FROM events GROUP BY 1, 2),
+s AS (SELECT user_id, count(*) AS nh, sum(n_events) AS total,
+             sum(n_events*n_events) AS sumsq
+      FROM h GROUP BY 1)
+SELECT h.user_id, h.hour, h.n_events
+FROM h JOIN s USING (user_id)
+WHERE s.nh >= 4
+  AND (s.nh*h.n_events - s.total) > 0
+  AND (s.nh*h.n_events - s.total)*(s.nh*h.n_events - s.total)
+      > 9 * (s.nh*s.sumsq - s.total*s.total)
+""",
+        # Morton spread replayed as the same magic-mask ladder in CTE steps
+        "zorder_layout": """
+WITH base AS (
+  SELECT o_orderkey, (o_custkey & 65535) AS x,
+         ((CAST(round(o_totalprice*100) AS BIGINT) >> 8) & 65535) AS y
+  FROM orders),
+s1 AS (SELECT o_orderkey, ((x | (x << 8)) & 16711935) AS x,
+              ((y | (y << 8)) & 16711935) AS y FROM base),
+s2 AS (SELECT o_orderkey, ((x | (x << 4)) & 252645135) AS x,
+              ((y | (y << 4)) & 252645135) AS y FROM s1),
+s3 AS (SELECT o_orderkey, ((x | (x << 2)) & 858993459) AS x,
+              ((y | (y << 2)) & 858993459) AS y FROM s2),
+s4 AS (SELECT o_orderkey, ((x | (x << 1)) & 1431655765) AS x,
+              ((y | (y << 1)) & 1431655765) AS y FROM s3)
+SELECT o_orderkey, (x | (y << 1)) AS zkey,
+       ((x | (y << 1)) >> 28) AS zpart
+FROM s4
+""",
         "domain_cap": (
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, source, "
             "CAST(rnk AS BIGINT) AS rnk FROM ("

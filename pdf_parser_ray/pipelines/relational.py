@@ -1523,6 +1523,53 @@ def event_transitions(sf_dir: str, num_parts: int = 64):
     return summed.map_batches(split, batch_format="pandas")
 
 
+def event_anomalies(sf_dir: str, num_parts: int = 64, z: int = 3,
+                    min_hours: int = 4):
+    """Per-user hourly-volume anomaly detection, EXACT-INTEGER z-score:
+    flag (user, hour) cells whose event count exceeds the user's own mean
+    by more than ``z`` population standard deviations — with the test
+    cross-multiplied into integers so no float ever enters:
+    (n·cnt − Σ)² > z²·(n·Σc² − Σ²), high side only, users with ≥
+    ``min_hours`` observed hours. Deterministic for any partitioning and
+    replayed verbatim by the SQL oracle.
+
+    Scale shape: read prunes to (user_id, ts); ONE coarse user-hash
+    exchange (a user's hours never span partitions), then a single
+    vectorized kernel per partition does hour-bucket counts, per-user
+    moments, and the flag — no join, no second exchange. Returns
+    (user_id, hour, n_events) for flagged cells, hour = epoch-hours."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def flag_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                              "hour": pd.Series(dtype="int64"),
+                              "n_events": pd.Series(dtype="int64")})
+        if len(g) == 0:
+            return empty
+        hours = ts_int_us(g["ts"]) // 3_600_000_000
+        c = (pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                           "hour": hours})
+             .groupby(["user_id", "hour"], as_index=False).size()
+             .rename(columns={"size": "n_events"}))
+        n = c["n_events"].to_numpy(dtype=np.int64)
+        stats = c.assign(sq=n * n).groupby("user_id")
+        agg = stats.agg(nh=("hour", "size"), total=("n_events", "sum"),
+                        sumsq=("sq", "sum"))
+        j = c.join(agg, on="user_id")
+        lhs = j["nh"].to_numpy(np.int64) * j["n_events"].to_numpy(np.int64) \
+            - j["total"].to_numpy(np.int64)
+        var_n2 = (j["nh"].to_numpy(np.int64) * j["sumsq"].to_numpy(np.int64)
+                  - j["total"].to_numpy(np.int64) ** 2)
+        keep = ((j["nh"].to_numpy(np.int64) >= min_hours) & (lhs > 0)
+                & (lhs * lhs > z * z * var_n2))
+        out = j.loc[keep, ["user_id", "hour", "n_events"]]
+        return out.astype("int64") if len(out) else empty
+
+    return coarse_partition_apply(ds, flag_part, key_col="user_id",
+                                  part_col="an_part", num_parts=num_parts,
+                                  nrows=_table_nrows(sf_dir, "events"))
+
+
 def retention(sf_dir: str, num_parts: int = 64):
     """Cohort retention — the other canonical product-analytics matrix:
     users cohort by their FIRST active day; for every (cohort, day
@@ -1783,6 +1830,56 @@ def top_n_per_group(ds, *, group_col: str, order_cols: list[str],
     return coarse_partition_apply(pruned, kernel, key_col=group_col,
                                   part_col="tng_part", num_parts=num_parts,
                                   nrows=nrows)
+
+
+def _zspread16(v: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of ``v`` to even bit positions (the classic
+    Morton-code magic-mask ladder — public bit-twiddling folklore, e.g.
+    Sean Anderson's Bit Twiddling Hacks)."""
+    v = v.astype(np.uint64) & np.uint64(0xFFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+    return v
+
+
+def zorder_key_u32(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """32-bit Morton (Z-order) key interleaving two 16-bit dimensions:
+    x in even bits, y in odd bits."""
+    return (_zspread16(x) | (_zspread16(y) << np.uint64(1))).astype(np.int64)
+
+
+def zorder_layout(sf_dir: str, *, part_bits: int = 4):
+    """Z-ORDER storage-layout keys for the orders table — the
+    multi-dimensional clustering primitive behind Delta/Iceberg's
+    ``ZORDER BY`` (public technique: Morton curves map 2-D proximity to
+    1-D key proximity, so sorting/partitioning by the key co-locates rows
+    that are close in BOTH dimensions and range-prunes either predicate).
+
+    Dimensions here: customer key (low 16 bits) × price (cents >> 8, low
+    16 bits). Emits (o_orderkey, zkey, zpart) with ``zpart`` = the top
+    ``part_bits`` of the 32-bit key — the 2^part_bits curve tiles a layout
+    writer would use as output partitions. Pure vectorized map, ZERO
+    exchange: at corpus scale the expensive step is the write-sort a
+    caller chains after it, not the key computation."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        cust = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        cents = _cents(batch.column("o_totalprice")).to_numpy(
+            zero_copy_only=False)
+        x = cust.astype(np.uint64) & np.uint64(0xFFFF)
+        y = (cents.astype(np.uint64) >> np.uint64(8)) & np.uint64(0xFFFF)
+        zkey = zorder_key_u32(x, y)
+        zpart = (zkey >> (32 - part_bits)).astype(np.int64)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "zkey": pa.array(zkey, type=pa.int64()),
+            "zpart": pa.array(zpart, type=pa.int64())})
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
 
 
 def domain_cap(sf_dir: str, cap: int = 10, group_col: str = "source"):

@@ -33,6 +33,9 @@ class TestOracleParity:
         "top_revenue_orders", "orders_filter_topk", "events_hourly",
         "events_top_users", "events_sessions", "token_counts", "quality",
         "lang_id", "hash_docs", "dedup_exact",
+        # round-5 continuation operators
+        "zorder_layout", "event_anomalies", "dup_stats", "snapshot_diff",
+        "kmeans", "editdist_neardup", "tar_ingest",
     ])
     def test_query_matches_oracle(self, con, name):
         import __ray_entry__ as m
@@ -1582,3 +1585,72 @@ def test_part_promotion_suppliers_tiers_and_planted(ray_session, tmp_path):
                                       nation="N_TGT", min_qty=50,
                                       broadcast_limit=lim)
         assert df.values.tolist() == [[1, "SA"]]
+
+
+class TestZOrder:
+    def test_spread_reference(self):
+        import numpy as np
+
+        from pdf_parser_ray.pipelines.relational import zorder_key_u32
+
+        def slow_interleave(x, y):
+            out = 0
+            for b in range(16):
+                out |= ((x >> b) & 1) << (2 * b)
+                out |= ((y >> b) & 1) << (2 * b + 1)
+            return out
+
+        rng = np.random.default_rng(3)
+        xs = rng.integers(0, 1 << 16, 200).astype(np.uint64)
+        ys = rng.integers(0, 1 << 16, 200).astype(np.uint64)
+        got = zorder_key_u32(xs, ys)
+        want = [slow_interleave(int(x), int(y)) for x, y in zip(xs, ys)]
+        assert got.tolist() == want
+
+    def test_locality(self):
+        # neighbouring 2-D points share the high z-key bits (tile) far more
+        # often than distant points — the layout-pruning property
+        import numpy as np
+
+        from pdf_parser_ray.pipelines.relational import zorder_key_u32
+
+        base = zorder_key_u32(np.array([1000], dtype=np.uint64),
+                              np.array([2000], dtype=np.uint64))[0]
+        near = zorder_key_u32(np.array([1001], dtype=np.uint64),
+                              np.array([2001], dtype=np.uint64))[0]
+        far = zorder_key_u32(np.array([60000], dtype=np.uint64),
+                             np.array([60000], dtype=np.uint64))[0]
+        assert (base >> 20) == (near >> 20)
+        assert (base >> 28) != (far >> 28)
+
+
+class TestEventAnomalies:
+    def test_planted_spike(self, ray_session, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import event_anomalies
+
+        # user 1: hours 0..19 have 2 events each, hour 20 has 30 — a z>3
+        # spike needs enough flat hours since the spike inflates sigma
+        # itself (a single outlier's z^2 is bounded by n-1);
+        # user 2: flat (never flagged); user 3: only 2 hours (< min_hours)
+        rows_u, rows_t = [], []
+        hour_us = 3_600_000_000
+        for h in range(20):
+            rows_u += [1, 1]
+            rows_t += [h * hour_us, h * hour_us + 1]
+        rows_u += [1] * 30
+        rows_t += [20 * hour_us + i for i in range(30)]
+        for h in range(6):
+            rows_u.append(2)
+            rows_t.append(h * hour_us)
+        rows_u += [3, 3]
+        rows_t += [0, hour_us]
+        pq.write_table(pa.table({
+            "user_id": pa.array(rows_u, type=pa.int64()),
+            "ts": pa.array(rows_t, type=pa.timestamp("us"))}),
+            str(tmp_path / "events.parquet"))
+        df = event_anomalies(str(tmp_path)).to_pandas()
+        assert df.values.tolist() == [[1, 20, 30]]
