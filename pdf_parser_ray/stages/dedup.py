@@ -672,30 +672,41 @@ def snapshot_diff(ds_old, ds_new, *, id_col: str = "doc_id",
 # Edit-distance near-dup (PassJoin)
 # ---------------------------------------------------------------------------
 
-def _bucket_all_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """ALL (a < b) pairs within each band bucket of a coarse partition —
-    the PassJoin candidate step needs every co-bucketed pair (unlike the
-    LSH families' min-id-anchor pairing, whose missing pairs are recovered
-    by connected components downstream; here the output contract is the
-    full ed≤d pair set, so candidates must be complete)."""
+def _bucket_role_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """INDEX × PROBE pairs within each band bucket of a coarse partition —
+    the PassJoin candidate step (unlike the LSH families' min-id-anchor
+    pairing, whose missing pairs are recovered by connected components
+    downstream, the output contract here is the full ed≤d pair set, so
+    candidates must be complete — which index×probe is, by pigeonhole).
+    Emits canonical (min, max) pairs; duplicates are dropped downstream."""
     empty = pd.DataFrame({"doc_id": pd.Series([], dtype=g["doc_id"].dtype),
                           "dup_of": pd.Series([], dtype=g["doc_id"].dtype)})
     if len(g) < 2:
         return empty
-    g = g.sort_values(["band_key", "doc_id"], kind="mergesort").reset_index(drop=True)
+    g = g.sort_values(["band_key", "role", "doc_id"],
+                      kind="mergesort").reset_index(drop=True)
     keys = g["band_key"].to_numpy()
     ids = g["doc_id"].to_numpy()
+    roles = g["role"].to_numpy()
     change = np.r_[True, keys[1:] != keys[:-1]]
     starts = np.flatnonzero(change)
     ends = np.r_[starts[1:], len(g)]
     a_parts, b_parts = [], []
     for st, en in zip(starts, ends):
-        m = en - st
-        if m < 2:
+        r = roles[st:en]
+        n_idx = int(np.searchsorted(r, 1))  # roles sorted: 0=index first
+        if n_idx == 0 or n_idx == en - st:
             continue
-        iu, ju = np.triu_indices(m, k=1)
-        a_parts.append(ids[iu + st])
-        b_parts.append(ids[ju + st])
+        idx_ids = ids[st:st + n_idx]
+        probe_ids = ids[st + n_idx:en]
+        a = np.repeat(idx_ids, len(probe_ids))
+        b = np.tile(probe_ids, len(idx_ids))
+        mask = a != b
+        if not mask.any():
+            continue
+        a, b = a[mask], b[mask]
+        a_parts.append(np.minimum(a, b))
+        b_parts.append(np.maximum(a, b))
     if not a_parts:
         return empty
     return pd.DataFrame(
@@ -711,28 +722,37 @@ def editdist_dedup_edges(ds, *, key_col: str = "text", id_col: str = "doc_id",
     near-dup family (typo-level key dedup), PassJoin-style.
 
     Candidates-then-verify like the LSH families, but the candidate step
-    is EXACT-COMPLETE, not probabilistic: ``passjoin_buckets`` pigeonhole
-    keys guarantee any pair within distance d shares a bucket
-    (functions/editdist.py), so the output equals the brute-force
+    is EXACT-COMPLETE, not probabilistic: ``passjoin_keys`` pigeonhole
+    keys guarantee any pair within distance d meets index×probe in some
+    bucket (functions/editdist.py), so the output equals the brute-force
     all-pairs answer — which is exactly what the DuckDB
     ``levenshtein()`` oracle replays. No all-pairs comparison ever runs:
-    the quadratic is confined to co-bucketed docs (same substring, same
-    position class). Verify pool carries only the short keys and is
+    candidates are index×probe cross products confined to co-bucketed
+    docs (same substring, same position class, tightened shift window).
+    Verify pool carries only the short keys and is
     Bloom-prefiltered + broadcast under ``broadcast_limit``, bucket
     hash-joins above it (the ngram_jaccard two-tier shape)."""
-    from ..functions.editdist import levenshtein_leq, passjoin_buckets
+    from ..functions.editdist import (char_matrix, levenshtein_leq_pairs,
+                                      passjoin_keys)
     from ..pipelines.relational import hash_join
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         keys = batch.column(key_col).to_pylist()
-        out_ids, out_keys = [], []
+        out_ids, out_keys, out_roles = [], [], []
         for i, s in zip(ids, keys):
-            for bk in passjoin_buckets(s or "", max_dist):
+            idx_keys, probe_keys = passjoin_keys(s or "", max_dist)
+            for bk in idx_keys:
                 out_ids.append(i)
                 out_keys.append(bk)
+                out_roles.append(0)
+            for bk in probe_keys:
+                out_ids.append(i)
+                out_keys.append(bk)
+                out_roles.append(1)
         return pa.table({id_col: pa.array(out_ids, type=batch.column(id_col).type),
-                         "band_key": pa.array(out_keys, type=pa.string())})
+                         "band_key": pa.array(out_keys, type=pa.string()),
+                         "role": pa.array(out_roles, type=pa.int8())})
 
     kw = {"concurrency": concurrency} if concurrency else {}
     bands = ds.select_columns([id_col, key_col]).map_batches(
@@ -742,7 +762,7 @@ def editdist_dedup_edges(ds, *, key_col: str = "text", id_col: str = "doc_id",
         return bands
     if bands.count() <= _COALESCE_BAND_LIMIT:
         cands = bands.repartition(1).map_batches(
-            lambda g: _bucket_all_pairs(g).drop_duplicates(["doc_id", "dup_of"]),
+            lambda g: _bucket_role_pairs(g).drop_duplicates(["doc_id", "dup_of"]),
             batch_format="pandas", batch_size=None).materialize()
     else:
         def add_part(batch: pa.Table) -> pa.Table:
@@ -755,7 +775,7 @@ def editdist_dedup_edges(ds, *, key_col: str = "text", id_col: str = "doc_id",
         parts = bands.map_batches(add_part, batch_format="pyarrow")
         cands = _distinct_edges(
             parts.groupby("band_part").map_groups(
-                lambda g: _bucket_all_pairs(g), batch_format="pandas"),
+                lambda g: _bucket_role_pairs(g), batch_format="pandas"),
             id_col="doc_id")
     if cands.count() == 0:
         return cands
@@ -767,18 +787,24 @@ def editdist_dedup_edges(ds, *, key_col: str = "text", id_col: str = "doc_id",
                                     value_col=key_col)
 
     if key_pool.count() <= broadcast_limit:
-        kdf = key_pool.to_pandas()
-        lookup_ref = _ray.put(dict(zip(kdf[id_col], kdf[key_col])))
+        # columnar broadcast: sorted ids + codepoint matrix; each verify
+        # batch is ONE vectorized banded-DP call, not a per-pair loop
+        kdf = key_pool.to_pandas().sort_values(id_col)
+        mat, lens = char_matrix(kdf[key_col].tolist())
+        lookup_ref = _ray.put((kdf[id_col].to_numpy(), mat, lens))
 
         def verify_broadcast(df: pd.DataFrame) -> pd.DataFrame:
             if df.empty:
                 return df.reindex(columns=["doc_id", "dup_of"])
-            lk = _ray.get(lookup_ref)
-            keep = [levenshtein_leq(lk[a] or "", lk[b] or "", max_dist)
-                    for a, b in zip(df["doc_id"], df["dup_of"])]
+            ids_sorted, mat, lens = _ray.get(lookup_ref)
+            ia = np.searchsorted(ids_sorted, df["doc_id"].to_numpy())
+            ib = np.searchsorted(ids_sorted, df["dup_of"].to_numpy())
+            keep = levenshtein_leq_pairs(mat[ia], lens[ia],
+                                         mat[ib], lens[ib], max_dist)
             return df.loc[keep, ["doc_id", "dup_of"]]
 
-        return cands.map_batches(verify_broadcast, batch_format="pandas")
+        return cands.map_batches(verify_broadcast, batch_format="pandas",
+                                 batch_size=None)
 
     keys_a = key_pool.map_batches(
         lambda b: b.rename_columns(["doc_id", "key_a"]), batch_format="pyarrow")
@@ -795,8 +821,9 @@ def editdist_dedup_edges(ds, *, key_col: str = "text", id_col: str = "doc_id",
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return df.reindex(columns=["doc_id", "dup_of"])
-        keep = [levenshtein_leq(a or "", b or "", max_dist)
-                for a, b in zip(df["key_a"], df["key_b"])]
+        mat_a, la = char_matrix(df["key_a"].tolist())
+        mat_b, lb = char_matrix(df["key_b"].tolist())
+        keep = levenshtein_leq_pairs(mat_a, la, mat_b, lb, max_dist)
         return df.loc[keep, ["doc_id", "dup_of"]]
 
     return j2.map_batches(verify, batch_format="pandas")

@@ -13,7 +13,16 @@ import pytest
 
 from pdf_parser_ray.functions.editdist import (_segments, levenshtein,
                                                levenshtein_leq,
-                                               passjoin_buckets)
+                                               passjoin_buckets,
+                                               passjoin_keys)
+
+
+def _cobucketed(a: str, b: str, d: int) -> bool:
+    """The pipeline's actual pairing rule: index of one side meets probe
+    of the other in some bucket."""
+    ia, pa_ = passjoin_keys(a, d)
+    ib, pb = passjoin_keys(b, d)
+    return bool((ia & pb) or (ib & pa_))
 
 ALPHA = "abcx "
 
@@ -69,10 +78,9 @@ class TestPassJoinBuckets:
         property the DuckDB brute-force oracle checks at corpus scale."""
         rng = random.Random(100 + d)
         pool = _rand_strings(rng, 60, max_len=10)
-        keys = [passjoin_buckets(s, d) for s in pool]
-        for (i, a), (j, b) in itertools.combinations(enumerate(pool), 2):
+        for a, b in itertools.combinations(pool, 2):
             if levenshtein(a, b) <= d:
-                assert keys[i] & keys[j], (a, b, d)
+                assert _cobucketed(a, b, d), (a, b, d)
 
     @pytest.mark.parametrize("d", [1, 2])
     def test_completeness_planted_edits(self, d):
@@ -90,13 +98,37 @@ class TestPassJoinBuckets:
                 elif op == "del" and s:
                     del s[rng.randrange(len(s))]
             other = "".join(s)
-            assert passjoin_buckets(base, d) & passjoin_buckets(other, d), \
-                (base, other, d)
+            assert _cobucketed(base, other, d), (base, other, d)
 
     def test_tiny_strings_cobucket(self):
-        # len <= 2d strings must meet in the tiny bucket
-        assert passjoin_buckets("", 2) & passjoin_buckets("ab", 2)
-        assert passjoin_buckets("a", 1) & passjoin_buckets("b", 1)
+        # len <= 2d strings must meet in the tiny bucket (both roles)
+        assert _cobucketed("", "ab", 2)
+        assert _cobucketed("a", "b", 1)
+
+    def test_union_helper_is_superset(self):
+        idx, probe = passjoin_keys("hello world", 2)
+        assert passjoin_buckets("hello world", 2) == idx | probe
+
+
+class TestVectorizedDP:
+    @pytest.mark.parametrize("d", [0, 1, 2, 3])
+    def test_vec_equals_scalar(self, d):
+        import numpy as np
+
+        from pdf_parser_ray.functions.editdist import (char_matrix,
+                                                       levenshtein_leq_pairs)
+
+        rng = random.Random(31 + d)
+        a = _rand_strings(rng, 400, max_len=14)
+        b = _rand_strings(rng, 400, max_len=14)
+        # salt in edge shapes: empties, equal pairs, off-by-length pairs
+        a += ["", "", "same", "abc"]
+        b += ["", "xy", "same", "abcde"]
+        A, la = char_matrix(a)
+        B, lb = char_matrix(b)
+        got = levenshtein_leq_pairs(A, la, B, lb, d)
+        want = np.array([levenshtein(x, y) <= d for x, y in zip(a, b)])
+        assert (got == want).all()
 
 
 def _edges_df(rows, **kwargs) -> pd.DataFrame:
