@@ -687,13 +687,20 @@ def kmeans_assignments(ds, *, vec_col: str = "embedding",
             return df.groupby("cluster", as_index=False).sum()
 
         partials = slim.map_batches(partial_sums, batch_format="pandas")
-        # bounded tree reduce: k rows/batch → 8 blocks → 1 block → driver
-        # (integer sums commute, so the tree shape can't change the result)
-        sums = (partials.repartition(8)
-                .map_batches(combine, batch_format="pandas", batch_size=None)
-                .repartition(1)
-                .map_batches(combine, batch_format="pandas", batch_size=None)
-                .to_pandas())
+        # ≤ blocks×k tiny rows: under the gate collect them straight to the
+        # driver (each repartition is a ~2 s barrier and there are two per
+        # iteration × iters); above it, bounded tree reduce. Integer sums
+        # commute, so the reduce shape can't change the result.
+        if slim.num_blocks() * k <= 100_000:
+            sums = combine(partials.to_pandas())
+        else:
+            sums = (partials.repartition(8)
+                    .map_batches(combine, batch_format="pandas",
+                                 batch_size=None)
+                    .repartition(1)
+                    .map_batches(combine, batch_format="pandas",
+                                 batch_size=None)
+                    .to_pandas())
         new_cents = centroids.copy()
         for _, row in sums.iterrows():
             c = int(row["cluster"])
