@@ -2143,6 +2143,52 @@ def _kmeans_sql(k: int = 8, iters: int = 5, dim: int = 64,
             f"({assign.format(cent=f'c{iters - 1}')}) WHERE rn = 1")
 
 
+def _q_source_keywords(sf_dir: str):
+    """Per-source distinctive terms by exact-integer lift
+    (stages/textstage.py source_keywords) — the corpus-comparison report
+    behind mixture decisions. ORACLE-GATED: the lift is computed in
+    arbitrary-precision integers (no ln, no float) and the oracle replays
+    it in HUGEINT division."""
+    from pdf_parser_ray.stages.textstage import source_keywords
+
+    ds = _documents(sf_dir, columns=["source", "text"])
+    df = source_keywords(ds).to_pandas()
+    if df.empty or "source" not in df.columns:
+        return pd.DataFrame({"source": pd.Series(dtype="object"),
+                             "term": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64"),
+                             "lift_e9": pd.Series(dtype="int64"),
+                             "rnk": pd.Series(dtype="int64")})
+    return df.astype({"n": "int64", "lift_e9": "int64", "rnk": "int64"})
+
+
+_SOURCE_KEYWORDS_SQL = """
+WITH tok AS (
+  SELECT source, unnest(list_filter(
+    string_split_regex(lower(text), '[ \t\n\r\f]+'), x -> x <> '')) AS term
+  FROM documents),
+st AS (SELECT source, term, count(*) AS n FROM tok GROUP BY 1, 2),
+s_tot AS (SELECT source, sum(n) AS s_n FROM st GROUP BY 1),
+c_tot AS (SELECT term, sum(n) AS c_n FROM st GROUP BY 1),
+tot AS (SELECT sum(n) AS n_tot FROM st),
+scored AS (
+  SELECT st.source, st.term, st.n,
+         (st.n * tot.n_tot * 1000000000) // (s_tot.s_n * c_tot.c_n)
+           AS lift_e9
+  FROM st
+  JOIN s_tot USING (source)
+  JOIN c_tot USING (term)
+  CROSS JOIN tot
+  WHERE st.n >= 5)
+SELECT source, term, CAST(n AS BIGINT) AS n,
+       CAST(lift_e9 AS BIGINT) AS lift_e9, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY lift_e9 DESC, term ASC) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+"""
+
+
 def _q_dup_stats(sf_dir: str):
     """Exact-dup cluster-size distribution (stages/dedup.py
     dup_cluster_stats): the curation report behind every dedup decision.
@@ -3594,6 +3640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "editdist_neardup": _q_editdist_neardup,
         "dup_stats": _q_dup_stats,
+        "source_keywords": _q_source_keywords,
         "snapshot_diff": _q_snapshot_diff,
         "neardup_clusters": _q_neardup_clusters,
         "pagerank": _q_pagerank,
@@ -3866,6 +3913,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _ngram_jaccard_sql(),
         "editdist_neardup": _EDITDIST_SQL,
         "dup_stats": _DUP_STATS_SQL,
+        "source_keywords": _SOURCE_KEYWORDS_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "corpus_prep_neardup": _corpus_prep_neardup_sql(),
         "token_counts": (

@@ -206,7 +206,9 @@ def run_query_suite() -> dict:
              "cdc_chunks", "cdc_dup_chunks",
              "value_histogram", "key_skew_profile", "heavy_hitters_by_source", "cdc_neardup",
              # round-5 continuation additions
-             "editdist_neardup", "kmeans", "tar_ingest"]
+             "editdist_neardup", "kmeans", "tar_ingest", "dup_stats",
+             "snapshot_diff", "zorder_layout", "event_anomalies",
+             "source_keywords"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:

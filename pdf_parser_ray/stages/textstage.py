@@ -785,6 +785,128 @@ def top_terms(ds, *, k: int = 50, text_col: str = "text"):
     return topk(summed, by=["n", "term"], descending=[True, False], k=k)
 
 
+def source_keywords(ds, *, group_col: str = "source", text_col: str = "text",
+                    k: int = 5, min_count: int = 5,
+                    scale: int = 1_000_000_000,
+                    broadcast_limit: int = 2_000_000):
+    """Per-source DISTINCTIVE terms — the corpus-comparison report behind
+    mixture decisions ("what is source X actually made of"): for every
+    (source, term) with ≥ ``min_count`` occurrences, the exact-integer
+    LIFT of the term's within-source rate over its corpus rate,
+
+        lift_e9 = (n_st · N · scale) // (S_s · C_t)
+
+    computed entirely in arbitrary-precision integers (no ln(), no float
+    — the ordering is exact and the DuckDB oracle replays it in HUGEINT),
+    then the top ``k`` terms per source by (lift desc, term asc).
+
+    Shape: one (source␟term, n) Counter-partial group-sum (the top_terms
+    exchange, slim); per-source totals driver-merged (sources are FEW —
+    the mixture-key cardinality); per-term corpus totals via a second
+    slim group-sum, joined back by broadcast under ``broadcast_limit``
+    vocabulary rows and by the house term-hash join above it; per-source
+    top-k through top_n_per_group (≤ k rows per source per block cross
+    the exchange). Returns (source, term, n, lift_e9, rnk)."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from ..functions.minhash import _ASCII_WS
+    from ..pipelines.relational import (hash_join, partitioned_group_sum,
+                                        top_n_per_group)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cnt: collections.Counter = collections.Counter()
+        for s, t in zip(batch.column(group_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            s = s or ""
+            for x in _ASCII_WS.split((t or "").lower()):
+                if x:
+                    cnt[(s, x)] += 1
+        keys = list(cnt.keys())
+        return pa.table({
+            "gt_key": pa.array([f"{s}\x1f{t}" for s, t in keys],
+                               type=pa.string()),
+            "n": pa.array([cnt[k_] for k_ in keys], type=pa.int64())})
+
+    summed = partitioned_group_sum(
+        ds.select_columns([group_col, text_col]).map_batches(
+            partials, batch_format="pyarrow"),
+        key="gt_key", sum_cols={"n": "n"})
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"source": pd.Series(dtype="object"),
+                                 "term": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        parts = df["gt_key"].str.split("\x1f", n=1, expand=True)
+        return pd.DataFrame({"source": parts[0], "term": parts[1],
+                             "n": df["n"].astype("int64")})
+
+    st = summed.map_batches(split, batch_format="pandas").materialize()
+
+    # per-source totals: the mixture keys are FEW (and per-batch partials
+    # are one row per source per block), so the driver merge is bounded
+    sp = st.map_batches(
+        lambda df: df.groupby("source", as_index=False)["n"].sum(),
+        batch_format="pandas").to_pandas()
+    s_tot = {s: int(v) for s, v in
+             sp.groupby("source")["n"].sum().items()}
+    n_tot = sum(s_tot.values())
+
+    c_tot = partitioned_group_sum(
+        st.map_batches(lambda b: b.select(["term", "n"]),
+                       batch_format="pyarrow"),
+        key="term", sum_cols={"c_n": "n"}).materialize()
+
+    out_cols = ["source", "term", "n", "lift_e9"]
+
+    def score(df: pd.DataFrame, lookup=None) -> pd.DataFrame:
+        df = df[df["n"] >= min_count]
+        if not len(df):
+            return pd.DataFrame({"source": pd.Series(dtype="object"),
+                                 "term": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "lift_e9": pd.Series(dtype="int64")})
+        cn = (df["term"].map(lookup) if lookup is not None
+              else df["c_n"]).astype("int64")
+        # Python-int lift: the operands overflow int64 by design (n·N·1e9)
+        # and the oracle's HUGEINT division must be matched exactly; rows
+        # here are the ≥min_count vocabulary slice, not the corpus
+        lifts = [(int(n) * n_tot * scale) // (s_tot[s] * int(c))
+                 for s, n, c in zip(df["source"], df["n"], cn)]
+        out = pd.DataFrame({"source": df["source"].to_numpy(),
+                            "term": df["term"].to_numpy(),
+                            "n": df["n"].to_numpy(),
+                            "lift_e9": np.array(lifts, dtype=np.int64)})
+        return out
+
+    if c_tot.count() <= broadcast_limit:
+        cdf = c_tot.to_pandas()
+        c_ref = _ray.put(dict(zip(cdf["term"], cdf["c_n"])))
+
+        def score_broadcast(df: pd.DataFrame) -> pd.DataFrame:
+            return score(df, lookup=_ray.get(c_ref))
+
+        scored = st.map_batches(score_broadcast, batch_format="pandas")
+    else:
+        j = hash_join(st, c_tot, key="term", num_buckets=32,
+                      left_types={"source": pa.string(),
+                                  "term": pa.string(), "n": pa.int64()},
+                      right_types={"term": pa.string(), "c_n": pa.int64()})
+        scored = j.map_batches(score, batch_format="pandas")
+
+    ranked = top_n_per_group(scored, group_col="source",
+                             order_cols=["lift_e9", "term"],
+                             descending=[True, False], n=k)
+    return ranked.map_batches(
+        lambda df: df.reindex(columns=out_cols + ["rnk"]),
+        batch_format="pandas")
+
+
 def bpe_token_counts(ds, *, text_col: str = "text", id_col: str = "doc_id",
                      num_merges: int = 64, vocab_words: int = 2000):
     """Per-document subword token count under a BPE vocabulary TRAINED ON

@@ -35,7 +35,7 @@ class TestOracleParity:
         "lang_id", "hash_docs", "dedup_exact",
         # round-5 continuation operators
         "zorder_layout", "event_anomalies", "dup_stats", "snapshot_diff",
-        "kmeans", "editdist_neardup", "tar_ingest",
+        "kmeans", "editdist_neardup", "tar_ingest", "source_keywords",
     ])
     def test_query_matches_oracle(self, con, name):
         import __ray_entry__ as m
