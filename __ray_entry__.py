@@ -3650,6 +3650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_cap": rel.domain_cap,
         "zorder_layout": rel.zorder_layout,
         "event_anomalies": rel.event_anomalies,
+        "event_throttle": rel.event_throttle,
         "perplexity_backoff": _q_perplexity_backoff,
         "jsonl_ingest": _q_jsonl_ingest,
         "semdedup": _q_semdedup,
@@ -4624,6 +4625,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(coalesce(lp.milli, (SELECT milli FROM oov))) AS BIGINT) "
             "AS nll_milli FROM dtri LEFT JOIN lp USING (g) GROUP BY doc_id"
         ),
+        "event_throttle": """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) // 3600000000 AS hour,
+                  ts, event_id
+           FROM events),
+r AS (SELECT user_id, event_type, hour, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type, hour
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id, event_type, hour) AS cnt
+      FROM e)
+SELECT user_id, event_type, hour, event_id,
+       CAST(cnt - 1 AS BIGINT) AS n_suppressed
+FROM r WHERE rn = 1
+""",
         # the z-score test cross-multiplied into integers: no float enters
         "event_anomalies": """
 WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour,

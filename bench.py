@@ -208,7 +208,7 @@ def run_query_suite() -> dict:
              # round-5 continuation additions
              "editdist_neardup", "kmeans", "tar_ingest", "dup_stats",
              "snapshot_diff", "zorder_layout", "event_anomalies",
-             "source_keywords"]
+             "source_keywords", "event_throttle"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:

@@ -1570,6 +1570,42 @@ def event_anomalies(sf_dir: str, num_parts: int = 64, z: int = 3,
                                   nrows=_table_nrows(sf_dir, "events"))
 
 
+def event_throttle(sf_dir: str, num_parts: int = 64):
+    """Keep-first-per-window debounce — the standard stream-curation
+    primitive (rate-limit repeated signals): for every (user, event_type,
+    hour) cell keep the FIRST event by (ts, event_id) and count how many
+    the throttle suppressed. Deterministic: the tiebreak pins the winner.
+
+    Scale shape: read prunes to 4 slim columns; ONE coarse user-hash
+    exchange (a user's cells never span partitions), then a single
+    vectorized mergesort + group-first kernel per partition. Returns
+    (user_id, event_type, hour, event_id, n_suppressed)."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts", "event_id"])
+
+    def first_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                              "event_type": pd.Series(dtype="object"),
+                              "hour": pd.Series(dtype="int64"),
+                              "event_id": pd.Series(dtype="int64"),
+                              "n_suppressed": pd.Series(dtype="int64")})
+        if len(g) == 0:
+            return empty
+        g = g.assign(hour=ts_int_us(g["ts"]) // 3_600_000_000)
+        g = g.sort_values(["user_id", "event_type", "hour", "ts", "event_id"],
+                          kind="mergesort")
+        grp = g.groupby(["user_id", "event_type", "hour"], sort=False)
+        out = grp.agg(event_id=("event_id", "first"),
+                      n_suppressed=("event_id", "size")).reset_index()
+        out["n_suppressed"] = (out["n_suppressed"] - 1).astype("int64")
+        return out[["user_id", "event_type", "hour", "event_id",
+                    "n_suppressed"]]
+
+    return coarse_partition_apply(ds, first_part, key_col="user_id",
+                                  part_col="th_part", num_parts=num_parts,
+                                  nrows=_table_nrows(sf_dir, "events"))
+
+
 def retention(sf_dir: str, num_parts: int = 64):
     """Cohort retention — the other canonical product-analytics matrix:
     users cohort by their FIRST active day; for every (cohort, day

@@ -36,6 +36,7 @@ class TestOracleParity:
         # round-5 continuation operators
         "zorder_layout", "event_anomalies", "dup_stats", "snapshot_diff",
         "kmeans", "editdist_neardup", "tar_ingest", "source_keywords",
+        "event_throttle",
     ])
     def test_query_matches_oracle(self, con, name):
         import __ray_entry__ as m
@@ -1654,3 +1655,33 @@ class TestEventAnomalies:
             str(tmp_path / "events.parquet"))
         df = event_anomalies(str(tmp_path)).to_pandas()
         assert df.values.tolist() == [[1, 20, 30]]
+
+
+class TestEventThrottle:
+    def test_planted_debounce(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import event_throttle
+
+        hour_us = 3_600_000_000
+        # user 1 / click / hour 0: three events → first (id 11) kept, 2
+        # suppressed; user 1 / view / hour 0: one event; user 2 / click /
+        # hour 1: tie on ts → lower event_id wins
+        pq.write_table(pa.table({
+            "user_id": pa.array([1, 1, 1, 1, 2, 2], type=pa.int64()),
+            "event_type": ["click", "click", "click", "view",
+                           "click", "click"],
+            "ts": pa.array([5, 9, 2, 7, hour_us + 4, hour_us + 4],
+                           type=pa.timestamp("us")),
+            "event_id": pa.array([12, 13, 11, 14, 22, 21],
+                                 type=pa.int64())}),
+            str(tmp_path / "events.parquet"))
+        df = (event_throttle(str(tmp_path)).to_pandas()
+              .sort_values(["user_id", "event_type", "hour"])
+              .reset_index(drop=True))
+        assert df.values.tolist() == [
+            [1, "click", 0, 11, 2],
+            [1, "view", 0, 14, 0],
+            [2, "click", 1, 21, 1],
+        ]
