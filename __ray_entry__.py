@@ -3651,6 +3651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_layout": rel.zorder_layout,
         "event_anomalies": rel.event_anomalies,
         "event_throttle": rel.event_throttle,
+        "order_skyline": rel.order_skyline,
         "perplexity_backoff": _q_perplexity_backoff,
         "jsonl_ingest": _q_jsonl_ingest,
         "semdedup": _q_semdedup,
@@ -4637,6 +4638,19 @@ r AS (SELECT user_id, event_type, hour, event_id,
 SELECT user_id, event_type, hour, event_id,
        CAST(cnt - 1 AS BIGINT) AS n_suppressed
 FROM r WHERE rn = 1
+""",
+        # skyline = the literal dominance definition; comparisons only,
+        # so the parquet float64 prices hash bit-exact on both sides
+        "order_skyline": """
+SELECT o.o_orderpriority, o.o_orderkey, o.o_totalprice,
+       epoch_us(o.o_orderdate) AS o_orderdate_us
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders d
+  WHERE d.o_orderpriority = o.o_orderpriority
+    AND d.o_totalprice >= o.o_totalprice
+    AND d.o_orderdate >= o.o_orderdate
+    AND (d.o_totalprice > o.o_totalprice OR d.o_orderdate > o.o_orderdate))
 """,
         # the z-score test cross-multiplied into integers: no float enters
         "event_anomalies": """

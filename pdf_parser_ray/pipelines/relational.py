@@ -5786,3 +5786,94 @@ def part_promotion_suppliers(sf_dir: str, *, name_prefix: str = "small",
         return empty_out()
     return (names.astype(out_schema).sort_values("s_suppkey")
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline) — dominance pruning as a distributed operator
+# ---------------------------------------------------------------------------
+
+def skyline2d_max(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Survivor mask of the 2-D maximize-both Pareto frontier.
+
+    A point p is DOMINATED iff some q has q.a >= p.a and q.b >= p.b with
+    at least one strict; exact duplicates dominate nothing and all
+    survive.  O(n log n): sort by (a desc, b desc); within an equal-`a`
+    run the run's max-`b` leader dominates the rest, and across runs a
+    point must beat the running max `b` of every strictly-greater-`a`
+    run.  Comparisons only (no arithmetic), so float64 `a` read from
+    parquet is bit-exact vs a SQL NOT-EXISTS oracle.
+    """
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-b, -a))
+    av, bv = a[order], b[order]
+    new_run = np.empty(n, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = av[1:] != av[:-1]
+    run_id = np.cumsum(new_run) - 1
+    leaders = bv[new_run]                      # max b of each a-run
+    leader_b = leaders[run_id]
+    run_cummax = np.maximum.accumulate(leaders)
+    strict_max = np.empty(n, dtype=bv.dtype)
+    has_prev = run_id > 0
+    strict_max[:] = np.iinfo(np.int64).min if bv.dtype.kind == "i" \
+        else -np.inf
+    strict_max[has_prev] = run_cummax[run_id[has_prev] - 1]
+    survive_sorted = (bv == leader_b) & (bv > strict_max)
+    mask = np.zeros(n, dtype=bool)
+    mask[order] = survive_sorted
+    return mask
+
+
+def order_skyline(sf_dir: str):
+    """Per-priority Pareto frontier (skyline) of orders over
+    (o_totalprice, o_orderdate), both maximized: an order survives iff no
+    same-priority order is at least as expensive AND at least as recent
+    with one strict — the classic "best trade-offs" query relational
+    engines express as a quadratic NOT EXISTS.
+
+    Scale shape: dominance is TRANSITIVE, so local pruning is safe — a
+    point dominated inside one block is dominated globally, and the
+    frontier of a union is a subset of the union of frontiers.  Each
+    block therefore emits only its local frontier (O(k) rows, k =
+    frontier size, typically ≪ block) via one vectorized O(n log n)
+    kernel, and the only exchange is a per-priority map_groups over the
+    pruned partials — frontiers move, never the table.  At 100 TB the
+    reduce side stays tiny as long as per-group frontiers do (true for
+    anti-correlated-free TPC-H-ish data); a pathological frontier would
+    surface as a fat group, not silent corruption.
+
+    Returns (o_orderpriority, o_orderkey, o_totalprice, o_orderdate_us),
+    dates as epoch-µs int64 (house timestamp carrier).
+    """
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority",
+                                          "o_totalprice", "o_orderdate"])
+    out_types = {"o_orderpriority": "object", "o_orderkey": "int64",
+                 "o_totalprice": "float64", "o_orderdate_us": "int64"}
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for pri, g in batch.groupby("o_orderpriority", sort=False):
+            price = g["o_totalprice"].to_numpy()
+            date = ts_int_us(g["o_orderdate"])
+            m = skyline2d_max(price, date)
+            outs.append(pd.DataFrame({
+                "o_orderpriority": g["o_orderpriority"].to_numpy()[m],
+                "o_orderkey": g["o_orderkey"].to_numpy(np.int64)[m],
+                "o_totalprice": price[m],
+                "o_orderdate_us": date[m]}))
+        if not outs:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in out_types.items()})
+        return pd.concat(outs, ignore_index=True)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        m = skyline2d_max(g["o_totalprice"].to_numpy(),
+                          g["o_orderdate_us"].to_numpy(np.int64))
+        return g.loc[m, list(out_types)].astype(
+            {"o_orderkey": "int64", "o_orderdate_us": "int64"})
+
+    pruned = ds.map_batches(local, batch_format="pandas", batch_size=8192)
+    return pruned.groupby("o_orderpriority").map_groups(
+        final, batch_format="pandas")

@@ -36,7 +36,7 @@ class TestOracleParity:
         # round-5 continuation operators
         "zorder_layout", "event_anomalies", "dup_stats", "snapshot_diff",
         "kmeans", "editdist_neardup", "tar_ingest", "source_keywords",
-        "event_throttle",
+        "event_throttle", "order_skyline",
     ])
     def test_query_matches_oracle(self, con, name):
         import __ray_entry__ as m
@@ -1685,3 +1685,68 @@ class TestEventThrottle:
             [1, "view", 0, 14, 0],
             [2, "click", 1, 21, 1],
         ]
+
+
+class TestOrderSkyline:
+    def test_kernel_vs_bruteforce(self):
+        import numpy as np
+
+        from pdf_parser_ray.pipelines.relational import skyline2d_max
+
+        rng = np.random.default_rng(11)
+        for _ in range(150):
+            n = int(rng.integers(1, 50))
+            a = rng.integers(0, 5, n).astype(float)  # dense ties
+            b = rng.integers(0, 5, n).astype(np.int64)
+            got = skyline2d_max(a, b)
+            want = np.ones(n, dtype=bool)
+            for i in range(n):
+                for j in range(n):
+                    if (a[j] >= a[i] and b[j] >= b[i]
+                            and (a[j] > a[i] or b[j] > b[i])):
+                        want[i] = False
+                        break
+            assert (got == want).all()
+
+    def test_local_prune_is_lossless(self, ray_session, tmp_path):
+        """Splitting the table into many tiny blocks (forcing heavy local
+        pruning) must not change the frontier — dominance transitivity in
+        practice, not just in the docstring."""
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import order_skyline
+
+        src = pq.read_table(SF_DIR + "/orders.parquet")
+        out = tmp_path / "orders.parquet"
+        out.mkdir()
+        step = max(1, len(src) // 37)
+        for i, lo in enumerate(range(0, len(src), step)):
+            pq.write_table(src.slice(lo, step), str(out / f"p{i:03d}.parquet"))
+        whole = (order_skyline(SF_DIR).to_pandas()
+                 .sort_values(["o_orderpriority", "o_orderkey"],
+                              ignore_index=True))
+        shredded = (order_skyline(str(tmp_path)).to_pandas()
+                    .sort_values(["o_orderpriority", "o_orderkey"],
+                                 ignore_index=True))
+        pd.testing.assert_frame_equal(whole, shredded)
+
+    def test_planted_frontier(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import order_skyline
+
+        day_us = 86_400_000_000
+        # group U: (100, d0) dominated by (200, d1); (200, d1) and
+        # (150, d2) incomparable; exact duplicate of the (200, d1) point
+        # also survives. group V: single row survives trivially.
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "o_orderpriority": ["U", "U", "U", "U", "V"],
+            "o_totalprice": [100.0, 200.0, 150.0, 200.0, 1.0],
+            "o_orderdate": pa.array([0, day_us, 2 * day_us, day_us, 0],
+                                    type=pa.timestamp("us"))}),
+            str(tmp_path / "orders.parquet"))
+        df = (order_skyline(str(tmp_path)).to_pandas()
+              .sort_values("o_orderkey").reset_index(drop=True))
+        assert df["o_orderkey"].tolist() == [2, 3, 4, 5]
