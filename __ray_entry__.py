@@ -2091,6 +2091,40 @@ def _q_ngram_jaccard(sf_dir: str):
     return df.astype({"doc_id": "int64", "dup_of": "int64"})
 
 
+def _q_ppjoin_neardup(sf_dir: str):
+    """COMPLETE exact word-3-gram-shingle Jaccard >= 0.6 self-join via
+    AllPairs/PPJoin prefix filtering (stages/dedup.py ppjoin_pairs) — the
+    seventh near-dup family and the only one with guaranteed recall: the
+    oracle is the unfiltered brute-force pairwise join, and the Ray side
+    must reproduce it EXACTLY (no LSH miss allowance)."""
+    from pdf_parser_ray.stages.dedup import ppjoin_pairs
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    df = ppjoin_pairs(ds, threshold=0.6, width=3).to_pandas()
+    if df.empty or "doc_id" not in df.columns:
+        df = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                           "dup_of": pd.Series(dtype="int64")})
+    return df.astype({"doc_id": "int64", "dup_of": "int64"})
+
+
+_PPJOIN_SQL = r"""
+WITH w AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text), '[ \t\n\r\f]+'), x -> x <> '') AS ws
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+  FROM w, unnest([x for x in range(1, len(ws) - 1)]) AS u(i)),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT ida AS doc_id, idb AS dup_of
+FROM inter JOIN sz sa ON sa.doc_id = ida JOIN sz sb ON sb.doc_id = idb
+WHERE 5 * i >= 3 * (sa.n + sb.n - i)
+"""
+
+
 def _q_kmeans(sf_dir: str):
     """Distributed Lloyd's k-means over the full embeddings table
     (stages/similarity.py kmeans_assignments): integer-exact fixed-point
@@ -3638,6 +3672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "model_filter": _q_model_filter,
         "ngram_jaccard": _q_ngram_jaccard,
+        "ppjoin_neardup": _q_ppjoin_neardup,
         "editdist_neardup": _q_editdist_neardup,
         "dup_stats": _q_dup_stats,
         "source_keywords": _q_source_keywords,
@@ -3913,6 +3948,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curate": _corpus_curate_sql(),
         "embedding_centroids": _EMBEDDING_CENTROIDS_SQL,
         "ngram_jaccard": _ngram_jaccard_sql(),
+        # brute-force pairwise shingle join — completeness is the claim,
+        # so the oracle deliberately has NO candidate pruning at all
+        "ppjoin_neardup": _PPJOIN_SQL,
         "editdist_neardup": _EDITDIST_SQL,
         "dup_stats": _DUP_STATS_SQL,
         "source_keywords": _SOURCE_KEYWORDS_SQL,

@@ -649,3 +649,111 @@ class TestSemDedup:
         pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
         # a meaningful split: some dropped, some kept
         assert 0 < got["semdedup_keep"].sum() < len(got)
+
+
+class TestPPJoin:
+    @staticmethod
+    def _brute(rows, threshold, width):
+        from fractions import Fraction
+
+        from pdf_parser_ray.stages.dedup import _pp_shingle_set
+
+        fr = Fraction(str(threshold))
+        sets = {r["doc_id"]: _pp_shingle_set(r["text"], width) for r in rows}
+        ids = sorted(sets)
+        out = []
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a]) + len(sets[b]) - inter
+                if union > 0 and fr.denominator * inter >= \
+                        fr.numerator * union:
+                    out.append((a, b))
+        return sorted(out)
+
+    def test_complete_vs_bruteforce(self, ray_session):
+        """THE family differentiator: every qualifying pair must be
+        present — no LSH recall allowance. Random corpus with graded
+        overlap levels straddling the threshold."""
+        import ray.data
+
+        rng = np.random.default_rng(5)
+        vocab = [f"w{i}" for i in range(120)]
+        rows = []
+        base = list(rng.choice(vocab, 60))
+        for d in range(40):
+            mut = list(base)
+            n_mut = int(rng.integers(0, 40))     # 0 → exact dup .. 40 → far
+            for _ in range(n_mut):
+                mut[int(rng.integers(0, 60))] = str(rng.choice(vocab))
+            rows.append({"doc_id": d, "text": " ".join(mut)})
+        ds = ray.data.from_items(rows)
+
+        from pdf_parser_ray.stages.dedup import ppjoin_pairs
+
+        got = ppjoin_pairs(ds, threshold=0.6, width=3).to_pandas()
+        got_pairs = sorted(zip(got["doc_id"], got["dup_of"]))
+        want = self._brute(rows, 0.6, 3)
+        assert got_pairs == want
+        assert len(want) > 0          # the fixture must exercise matches
+
+    def test_scale_paths_agree(self, ray_session):
+        """Forcing the df hash-join rebuild (df_broadcast_limit=0), the
+        coarse posting partition (gate 0) and the verify bucket-join
+        (broadcast_limit=0) must reproduce the broadcast answer."""
+        import ray.data
+
+        import pdf_parser_ray.stages.dedup as dd
+
+        rng = np.random.default_rng(9)
+        vocab = [f"w{i}" for i in range(80)]
+        base = list(rng.choice(vocab, 50))
+        rows = []
+        for d in range(25):
+            mut = list(base)
+            for _ in range(int(rng.integers(0, 25))):
+                mut[int(rng.integers(0, 50))] = str(rng.choice(vocab))
+            rows.append({"doc_id": d, "text": " ".join(mut)})
+        ds = ray.data.from_items(rows)
+
+        fast = dd.ppjoin_pairs(ds, threshold=0.6).to_pandas()
+        fast_pairs = sorted(zip(fast["doc_id"], fast["dup_of"]))
+
+        old_gate = dd._COALESCE_BAND_LIMIT
+        try:
+            dd._COALESCE_BAND_LIMIT = 0
+            slow = dd.ppjoin_pairs(ds, threshold=0.6,
+                                   df_broadcast_limit=0,
+                                   broadcast_limit=0).to_pandas()
+        finally:
+            dd._COALESCE_BAND_LIMIT = old_gate
+        slow_pairs = sorted(zip(slow["doc_id"], slow["dup_of"]))
+        assert slow_pairs == fast_pairs and len(fast_pairs) > 0
+
+    def test_exact_rational_threshold_boundary(self, ray_session):
+        """A pair EXACTLY at the threshold must be kept (>=, not >), and
+        one shingle below must be dropped — float comparison would wobble
+        here; the Fraction cross-multiply must not."""
+        import ray.data
+
+        from pdf_parser_ray.stages.dedup import ppjoin_pairs
+
+        # doc 1: shingles from 12 words -> 10 shingles; doc 2 shares
+        # exactly 6 of them with 2 extra: J = 6 / (10 + 8 - 6) = 0.5
+        w = [f"t{i}" for i in range(12)]
+        a = " ".join(w)
+        b = " ".join(w[:8] + ["zz", "yy", "xx", "ww"])
+        ds = ray.data.from_items([{"doc_id": 1, "text": a},
+                                  {"doc_id": 2, "text": b}])
+        from pdf_parser_ray.stages.dedup import _pp_shingle_set
+        sa, sb = _pp_shingle_set(a, 3), _pp_shingle_set(b, 3)
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        from fractions import Fraction
+        j = Fraction(inter, union)
+
+        at = ppjoin_pairs(ds, threshold=float(j), width=3).to_pandas()
+        assert sorted(zip(at["doc_id"], at["dup_of"])) == [(1, 2)]
+        above = ppjoin_pairs(
+            ds, threshold=float(j) + 1e-9, width=3).to_pandas()
+        assert len(above) == 0
