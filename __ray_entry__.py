@@ -3687,6 +3687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_anomalies": rel.event_anomalies,
         "event_throttle": rel.event_throttle,
         "order_skyline": rel.order_skyline,
+        "customer_order_trend": rel.customer_order_trend,
         "perplexity_backoff": _q_perplexity_backoff,
         "jsonl_ingest": _q_jsonl_ingest,
         "semdedup": _q_semdedup,
@@ -4689,6 +4690,21 @@ WHERE NOT EXISTS (
     AND d.o_totalprice >= o.o_totalprice
     AND d.o_orderdate >= o.o_orderdate
     AND (d.o_totalprice > o.o_totalprice OR d.o_orderdate > o.o_orderdate))
+""",
+        # slope kept as an exact integer rational (num, den) — no float
+        # ever summed, so distributed order can't move an ulp
+        "customer_order_trend": """
+WITH b AS (SELECT o_custkey,
+  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+  CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders),
+s AS (SELECT o_custkey, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x*y) AS sxy, sum(x*x) AS sxx
+      FROM b GROUP BY 1)
+SELECT o_custkey, CAST(n AS BIGINT) AS n_orders,
+       CAST(n*sxy - sx*sy AS BIGINT) AS slope_num,
+       CAST(n*sxx - sx*sx AS BIGINT) AS slope_den
+FROM s WHERE n >= 2 AND n*sxx - sx*sx > 0
 """,
         # the z-score test cross-multiplied into integers: no float enters
         "event_anomalies": """

