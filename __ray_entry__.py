@@ -3688,6 +3688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_throttle": rel.event_throttle,
         "order_skyline": rel.order_skyline,
         "customer_order_trend": rel.customer_order_trend,
+        "user_activity_coverage": rel.user_activity_coverage,
         "perplexity_backoff": _q_perplexity_backoff,
         "jsonl_ingest": _q_jsonl_ingest,
         "semdedup": _q_semdedup,
@@ -4690,6 +4691,26 @@ WHERE NOT EXISTS (
     AND d.o_totalprice >= o.o_totalprice
     AND d.o_orderdate >= o.o_orderdate
     AND (d.o_totalprice > o.o_totalprice OR d.o_orderdate > o.o_orderdate))
+""",
+        # closed-open [s, s+span) union; integer µs so the window replay
+        # is exact; touching intervals merge on both sides (s > prev_max)
+        "user_activity_coverage": """
+WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + 900000000 AS e FROM events),
+m AS (SELECT user_id, s, e,
+      max(e) OVER (PARTITION BY user_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        AS prev_max FROM iv),
+g AS (SELECT user_id, s, e,
+      sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM m),
+isl AS (SELECT user_id, island, max(e) - min(s) AS cover
+        FROM g GROUP BY 1, 2)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(cover) AS BIGINT) AS covered_us
+FROM isl GROUP BY user_id
 """,
         # slope kept as an exact integer rational (num, den) — no float
         # ever summed, so distributed order can't move an ulp

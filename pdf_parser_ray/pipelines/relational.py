@@ -5930,3 +5930,55 @@ def customer_order_trend(sf_dir: str, num_parts: int | None = None):
             "slope_den": den[keep]})
 
     return summed.map_batches(finish, batch_format="pandas")
+
+
+def user_activity_coverage(sf_dir: str, span_minutes: int = 15,
+                           num_parts: int = 64):
+    """Interval-UNION measure per user — the gaps-and-islands operator:
+    each event opens a [ts, ts + span) activity interval; overlapping /
+    touching intervals merge, and the answer is each user's merged
+    island count and total covered µs. (Distinct from sessionization:
+    sessions COUNT gap-separated runs; this measures the union of a
+    fixed-width cover — the dominant shape for billing windows, uptime
+    and crawl-budget accounting.)
+
+    Scale shape: one coarse user-hash exchange; inside a partition the
+    whole sweep is vectorized (grouped running max of interval ends,
+    island starts where start > previous running max, then two C-speed
+    groupbys). Partitioning assumption: a user never spans partitions.
+    Intervals are integer µs end-to-end, so the SQL window-function
+    oracle matches exactly. Touching intervals (start == previous max
+    end) MERGE (closed-open abutment), matching the `s > prev_max`
+    island test on both sides."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    span_us = span_minutes * 60_000_000
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "n_islands": pd.Series(dtype="int64"),
+                                 "covered_us": pd.Series(dtype="int64")})
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        s = ts_int_us(g["ts"])
+        e = s + span_us
+        run_max = pd.Series(e).groupby(u).cummax()
+        prev_max = run_max.shift(1).to_numpy()
+        new_user = np.empty(len(u), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        new_island = new_user | (s > prev_max)
+        island = np.cumsum(new_island)
+        isl = pd.DataFrame({"user_id": u, "island": island,
+                            "s": s, "e": e}).groupby(
+            ["user_id", "island"], as_index=False).agg(
+            s=("s", "min"), e=("e", "max"))
+        out = isl.assign(cover=isl["e"] - isl["s"]).groupby(
+            "user_id", as_index=False).agg(
+            n_islands=("island", "size"), covered_us=("cover", "sum"))
+        return out.astype({"user_id": "int64", "n_islands": "int64",
+                           "covered_us": "int64"})
+
+    return coarse_partition_apply(ds, kernel, key_col="user_id",
+                                  part_col="cov_part", num_parts=num_parts,
+                                  nrows=_table_nrows(sf_dir, "events"))

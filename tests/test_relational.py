@@ -37,6 +37,7 @@ class TestOracleParity:
         "zorder_layout", "event_anomalies", "dup_stats", "snapshot_diff",
         "kmeans", "editdist_neardup", "tar_ingest", "source_keywords",
         "event_throttle", "order_skyline", "customer_order_trend",
+        "user_activity_coverage",
     ])
     def test_query_matches_oracle(self, con, name):
         import __ray_entry__ as m
@@ -1772,3 +1773,25 @@ class TestCustomerOrderTrend:
             str(tmp_path / "orders.parquet"))
         df = customer_order_trend(str(tmp_path)).to_pandas()
         assert df.values.tolist() == [[1, 3, 600, 6]]
+
+
+class TestUserActivityCoverage:
+    def test_planted_islands(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import user_activity_coverage
+
+        m = 60_000_000  # one minute in µs
+        # span = 15 min. user 1: events at 0, 10m (overlap → one island
+        # 0..25m), 60m (second island 60..75m) → 2 islands, 40m covered.
+        # user 2: events at 0 and EXACTLY 15m — touching intervals merge
+        # (closed-open abutment) → 1 island, 30m.
+        pq.write_table(pa.table({
+            "user_id": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+            "ts": pa.array([0, 10 * m, 60 * m, 0, 15 * m],
+                           type=pa.timestamp("us"))}),
+            str(tmp_path / "events.parquet"))
+        df = (user_activity_coverage(str(tmp_path)).to_pandas()
+              .sort_values("user_id").reset_index(drop=True))
+        assert df.values.tolist() == [[1, 2, 40 * m], [2, 1, 30 * m]]
