@@ -208,7 +208,10 @@ def run_query_suite() -> dict:
              # round-5 continuation additions
              "editdist_neardup", "kmeans", "tar_ingest", "dup_stats",
              "snapshot_diff", "zorder_layout", "event_anomalies",
-             "source_keywords", "event_throttle"]
+             "source_keywords", "event_throttle",
+             # round-5 continuation-2 additions
+             "order_skyline", "ppjoin_neardup", "customer_order_trend",
+             "user_activity_coverage"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:
