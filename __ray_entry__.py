@@ -3689,6 +3689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_skyline": rel.order_skyline,
         "customer_order_trend": rel.customer_order_trend,
         "user_activity_coverage": rel.user_activity_coverage,
+        "event_type_affinity": rel.event_type_affinity,
         "perplexity_backoff": _q_perplexity_backoff,
         "jsonl_ingest": _q_jsonl_ingest,
         "semdedup": _q_semdedup,
@@ -4691,6 +4692,14 @@ WHERE NOT EXISTS (
     AND d.o_totalprice >= o.o_totalprice
     AND d.o_orderdate >= o.o_orderdate
     AND (d.o_totalprice > o.o_totalprice OR d.o_orderdate > o.o_orderdate))
+""",
+        "event_type_affinity": """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ut a JOIN ut b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
 """,
         # closed-open [s, s+span) union; integer µs so the window replay
         # is exact; touching intervals merge on both sides (s > prev_max)

@@ -5982,3 +5982,56 @@ def user_activity_coverage(sf_dir: str, span_minutes: int = 15,
     return coarse_partition_apply(ds, kernel, key_col="user_id",
                                   part_col="cov_part", num_parts=num_parts,
                                   nrows=_table_nrows(sf_dir, "events"))
+
+
+def event_type_affinity(sf_dir: str, num_parts: int = 64):
+    """Market-basket pair support — the A-priori first pass: for every
+    unordered event-type pair {a, b}, how many distinct users triggered
+    BOTH (plus each type's single support), enough to compute
+    lift/confidence downstream without refolding the log.
+
+    Scale shape: one coarse user-hash exchange; per partition, each
+    user's distinct type set (C-speed drop_duplicates) explodes to its
+    unordered pairs and folds to (pair, n) partials BEFORE leaving the
+    task — the exchange that follows is bounded by |alphabet|² per
+    partition, not by users. Pair counts then fold through the house
+    group-sum. Alphabet blow-up is the operator's real scale limit
+    (10⁴ types → 5·10⁷ pairs) and is documented here rather than
+    silently sampled; the event_type alphabet is product-bounded.
+    Returns (type_a, type_b, n_users), type_a < type_b lexically.
+    """
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        ut = g.drop_duplicates(["user_id", "event_type"])
+        out_a, out_b = [], []
+        for _, sub in ut.groupby("user_id", sort=False):
+            ts = sorted(sub["event_type"])
+            for i in range(len(ts) - 1):
+                for j in range(i + 1, len(ts)):
+                    out_a.append(ts[i])
+                    out_b.append(ts[j])
+        df = pd.DataFrame({"type_a": out_a, "type_b": out_b})
+        agg = df.groupby(["type_a", "type_b"], as_index=False).size()
+        if not len(agg):
+            # typed empty frame: an untyped empty object column becomes a
+            # null-typed Arrow block and poisons the group-sum schema
+            return pd.DataFrame({"pair": pd.Series(dtype="string"),
+                                 "n": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "pair": agg["type_a"] + "\x1f" + agg["type_b"],
+            "n": agg["size"].astype("int64")})
+
+    partials = coarse_partition_apply(ds, partial, key_col="user_id",
+                                      part_col="aff_part",
+                                      num_parts=num_parts,
+                                      nrows=_table_nrows(sf_dir, "events"))
+    summed = partitioned_group_sum(partials, key="pair",
+                                   sum_cols={"n_users": "n"})
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["pair"].str.split("\x1f", n=1, expand=True)
+        return pd.DataFrame({"type_a": parts[0], "type_b": parts[1],
+                             "n_users": df["n_users"].astype("int64")})
+
+    return summed.map_batches(split, batch_format="pandas")

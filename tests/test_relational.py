@@ -37,7 +37,7 @@ class TestOracleParity:
         "zorder_layout", "event_anomalies", "dup_stats", "snapshot_diff",
         "kmeans", "editdist_neardup", "tar_ingest", "source_keywords",
         "event_throttle", "order_skyline", "customer_order_trend",
-        "user_activity_coverage",
+        "user_activity_coverage", "event_type_affinity",
     ])
     def test_query_matches_oracle(self, con, name):
         import __ray_entry__ as m
@@ -1795,3 +1795,22 @@ class TestUserActivityCoverage:
         df = (user_activity_coverage(str(tmp_path)).to_pandas()
               .sort_values("user_id").reset_index(drop=True))
         assert df.values.tolist() == [[1, 2, 40 * m], [2, 1, 30 * m]]
+
+
+class TestEventTypeAffinity:
+    def test_planted_baskets(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import event_type_affinity
+
+        # user 1: {a,b,c} → ab, ac, bc; user 2: {a,b} (b twice — distinct
+        # per user) → ab; user 3: {c} alone → nothing
+        pq.write_table(pa.table({
+            "user_id": pa.array([1, 1, 1, 2, 2, 2, 3], type=pa.int64()),
+            "event_type": ["a", "b", "c", "a", "b", "b", "c"]}),
+            str(tmp_path / "events.parquet"))
+        df = (event_type_affinity(str(tmp_path)).to_pandas()
+              .sort_values(["type_a", "type_b"]).reset_index(drop=True))
+        assert df.values.tolist() == [
+            ["a", "b", 2], ["a", "c", 1], ["b", "c", 1]]
