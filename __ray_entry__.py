@@ -1972,6 +1972,34 @@ def _q_pagerank(sf_dir: str):
     return pagerank(edges, iters=10)
 
 
+def _q_encoding_stats(sf_dir: str):
+    """ORACLE-GATED encoding-wellformedness audit (functions/textstats.py:
+    encoding_stats — the ftfy-style pre-filter a web corpus runs before
+    training): per-doc whitespace/digit/control/U+FFFD/mojibake-marker
+    counts plus a composite ``wellformed`` verdict, all integers so the
+    DuckDB replay (shared RE2 classes + the replace-length idiom) is
+    bit-exact. Stateless vectorized pandas kernels, zero shuffle; planted
+    mojibake/control fixtures are pytest-gated in tests/test_textstats.py
+    (the live corpus is clean ASCII, so the driver gate here pins the
+    non-trivial whitespace/digit counts and the all-clean verdicts)."""
+    from pdf_parser_ray.functions.textstats import encoding_stats
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        out = encoding_stats(batch["text"])
+        out.insert(0, "doc_id", batch["doc_id"].to_numpy())
+        return out
+
+    return ds.map_batches(kernel, batch_format="pandas")
+
+
+def _encoding_stats_sql() -> str:
+    from pdf_parser_ray.functions.textstats import encoding_stats_sql
+
+    return f"SELECT doc_id, {encoding_stats_sql()} FROM documents"
+
+
 _BADWORDS_TERMS = ("slow", "junk")  # one vocab term + one absent term
 
 
@@ -3690,6 +3718,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_trend": rel.customer_order_trend,
         "user_activity_coverage": rel.user_activity_coverage,
         "event_type_affinity": rel.event_type_affinity,
+        "dataset_split": rel.dataset_split,
+        "encoding_stats": _q_encoding_stats,
         "perplexity_backoff": _q_perplexity_backoff,
         "jsonl_ingest": _q_jsonl_ingest,
         "semdedup": _q_semdedup,
@@ -4693,6 +4723,16 @@ WHERE NOT EXISTS (
     AND d.o_orderdate >= o.o_orderdate
     AND (d.o_totalprice > o.o_totalprice OR d.o_orderdate > o.o_orderdate))
 """,
+        "dataset_split": """
+SELECT doc_id,
+       CASE WHEN bk < 80 THEN 'train'
+            WHEN bk < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % 100 AS bk
+      FROM documents) s
+""",
         "event_type_affinity": """
 WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
 SELECT a.event_type AS type_a, b.event_type AS type_b,
@@ -4976,6 +5016,7 @@ FROM s4
     out["heavy_hitters_by_source"] = heavy_hitters_by_sql(
         "documents", group_col="source")
     out["badwords"] = _badwords_sql()
+    out["encoding_stats"] = _encoding_stats_sql()
     from pdf_parser_ray.stages.textstage import redact_pii_sql
     out["redact_pii"] = redact_pii_sql()
     from pdf_parser_ray.stages.graph import pagerank_sql

@@ -211,7 +211,9 @@ def run_query_suite() -> dict:
              "source_keywords", "event_throttle",
              # round-5 continuation-2 additions
              "order_skyline", "ppjoin_neardup", "customer_order_trend",
-             "user_activity_coverage", "event_type_affinity"]
+             "user_activity_coverage", "event_type_affinity",
+             # round-5 continuation-3 additions
+             "dataset_split", "encoding_stats"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:

@@ -189,3 +189,67 @@ def substring_occurrences_sql(padded_expr: str, needle: str) -> str:
     lit = needle.replace("'", "''")
     return (f"(length({padded_expr}) - length(replace({padded_expr}, "
             f"'{lit}', ''))) // {len(needle)}")
+
+
+# Telltale sequences of UTF-8 bytes mis-decoded as Latin-1/cp1252
+# (ftfy's core signal): 'Ã' leads every 2-byte UTF-8 sequence read as
+# Latin-1; 'â€' leads the mangled General Punctuation block (curly
+# quotes, dashes, ellipsis). U+FFFD is the decoder's own damage report.
+MOJIBAKE_MARKERS = ("Ã", "â€")
+REPLACEMENT_CHAR = "�"
+
+# Character classes shared verbatim (as RE2-compatible patterns) by the
+# pandas kernel and the DuckDB oracle. Control excludes \t\n\v\f\r --
+# those are whitespace, not damage.
+_WS_CLASS = "[ \\t\\n\\r\\f\\x0B]"
+_DIGIT_CLASS = "[0-9]"
+_CTL_CLASS = "[\\x00-\\x08\\x0E-\\x1F\\x7F]"
+
+
+def encoding_stats(texts: pd.Series) -> pd.DataFrame:
+    """Encoding-wellformedness features (the ftfy-style pre-filter every
+    web-corpus pipeline runs before training): per-doc counts of
+    whitespace, digits, raw control characters, U+FFFD replacement
+    characters and classic UTF-8-as-Latin-1 mojibake markers, plus a
+    composite ``wellformed`` verdict. All-integer outputs so a DuckDB
+    oracle replays them bit-exactly (the regex classes above are shared
+    with :func:`encoding_stats_sql`)."""
+    s = texts.fillna("")
+    n_chars = s.str.len().astype("int64")
+    n_ws = s.str.count(_WS_CLASS).astype("int64")
+    n_digits = s.str.count(_DIGIT_CLASS).astype("int64")
+    n_ctl = s.str.count(_CTL_CLASS).astype("int64")
+    n_replacement = substring_occurrences(s, REPLACEMENT_CHAR)
+    n_moji = pd.Series(np.zeros(len(s), dtype="int64"), index=s.index)
+    for marker in MOJIBAKE_MARKERS:
+        n_moji = n_moji + substring_occurrences(s, marker)
+    wellformed = (n_ctl == 0) & (n_replacement == 0) & (n_moji == 0)
+    return pd.DataFrame({
+        "n_chars": n_chars, "n_ws": n_ws, "n_digits": n_digits,
+        "n_ctl": n_ctl, "n_replacement": n_replacement,
+        "n_mojibake": n_moji, "wellformed": wellformed,
+    })
+
+
+def _class_count_sql(expr: str, char_class: str) -> str:
+    return (f"(length({expr}) - length(regexp_replace({expr}, "
+            f"'{char_class}', '', 'g')))")
+
+
+def encoding_stats_sql(text_expr: str = "coalesce(text, '')") -> str:
+    """DuckDB SELECT-list replay of :func:`encoding_stats` (same classes,
+    same replace-length idiom; RE2 reads the \\x escapes the same way
+    Python's re does)."""
+    moji = " + ".join(substring_occurrences_sql(text_expr, m)
+                      for m in MOJIBAKE_MARKERS)
+    repl = substring_occurrences_sql(text_expr, REPLACEMENT_CHAR)
+    ctl = _class_count_sql(text_expr, _CTL_CLASS)
+    return (
+        f"length({text_expr}) AS n_chars, "
+        f"{_class_count_sql(text_expr, _WS_CLASS)} AS n_ws, "
+        f"{_class_count_sql(text_expr, _DIGIT_CLASS)} AS n_digits, "
+        f"{ctl} AS n_ctl, "
+        f"{repl} AS n_replacement, "
+        f"{moji} AS n_mojibake, "
+        f"({ctl} = 0 AND ({repl}) = 0 AND ({moji}) = 0) AS wellformed"
+    )

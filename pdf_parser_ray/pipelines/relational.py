@@ -2701,6 +2701,30 @@ def hash_sample(sf_dir: str, pct: int = 10):
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
+def dataset_split(sf_dir: str, *, train_pct: int = 80, val_pct: int = 10):
+    """Three-way train/val/test split labels (§2.6 sampling family): every
+    doc gets a deterministic split from the house ``md5_bucket_100`` rule
+    (bucket < train_pct → 'train', < train_pct+val_pct → 'val', else
+    'test') — the standard LLM-corpus holdout assignment. Reproducible
+    across runs AND engines (unlike random splits), embarrassingly
+    parallel, zero shuffle: a slim id-only scan with a per-batch bucket
+    map, so at 100 TB the split is a free column stamped during any
+    other pass. Returns full (doc_id, split) membership so the oracle
+    value-gates every single assignment, not just the split sizes."""
+    from ..functions.hashing import md5_bucket_100
+
+    lo, hi = train_pct, train_pct + val_pct
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        buckets = md5_bucket_100(batch.column("doc_id").to_pylist())
+        split = ["train" if b < lo else ("val" if b < hi else "test")
+                 for b in buckets]
+        return batch.append_column("split", pa.array(split, type=pa.string()))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def weighted_sample(sf_dir: str, *, k: int = 100,
                     weight_col: str = "n_chars"):
     """Weighted sampling without replacement via PRIORITY SAMPLING

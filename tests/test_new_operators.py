@@ -618,3 +618,36 @@ class TestRedactPii:
         exp = con.execute(redact_pii_sql()).fetchdf().sort_values(
             "doc_id", ignore_index=True)
         pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDatasetSplit:
+    def test_split_rule_and_coverage(self):
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import dataset_split
+
+        sf = "/root/testdata/sf0.001"
+        got = dataset_split(sf).to_pandas().set_index("doc_id")["split"]
+        ids = pq.read_table(f"{sf}/documents.parquet",
+                            columns=["doc_id"]).column("doc_id").to_pylist()
+        # every doc labeled exactly once, label from the md5-bucket rule
+        assert sorted(got.index) == sorted(ids)
+        for i in ids:
+            b = int.from_bytes(
+                hashlib.md5(str(i).encode()).digest()[:4], "big") % 100
+            want = "train" if b < 80 else ("val" if b < 90 else "test")
+            assert got[i] == want
+        # proportions are plausibly 80/10/10 on a 50-doc table
+        counts = got.value_counts()
+        assert counts.get("train", 0) > counts.get("val", 0)
+        assert set(counts.index) <= {"train", "val", "test"}
+
+    def test_custom_percentages(self):
+        from pdf_parser_ray.pipelines.relational import dataset_split
+
+        got = dataset_split("/root/testdata/sf0.001",
+                            train_pct=0, val_pct=100).to_pandas()
+        assert set(got["split"]) == {"val"}

@@ -69,3 +69,46 @@ class TestFingerprint:
     def test_empty(self):
         assert textstats.winnow_fingerprint("").size == 0
         assert isinstance(textstats.doc_fingerprint_hex(""), str)
+
+
+class TestEncodingStats:
+    def test_clean_and_damaged(self):
+        s = pd.Series([
+            "hello world 42",          # clean: 2 ws, 2 digits
+            "cafÃ© bad",     # Latin-1 mojibake marker Ã
+            "quote â€™s",  # â€ marker (cp1252 curly quote)
+            "raw\x01control",          # bare control char
+            "lost �� data",  # replacement chars
+            None,                      # null → all zeros, wellformed
+        ])
+        df = textstats.encoding_stats(s)
+        assert df["n_ws"].tolist() == [2, 1, 1, 0, 2, 0]
+        assert df["n_digits"].tolist() == [2, 0, 0, 0, 0, 0]
+        assert df["n_ctl"].tolist() == [0, 0, 0, 1, 0, 0]
+        assert df["n_replacement"].tolist() == [0, 0, 0, 0, 2, 0]
+        assert df["n_mojibake"].tolist() == [0, 1, 1, 0, 0, 0]
+        assert df["wellformed"].tolist() == [True, False, False, False,
+                                             False, True]
+
+    def test_whitespace_controls_not_double_counted(self):
+        # \t\n\r\f\v are whitespace, NOT control damage
+        df = textstats.encoding_stats(pd.Series(["a\tb\nc\rd\fe\x0bf"]))
+        assert df["n_ws"].tolist() == [5]
+        assert df["n_ctl"].tolist() == [0]
+        assert df["wellformed"].tolist() == [True]
+
+    def test_sql_replay_bit_exact(self):
+        import duckdb
+
+        s = pd.Series([
+            "hello world 42", "cafÃ©", "x â€œy",
+            "raw\x01\x7fctl", "�", None, "", "  \t\n  ",
+            "1234567890" * 3, "ÃÃÃ",
+        ])
+        got = textstats.encoding_stats(s)
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"text": s}))
+        want = con.sql(
+            "SELECT " + textstats.encoding_stats_sql() + " FROM t").df()
+        for col in got.columns:
+            assert got[col].tolist() == want[col].tolist(), col
