@@ -610,6 +610,53 @@ def _q_dedup_incremental(sf_dir: str):
     return exact_dedup_incremental(new, prior)
 
 
+def _q_minhash_incremental(sf_dir: str):
+    """Incremental NEAR-dup vs a committed archive (stages/dedup.py:
+    minhash_incremental_ids — the fuzzy sibling of dedup_incremental):
+    the md5-bucket<20 slice plays the PRIOR archive, the rest is the new
+    snapshot; any new doc whose md5-mode MinHash LSH band (32 perms, 8
+    bands) collides with an archive band is dropped, survivors' ids
+    returned. ORACLE-GATED: the shared _minhash_md5_ctes replay the
+    sketch+banding for BOTH sides, the split/hit/anti chain is plain
+    SQL."""
+    from pdf_parser_ray.stages.dedup import minhash_incremental_ids
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    prior = ds.map_batches(_md5_bucket_split,
+                           fn_kwargs={"want_test": True, "pct": 20},
+                           batch_format="pyarrow")
+    new = ds.map_batches(_md5_bucket_split,
+                         fn_kwargs={"want_test": False, "pct": 20},
+                         batch_format="pyarrow")
+    return minhash_incremental_ids(new, prior)
+
+
+def _minhash_incremental_sql() -> str:
+    ctes = _minhash_md5_ctes(num_perm=32, width=5, bands=8)
+    return f"""
+WITH {ctes},
+side AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      % 100 AS pb
+  FROM documents
+),
+prior_keys AS (
+  SELECT DISTINCT b.band, b.bk
+  FROM bands b JOIN side sd ON b.doc_id = sd.doc_id WHERE sd.pb < 20
+),
+hit AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands b
+  JOIN side sd ON b.doc_id = sd.doc_id
+  JOIN prior_keys p ON b.band = p.band AND b.bk = p.bk
+  WHERE sd.pb >= 20
+)
+SELECT sd.doc_id FROM side sd
+WHERE sd.pb >= 20 AND sd.doc_id NOT IN (SELECT doc_id FROM hit)
+"""
+
+
 _DEDUP_INCREMENTAL_SQL = """
 WITH b AS (
   SELECT doc_id, text, lang, source, n_chars,
@@ -3720,6 +3767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_affinity": rel.event_type_affinity,
         "dataset_split": rel.dataset_split,
         "encoding_stats": _q_encoding_stats,
+        "minhash_incremental": _q_minhash_incremental,
         "perplexity_backoff": _q_perplexity_backoff,
         "jsonl_ingest": _q_jsonl_ingest,
         "semdedup": _q_semdedup,
@@ -3946,6 +3994,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup": _simhash_sql(),
         "minhash_dedup": _minhash_md5_sql(num_perm=16, bands=4),
         "minhash_dedup_md5": _minhash_md5_sql(),
+        "minhash_incremental": _minhash_incremental_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
         "neardup_clusters": _neardup_clusters_sql(),
         "fingerprint_set": _fingerprint_set_sql(),

@@ -2335,6 +2335,88 @@ def exact_dedup_incremental(new_ds, prior_ds, *, text_col: str = "text",
                            batch_format="pyarrow")
 
 
+def minhash_incremental_ids(new_ds, prior_ds, *, text_col: str = "text",
+                            id_col: str = "doc_id", num_perm: int = 32,
+                            num_bands: int = 8, num_buckets: int = 32,
+                            broadcast_limit: int = 2_000_000):
+    """Incremental NEAR-dup against a committed archive — the fuzzy
+    sibling of :func:`exact_dedup_incremental` (each crawl snapshot drops
+    new documents that are near-duplicates of anything already committed;
+    the CommonCrawl monthly-ingest shape). A new doc is dropped when ANY
+    of its md5-mode MinHash LSH bands collides with any archive doc's
+    band; survivors' ids are returned. Candidate-level by design: band
+    collision is the operator's recall-oriented contract (at 32 perms /
+    8 bands a Jaccard-0.8 pair collides with p ≈ 1-(1-0.8^4)^8 ≈ 0.98),
+    and a downstream verify can re-rank — keeping it candidate-level
+    keeps every step exactly SQL-replayable.
+
+    Scale shape: the ARCHIVE side reduces to per-batch-distinct band-key
+    strings (~8×17 B per doc — its payload never moves, exactly like the
+    exact-incremental's slim hash side). Below ``broadcast_limit``
+    archive band rows, the distinct key set broadcasts once (``ray.put``
+    frozenset) and new docs are filtered locally — zero exchange. Above
+    it, the new side's slim (band_key, id) pairs route through one
+    bucket-partitioned semi-join, then ids-only through the final
+    anti-join; the new payload never shuffles either way."""
+    import ray as _ray
+
+    fn = {"num_perm": num_perm, "shingle_width": 5, "text_col": text_col}
+    explode_kw = {"num_perm": num_perm, "num_bands": num_bands,
+                  "id_col": id_col}
+    bands_prior = (prior_ds
+                   .map_batches(minhash_sketch_md5_batch, fn_kwargs=fn,
+                                batch_format="pyarrow")
+                   .map_batches(band_explode_batch, fn_kwargs=explode_kw,
+                                batch_format="pyarrow")
+                   .select_columns(["band_key"])
+                   .materialize())  # slim: key strings only
+    n_prior = bands_prior.count()
+
+    if n_prior <= broadcast_limit:
+        keys = frozenset(
+            r["band_key"] for b in bands_prior.iter_batches(
+                batch_format="pyarrow")
+            for r in b.select(["band_key"]).to_pylist())
+        keys_ref = _ray.put(keys)
+        hasher = _cached_minhasher  # bound for the closure below
+
+        def keep(batch: pa.Table) -> pa.Table:
+            kset: frozenset = _ray.get(keys_ref)
+            from ..functions.minhash import minhash_signature_md5
+
+            bander = hasher(num_perm)
+            mask = []
+            for t in batch.column(text_col).to_pylist():
+                sig = np.array(
+                    minhash_signature_md5(t or "", num_perm, 5),
+                    dtype=np.uint64)
+                mask.append(not any(
+                    k in kset for k in bander.band_keys(sig, num_bands)))
+            return batch.select([id_col]).filter(pa.array(mask))
+
+        return new_ds.map_batches(keep, batch_format="pyarrow")
+
+    # ABOVE THE GATE: slim band semi-join + ids-only anti-join
+    from ..pipelines.relational import _arrow_type, semi_anti_join
+
+    bands_new = (new_ds
+                 .map_batches(minhash_sketch_md5_batch, fn_kwargs=fn,
+                              batch_format="pyarrow")
+                 .map_batches(band_explode_batch, fn_kwargs=explode_kw,
+                              batch_format="pyarrow"))
+    id_type = _arrow_type(new_ds.schema().types[
+        new_ds.schema().names.index(id_col)])
+    matched = semi_anti_join(
+        bands_new, bands_prior, left_key="band_key",
+        num_buckets=num_buckets,
+        left_types={"band_key": pa.string(), id_col: id_type})
+    new_ids = new_ds.select_columns([id_col])
+    out = semi_anti_join(
+        new_ids, matched.select_columns([id_col]), left_key=id_col,
+        anti=True, num_buckets=num_buckets, left_types={id_col: id_type})
+    return out
+
+
 # ---------------------------------------------------------------------------
 # PPJoin / AllPairs: EXACT similarity self-join via prefix filtering
 # ---------------------------------------------------------------------------

@@ -187,3 +187,35 @@ def test_exact_dedup_incremental_planted(ray_session):
     out = sorted(r["doc_id"]
                  for r in exact_dedup_incremental(new, empty).take_all())
     assert out == [1, 2, 3, 4]
+
+
+def test_minhash_incremental_planted(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_parser_ray.stages.dedup import minhash_incremental_ids
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base + " extratail"          # near-dup of the archived doc
+    fresh = " ".join(f"other{i}" for i in range(60))
+    prior = ray.data.from_arrow(pa.table({
+        "doc_id": [100], "text": [base]}))
+    new = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [near, fresh, base]}))  # 3 = byte-identical archive copy
+    out = sorted(r["doc_id"]
+                 for r in minhash_incremental_ids(new, prior).take_all())
+    assert out == [2]  # near-dup AND exact copy both dropped
+    # distributed tier (broadcast_limit=0) must agree exactly
+    out_dist = sorted(
+        r["doc_id"] for r in minhash_incremental_ids(
+            new, prior, broadcast_limit=0).take_all())
+    assert out_dist == out
+
+    # empty archive: everything survives
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string())}))
+    out = sorted(r["doc_id"]
+                 for r in minhash_incremental_ids(new, empty).take_all())
+    assert out == [1, 2, 3]
