@@ -2610,7 +2610,12 @@ def ppjoin_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return pd.DataFrame({"doc_id": a_out, "dup_of": b_out})
 
     postings = postings.materialize()
-    if postings.count() <= _COALESCE_BAND_LIMIT:
+    # pairing cost grows with posting-list density (quadratic within a
+    # posting), not linearly with rows — coalescing to ONE task is only
+    # right for genuinely tiny runs, so this gate sits far below the
+    # band-dedup coalesce limit (A/B at sf0.1's 260k postings: coalesced
+    # 9.8 s vs token-partitioned 6.1 s end-to-end)
+    if postings.count() <= 50_000:
         cands = postings.repartition(1).map_batches(
             lambda g: pair_up(g).drop_duplicates(["doc_id", "dup_of"]),
             batch_format="pandas", batch_size=None).materialize()
@@ -2626,18 +2631,38 @@ def ppjoin_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                 lambda g: pair_up(g), batch_format="pandas"))
 
     cands = cands.materialize()
-    if cands.count() == 0:
+    n_cands = cands.count()
+    if n_cands == 0:
         return cands
+    # the coalesced pair_up above emits ONE block; spread the verify —
+    # measured 44 s single-task vs ~4 s spread at sf0.1's 719k candidates
+    from ..pipelines.relational import choose_partitions
+
+    cands = cands.repartition(
+        choose_partitions(n_cands, rows_per_part=16_384))
 
     pool = _bloom_filtered_pool(ds.select_columns([id_col, text_col]),
                                 cands, id_col=id_col, value_col=text_col)
 
-    def exact_ok(ta: str, tb: str) -> bool:
-        sa = _pp_shingle_set(ta, width)
-        sb = _pp_shingle_set(tb, width)
-        inter = len(sa & sb)
-        union = len(sa) + len(sb) - inter
-        return union > 0 and td * inter >= tn * union
+    def _verify_sets(df: pd.DataFrame, text_of) -> list[bool]:
+        """Per-batch verify with the shingle set built ONCE per distinct
+        doc (a doc rides many candidate pairs — rebuilding its set per
+        pair was the measured 10× of the verify stage)."""
+        memo: dict = {}
+
+        def sset(i):
+            s = memo.get(i)
+            if s is None:
+                s = memo[i] = _pp_shingle_set(text_of(i), width)
+            return s
+
+        keep = []
+        for a, b in zip(df["doc_id"], df["dup_of"]):
+            sa, sb = sset(a), sset(b)
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            keep.append(union > 0 and td * inter >= tn * union)
+        return keep
 
     if pool.count() <= broadcast_limit:
         pdf = pool.to_pandas()
@@ -2647,8 +2672,7 @@ def ppjoin_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
             if df.empty:
                 return df.reindex(columns=["doc_id", "dup_of"])
             lk = _ray.get(lk_ref)
-            keep = [exact_ok(lk[a], lk[b])
-                    for a, b in zip(df["doc_id"], df["dup_of"])]
+            keep = _verify_sets(df, lk.__getitem__)
             return df.loc[keep, ["doc_id", "dup_of"]]
 
         return cands.map_batches(verify_broadcast, batch_format="pandas")
@@ -2673,7 +2697,10 @@ def ppjoin_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return df.reindex(columns=["doc_id", "dup_of"])
-        keep = [exact_ok(a, b) for a, b in zip(df["text_a"], df["text_b"])]
+        text_lk = {}
+        text_lk.update(zip(df["doc_id"], df["text_a"]))
+        text_lk.update(zip(df["dup_of"], df["text_b"]))
+        keep = _verify_sets(df, text_lk.__getitem__)
         return df.loc[keep, ["doc_id", "dup_of"]]
 
     return j2.map_batches(verify, batch_format="pandas")
