@@ -105,8 +105,15 @@ def coarse_partition_apply(ds, kernel, *, key_col: str, part_col: str,
         return batch.append_column(
             part_col, _bucket_array(batch.column(key_col), num_parts))
 
-    return ds.map_batches(add_part, batch_format="pyarrow").groupby(
-        part_col).map_groups(kernel, batch_format="pandas")
+    # the _keyed_groups collapse rule (see stages/dedup.py): sort ranges
+    # equal input blocks, so many tiny stamped blocks over few bucket
+    # values leave most ranges as schemaless empties (the RefBundle
+    # schema-drift warning). Collapse small exchanges to ~8 buckets per
+    # range first — repartition here is a split/merge, not a key exchange
+    blocks = num_parts if num_parts > 64 else max(2, -(-num_parts // 8))
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .repartition(blocks)
+            .groupby(part_col).map_groups(kernel, batch_format="pandas"))
 
 
 def collapse_partials(partials, n_keys: int):
@@ -1786,14 +1793,22 @@ def partitioned_group_sum(ds, *, key: str, sum_cols: dict[str, str],
         sort_width = choose_partitions(nrows, default=sort_width,
                                        lo=min(sort_width, 8))
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        return batch.append_column("gs_part",
-                                   _bucket_array(batch.column(key), num_parts))
-
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby(key, as_index=False).agg(
             **{out: (src, "sum") for out, src in sum_cols.items()})
         return agg
+
+    # combine groups by the REAL key internally, so it is
+    # partition-shape-independent and the coarse_partition_apply coalesce
+    # gate is sound here too: a caller who KNOWS the input is small skips
+    # the sort barrier (and its schemaless-empty-range warnings) entirely
+    if nrows is not None and 0 < nrows <= _COALESCE_ROW_LIMIT:
+        return ds.repartition(1).map_batches(combine, batch_format="pandas",
+                                             batch_size=None)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column("gs_part",
+                                   _bucket_array(batch.column(key), num_parts))
 
     return (ds.map_batches(add_part, batch_format="pyarrow")
             .repartition(min(sort_width, num_parts))
@@ -5899,7 +5914,11 @@ def order_skyline(sf_dir: str):
             {"o_orderkey": "int64", "o_orderdate_us": "int64"})
 
     pruned = ds.map_batches(local, batch_format="pandas", batch_size=8192)
-    return pruned.groupby("o_orderpriority").map_groups(
+    # frontiers are tiny; collapse to a few blocks before the 5-value
+    # groupby — sort ranges equal input blocks, and dozens of pruned
+    # partial blocks over 5 priorities would leave most ranges as
+    # schemaless empties (the house _keyed_groups rule)
+    return pruned.repartition(2).groupby("o_orderpriority").map_groups(
         final, batch_format="pandas")
 
 
@@ -6050,8 +6069,14 @@ def event_type_affinity(sf_dir: str, num_parts: int = 64):
                                       part_col="aff_part",
                                       num_parts=num_parts,
                                       nrows=_table_nrows(sf_dir, "events"))
+    # partials are alphabet²-bounded (slim (pair, n) rows), so counting
+    # them is cheap at any scale and lets the group-sum size its exchange
+    # to the data — the default width over a ~45-pair alphabet scattered
+    # the sort into schemaless empty ranges (the _keyed_groups mechanism)
+    partials = partials.materialize()
     summed = partitioned_group_sum(partials, key="pair",
-                                   sum_cols={"n_users": "n"})
+                                   sum_cols={"n_users": "n"},
+                                   nrows=partials.count())
 
     def split(df: pd.DataFrame) -> pd.DataFrame:
         parts = df["pair"].str.split("\x1f", n=1, expand=True)

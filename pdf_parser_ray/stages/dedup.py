@@ -64,9 +64,18 @@ def _distinct_edges(edges, *, id_col: str = "doc_id",
         return edges.repartition(1).map_batches(
             lambda g: g.drop_duplicates([id_col, "dup_of"]),
             batch_format="pandas", batch_size=None).materialize()
+    # stamp cardinality AND block count sized from the known edge count
+    # (the _keyed_groups/choose_partitions rule): sort ranges equal input
+    # blocks, so a fixed 64-value stamp over many small blocks leaves
+    # schemaless empty ranges; repartition is a split/merge, not a shuffle
+    from ..pipelines.relational import choose_partitions
+
+    npart = choose_partitions(edges.count(), default=64)
+    blocks = npart if npart > 64 else max(2, -(-npart // 8))
     return edges.map_batches(
-        _add_pair_part, batch_format="pandas", fn_kwargs={"col": id_col},
-    ).groupby("pair_part").map_groups(
+        _add_pair_part, batch_format="pandas",
+        fn_kwargs={"col": id_col, "num_parts": npart},
+    ).repartition(blocks).groupby("pair_part").map_groups(
         lambda g: g.drop_duplicates([id_col, "dup_of"]).drop(columns=["pair_part"]),
         batch_format="pandas").materialize()
 
@@ -2625,9 +2634,11 @@ def ppjoin_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
             df["tok_part"] = vec_str_buckets(df["tok"], num_parts)
             return df
 
+        pair_blocks = num_parts if num_parts > 64 else max(
+            2, -(-num_parts // 8))
         cands = _distinct_edges(
             postings.map_batches(add_part, batch_format="pandas")
-            .groupby("tok_part").map_groups(
+            .repartition(pair_blocks).groupby("tok_part").map_groups(
                 lambda g: pair_up(g), batch_format="pandas"))
 
     cands = cands.materialize()
