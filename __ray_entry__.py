@@ -2047,6 +2047,33 @@ def _encoding_stats_sql() -> str:
     return f"SELECT doc_id, {encoding_stats_sql()} FROM documents"
 
 
+def _q_fix_mojibake(sf_dir: str):
+    """ORACLE-GATED mojibake repair (functions/textstats.py:fix_mojibake
+    — the consumption form of encoding_stats): the fixed, ordered
+    UTF-8-as-cp1252 repair table applied as vectorized literal replaces,
+    returning (doc_id, fixed_text, changed). Deterministic by
+    construction (no heuristics), replayed in SQL as the same ordered
+    nested replace() chain; the hash gate pins the ENTIRE repaired text
+    column. Planted-damage repairs are pytest-gated
+    (tests/test_textstats.py)."""
+    from pdf_parser_ray.functions.textstats import fix_mojibake
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        out = fix_mojibake(batch["text"])
+        out.insert(0, "doc_id", batch["doc_id"].to_numpy())
+        return out
+
+    return ds.map_batches(kernel, batch_format="pandas")
+
+
+def _fix_mojibake_sql() -> str:
+    from pdf_parser_ray.functions.textstats import fix_mojibake_sql
+
+    return f"SELECT doc_id, {fix_mojibake_sql()} FROM documents"
+
+
 _BADWORDS_TERMS = ("slow", "junk")  # one vocab term + one absent term
 
 
@@ -3767,6 +3794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_affinity": rel.event_type_affinity,
         "dataset_split": rel.dataset_split,
         "encoding_stats": _q_encoding_stats,
+        "fix_mojibake": _q_fix_mojibake,
         "minhash_incremental": _q_minhash_incremental,
         "perplexity_backoff": _q_perplexity_backoff,
         "jsonl_ingest": _q_jsonl_ingest,
@@ -5066,6 +5094,7 @@ FROM s4
         "documents", group_col="source")
     out["badwords"] = _badwords_sql()
     out["encoding_stats"] = _encoding_stats_sql()
+    out["fix_mojibake"] = _fix_mojibake_sql()
     from pdf_parser_ray.stages.textstage import redact_pii_sql
     out["redact_pii"] = redact_pii_sql()
     from pdf_parser_ray.stages.graph import pagerank_sql

@@ -213,7 +213,8 @@ def run_query_suite() -> dict:
              "order_skyline", "ppjoin_neardup", "customer_order_trend",
              "user_activity_coverage", "event_type_affinity",
              # round-5 continuation-3 additions
-             "dataset_split", "encoding_stats", "minhash_incremental"]
+             "dataset_split", "encoding_stats", "minhash_incremental",
+             "fix_mojibake"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:

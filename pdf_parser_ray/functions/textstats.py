@@ -253,3 +253,58 @@ def encoding_stats_sql(text_expr: str = "coalesce(text, '')") -> str:
         f"{moji} AS n_mojibake, "
         f"({ctl} = 0 AND ({repl}) = 0 AND ({moji}) = 0) AS wellformed"
     )
+
+
+# Ordered repair table for the classic UTF-8-bytes-read-as-cp1252
+# double encoding (ftfy's most common case): each left side is the
+# mangled form of the right side. 3-char General-Punctuation repairs
+# first, then the 2-char Latin-1 accents (no left side is a prefix of
+# another within the applied order). One source of truth for the pandas
+# kernel AND the SQL replay.
+MOJIBAKE_REPAIRS = (
+    ("\u00e2\u20ac\u2122", "\u2019"),  # mangled right single quote
+    ("\u00e2\u20ac\u0153", "\u201c"),  # mangled left double quote
+    ("\u00e2\u20ac\u009d", "\u201d"),  # mangled right double quote
+    ("\u00e2\u20ac\u201c", "\u2013"),  # mangled en dash
+    ("\u00e2\u20ac\u201d", "\u2014"),  # mangled em dash
+    ("\u00e2\u20ac\u00a6", "\u2026"),  # mangled ellipsis
+    ("\u00c3\u00a9", "\u00e9"),  # e acute
+    ("\u00c3\u00a8", "\u00e8"),  # e grave
+    ("\u00c3\u00a1", "\u00e1"),  # a acute
+    ("\u00c3\u00b3", "\u00f3"),  # o acute
+    ("\u00c3\u00b1", "\u00f1"),  # n tilde
+    ("\u00c3\u00bc", "\u00fc"),  # u umlaut
+    ("\u00c3\u00b6", "\u00f6"),  # o umlaut
+    ("\u00c3\u00a4", "\u00e4"),  # a umlaut
+    ("\u00c3\u00a7", "\u00e7"),  # c cedilla
+    ("\u00c3\u00a0", "\u00e0"),  # a grave
+    ("\u00c2\u00ab", "\u00ab"),  # left guillemet
+    ("\u00c2\u00bb", "\u00bb"),  # right guillemet
+    ("\u00c2\u00a0", "\u00a0"),  # stray A-circumflex before nbsp
+)
+
+
+def fix_mojibake(texts: pd.Series) -> pd.DataFrame:
+    """Deterministic mojibake REPAIR (the consumption form of
+    :func:`encoding_stats`): the fixed, ordered :data:`MOJIBAKE_REPAIRS`
+    table applied as vectorized literal replaces — no heuristics, no
+    model, so the transform is bit-reproducible across engines and the
+    DuckDB oracle replays it as nested ``replace()`` calls
+    (:func:`fix_mojibake_sql`). Returns (fixed_text, changed)."""
+    orig = texts.fillna("")
+    s = orig
+    for bad, good in MOJIBAKE_REPAIRS:
+        s = s.str.replace(bad, good, regex=False)
+    return pd.DataFrame({"fixed_text": s, "changed": (s != orig)})
+
+
+def fix_mojibake_sql(text_expr: str = "coalesce(text, '')") -> str:
+    """SQL SELECT-list replay of :func:`fix_mojibake` — the same ordered
+    table as nested replace() calls."""
+    expr = text_expr
+    for bad, good in MOJIBAKE_REPAIRS:
+        b = bad.replace("'", "''")
+        g = good.replace("'", "''")
+        expr = f"replace({expr}, '{b}', '{g}')"
+    return (f"{expr} AS fixed_text, "
+            f"({expr} <> {text_expr}) AS changed")

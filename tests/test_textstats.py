@@ -112,3 +112,38 @@ class TestEncodingStats:
             "SELECT " + textstats.encoding_stats_sql() + " FROM t").df()
         for col in got.columns:
             assert got[col].tolist() == want[col].tolist(), col
+
+
+class TestFixMojibake:
+    def test_repairs_planted(self):
+        s = pd.Series([
+            "caf\u00c3\u00a9 \u00e2\u20ac\u201d nice",
+            "plain ascii",
+            None,
+        ])
+        df = textstats.fix_mojibake(s)
+        assert df["fixed_text"].tolist() == [
+            "caf\u00e9 \u2014 nice", "plain ascii", ""]
+        assert df["changed"].tolist() == [True, False, False]
+
+    def test_every_table_row_repairs(self):
+        for bad, good in textstats.MOJIBAKE_REPAIRS:
+            out = textstats.fix_mojibake(pd.Series([f"x{bad}y"]))
+            assert out["fixed_text"].tolist() == [f"x{good}y"], (bad, good)
+            assert out["changed"].tolist() == [True]
+
+    def test_sql_replay_bit_exact(self):
+        import duckdb
+
+        s = pd.Series([
+            "caf\u00c3\u00a9 \u00e2\u20ac\u0153q\u00e2\u20ac\u009d",
+            "\u00c3\u00bcber \u00c2\u00ab x \u00c2\u00bb",
+            "", None, "already fine \u2014 dash",
+        ])
+        got = textstats.fix_mojibake(s)
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"text": s}))
+        want = con.sql(
+            "SELECT " + textstats.fix_mojibake_sql() + " FROM t").df()
+        assert got["fixed_text"].tolist() == want["fixed_text"].tolist()
+        assert got["changed"].tolist() == want["changed"].tolist()
