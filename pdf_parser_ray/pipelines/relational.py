@@ -105,15 +105,20 @@ def coarse_partition_apply(ds, kernel, *, key_col: str, part_col: str,
         return batch.append_column(
             part_col, _bucket_array(batch.column(key_col), num_parts))
 
+    stamped = ds.map_batches(add_part, batch_format="pyarrow")
     # the _keyed_groups collapse rule (see stages/dedup.py): sort ranges
     # equal input blocks, so many tiny stamped blocks over few bucket
     # values leave most ranges as schemaless empties (the RefBundle
-    # schema-drift warning). Collapse small exchanges to ~8 buckets per
-    # range first — repartition here is a split/merge, not a key exchange
-    blocks = num_parts if num_parts > 64 else max(2, -(-num_parts // 8))
-    return (ds.map_batches(add_part, batch_format="pyarrow")
-            .repartition(blocks)
-            .groupby(part_col).map_groups(kernel, batch_format="pandas"))
+    # schema-drift warning). Collapse ONLY when nrows is KNOWN (num_parts
+    # then came from choose_partitions, so block sizes are bounded); an
+    # unknown input may be huge, and pre-merging it to a handful of
+    # blocks would build oversized blocks — those callers keep the
+    # many-block sort and its cosmetic warnings until they pass a count.
+    if nrows is not None:
+        blocks = num_parts if num_parts > 64 else max(2, -(-num_parts // 8))
+        stamped = stamped.repartition(blocks)
+    return stamped.groupby(part_col).map_groups(kernel,
+                                                batch_format="pandas")
 
 
 def collapse_partials(partials, n_keys: int):

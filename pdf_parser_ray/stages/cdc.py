@@ -310,15 +310,21 @@ def cdc_neardup_edges(ds, *, text_col: str = "text",
         return out.astype({"a": "int64", "b": "int64",
                            "n_shared": "int64"})
 
+    # both exchanges carry SLIM rows ((h, d) hash-doc pairs, then (a, b)
+    # id pairs), so materialize+count is cheap at any scale and lets
+    # coarse_partition_apply size its exchange (and collapse its blocks)
+    # from the data instead of running blind
+    hd = chunks.map_batches(hash_doc_pairs,
+                            batch_format="pyarrow").materialize()
     pairs = coarse_partition_apply(
-        chunks.map_batches(hash_doc_pairs, batch_format="pyarrow"),
-        emit_pairs, key_col="h", part_col="cdc_nd_part",
-        num_parts=num_parts, nrows=None)
+        hd, emit_pairs, key_col="h", part_col="cdc_nd_part",
+        num_parts=num_parts, nrows=hd.count())
     # (a, b) groups co-locate on a alone — b rides along, the per-
     # partition groupby keys on both
+    pairs = pairs.materialize()
     return coarse_partition_apply(
         pairs, count_pairs, key_col="a", part_col="cdc_pair_part",
-        num_parts=num_parts, nrows=None)
+        num_parts=num_parts, nrows=pairs.count())
 
 
 def cdc_neardup_edges_sql(table: str, *, text_col: str = "text",

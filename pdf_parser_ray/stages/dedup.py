@@ -281,7 +281,7 @@ def band_explode_batch(batch: pa.Table, *, num_perm: int = 128,
             ids.append(doc_id)
             keys.append(key)
     return pa.table({"band_key": pa.array(keys, type=pa.string()),
-                     "doc_id": pa.array(ids, type=batch.column(id_col).type)})
+                     id_col: pa.array(ids, type=batch.column(id_col).type)})
 
 
 def _bucket_candidates(g: pd.DataFrame) -> pd.DataFrame:
@@ -2360,23 +2360,42 @@ def minhash_incremental_ids(new_ds, prior_ds, *, text_col: str = "text",
     keeps every step exactly SQL-replayable.
 
     Scale shape: the ARCHIVE side reduces to per-batch-distinct band-key
-    strings (~8×17 B per doc — its payload never moves, exactly like the
-    exact-incremental's slim hash side). Below ``broadcast_limit``
-    archive band rows, the distinct key set broadcasts once (``ray.put``
-    frozenset) and new docs are filtered locally — zero exchange. Above
-    it, the new side's slim (band_key, id) pairs route through one
-    bucket-partitioned semi-join, then ids-only through the final
-    anti-join; the new payload never shuffles either way."""
+    strings (~8×(2+8·rows) B per doc — its payload never moves, exactly
+    like the exact-incremental's slim hash side). Below
+    ``broadcast_limit`` archive band rows, the distinct key set
+    broadcasts once (``ray.put`` frozenset) and new docs are filtered
+    locally — zero exchange. Above it, the new side's slim (band_key,
+    id) pairs route through one bucket-partitioned semi-join, then
+    ids-only through the final anti-join; the new payload never shuffles
+    either way.
+
+    Band keys here are the band's EXACT value bytes (hex), not the
+    48-bit md5 digests ``band_keys`` uses: with no downstream verify, a
+    truncated-digest collision would silently drop a unique doc and
+    diverge from the oracle's exact sig-slice comparison — the dedup
+    families that keep the 48-bit keys all re-verify candidates."""
     import ray as _ray
 
+    rows = num_perm // num_bands
+
+    def exact_band_explode(batch: pa.Table) -> pa.Table:
+        ids, keys = [], []
+        for did, sig_bytes in zip(batch.column(id_col).to_pylist(),
+                                  batch.column("minhash_sig").to_pylist()):
+            sig = np.frombuffer(sig_bytes, dtype=np.uint64)
+            for b in range(num_bands):
+                keys.append(
+                    f"{b}:{sig[b * rows:(b + 1) * rows].tobytes().hex()}")
+                ids.append(did)
+        return pa.table({
+            "band_key": pa.array(keys, type=pa.string()),
+            id_col: pa.array(ids, type=batch.column(id_col).type)})
+
     fn = {"num_perm": num_perm, "shingle_width": 5, "text_col": text_col}
-    explode_kw = {"num_perm": num_perm, "num_bands": num_bands,
-                  "id_col": id_col}
     bands_prior = (prior_ds
                    .map_batches(minhash_sketch_md5_batch, fn_kwargs=fn,
                                 batch_format="pyarrow")
-                   .map_batches(band_explode_batch, fn_kwargs=explode_kw,
-                                batch_format="pyarrow")
+                   .map_batches(exact_band_explode, batch_format="pyarrow")
                    .select_columns(["band_key"])
                    .materialize())  # slim: key strings only
     n_prior = bands_prior.count()
@@ -2387,20 +2406,19 @@ def minhash_incremental_ids(new_ds, prior_ds, *, text_col: str = "text",
                 batch_format="pyarrow")
             for r in b.select(["band_key"]).to_pylist())
         keys_ref = _ray.put(keys)
-        hasher = _cached_minhasher  # bound for the closure below
 
         def keep(batch: pa.Table) -> pa.Table:
             kset: frozenset = _ray.get(keys_ref)
             from ..functions.minhash import minhash_signature_md5
 
-            bander = hasher(num_perm)
             mask = []
             for t in batch.column(text_col).to_pylist():
                 sig = np.array(
                     minhash_signature_md5(t or "", num_perm, 5),
                     dtype=np.uint64)
                 mask.append(not any(
-                    k in kset for k in bander.band_keys(sig, num_bands)))
+                    f"{b}:{sig[b * rows:(b + 1) * rows].tobytes().hex()}"
+                    in kset for b in range(num_bands)))
             return batch.select([id_col]).filter(pa.array(mask))
 
         return new_ds.map_batches(keep, batch_format="pyarrow")
@@ -2411,8 +2429,7 @@ def minhash_incremental_ids(new_ds, prior_ds, *, text_col: str = "text",
     bands_new = (new_ds
                  .map_batches(minhash_sketch_md5_batch, fn_kwargs=fn,
                               batch_format="pyarrow")
-                 .map_batches(band_explode_batch, fn_kwargs=explode_kw,
-                              batch_format="pyarrow"))
+                 .map_batches(exact_band_explode, batch_format="pyarrow"))
     id_type = _arrow_type(new_ds.schema().types[
         new_ds.schema().names.index(id_col)])
     matched = semi_anti_join(
@@ -2619,23 +2636,32 @@ def ppjoin_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return pd.DataFrame({"doc_id": a_out, "dup_of": b_out})
 
     postings = postings.materialize()
+    n_post = postings.count()
     # pairing cost grows with posting-list density (quadratic within a
     # posting), not linearly with rows — coalescing to ONE task is only
     # right for genuinely tiny runs, so this gate sits far below the
     # band-dedup coalesce limit (A/B at sf0.1's 260k postings: coalesced
     # 9.8 s vs token-partitioned 6.1 s end-to-end)
-    if postings.count() <= 50_000:
+    if n_post <= 50_000:
         cands = postings.repartition(1).map_batches(
             lambda g: pair_up(g).drop_duplicates(["doc_id", "dup_of"]),
             batch_format="pandas", batch_size=None).materialize()
     else:
+        # stamp cardinality AND block count from the KNOWN posting count
+        # (the choose_partitions rule) — a fixed width would run the
+        # quadratic pair stage in too few tasks at web scale and scatter
+        # empty sort ranges at bench scale
+        from ..pipelines.relational import choose_partitions
+
+        pair_parts = choose_partitions(n_post, default=num_parts)
+        pair_blocks = pair_parts if pair_parts > 64 else max(
+            2, -(-pair_parts // 8))
+
         def add_part(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
-            df["tok_part"] = vec_str_buckets(df["tok"], num_parts)
+            df["tok_part"] = vec_str_buckets(df["tok"], pair_parts)
             return df
 
-        pair_blocks = num_parts if num_parts > 64 else max(
-            2, -(-num_parts // 8))
         cands = _distinct_edges(
             postings.map_batches(add_part, batch_format="pandas")
             .repartition(pair_blocks).groupby("tok_part").map_groups(
