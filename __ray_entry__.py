@@ -2047,6 +2047,33 @@ def _encoding_stats_sql() -> str:
     return f"SELECT doc_id, {encoding_stats_sql()} FROM documents"
 
 
+def _q_datacard(sf_dir: str):
+    """ORACLE-GATED per-source dataset datasheet (stages/textstage.py:
+    datacard — Gebru et al. 2018's release artifact as an operator):
+    docs / chars / whitespace tokens / distinct-text count / language
+    count per source. Sums ride the house group-sum; distinct counts
+    co-locate (source, hash) pairs by hash so dedup is exact; text never
+    moves. The oracle is one GROUP BY with the identical md5-u64 text
+    hash and \\S+ token rule."""
+    from pdf_parser_ray.stages.textstage import datacard
+
+    ds = _documents(sf_dir, columns=["text", "lang", "source"])
+    return datacard(ds)
+
+
+_DATACARD_SQL = r"""
+SELECT coalesce(source, '') AS source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars,
+  CAST(sum(length(regexp_extract_all(coalesce(text, ''), '\S+')))
+       AS BIGINT) AS n_tokens,
+  CAST(count(DISTINCT CAST('0x' || substr(md5(coalesce(text, '')), 1, 16)
+       AS UBIGINT)) AS BIGINT) AS n_distinct_texts,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY coalesce(source, '')
+"""
+
+
 def _q_fix_mojibake(sf_dir: str):
     """ORACLE-GATED mojibake repair (functions/textstats.py:fix_mojibake
     — the consumption form of encoding_stats): the fixed, ordered
@@ -3795,6 +3822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": rel.dataset_split,
         "encoding_stats": _q_encoding_stats,
         "fix_mojibake": _q_fix_mojibake,
+        "datacard": _q_datacard,
         "minhash_incremental": _q_minhash_incremental,
         "perplexity_backoff": _q_perplexity_backoff,
         "jsonl_ingest": _q_jsonl_ingest,
@@ -5095,6 +5123,7 @@ FROM s4
     out["badwords"] = _badwords_sql()
     out["encoding_stats"] = _encoding_stats_sql()
     out["fix_mojibake"] = _fix_mojibake_sql()
+    out["datacard"] = _DATACARD_SQL
     from pdf_parser_ray.stages.textstage import redact_pii_sql
     out["redact_pii"] = redact_pii_sql()
     from pdf_parser_ray.stages.graph import pagerank_sql

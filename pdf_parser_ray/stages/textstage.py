@@ -1481,3 +1481,103 @@ def perplexity_buckets(ds, *, k: int = 3, text_col: str = "text",
                              "bucket": tile.astype(np.int64)})
 
     return ranked.map_batches(to_tile, batch_format="pandas")
+
+
+def datacard(ds, *, text_col: str = "text", source_col: str = "source",
+             lang_col: str = "lang"):
+    """Per-source dataset DATACARD — the release datasheet every public
+    corpus ships (Gebru et al., "Datasheets for Datasets", 2018): docs,
+    characters, whitespace tokens, distinct-text count (exact-dup
+    signal) and language count per source, every number exactly
+    SQL-replayable.
+
+    Three passes, all slim:
+    - sums: per-batch pandas groupby partials (source, n_docs, n_chars,
+      n_tokens) through the house group-sum — one bounded exchange of
+      ≤ sources×blocks rows;
+    - distinct texts: per-batch-distinct (source, text-md5-u64) pairs,
+      coarse-partitioned BY HASH so every copy of a pair co-locates,
+      deduped and counted per source inside the partition, partial
+      counts group-summed — text never moves, only u64 hashes;
+    - langs: same shape over (source, lang), alphabet-bounded.
+    The three ≤|sources|-row results merge driver-side. A 64-bit text
+    hash collision undercounts distinct texts by one — the standard
+    hash-identity trade, same as exact dedup."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.hashing import md5_u64
+    from ..pipelines.relational import (coarse_partition_apply,
+                                        partitioned_group_sum)
+
+    def sum_partials(g: pd.DataFrame) -> pd.DataFrame:
+        src = g[source_col].fillna("")
+        toks = textstats.token_count(g[text_col])
+        chars = g[text_col].fillna("").str.len().astype("int64")
+        out = pd.DataFrame({"source": src, "docs": 1,
+                            "chars": chars, "toks": toks})
+        return out.groupby("source", as_index=False).sum()
+
+    sums = partitioned_group_sum(
+        ds.map_batches(sum_partials, batch_format="pandas"),
+        key="source",
+        sum_cols={"n_docs": "docs", "n_chars": "chars",
+                  "n_tokens": "toks"})
+
+    def th_pairs(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column(text_col).to_pylist()]
+        srcs = [s or "" for s in batch.column(source_col).to_pylist()]
+        df = pd.DataFrame({"source": srcs,
+                           "th": md5_u64(texts)}).drop_duplicates()
+        return pa.table({
+            "source": pa.array(df["source"].tolist(), type=pa.string()),
+            "th": pa.array(df["th"].to_numpy(dtype=np.uint64),
+                           type=pa.uint64())})
+
+    def count_distinct_th(part: pd.DataFrame) -> pd.DataFrame:
+        d = part.drop_duplicates(["source", "th"])
+        out = d.groupby("source", as_index=False).size()
+        return pd.DataFrame({"source": out["source"],
+                             "n": out["size"].astype("int64")})
+
+    th = ds.map_batches(th_pairs, batch_format="pyarrow").materialize()
+    th_counts = partitioned_group_sum(
+        coarse_partition_apply(th, count_distinct_th, key_col="th",
+                               part_col="dc_part", num_parts=64,
+                               nrows=th.count()),
+        key="source", sum_cols={"n_distinct_texts": "n"})
+
+    def lang_pairs(batch: pa.Table) -> pa.Table:
+        srcs = [s or "" for s in batch.column(source_col).to_pylist()]
+        langs = batch.column(lang_col).to_pylist()
+        df = pd.DataFrame({"source": srcs, "lang": langs})
+        df = df[df["lang"].notna()].drop_duplicates()
+        return pa.table({
+            "source": pa.array(df["source"].tolist(), type=pa.string()),
+            "lang": pa.array(df["lang"].tolist(), type=pa.string())})
+
+    def count_distinct_lang(part: pd.DataFrame) -> pd.DataFrame:
+        d = part.drop_duplicates(["source", "lang"])
+        out = d.groupby("source", as_index=False).size()
+        return pd.DataFrame({"source": out["source"],
+                             "n": out["size"].astype("int64")})
+
+    lp = ds.map_batches(lang_pairs, batch_format="pyarrow").materialize()
+    lang_counts = partitioned_group_sum(
+        coarse_partition_apply(lp, count_distinct_lang, key_col="lang",
+                               part_col="dl_part", num_parts=8,
+                               nrows=lp.count()),
+        key="source", sum_cols={"n_langs": "n"})
+
+    # ≤ |sources| rows each — merge driver-side
+    a = sums.to_pandas()
+    b = th_counts.to_pandas()
+    c = lang_counts.to_pandas()
+    out = a.merge(b, on="source", how="left").merge(c, on="source",
+                                                    how="left")
+    for col in ("n_distinct_texts", "n_langs"):
+        out[col] = out[col].fillna(0).astype("int64")
+    for col in ("n_docs", "n_chars", "n_tokens"):
+        out[col] = out[col].astype("int64")
+    return out[["source", "n_docs", "n_chars", "n_tokens",
+                "n_distinct_texts", "n_langs"]]

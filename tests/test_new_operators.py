@@ -651,3 +651,47 @@ class TestDatasetSplit:
         got = dataset_split("/root/testdata/sf0.001",
                             train_pct=0, val_pct=100).to_pandas()
         assert set(got["split"]) == {"val"}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDatacard:
+    def test_planted_sources(self):
+        import ray.data
+        import pyarrow as pa
+
+        from pdf_parser_ray.stages.textstage import datacard
+
+        t = pa.table({
+            "text": ["a b c", "a b c", "unique words here", None, "x"],
+            "lang": ["en", "en", "de", None, "fr"],
+            "source": ["web", "web", "web", "book", None],
+        })
+        out = datacard(ray.data.from_arrow(t).repartition(3))
+        out = out.set_index("source").sort_index()
+        web = out.loc["web"]
+        # 3 docs, two identical texts -> 2 distinct, langs {en, de}
+        assert (web["n_docs"], web["n_distinct_texts"],
+                web["n_langs"]) == (3, 2, 2)
+        assert web["n_tokens"] == 3 + 3 + 3
+        book = out.loc["book"]  # null text counts as ''
+        assert (book["n_docs"], book["n_chars"], book["n_tokens"],
+                book["n_distinct_texts"], book["n_langs"]) == (1, 0, 0, 1, 0)
+        assert out.loc[""]["n_docs"] == 1  # null source -> ''
+
+    def test_sf_parity(self):
+        import duckdb
+
+        sf = "/root/testdata/sf0.001"
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as em
+
+        got = em.queries()["datacard"](sf)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+        want = con.sql(em.oracle_sql()["datacard"]).df()
+        g = got.sort_values("source", ignore_index=True)
+        w = want.sort_values("source", ignore_index=True)
+        for col in g.columns:
+            assert g[col].tolist() == w[col].tolist(), col
