@@ -2074,6 +2074,42 @@ FROM documents GROUP BY coalesce(source, '')
 """
 
 
+def _q_length_outliers(sf_dir: str):
+    """ORACLE-GATED per-source robust length outliers (stages/textstage:
+    length_outliers — median/MAD, the Leys et al. 2013 rule): a doc is
+    flagged when |n_chars - median_src| > 3·MAD_src, both statistics
+    exact discrete quantiles computed distributively via the
+    token_percentiles histogram trick per group ((source, value, n)
+    count partials — the exchange is bounded by sources × distinct
+    lengths). Oracle: DuckDB quantile_disc twice + the same integer
+    comparison."""
+    from pdf_parser_ray.stages.textstage import length_outliers
+
+    ds = _documents(sf_dir, columns=["doc_id", "n_chars", "source"])
+    return length_outliers(ds)
+
+
+_LENGTH_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT coalesce(source, '') AS src,
+         CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med
+  FROM documents GROUP BY coalesce(source, '')
+),
+mad AS (
+  SELECT coalesce(d.source, '') AS src,
+         CAST(quantile_disc(abs(d.n_chars - m.med), 0.5) AS BIGINT) AS mad
+  FROM documents d JOIN med m ON coalesce(d.source, '') = m.src
+  GROUP BY coalesce(d.source, '')
+)
+SELECT d.doc_id, coalesce(d.source, '') AS source,
+       CAST(d.n_chars AS BIGINT) AS n_chars,
+       (abs(d.n_chars - m.med) > 3 * x.mad) AS is_outlier
+FROM documents d
+JOIN med m ON coalesce(d.source, '') = m.src
+JOIN mad x ON coalesce(d.source, '') = x.src
+"""
+
+
 def _q_fix_mojibake(sf_dir: str):
     """ORACLE-GATED mojibake repair (functions/textstats.py:fix_mojibake
     — the consumption form of encoding_stats): the fixed, ordered
@@ -3823,6 +3859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoding_stats": _q_encoding_stats,
         "fix_mojibake": _q_fix_mojibake,
         "datacard": _q_datacard,
+        "length_outliers": _q_length_outliers,
         "minhash_incremental": _q_minhash_incremental,
         "perplexity_backoff": _q_perplexity_backoff,
         "jsonl_ingest": _q_jsonl_ingest,
@@ -5124,6 +5161,7 @@ FROM s4
     out["encoding_stats"] = _encoding_stats_sql()
     out["fix_mojibake"] = _fix_mojibake_sql()
     out["datacard"] = _DATACARD_SQL
+    out["length_outliers"] = _LENGTH_OUTLIERS_SQL
     from pdf_parser_ray.stages.textstage import redact_pii_sql
     out["redact_pii"] = redact_pii_sql()
     from pdf_parser_ray.stages.graph import pagerank_sql

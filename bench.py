@@ -214,7 +214,7 @@ def run_query_suite() -> dict:
              "user_activity_coverage", "event_type_affinity",
              # round-5 continuation-3 additions
              "dataset_split", "encoding_stats", "minhash_incremental",
-             "fix_mojibake", "datacard"]
+             "fix_mojibake", "datacard", "length_outliers"]
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in names:

@@ -1581,3 +1581,95 @@ def datacard(ds, *, text_col: str = "text", source_col: str = "source",
         out[col] = out[col].astype("int64")
     return out[["source", "n_docs", "n_chars", "n_tokens",
                 "n_distinct_texts", "n_langs"]]
+
+
+def length_outliers(ds, *, len_col: str = "n_chars",
+                    source_col: str = "source", id_col: str = "doc_id",
+                    k: int = 3):
+    """Per-source ROBUST length-outlier flags — median/MAD instead of
+    mean/stddev (Leys et al. 2013, the standard robust rule), the
+    pre-training filter that catches boilerplate stubs and concatenation
+    blowups without being dragged by the outliers themselves. A doc is
+    flagged when |len - median_src| > k * MAD_src, every quantity an
+    exact integer so the DuckDB oracle (quantile_disc) matches bit-wise.
+
+    Distributed shape — the token_percentiles histogram trick, per
+    group: lengths are integers, so an exact per-source median reduces
+    to (source, len, n) count partials through the house group-sum (the
+    exchange is bounded by sources × distinct lengths, independent of
+    corpus size); the driver walks each source's cumulative counts at
+    quantile index ceil(n/2)-1 (the quantile_disc convention), a second
+    identical pass folds |len - med| deviation counts for the MAD, and
+    the ≤|sources| (median, mad) pairs broadcast into one vectorized
+    flag pass. Text never moves; no full sort anywhere."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray as _ray
+
+    from ..pipelines.relational import partitioned_group_sum
+
+    def len_counts(g: pd.DataFrame) -> pd.DataFrame:
+        src = g[source_col].fillna("")
+        out = pd.DataFrame({"source": src,
+                            "v": g[len_col].astype("int64"), "n": 1})
+        return out.groupby(["source", "v"], as_index=False).sum()
+
+    def fold_counts(counts_df: pd.DataFrame) -> dict:
+        """source → discrete median via cumulative counts."""
+        med = {}
+        for src, sub in counts_df.groupby("source", sort=False):
+            sub = sub.sort_values("v")
+            n = int(sub["n"].sum())
+            idx = max(0, math.ceil(0.5 * n) - 1)
+            cum = sub["n"].cumsum().to_numpy()
+            med[src] = int(sub["v"].to_numpy()[
+                np.searchsorted(cum, idx + 1)])
+        return med
+
+    def key_counts(stage_fn):
+        partials = ds.map_batches(stage_fn,
+                                  batch_format="pandas").materialize()
+        summed = partitioned_group_sum(
+            partials, key="source_v", sum_cols={"n": "n"},
+            nrows=partials.count())
+        df = summed.to_pandas()
+        parts = df["source_v"].str.rsplit("\x1f", n=1, expand=True)
+        return pd.DataFrame({"source": parts[0],
+                             "v": parts[1].astype("int64"),
+                             "n": df["n"].astype("int64")})
+
+    def pack_key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source_v": df["source"] + "\x1f" + df["v"].astype(str),
+            "n": df["n"]})
+
+    med = fold_counts(key_counts(lambda g: pack_key(len_counts(g))))
+    med_ref = _ray.put(med)
+
+    def dev_counts(g: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(med_ref)
+        src = g[source_col].fillna("")
+        meds = src.map(m).astype("int64")
+        dev = (g[len_col].astype("int64") - meds).abs()
+        out = pd.DataFrame({"source": src, "v": dev, "n": 1})
+        return out.groupby(["source", "v"], as_index=False).sum()
+
+    mad = fold_counts(key_counts(lambda g: pack_key(dev_counts(g))))
+    stats_ref = _ray.put({s: (med[s], mad[s]) for s in med})
+
+    def flag(batch: pa.Table) -> pa.Table:
+        st = _ray.get(stats_ref)
+        src = [s or "" for s in batch.column(source_col).to_pylist()]
+        lens = batch.column(len_col).to_numpy(zero_copy_only=False)
+        meds = np.array([st[s][0] for s in src], dtype=np.int64)
+        mads = np.array([st[s][1] for s in src], dtype=np.int64)
+        out = np.abs(lens.astype(np.int64) - meds) > k * mads
+        return pa.table({
+            id_col: batch.column(id_col),
+            "source": pa.array(src, type=pa.string()),
+            len_col: pa.array(lens.astype(np.int64), type=pa.int64()),
+            "is_outlier": pa.array(out)})
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -695,3 +695,48 @@ class TestDatacard:
         w = want.sort_values("source", ignore_index=True)
         for col in g.columns:
             assert g[col].tolist() == w[col].tolist(), col
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLengthOutliers:
+    def test_planted_outlier(self):
+        import pyarrow as pa
+        import ray.data
+
+        from pdf_parser_ray.stages.textstage import length_outliers
+
+        # source A: tight cluster around 100 (MAD 2) + one blowup
+        lens_a = [98, 99, 100, 100, 101, 102, 5000]
+        # source B: everything identical -> MAD 0 -> any deviation flags
+        lens_b = [50, 50, 50, 51]
+        t = pa.table({
+            "doc_id": list(range(len(lens_a) + len(lens_b))),
+            "n_chars": lens_a + lens_b,
+            "source": ["a"] * len(lens_a) + ["b"] * len(lens_b),
+        })
+        out = length_outliers(ray.data.from_arrow(t).repartition(3))
+        df = out.to_pandas().set_index("doc_id").sort_index()
+        # a: med=100, MAD=1 -> only the 5000 doc flags
+        assert df.loc[:6, "is_outlier"].tolist() == [
+            False, False, False, False, False, False, True]
+        # b: med=50, MAD=0 -> the 51 doc flags
+        assert df.loc[7:, "is_outlier"].tolist() == [
+            False, False, False, True]
+
+    def test_sf_parity(self):
+        import duckdb
+
+        sf = "/root/testdata/sf0.001"
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as em
+
+        got = em.queries()["length_outliers"](sf).to_pandas()
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+        want = con.sql(em.oracle_sql()["length_outliers"]).df()
+        g = got.sort_values("doc_id", ignore_index=True)
+        w = want.sort_values("doc_id", ignore_index=True)
+        for col in g.columns:
+            assert g[col].tolist() == w[col].tolist(), col
